@@ -1,0 +1,230 @@
+"""Deterministic lemmatization + derivational canonicalization.
+
+Plays the role of the reference's ``holmes_lemma`` /
+``derived_lemma`` machinery (reference: en
+language_specific_rules.py:478-556 — phrasal-verb lemma merge,
+derivation CSV lookup, suffix rewriting like ``-isation``→``-ise``).
+
+Single source of truth: the rule tables below drive BOTH the Python
+implementation (used inside pandas UDFs) and a generated DuckDB SQL
+``CASE`` expression (used by the oracle queries), so the driver can
+verify lemma-level aggregations value-for-value.
+"""
+
+from __future__ import annotations
+
+# irregular surface form -> lemma (English)
+IRREGULAR_EN: dict[str, str] = {
+    "was": "be", "were": "be", "is": "be", "are": "be", "am": "be",
+    "been": "be", "being": "be",
+    "did": "do", "does": "do", "done": "do", "doing": "do",
+    "has": "have", "had": "have", "having": "have",
+    "saw": "see", "seen": "see",
+    "came": "come", "come": "come", "coming": "come",
+    "went": "go", "gone": "go", "going": "go",
+    "gave": "give", "given": "give", "giving": "give",
+    "took": "take", "taken": "take", "taking": "take",
+    "made": "make", "making": "make",
+    "said": "say", "saying": "say",
+    "got": "get", "gotten": "get", "getting": "get",
+    "found": "find", "finding": "find",
+    "grew": "grow", "grown": "grow", "growing": "grow",
+    "ate": "eat", "eaten": "eat", "eating": "eat",
+    "caught": "catch", "bought": "buy", "sold": "sell",
+    "put": "put", "putting": "put",
+    "ran": "run", "running": "run", "run": "run",
+    "held": "hold", "wrote": "write", "written": "write", "writing": "write",
+    "sang": "sing", "sung": "sing", "flew": "fly", "flown": "fly",
+    "drove": "drive", "driven": "drive", "driving": "drive",
+    "met": "meet", "meeting": "meet", "paid": "pay",
+    "heard": "hear", "let": "let", "began": "begin", "begun": "begin",
+    "kept": "keep", "spoke": "speak", "spoken": "speak",
+    "spent": "spend", "won": "win", "sent": "send", "built": "build",
+    "fell": "fall", "fallen": "fall", "cut": "cut", "thought": "think",
+    "knew": "know", "known": "know", "felt": "feel", "left": "leave",
+    "brought": "bring", "taught": "teach", "slept": "sleep",
+    "woke": "wake", "woken": "wake", "wore": "wear", "worn": "wear",
+    "broke": "break", "broken": "break", "threw": "throw", "thrown": "throw",
+    "swam": "swim", "swum": "swim", "bit": "bite", "bitten": "bite",
+    "fed": "feed", "men": "man", "women": "woman", "children": "child",
+    "people": "person", "mice": "mouse", "feet": "foot", "teeth": "tooth",
+    "chasing": "chase", "used": "use", "using": "use",
+}
+
+# stems that take back their final 'e' after stripping -ed / -ing
+# (chas+ed -> chase, liv+ing -> live); decided by the stem's final chars
+_E_RESTORE_ENDINGS = ("s", "c", "z", "v", "u", "as", "os", "iv", "at",
+                      "it", "ut", "ag", "ang", "id", "ir", "or", "ur",
+                      "in", "un", "ov", "az", "iz")
+
+# words that must not be singular-stripped despite final 's'
+_KEEP_S = {"always", "perhaps", "species", "news", "bus", "gas", "yes",
+           "this", "his", "its", "is", "was", "has", "does", "less",
+           "us", "as", "plus", "minus", "lens"}
+
+
+def _strip_ed_ing(w: str) -> str:
+    if w.endswith("ing") and len(w) > 5:
+        stem = w[:-3]
+    elif w.endswith("ed") and len(w) > 4:
+        stem = w[:-2]
+    else:
+        return w
+    if len(stem) > 2 and stem[-1] == stem[-2] and stem[-1] not in "aeiouls":
+        return stem[:-1]  # chopped -> chop
+    if stem.endswith(_E_RESTORE_ENDINGS):
+        return stem + "e"  # chased -> chase
+    return stem
+
+
+def lemma_en(word: str) -> str:
+    """Lowercased lemma of one English surface token (deterministic)."""
+    w = word.lower()
+    if w in IRREGULAR_EN:
+        return IRREGULAR_EN[w]
+    if w in _KEEP_S:
+        return w
+    if w.endswith("ies") and len(w) > 4:
+        return w[:-3] + "y"
+    if w.endswith(("sses", "shes", "ches", "xes", "zes")) and len(w) > 4:
+        return w[:-2]
+    if w.endswith("ss"):
+        return w
+    if w.endswith("s") and not w.endswith(("us", "is")) and len(w) > 3:
+        return w[:-1]
+    out = _strip_ed_ing(w)
+    return out if out else w
+
+
+def lemma_en_sql(col: str) -> str:
+    """DuckDB SQL expression computing exactly ``lemma_en(lower(col))``.
+
+    Generated from the same rule tables — the oracle-side mirror.
+    """
+    irr = ",".join(
+        f"('{k}','{v}')" for k, v in sorted(IRREGULAR_EN.items())
+    )
+    keep_s = ",".join(f"'{w}'" for w in sorted(_KEEP_S))
+    restore = " OR ".join(
+        f"stem LIKE '%{e}'" for e in _E_RESTORE_ENDINGS
+    )
+    # NOTE: mirrors the Python control flow 1:1; any rule change must be
+    # made in both (tests/test_lemmatizer.py asserts equivalence).
+    return f"""(
+      CASE
+        WHEN lower({col}) IN (SELECT k FROM (VALUES {irr}) t(k, v))
+          THEN (SELECT v FROM (VALUES {irr}) t(k, v) WHERE k = lower({col}))
+        WHEN lower({col}) IN ({keep_s}) THEN lower({col})
+        WHEN lower({col}) LIKE '%ies' AND length({col}) > 4
+          THEN substr(lower({col}), 1, length({col}) - 3) || 'y'
+        WHEN (lower({col}) LIKE '%sses' OR lower({col}) LIKE '%shes'
+              OR lower({col}) LIKE '%ches' OR lower({col}) LIKE '%xes'
+              OR lower({col}) LIKE '%zes') AND length({col}) > 4
+          THEN substr(lower({col}), 1, length({col}) - 2)
+        WHEN lower({col}) LIKE '%ss' THEN lower({col})
+        WHEN lower({col}) LIKE '%s' AND lower({col}) NOT LIKE '%us'
+             AND lower({col}) NOT LIKE '%is' AND length({col}) > 3
+          THEN substr(lower({col}), 1, length({col}) - 1)
+        ELSE (
+          SELECT CASE
+            WHEN stem IS NULL THEN lower({col})
+            WHEN length(stem) > 2
+                 AND substr(stem, length(stem), 1) = substr(stem, length(stem) - 1, 1)
+                 AND substr(stem, length(stem), 1) NOT IN
+                     ('a','e','i','o','u','l','s')
+              THEN substr(stem, 1, length(stem) - 1)
+            WHEN {restore} THEN stem || 'e'
+            ELSE stem
+          END
+          FROM (SELECT CASE
+              WHEN lower({col}) LIKE '%ing' AND length({col}) > 5
+                THEN substr(lower({col}), 1, length({col}) - 3)
+              WHEN lower({col}) LIKE '%ed' AND length({col}) > 4
+                THEN substr(lower({col}), 1, length({col}) - 2)
+              ELSE NULL END AS stem)
+        )
+      END
+    )"""
+
+
+# ------------------------------------------------------- derived lemmas
+
+# derivational canonicalization map (reference loads
+# lang/en/data/derivation.csv at parsing.py:938-951 and applies suffix
+# rules -isation→-ise etc. at language_specific_rules.py:494-556;
+# re-authored seed map from scratch)
+DERIVATION_EN: dict[str, str] = {
+    "information": "inform", "extraction": "extract", "growth": "grow",
+    "gift": "give", "sale": "sell", "purchase": "buy", "sight": "see",
+    "arrival": "arrive", "payment": "pay", "movement": "move",
+    "creation": "create", "speech": "speak", "flight": "fly",
+    "song": "sing", "thought": "think", "knowledge": "know",
+    "feeling": "feel", "teaching": "teach", "opening": "open",
+    "booking": "book", "chaser": "chase", "hunter": "hunt",
+    "worker": "work", "player": "play", "writer": "write",
+    "reader": "read", "builder": "build", "helper": "help",
+    "richness": "rich", "poverty": "poor", "quickness": "quick",
+}
+
+_DERIV_SUFFIX_RULES_EN = (
+    ("isation", "ise"), ("ization", "ize"), ("ication", "y"),
+    ("ness", ""), ("ment", ""), ("ally", "al"),
+)
+
+
+def derived_lemma_en(lemma: str) -> str:
+    """Derivationally canonical form (predicate canonicalization)."""
+    if lemma in DERIVATION_EN:
+        return DERIVATION_EN[lemma]
+    for suf, rep in _DERIV_SUFFIX_RULES_EN:
+        if lemma.endswith(suf) and len(lemma) > len(suf) + 2:
+            return lemma[: -len(suf)] + rep
+    return lemma
+
+
+# ------------------------------------------------------------- German
+
+IRREGULAR_DE: dict[str, str] = {
+    "jagte": "jagen", "jagt": "jagen", "gejagt": "jagen",
+    "sah": "sehen", "sieht": "sehen", "gesehen": "sehen",
+    "kam": "kommen", "kommt": "kommen", "gekommen": "kommen",
+    "wuchs": "wachsen", "wächst": "wachsen", "gewachsen": "wachsen",
+    "gab": "geben", "gibt": "geben", "gegeben": "geben",
+    "informierte": "informieren", "informiert": "informieren",
+    "öffnete": "öffnen", "öffnet": "öffnen", "geöffnet": "öffnen",
+    "kaufte": "kaufen", "kauft": "kaufen", "gekauft": "kaufen",
+    "ist": "sein", "war": "sein", "sind": "sein", "waren": "sein",
+    "hat": "haben", "hatte": "haben",
+    "wurde": "werden", "wurden": "werden", "wird": "werden",
+    "kriminellen": "kriminelle", "kriminellem": "kriminelle",
+    "hunde": "hund", "katzen": "katze", "männer": "mann",
+    "frauen": "frau", "kinder": "kind", "pflanzen": "pflanze",
+    "häuser": "haus", "städte": "stadt", "bücher": "buch",
+}
+
+
+def lemma_de(word: str) -> str:
+    w = word.lower()
+    if w in IRREGULAR_DE:
+        return IRREGULAR_DE[w]
+    if w.endswith("ungen"):
+        return w[:-2]  # wohnungen -> wohnung
+    return w
+
+
+DERIVATION_DE: dict[str, str] = {
+    "information": "informieren", "extraktion": "extrahieren",
+    "verkauf": "verkaufen", "jagd": "jagen", "wachstum": "wachsen",
+}
+
+
+def derived_lemma_de(lemma: str) -> str:
+    return DERIVATION_DE.get(lemma, lemma)
+
+
+def lemma(word: str, lang: str) -> str:
+    return lemma_de(word) if lang == "de" else lemma_en(word)
+
+
+def derived_lemma(lem: str, lang: str) -> str:
+    return derived_lemma_de(lem) if lang == "de" else derived_lemma_en(lem)

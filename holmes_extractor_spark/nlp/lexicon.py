@@ -1,0 +1,197 @@
+"""Closed-class lexicons and small open-class seed lexicons.
+
+These play the role of the reference's per-language
+``language_specific_rules.py`` constant tables (e.g. the English
+negation-word list at reference language_specific_rules.py:134-167, the
+matchable-POS lists at :25-36, the interrogative lexemes at :1327-1469)
+— re-authored from scratch for a deterministic rule tagger.
+"""
+
+from __future__ import annotations
+
+# ---------------------------------------------------------------- English
+
+DETS_EN = {
+    "the", "a", "an", "no", "any", "this", "these", "those", "every",
+    "some", "each", "all", "both", "another", "either", "neither", "such",
+}
+
+# pronouns the reference treats as unmatchable generic pronouns
+# (reference: parsing.py:1436-1448 matchability excludes generic pronouns)
+GENERIC_PRONOUNS_EN = {
+    "somebody", "someone", "something", "anybody", "anyone", "anything",
+    "nobody", "nothing", "everybody", "everyone", "everything",
+}
+
+PERSONAL_PRONOUNS_EN = {
+    "i", "you", "he", "she", "it", "we", "they", "me", "him", "her",
+    "us", "them", "myself", "himself", "herself", "itself", "themselves",
+}
+
+INTERROGATIVES_EN = {"who", "whom", "whose", "what", "which", "where", "when", "why", "how"}
+
+PRONOUNS_EN = PERSONAL_PRONOUNS_EN | GENERIC_PRONOUNS_EN | INTERROGATIVES_EN
+
+# neuter pronouns corefer with non-person antecedents; gendered with persons
+NEUTER_PRONOUNS_EN = {"it", "itself", "they", "them", "themselves"}
+MASC_PRONOUNS_EN = {"he", "him", "himself"}
+FEM_PRONOUNS_EN = {"she", "her", "herself"}
+
+AUX_LEMMAS_EN = {"be", "do", "have", "will", "would", "can", "could",
+                 "shall", "should", "may", "might", "must"}
+
+BE_FORMS_EN = {"be", "am", "is", "are", "was", "were", "been", "being", "'s", "'re", "'m"}
+DO_FORMS_EN = {"do", "does", "did", "done", "doing"}
+HAVE_FORMS_EN = {"have", "has", "had", "having", "'ve"}
+MODALS_EN = {"will", "would", "can", "could", "shall", "should", "may",
+             "might", "must", "'ll", "'d"}
+
+PREPOSITIONS_EN = {
+    "in", "on", "at", "by", "to", "of", "with", "from", "for", "about",
+    "over", "under", "into", "onto", "through", "after", "before",
+    "between", "against", "during", "without", "within", "across",
+    "behind", "beyond", "near", "towards", "toward", "upon", "off",
+    "around", "among", "via", "per", "despite", "until", "since", "as",
+}
+
+# particles that form phrasal verbs when directly after a verb
+# (reference: en holmes_lemma merges phrasal-verb particles into the
+#  lemma, language_specific_rules.py:478-492)
+PARTICLES_EN = {"up", "down", "out", "off", "away", "back", "over", "in", "on", "along"}
+
+NEGATION_WORDS_EN = {"no", "not", "never", "nothing", "nobody", "none",
+                     "nowhere", "neither", "nor", "n't"}
+
+CONJUNCTIONS_EN = {"and", "or", "but", "nor"}
+
+ADVERBS_EN = {
+    "quickly", "slowly", "very", "now", "here", "there", "home", "today",
+    "yesterday", "tomorrow", "always", "often", "sometimes", "soon",
+    "again", "away", "together", "well", "too", "also", "just", "still",
+    "already", "almost", "quite", "rather", "hard", "fast",
+}
+
+ADJECTIVES_EN = {
+    "poor", "rich", "old", "young", "big", "small", "large", "little",
+    "quick", "slow", "happy", "sad", "good", "bad", "new", "long",
+    "short", "high", "low", "hot", "cold", "easy", "hard", "fast",
+    "tired", "hungry", "angry", "gentle", "serious", "important",
+    "interesting", "beautiful", "strong", "weak", "dark", "light",
+    "clean", "dirty", "full", "empty", "nice", "fine", "red", "green",
+    "blue", "black", "white", "brown",
+}
+
+ADJ_SUFFIXES_EN = ("ful", "ous", "ive", "able", "ible", "al", "ic", "ish", "less")
+
+# content-verb lemma seed lexicon: a surface form is tagged VERB when its
+# lemma is here and it shows verbal morphology or sits in verb position
+VERB_LEMMAS_EN = {
+    "chase", "see", "come", "grow", "give", "open", "book", "buy", "sell",
+    "eat", "catch", "take", "put", "make", "say", "go", "get", "find",
+    "use", "work", "call", "try", "need", "want", "jump", "walk", "run",
+    "love", "hate", "own", "hold", "write", "read", "sing", "fly",
+    "drive", "visit", "meet", "pay", "play", "move", "live", "show",
+    "hear", "let", "begin", "keep", "start", "help", "talk", "turn",
+    "follow", "stop", "create", "speak", "spend", "win", "offer",
+    "remember", "consider", "appear", "serve", "send", "expect", "build",
+    "stay", "fall", "cut", "reach", "kill", "remain", "inform", "think",
+    "know", "look", "ask", "feel", "leave", "bring", "happen", "watch",
+    "seem", "teach", "learn", "wait", "sleep", "wake", "arrive", "return",
+    "carry", "wear", "break", "fix", "cook", "wash", "clean", "push",
+    "pull", "throw", "climb", "swim", "dance", "laugh", "cry", "smile",
+    "bark", "bite", "hunt", "feed", "plant", "water", "pick", "drop",
+}
+
+# nouns that would otherwise look verbal (tagged NOUN after DET/ADJ)
+NOUN_LEXICON_EN = {
+    "dog", "cat", "man", "woman", "child", "plant", "file", "employee",
+    "house", "town", "city", "tree", "car", "book", "account", "bank",
+    "holiday", "home", "water", "food", "mouse", "bird", "horse", "lion",
+    "tiger", "animal", "person", "people", "company", "school", "work",
+    "day", "night", "year", "time", "hand", "eye", "head", "door",
+    "window", "table", "chair", "garden", "street", "road", "river",
+    "mountain", "sea", "sky", "sun", "moon", "star", "friend", "family",
+    "mother", "father", "brother", "sister", "king", "queen", "student",
+    "teacher", "doctor", "nurse", "police", "information", "criminal",
+}
+
+# nouns denoting persons (for coref gender/person compatibility)
+PERSON_NOUNS_EN = {
+    "man", "woman", "child", "person", "people", "employee", "friend",
+    "mother", "father", "brother", "sister", "king", "queen", "student",
+    "teacher", "doctor", "nurse", "boy", "girl", "somebody", "someone",
+}
+
+STOPWORDS_EN = DETS_EN | PRONOUNS_EN | PREPOSITIONS_EN | CONJUNCTIONS_EN | {
+    "be", "is", "are", "was", "were", "been", "am", "do", "does", "did",
+    "have", "has", "had", "will", "would", "can", "could", "should",
+    "not", "so", "if", "then", "than", "that", "there", "their",
+}
+
+# ---------------------------------------------------------------- German
+
+DETS_DE = {"der", "die", "das", "den", "dem", "des", "ein", "eine",
+           "einen", "einem", "einer", "eines", "kein", "keine", "keinen"}
+
+PRONOUNS_DE = {"ich", "du", "er", "sie", "es", "wir", "ihr", "man",
+               "wer", "was", "jemand", "niemand", "etwas", "nichts"}
+
+PREPOSITIONS_DE = {"in", "an", "auf", "über", "unter", "mit", "von",
+                   "zu", "bei", "nach", "aus", "für", "gegen", "ohne",
+                   "um", "durch", "vor", "hinter", "neben", "zwischen"}
+
+NEGATION_WORDS_DE = {"nicht", "kein", "keine", "keinen", "nie", "niemals",
+                     "nichts", "niemand"}
+
+VERB_LEMMAS_DE = {
+    "jagen", "sehen", "kommen", "wachsen", "geben", "öffnen", "kaufen",
+    "verkaufen", "essen", "fangen", "nehmen", "machen", "sagen", "gehen",
+    "finden", "informieren", "singen", "fliegen", "fahren", "besuchen",
+    "treffen", "zahlen", "spielen", "wohnen", "zeigen", "hören", "lieben",
+    "brauchen", "lesen", "schreiben", "trinken", "schlafen", "laufen",
+}
+
+NOUN_LEXICON_DE = {
+    "hund", "katze", "mann", "frau", "kind", "pflanze", "haus", "stadt",
+    "baum", "auto", "buch", "wasser", "information", "polizei",
+    "kriminelle", "kriminellen", "maus", "vogel", "pferd", "löwe",
+    "tier", "mensch", "schule", "tag", "nacht", "jahr", "zeit", "tür",
+    "fenster", "tisch", "garten", "straße", "fluss", "berg", "meer",
+    "freund", "familie", "mutter", "vater", "bruder", "schwester",
+    "könig", "königin", "student", "lehrer", "arzt", "versicherung",
+    "gesellschaft", "wohnung", "extraktion", "interesse", "verkauf",
+}
+
+STOPWORDS_DE = DETS_DE | PRONOUNS_DE | PREPOSITIONS_DE | {
+    "und", "oder", "aber", "ist", "sind", "war", "waren", "sein",
+    "hat", "haben", "hatte", "wird", "werden", "wurde", "wurden",
+    "nicht", "auch", "nur", "noch", "schon", "so", "dann", "als", "wie",
+}
+
+# German compound-noun part vocabulary for deterministic subword
+# splitting (the reference does recursive vocab-checked splitting,
+# de/language_specific_rules.py:364-772; we use a seed vocabulary +
+# the same idea: only split when every part is a known noun)
+COMPOUND_PARTS_DE = {
+    "polizei", "information", "informations", "kriminell", "kriminelle",
+    "versicherung", "versicherungs", "gesellschaft", "wohnung", "wohnungs",
+    "verkauf", "verkaufs", "interesse", "interessen", "extraktion",
+    "haus", "tür", "auto", "schule", "buch", "wasser", "stadt", "garten",
+}
+
+# linking elements (Fugen) allowed between German compound parts
+FUGEN_DE = ("s", "es", "n", "en")
+
+# ------------------------------------------------- multi-language sets
+
+STOPWORDS_BY_LANG = {"en": STOPWORDS_EN, "de": STOPWORDS_DE}
+
+# small stopword seeds for language identification (ops/text_analysis);
+# chosen to be mutually exclusive enough for a deterministic argmax
+LANGID_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "was", "that", "it"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit", "von"],
+    "fr": ["le", "la", "les", "et", "est", "une", "dans", "pour", "que", "des"],
+    "es": ["el", "los", "las", "y", "es", "una", "por", "para", "con", "del"],
+    "zh": ["的", "是", "了", "在", "和", "有", "我", "他", "这", "中"],
+}

@@ -1,0 +1,605 @@
+"""Deterministic tagger + dependency parser + semantic normalization.
+
+This is the engine's stand-in for the reference's parse stack
+(spaCy tok2vec/tagger/parser/ner + coreferee + the `holmes` pipe that
+runs ~14 normalization passes, reference: parsing.py:974-1042). The
+output contract per token mirrors the reference's HolmesDictionary
+(reference: parsing.py:331-487): lemma, derived lemma, matching reprs,
+semantic dependencies (incl. passive/agent normalization, conjunction
+distribution, coreference-linked deps), negation, matchability,
+multiword spans, mentions and (German) subwords.
+
+Everything here is pure Python over small lists — it runs *vectorized
+per Arrow batch* inside ``mapInPandas`` (one call per few thousand
+docs), never as a per-row Spark UDF.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from . import lexicon as L
+from .lemmatizer import derived_lemma, lemma
+from .tokenizer import SENT_END, sentences, tokenize
+
+PUNCT = set('.,!?;:()"')
+
+# participle forms for passive detection (surface-level)
+_IRREG_PARTICIPLES = {
+    "seen", "given", "taken", "grown", "eaten", "caught", "bought",
+    "sold", "made", "found", "held", "written", "sung", "flown",
+    "driven", "met", "paid", "heard", "begun", "kept", "spoken",
+    "spent", "won", "sent", "built", "cut", "thought", "known", "felt",
+    "left", "brought", "taught", "woken", "worn", "broken", "thrown",
+    "swum", "bitten", "fed", "put", "let", "done", "gone", "come",
+}
+
+_FIRST_NAMES = {
+    "richard", "paul", "peter", "hans", "maria", "anna", "john", "mary",
+    "james", "sarah", "michael", "laura", "thomas", "julia", "david",
+    "emma", "robert", "sophie", "hudson", "smith", "jones", "miller",
+}
+
+_PLACES = {"london", "berlin", "paris", "munich", "hamburg", "rome",
+           "madrid", "vienna", "york", "england", "germany", "france"}
+
+
+@dataclass
+class Tok:
+    i: int
+    text: str
+    lemma: str = ""
+    derived_lemma: str = ""
+    pos: str = "NOUN"
+    tag: str = ""
+    dep: str = "dep"
+    head: int = -1
+    ent_type: str = ""
+    is_negated: bool = False
+    is_matchable: bool = False
+    is_initial_question_word: bool = False
+    righthand_siblings: list[int] = field(default_factory=list)
+    coref_chain: list[int] = field(default_factory=list)
+    most_specific_coref: int = -1
+    sent_idx: int = 0
+    subwords: list[dict] = field(default_factory=list)
+    multiwords: list[dict] = field(default_factory=list)
+
+
+# sem dep: dict(parent, child, label, uncertain, coref)
+
+
+def _is_participle(w: str) -> bool:
+    lw = w.lower()
+    return lw in _IRREG_PARTICIPLES or (lw.endswith("ed") and len(lw) > 3)
+
+
+# ----------------------------------------------------------- tagging EN
+
+def _tag_en(toks: list[Tok], start_of_sent: int) -> None:
+    n = len(toks)
+    for j, t in enumerate(toks):
+        w = t.text.lower()
+        prev = toks[j - 1] if j > 0 else None
+        if t.text in PUNCT:
+            t.pos = "PUNCT"
+        elif w in L.DETS_EN:
+            t.pos = "DET"
+        elif w in L.CONJUNCTIONS_EN:
+            t.pos = "CCONJ"
+        elif w in ("not", "n't"):
+            t.pos = "PART"
+        elif w in L.PRONOUNS_EN:
+            t.pos = "PRON"
+        elif w in L.BE_FORMS_EN or w in L.DO_FORMS_EN or w in L.HAVE_FORMS_EN or w in L.MODALS_EN:
+            t.pos = "AUX"
+        elif w in L.PARTICLES_EN and prev is not None and prev.pos in ("VERB", "AUX"):
+            # particle vs preposition: preposition only if an NP follows
+            # (lexical lookahead — the next token is not yet tagged)
+            nxt = toks[j + 1] if j + 1 < n else None
+            nw = nxt.text.lower() if nxt is not None else ""
+            if nxt is not None and nxt.text not in PUNCT and (
+                nw in L.DETS_EN or nw in L.NOUN_LEXICON_EN
+                or (nxt.text[:1].isupper() and nw not in L.ADVERBS_EN)
+            ) and not (nw in L.ADVERBS_EN or (nw.endswith("ly") and len(nw) > 4)):
+                t.pos = "ADP"
+            else:
+                t.pos = "PART"
+        elif w in L.PREPOSITIONS_EN:
+            t.pos = "ADP"
+        elif w in L.ADVERBS_EN or (w.endswith("ly") and len(w) > 4):
+            t.pos = "ADV"
+        elif w in L.NOUN_LEXICON_EN and (prev is None or prev.pos in ("DET", "ADJ", "ADP", "NUM", "NOUN", "PROPN", "CCONJ") or prev.text in PUNCT):
+            t.pos = "NOUN"
+        elif w in L.ADJECTIVES_EN or (w.endswith(L.ADJ_SUFFIXES_EN) and len(w) > 5):
+            t.pos = "ADJ"
+        elif w.isdigit():
+            t.pos = "NUM"
+        elif lemma(w, "en") in L.VERB_LEMMAS_EN and not (prev is not None and prev.pos in ("DET", "ADJ", "NUM")):
+            t.pos = "VERB"
+        elif t.text[:1].isupper() and j + start_of_sent > start_of_sent and j > 0:
+            t.pos = "PROPN"
+        elif t.text[:1].isupper() and j == 0 and w in _FIRST_NAMES:
+            t.pos = "PROPN"
+        elif w in L.NOUN_LEXICON_EN:
+            t.pos = "NOUN"
+        else:
+            t.pos = "NOUN"
+        t.tag = t.pos
+
+
+def _tag_de(toks: list[Tok]) -> None:
+    from .lemmatizer import IRREGULAR_DE
+
+    for j, t in enumerate(toks):
+        w = t.text.lower()
+        prev = toks[j - 1] if j > 0 else None
+        if t.text in PUNCT:
+            t.pos = "PUNCT"
+        elif w in L.DETS_DE:
+            t.pos = "DET"
+        elif w in ("und", "oder", "aber"):
+            t.pos = "CCONJ"
+        elif w == "nicht":
+            t.pos = "PART"
+        elif w in L.PRONOUNS_DE:
+            t.pos = "PRON"
+        elif w in ("ist", "war", "sind", "waren", "wird", "wurde", "wurden", "hat", "hatte", "haben"):
+            t.pos = "AUX"
+        elif w in L.PREPOSITIONS_DE and not (t.text[:1].isupper() and j > 0):
+            t.pos = "ADP"
+        elif w in IRREGULAR_DE and IRREGULAR_DE[w] in L.VERB_LEMMAS_DE:
+            t.pos = "VERB"
+        elif w in L.VERB_LEMMAS_DE:
+            t.pos = "VERB"
+        elif t.text[:1].isupper():
+            # German nouns are capitalized
+            t.pos = "NOUN" if w in L.NOUN_LEXICON_DE or j > 0 or w not in L.VERB_LEMMAS_DE else "VERB"
+        elif w.endswith(("lich", "ig", "isch", "sam", "bar")):
+            t.pos = "ADJ"
+        elif w.endswith("t") and ("ge" + w[:-1]) in IRREGULAR_DE:
+            t.pos = "VERB"
+        else:
+            t.pos = "NOUN" if prev is not None and prev.pos in ("DET", "ADJ") else "NOUN"
+        t.tag = t.pos
+
+
+# ---------------------------------------------------------- NP chunking
+
+def _chunk_nps(toks: list[Tok]) -> list[tuple[int, int, int]]:
+    """Return (start, end_inclusive, head) spans of noun phrases within a
+    sentence token list (local indexes). Head = last nominal token.
+    """
+    spans = []
+    j = 0
+    n = len(toks)
+    while j < n:
+        if toks[j].pos in ("DET", "ADJ", "NUM") or toks[j].pos in ("NOUN", "PROPN", "PRON"):
+            start = j
+            last_nominal = -1
+            while j < n and toks[j].pos in ("DET", "ADJ", "NUM", "NOUN", "PROPN", "PRON"):
+                if toks[j].pos in ("NOUN", "PROPN", "PRON"):
+                    last_nominal = j
+                # a pronoun is always its own NP
+                if toks[j].pos == "PRON" and last_nominal == j and j > start:
+                    break
+                j += 1
+                if last_nominal >= 0 and j < n and toks[j].pos == "PRON":
+                    break
+            if last_nominal >= 0:
+                spans.append((start, j - 1, last_nominal))
+            else:
+                j += 1
+        else:
+            j += 1
+    return spans
+
+
+# -------------------------------------------------- sentence dep parse
+
+def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
+    """Assign syntactic head/dep within one sentence (local indexes are
+    the Tok.i values already set globally; list positions are local).
+    Returns the list of *semantic* dependencies (holmes-normalized).
+    """
+    n = len(toks)
+    off = toks[0].i
+    deps: list[dict] = []
+
+    def add(parent: int, child: int, label: str, uncertain: bool = False, coref: bool = False):
+        deps.append({
+            "parent": parent, "child": child, "label": label,
+            "uncertain": uncertain, "coref": coref,
+        })
+
+    # --- verb chain & root
+    verb_pos = [j for j, t in enumerate(toks) if t.pos == "VERB"]
+    aux_pos = [j for j, t in enumerate(toks) if t.pos == "AUX"]
+    root_local: int
+    copula = False
+    passive = False
+    if verb_pos:
+        root_local = verb_pos[0]
+        # passive: a BE aux before the verb + participle form
+        be_before = [a for a in aux_pos if a < root_local and toks[a].text.lower() in L.BE_FORMS_EN | {"wird", "wurde", "wurden", "ist", "war"}]
+        if be_before and _is_participle(toks[root_local].text):
+            passive = True
+    elif aux_pos:
+        root_local = aux_pos[-1]
+        copula = True
+    else:
+        nps = _chunk_nps(toks)
+        root_local = nps[0][2] if nps else 0
+    root = toks[root_local]
+    root.dep = "ROOT"
+    root.head = root.i
+
+    nps = _chunk_nps(toks)
+
+    # --- NP-internal deps
+    np_heads = []
+    for (s, e, h) in nps:
+        np_heads.append(h)
+        for j in range(s, e + 1):
+            if j == h:
+                continue
+            t = toks[j]
+            t.head = toks[h].i
+            if t.pos == "DET":
+                t.dep = "det"
+            elif t.pos == "ADJ":
+                t.dep = "amod"
+                add(toks[h].i, t.i, "amod")
+            elif t.pos == "NUM":
+                t.dep = "nummod"
+                add(toks[h].i, t.i, "nummod")
+            elif t.pos in ("NOUN",):
+                t.dep = "compound"
+                add(toks[h].i, t.i, "compound")
+            elif t.pos == "PROPN":
+                t.dep = "compound"
+            else:
+                t.dep = "dep"
+
+    # --- aux attachment
+    for a in aux_pos:
+        if copula and a == root_local:
+            continue
+        toks[a].head = root.i
+        toks[a].dep = "auxpass" if passive and toks[a].text.lower() in L.BE_FORMS_EN else "aux"
+
+    # --- negation particle
+    for j, t in enumerate(toks):
+        if t.pos == "PART" and t.text.lower() in ("not", "n't", "nicht"):
+            t.head = root.i
+            t.dep = "neg"
+            add(root.i, t.i, "neg")
+
+    # --- subject: closest NP head strictly before the verb/aux chain
+    first_v = min(verb_pos + aux_pos) if (verb_pos or aux_pos) else None
+    subj_local = None
+    if first_v is not None:
+        pre = [h for h in np_heads if h < first_v]
+        if pre:
+            subj_local = pre[-1]
+            st = toks[subj_local]
+            st.head = root.i
+            st.dep = "nsubjpass" if passive else "nsubj"
+            add(root.i, st.i, st.dep)
+
+    # --- post-verbal material
+    got_obj = False
+    dobj_local = None
+    j = root_local + 1
+    while j < n:
+        t = toks[j]
+        if t.pos == "PUNCT":
+            t.head = root.i
+            t.dep = "punct"
+            j += 1
+            continue
+        if t.pos == "PART" and t.text.lower() not in ("not", "n't", "nicht"):
+            t.head = root.i
+            t.dep = "prt"
+            add(root.i, t.i, "prt")
+            j += 1
+            continue
+        if t.pos == "ADV":
+            t.head = root.i
+            t.dep = "advmod"
+            add(root.i, t.i, "advmod")
+            j += 1
+            continue
+        if t.pos == "ADP":
+            # PP: find the NP directly after
+            pp_np = next(((s, e, h) for (s, e, h) in nps if s == j + 1 or (s <= j + 1 <= e)), None)
+            t.head = root.i
+            t.dep = "agent" if (passive and t.text.lower() in ("by", "von")) else "prep"
+            if pp_np is not None:
+                ph = toks[pp_np[2]]
+                ph.head = t.i
+                ph.dep = "pobj"
+                if t.dep == "agent":
+                    # passive agent = actor (reference pobjb,
+                    # language_specific_rules.py:558-797)
+                    add(root.i, ph.i, "pobjb")
+                elif t.text.lower() in ("to", "für") and got_obj:
+                    add(root.i, ph.i, "dative")
+                else:
+                    # attach prep object to the prep's governor
+                    # (reference prepgovernor-noun phraselet)
+                    gov = toks[dobj_local].i if (dobj_local is not None and t.text.lower() == "of") else root.i
+                    add(gov, ph.i, "pobjp")
+                add(t.i, ph.i, "pobj-raw", uncertain=False)
+                j = pp_np[1] + 1
+                continue
+            j += 1
+            continue
+        np_here = next(((s, e, h) for (s, e, h) in nps if s == j), None)
+        if np_here is not None:
+            h = toks[np_here[2]]
+            if copula:
+                h.head = root.i
+                h.dep = "attr"
+                add(root.i, h.i, "attr")
+            elif not got_obj:
+                h.head = root.i
+                h.dep = "dobj"
+                add(root.i, h.i, "dobj")
+                got_obj = True
+                dobj_local = np_here[2]
+            else:
+                h.head = root.i
+                h.dep = "dep"
+            j = np_here[1] + 1
+            continue
+        if t.pos == "ADJ" and copula:
+            t.head = root.i
+            t.dep = "acomp"
+            add(root.i, t.i, "acomp")
+            j += 1
+            continue
+        if t.head < 0:
+            t.head = root.i
+            t.dep = "dep"
+        j += 1
+
+    # copula + predicative adjective → amod rewire
+    # ("the man was poor" ≈ "the poor man"; reference parsing.py:1318-1357)
+    if copula and subj_local is not None:
+        for d in list(deps):
+            if d["label"] == "acomp" and d["parent"] == root.i:
+                add(toks[subj_local].i, d["child"], "amod", uncertain=False)
+
+    # --- conjunction distribution (reference parsing.py:1225-1316):
+    # "X and Y verb..." / "verb X and Y": the conjunct inherits the
+    # lefthand sibling's deps, marked uncertain
+    for j, t in enumerate(toks):
+        if t.pos == "CCONJ" and 0 < j < n - 1:
+            left = next((h for h in reversed(np_heads) if h < j), None)
+            right = next((h for h in np_heads if h > j), None)
+            if left is not None and right is not None and toks[right].dep in ("dep", "conj", "ROOT", "compound"):
+                lt, rt = toks[left], toks[right]
+                rt.head = lt.i
+                rt.dep = "conj"
+                lt.righthand_siblings.append(rt.i)
+                for d in list(deps):
+                    if d["child"] == lt.i:
+                        add(d["parent"], rt.i, d["label"], uncertain=True)
+                    elif d["parent"] == lt.i and d["label"] in ("amod", "compound"):
+                        pass
+
+    # leftover heads
+    for t in toks:
+        if t.head < 0:
+            t.head = root.i
+            if t.dep == "dep" and t.pos == "PUNCT":
+                t.dep = "punct"
+    return deps
+
+
+# ------------------------------------------------------------ document
+
+def _german_subwords(t: Tok) -> list[dict]:
+    """Deterministic compound split: longest valid first part wins.
+
+    Mirrors the *effect* of the reference's recursive vocab-scored split
+    (reference: de/language_specific_rules.py:364-772) on a seed
+    vocabulary: every part must be a known part; linking 's'/'es'/'n'/
+    'en' allowed; last part is the governor (intcompound dependency,
+    reference :740-746).
+    """
+    w = t.text.lower()
+    if len(w) < 7 or t.pos not in ("NOUN", "PROPN"):
+        return []
+    best = None
+    for cut in range(len(w) - 3, 3, -1):  # longest first part wins
+        p1, rest = w[:cut], w[cut:]
+        cands = [(p1, rest)]
+        for f in L.FUGEN_DE:
+            if p1.endswith(f) and len(p1) - len(f) >= 4:
+                cands.append((p1[: -len(f)], rest))
+        for base1, p2 in cands:
+            if base1 in L.COMPOUND_PARTS_DE and (p2 in L.COMPOUND_PARTS_DE or lemma(p2, "de") in L.COMPOUND_PARTS_DE):
+                best = (base1, p2, cut)
+                break
+        if best:
+            break
+    if not best:
+        return []
+    p1, p2, cut = best
+    l1, l2 = lemma(p1, "de"), lemma(p2, "de")
+    return [
+        {"idx": 0, "text": w[:cut], "lemma": l1,
+         "derived_lemma": derived_lemma(l1, "de"), "char_start": 0,
+         "dependent": -1, "dep_label": "", "governor": 1,
+         "gov_label": "intcompound"},
+        {"idx": 1, "text": p2, "lemma": l2,
+         "derived_lemma": derived_lemma(l2, "de"), "char_start": cut,
+         "dependent": 0, "dep_label": "intcompound", "governor": -1,
+         "gov_label": ""},
+    ]
+
+
+def parse_document(text: str, lang: str) -> dict:
+    """Full deterministic parse of one document.
+
+    Returns ``{"tokens": [token dicts], "deps": [semantic dep dicts]}``
+    matching the `docs` schema of FIXTURES.md §5a.
+    """
+    words = tokenize(text)
+    sents = sentences(words)
+    toks: list[Tok] = []
+    all_deps: list[dict] = []
+    gi = 0
+    sent_bounds: list[tuple[int, int]] = []
+    for si, sw in enumerate(sents):
+        stoks = [Tok(i=gi + j, text=w) for j, w in enumerate(sw)]
+        for t in stoks:
+            t.sent_idx = si
+        if lang == "de":
+            _tag_de(stoks)
+        else:
+            _tag_en(stoks, gi)
+        all_deps.extend(_parse_sentence(stoks, lang))
+        sent_bounds.append((gi, gi + len(sw) - 1))
+        toks.extend(stoks)
+        gi += len(sw)
+
+    # --- lemmas / derived lemmas / phrasal verbs
+    dep_by_parent: dict[int, list[dict]] = {}
+    for d in all_deps:
+        dep_by_parent.setdefault(d["parent"], []).append(d)
+    for t in toks:
+        t.lemma = lemma(t.text, lang)
+        if t.pos == "VERB":
+            for d in dep_by_parent.get(t.i, []):
+                if d["label"] == "prt":
+                    # phrasal verb lemma merge (reference
+                    # language_specific_rules.py:478-492)
+                    t.lemma = f"{t.lemma} {toks[d['child']].text.lower()}"
+        t.derived_lemma = derived_lemma(t.lemma, lang)
+
+    # --- entity typing (gazetteer NER stand-in)
+    for t in toks:
+        if t.pos == "PROPN":
+            w = t.text.lower()
+            if w in _FIRST_NAMES:
+                t.ent_type = "PERSON"
+            elif w in _PLACES:
+                t.ent_type = "GPE"
+            else:
+                t.ent_type = "PERSON"
+    # propagate entity type across PROPN compounds
+    for t in toks:
+        if t.pos == "PROPN" and toks[t.head].pos == "PROPN":
+            t.ent_type = toks[t.head].ent_type
+
+    # --- multiword spans: maximal PROPN runs (reference builds noun
+    # multiwords at parsing.py:1534-1588; entity-defined multiwords in
+    # word_matching/entity.py:80-114)
+    j = 0
+    while j < len(toks):
+        if toks[j].pos == "PROPN":
+            k = j
+            while k + 1 < len(toks) and toks[k + 1].pos == "PROPN" and toks[k + 1].sent_idx == toks[j].sent_idx:
+                k += 1
+            if k > j:
+                span = toks[j: k + 1]
+                mw = {
+                    "text": " ".join(t.text.lower() for t in span),
+                    "lemma": " ".join(t.lemma for t in span),
+                    "derived_lemma": " ".join(t.derived_lemma for t in span),
+                    "token_indexes": [t.i for t in span],
+                }
+                toks[k].multiwords.append(mw)  # head = last PROPN
+            j = k + 1
+        else:
+            j += 1
+
+    # --- negation (sentence-scoped; reference marks tokens negated via
+    # negation words among children/ancestors,
+    # language_specific_rules.py:134-167)
+    neg_words = L.NEGATION_WORDS_DE if lang == "de" else L.NEGATION_WORDS_EN
+    for (s, e) in sent_bounds:
+        stoks = toks[s: e + 1]
+        if any(t.text.lower() in neg_words for t in stoks):
+            connected = {d["parent"] for d in all_deps} | {d["child"] for d in all_deps}
+            for t in stoks:
+                if t.pos in ("VERB", "AUX", "NOUN", "PROPN", "ADJ", "PRON") and (t.i in connected or t.dep == "ROOT"):
+                    t.is_negated = True
+
+    # --- coreference: 3rd-person pronoun → head noun of the last
+    # compatible NP of the previous sentence (coreferee stand-in;
+    # reference consumes coreferee chains at parsing.py:1096-1137)
+    for si in range(1, len(sent_bounds)):
+        s, e = sent_bounds[si]
+        ps, pe = sent_bounds[si - 1]
+        for t in toks[s: e + 1]:
+            w = t.text.lower()
+            if t.pos != "PRON" or w not in (L.NEUTER_PRONOUNS_EN | L.MASC_PRONOUNS_EN | L.FEM_PRONOUNS_EN | {"es", "er", "sie"}):
+                continue
+            ante = None
+            for c in range(pe, ps - 1, -1):
+                ct = toks[c]
+                if ct.pos not in ("NOUN", "PROPN") or ct.dep == "compound":
+                    continue
+                is_person = ct.ent_type == "PERSON" or ct.text.lower() in L.PERSON_NOUNS_EN
+                if w in L.NEUTER_PRONOUNS_EN | {"es"} and not is_person:
+                    ante = c
+                    break
+                if w in (L.MASC_PRONOUNS_EN | L.FEM_PRONOUNS_EN | {"er", "sie"}) and is_person:
+                    ante = c
+                    break
+            if ante is None:
+                continue
+            at = toks[ante]
+            chain = sorted({ante, t.i} | set(at.coref_chain) | set(t.coref_chain))
+            for idx in chain:
+                toks[idx].coref_chain = chain
+            t.most_specific_coref = ante
+            # coreference-linked deps (reference parsing.py:1507-1532):
+            # deps pointing at the pronoun also point at the antecedent
+            for d in list(all_deps):
+                if d["child"] == t.i:
+                    all_deps.append({"parent": d["parent"], "child": ante,
+                                     "label": d["label"], "uncertain": d["uncertain"],
+                                     "coref": True})
+
+    # --- matchability (reference parsing.py:1436-1448)
+    for t in toks:
+        w = t.text.lower()
+        t.is_matchable = (
+            t.pos in ("NOUN", "PROPN", "VERB", "ADJ", "ADV")
+            and w not in L.GENERIC_PRONOUNS_EN
+            and w not in L.INTERROGATIVES_EN
+        )
+        if t.pos == "PRON" and w in L.INTERROGATIVES_EN and t.i == sent_bounds[t.sent_idx][0]:
+            t.is_initial_question_word = True
+
+    # --- German compound subwords
+    if lang == "de":
+        for t in toks:
+            t.subwords = _german_subwords(t)
+
+    token_dicts = []
+    for t in toks:
+        w = t.text.lower()
+        direct_reprs = sorted({t.lemma, w})
+        derivation_reprs = [t.derived_lemma] if t.derived_lemma != t.lemma else []
+        token_dicts.append({
+            "i": t.i, "text": t.text, "lemma": t.lemma,
+            "derived_lemma": t.derived_lemma, "pos": t.pos, "tag": t.tag,
+            "dep": t.dep, "head": t.head, "ent_type": t.ent_type,
+            "direct_reprs": direct_reprs,
+            "derivation_reprs": derivation_reprs,
+            "is_negated": t.is_negated, "is_matchable": t.is_matchable,
+            "is_initial_question_word": t.is_initial_question_word,
+            "righthand_siblings": t.righthand_siblings,
+            "sent_idx": t.sent_idx,
+            "coref_chain": t.coref_chain,
+            "most_specific_coref": t.most_specific_coref,
+            "subwords": t.subwords,
+            "multiwords": t.multiwords,
+        })
+    return {"tokens": token_dicts, "deps": all_deps}

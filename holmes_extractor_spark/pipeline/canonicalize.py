@@ -1,0 +1,105 @@
+"""Entity canonicalization: connected components by iterative
+min-label propagation (hash self-join until fixpoint).
+
+North-rule requirement: "a connected-components-style canonicalization
+pass (hash-join + iterative min-label propagation) to merge coreferent
+entity clusters". The cluster edge set is:
+
+- ontology synonym pairs (equivalentClass closure depth 0),
+- derivational identity (lemma ↔ derived lemma, the reference's
+  predicate canonicalization, language_specific_rules.py:494-556),
+- corpus coreference links are already folded in upstream: the parse
+  stage resolves pronouns to their most specific mention and the edge
+  extractor emits the *antecedent's* lemma (reference
+  word_matching/general.py:82-100 `extracted_word`), so coreferent
+  mentions share a node by construction.
+
+Min-label propagation converges in O(log(diameter)) rounds; entity
+synonym clusters are tiny (diameter ≤ 3 in practice) so 1-3 rounds.
+Each round is one shuffle on the label key; the node set (distinct
+entity words) is orders of magnitude smaller than the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MAX_ROUNDS = 12
+
+
+def cluster_edges_from(closure: DataFrame, deriv_pairs: DataFrame | None = None) -> DataFrame:
+    """Undirected (a, b) similarity pairs that should share an entity."""
+    syn = (
+        closure.filter((F.col("depth") == 0) & (F.col("query_word") != F.col("matched_word")))
+        .select(F.col("query_word").alias("a"), F.col("matched_word").alias("b"))
+    )
+    if deriv_pairs is not None:
+        syn = syn.unionByName(deriv_pairs.select("a", "b"))
+    return syn.distinct()
+
+
+def connected_components(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
+    """nodes(word) + pairs(a, b) → (word, canonical) where canonical is
+    the lexicographic min of the component (min-label propagation).
+    """
+    # symmetric adjacency incl. self-loop
+    adj = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .unionByName(nodes.select(F.col("word").alias("src"), F.col("word").alias("dst")))
+        .distinct()
+    )
+    labels = nodes.select(F.col("word"), F.col("word").alias("canonical"))
+    for _ in range(MAX_ROUNDS):
+        # candidate label per node = min over neighbors' labels
+        cand = (
+            adj.join(labels.withColumnRenamed("word", "dst"), "dst")
+            .groupBy(F.col("src").alias("word"))
+            .agg(F.min("canonical").alias("new_canonical"))
+        )
+        merged = labels.join(cand, "word", "left").withColumn(
+            "next", F.least(F.col("canonical"), F.coalesce("new_canonical", "canonical")))
+        changed = merged.filter(F.col("next") != F.col("canonical")).isEmpty()
+        labels = merged.select("word", F.col("next").alias("canonical")).cache()
+        if changed:
+            break
+    return labels
+
+
+def build_entities(linked_edges: DataFrame, closure: DataFrame) -> DataFrame:
+    """entities(canonical, lemmas, cluster_size) from edge endpoints."""
+    nodes = (
+        linked_edges.select(F.col("subj").alias("word"))
+        .unionByName(linked_edges.select(F.col("obj").alias("word")))
+        .distinct()
+    )
+    pairs = cluster_edges_from(closure)
+    # restrict pairs to words present in the corpus + their partners
+    comp = connected_components(nodes, pairs)
+    return (
+        comp.groupBy("canonical")
+        .agg(F.sort_array(F.collect_set("word")).alias("lemmas"),
+             F.countDistinct("word").alias("cluster_size"))
+        .withColumn("entity_id", F.xxhash64("canonical"))
+        .select("entity_id", "canonical", "lemmas", "cluster_size")
+    )
+
+
+def attach_entity_ids(linked_edges: DataFrame, entities: DataFrame) -> DataFrame:
+    """Resolve edge endpoints to canonical entity ids (broadcast map
+    side — entities ≪ edges)."""
+    m = F.broadcast(
+        entities.select(F.explode("lemmas").alias("word"),
+                        F.col("canonical"), F.col("entity_id")))
+    return (
+        linked_edges
+        .join(m.withColumnRenamed("word", "subj")
+               .withColumnRenamed("canonical", "subj_canonical")
+               .withColumnRenamed("entity_id", "subj_entity_id"), "subj", "left")
+        .join(m.withColumnRenamed("word", "obj")
+               .withColumnRenamed("canonical", "obj_canonical")
+               .withColumnRenamed("entity_id", "obj_entity_id"), "obj", "left")
+        .withColumn("subj_canonical", F.coalesce("subj_canonical", "subj"))
+        .withColumn("obj_canonical", F.coalesce("obj_canonical", "obj"))
+    )

@@ -1,0 +1,107 @@
+"""Parse stage: pages → docs (Arrow-batched, mapInPandas).
+
+The expensive stage (the reference's spaCy+holmes pipe per document,
+reference: manager.py:375-384, parsing.py:974-1042). One Python call
+per Arrow batch of documents; all ~14 normalization passes are
+doc-local so this stage has NO shuffle — it is a pure narrow map and
+scales linearly with executors.
+
+Skew note (north rule): document *length* is the skew axis here, not a
+join key. ``repartition(salt)`` in run_pipeline spreads long-document
+hosts; at cluster scale the same column feeds AQE.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import PARSER_VERSION
+from ..nlp.parser import parse_document
+from ..pipeline.phraselets import extract_candidate_edges, extract_word_phraselets
+from ..schema import DOCS, EDGES, WORDS
+
+
+def _parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for url, lang, text in zip(pdf["url"], pdf["lang"], pdf["text"]):
+            parsed = parse_document(text, lang)
+            rows.append({
+                "url": url,
+                "lang": lang,
+                "parser_version": PARSER_VERSION,
+                "n_tokens": len(parsed["tokens"]),
+                "tokens": parsed["tokens"],
+                "deps": parsed["deps"],
+            })
+        yield pd.DataFrame(rows, columns=["url", "lang", "parser_version",
+                                          "n_tokens", "tokens", "deps"])
+
+
+def parse_pages(pages: DataFrame) -> DataFrame:
+    """pages(url, text, lang) → docs table (schema.DOCS)."""
+    return (
+        pages.select("url", "lang", "text")
+        .mapInPandas(_parse_batches, schema=DOCS)
+    )
+
+
+def _docs_to_parsed(row_tokens, row_deps) -> dict:
+    """Rebuild the parse dict from columnar docs arrays (Arrow gives
+    arrays of dicts back)."""
+    return {"tokens": [dict(t) for t in row_tokens],
+            "deps": [dict(d) for d in row_deps]}
+
+
+def _edges_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    cols = [f.name for f in EDGES.fields]
+    for pdf in batches:
+        rows = []
+        for url, lang, toks, deps in zip(pdf["url"], pdf["lang"],
+                                         pdf["tokens"], pdf["deps"]):
+            parsed = _docs_to_parsed(toks, deps)
+            for e in extract_candidate_edges(parsed, lang):
+                e = dict(e)
+                e["url"] = url
+                e["lang"] = lang
+                rows.append(e)
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def extract_edges(docs: DataFrame) -> DataFrame:
+    """docs → candidate_edges (one row per relation-phraselet instance,
+    SURVEY.md §2.5). Narrow map — no shuffle."""
+    return docs.select("url", "lang", "tokens", "deps").mapInPandas(
+        _edges_batches, schema=EDGES)
+
+
+def _words_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    cols = [f.name for f in WORDS.fields]
+    for pdf in batches:
+        rows = []
+        for url, lang, toks, deps in zip(pdf["url"], pdf["lang"],
+                                         pdf["tokens"], pdf["deps"]):
+            parsed = _docs_to_parsed(toks, deps)
+            for w in extract_word_phraselets(parsed, lang):
+                rows.append({"url": url, "lang": lang, "word": w["word"],
+                             "label": w["label"], "idx": w["idx"],
+                             "negated": w["negated"]})
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def extract_words(docs: DataFrame) -> DataFrame:
+    """docs → single-word phraselets (template 'word')."""
+    return docs.select("url", "lang", "tokens", "deps").mapInPandas(
+        _words_batches, schema=WORDS)
+
+
+def with_salt(df: DataFrame, buckets: int = 64) -> DataFrame:
+    """Salted repartition column for host-level skew (north rule):
+    xxhash64(url) is uniform across hosts regardless of per-host page
+    counts."""
+    return df.withColumn("salt", F.pmod(F.xxhash64("url"), F.lit(buckets)))

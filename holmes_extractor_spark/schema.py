@@ -1,0 +1,95 @@
+"""Table schemas (the columnar re-expression of the reference's
+in-memory object model, SURVEY.md §1.1).
+
+The reference keeps a corpus as pickled spaCy Docs in worker RAM
+(reference: manager.py:1016-1029, README.md:283); here every stage is a
+typed columnar table so Catalyst can prune/push down and stages are
+independently checkpointable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+SUBWORD = T.StructType([
+    T.StructField("idx", T.IntegerType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("lemma", T.StringType()),
+    T.StructField("derived_lemma", T.StringType()),
+    T.StructField("char_start", T.IntegerType()),
+    T.StructField("dependent", T.IntegerType()),
+    T.StructField("dep_label", T.StringType()),
+    T.StructField("governor", T.IntegerType()),
+    T.StructField("gov_label", T.StringType()),
+])
+
+MULTIWORD = T.StructType([
+    T.StructField("text", T.StringType()),
+    T.StructField("lemma", T.StringType()),
+    T.StructField("derived_lemma", T.StringType()),
+    T.StructField("token_indexes", T.ArrayType(T.IntegerType())),
+])
+
+TOKEN = T.StructType([
+    T.StructField("i", T.IntegerType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("lemma", T.StringType()),
+    T.StructField("derived_lemma", T.StringType()),
+    T.StructField("pos", T.StringType()),
+    T.StructField("tag", T.StringType()),
+    T.StructField("dep", T.StringType()),
+    T.StructField("head", T.IntegerType()),
+    T.StructField("ent_type", T.StringType()),
+    T.StructField("direct_reprs", T.ArrayType(T.StringType())),
+    T.StructField("derivation_reprs", T.ArrayType(T.StringType())),
+    T.StructField("is_negated", T.BooleanType()),
+    T.StructField("is_matchable", T.BooleanType()),
+    T.StructField("is_initial_question_word", T.BooleanType()),
+    T.StructField("righthand_siblings", T.ArrayType(T.IntegerType())),
+    T.StructField("sent_idx", T.IntegerType()),
+    T.StructField("coref_chain", T.ArrayType(T.IntegerType())),
+    T.StructField("most_specific_coref", T.IntegerType()),
+    T.StructField("subwords", T.ArrayType(SUBWORD)),
+    T.StructField("multiwords", T.ArrayType(MULTIWORD)),
+])
+
+SEM_DEP = T.StructType([
+    T.StructField("parent", T.IntegerType()),
+    T.StructField("child", T.IntegerType()),
+    T.StructField("label", T.StringType()),
+    T.StructField("uncertain", T.BooleanType()),
+    T.StructField("coref", T.BooleanType()),
+])
+
+DOCS = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("lang", T.StringType()),
+    T.StructField("parser_version", T.StringType()),
+    T.StructField("n_tokens", T.IntegerType()),
+    T.StructField("tokens", T.ArrayType(TOKEN)),
+    T.StructField("deps", T.ArrayType(SEM_DEP)),
+])
+
+EDGES = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("lang", T.StringType()),
+    T.StructField("template", T.StringType()),
+    T.StructField("label", T.StringType()),
+    T.StructField("pred", T.StringType()),
+    T.StructField("subj", T.StringType()),
+    T.StructField("obj", T.StringType()),
+    T.StructField("parent_idx", T.IntegerType()),
+    T.StructField("child_idx", T.IntegerType()),
+    T.StructField("negated", T.BooleanType()),
+    T.StructField("uncertain", T.BooleanType()),
+    T.StructField("involves_coref", T.BooleanType()),
+])
+
+WORDS = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("lang", T.StringType()),
+    T.StructField("word", T.StringType()),
+    T.StructField("label", T.StringType()),
+    T.StructField("idx", T.IntegerType()),
+    T.StructField("negated", T.BooleanType()),
+])
