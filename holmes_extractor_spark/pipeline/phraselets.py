@@ -55,7 +55,7 @@ def _repr_of(tok: dict) -> str:
     """Derived-lemma representation, multiword-substituted when the
     token heads an entity multiword (reference parsing.py:1534-1588 and
     multiword substitution during phraselet extraction)."""
-    if tok["multiwords"]:
+    if len(tok["multiwords"]) > 0:
         return tok["multiwords"][0]["derived_lemma"]
     return tok["derived_lemma"]
 

@@ -1,0 +1,302 @@
+"""Structural matching — the reference's ``Manager.match()`` lifecycle
+(reference: manager.py:562-613) re-expressed Spark-first:
+
+1. compile search phrases on the driver with the same parse layer
+   (reference: parsing.py:2460-2632 compile; pack/scatter at
+   manager.py:509-519);
+2. probe the postings inverted index for root-word candidates — a
+   broadcast hash join, the pipeline's workhorse (reference probes its
+   reverse_dict instead of scanning, structural_matching.py:249-259);
+3. gather candidate docs and run the recursive subgraph verification
+   *doc-locally* inside an Arrow-batched UDF (reference:
+   structural_matching.py:486-819) — patterns are 1-2 edges deep, so
+   doc-local recursion after the index join is the idiomatic plan, not
+   a distributed join;
+4. global sort of match rows (reference: manager.py:604-613).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..nlp.parser import parse_document
+
+# search-phrase dep label → doc dep labels it matches (the asymmetric
+# label-implication table, reference parsing.py:2823-2853 with the
+# per-language tables at language_specific_rules.py:878-1111)
+LABEL_IMPLICATIONS: dict[str, set[str]] = {
+    "nsubj": {"nsubj", "pobjb", "advmodsubj"},
+    "dobj": {"dobj", "nsubjpass", "relant", "advmodobj"},
+    "dative": {"dative"},
+    "amod": {"amod", "attr"},
+    "advmod": {"advmod"},
+    "compound": {"compound", "intcompound"},
+    "nummod": {"nummod"},
+    "pobjp": {"pobjp"},
+    "pobjb": {"pobjb", "nsubj"},
+    "nsubjpass": {"nsubjpass", "dobj"},
+    "attr": {"attr", "amod"},
+    "neg": {"neg"},
+}
+
+_ENTITY_RE = re.compile(r"^ENTITY([A-Z]+)$")
+
+MATCH_ROW = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("phrase_label", T.StringType()),
+    T.StructField("index_within_document", T.IntegerType()),
+    T.StructField("negated", T.BooleanType()),
+    T.StructField("uncertain", T.BooleanType()),
+    T.StructField("involves_coreference", T.BooleanType()),
+    T.StructField("overall_similarity", T.DoubleType()),
+    T.StructField("word_matches", T.ArrayType(T.StructType([
+        T.StructField("sp_index", T.IntegerType()),
+        T.StructField("sp_word", T.StringType()),
+        T.StructField("doc_index", T.IntegerType()),
+        T.StructField("doc_word", T.StringType()),
+        T.StructField("match_type", T.StringType()),
+        T.StructField("depth", T.IntegerType()),
+        T.StructField("extracted_word", T.StringType()),
+    ]))),
+])
+
+
+def compile_search_phrase(text: str, label: str | None = None,
+                          lang: str = "en") -> dict:
+    """Driver-side compile: parse the phrase with the shared parse
+    layer, keep matchable tokens + the semantic dep pattern rooted at
+    the ROOT token. Validation mirrors reference errors.py:9-26
+    (no conjunction / no negation inside a search phrase)."""
+    parsed = parse_document(text, lang)
+    toks = parsed["tokens"]
+    if any(t["text"].lower() in ("and", "or") for t in toks):
+        raise ValueError(f"search phrase may not contain conjunction: {text!r}")
+    root = next((t for t in toks if t["dep"] == "ROOT"), toks[0])
+    pattern_deps = []
+    matchable = set()
+
+    def walk(i: int) -> None:
+        matchable.add(i)
+        for d in parsed["deps"]:
+            if d["parent"] == i and toks[d["child"]]["is_matchable"] and d["label"] in LABEL_IMPLICATIONS:
+                pattern_deps.append((i, d["child"], d["label"]))
+                walk(d["child"])
+
+    # a generic-pronoun/ENTITY root still anchors the pattern
+    walk(root["i"])
+    sp_tokens = {}
+    for i in matchable:
+        t = toks[i]
+        m = _ENTITY_RE.match(t["text"])
+        sp_tokens[i] = {
+            "i": i,
+            "text": t["text"],
+            "direct_reprs": t["direct_reprs"],
+            "derivation_reprs": t["derivation_reprs"] or [t["derived_lemma"]],
+            "ent_spec": m.group(1) if m else None,
+            "derived_lemma": t["derived_lemma"],
+        }
+    # ENTITY placeholders and generic pronouns at non-root positions
+    for d in parsed["deps"]:
+        if d["parent"] in matchable and d["label"] in LABEL_IMPLICATIONS:
+            c = toks[d["child"]]
+            if _ENTITY_RE.match(c["text"]) and d["child"] not in matchable:
+                matchable.add(d["child"])
+                pattern_deps.append((d["parent"], d["child"], d["label"]))
+                sp_tokens[d["child"]] = {
+                    "i": d["child"], "text": c["text"],
+                    "direct_reprs": [], "derivation_reprs": [],
+                    "ent_spec": _ENTITY_RE.match(c["text"]).group(1),
+                    "derived_lemma": c["derived_lemma"],
+                }
+    return {
+        "label": label or text,
+        "lang": lang,
+        "root": root["i"],
+        "tokens": sp_tokens,
+        "pattern_deps": pattern_deps,
+    }
+
+
+def root_reprs(sp: dict) -> list[tuple[str, str]]:
+    """(repr, kind) probes for the root token — what the reference
+    calls words_matching_root_token (parsing.py:731-810)."""
+    rt = sp["tokens"][sp["root"]]
+    if rt["ent_spec"]:
+        return [(f"ENTITY{rt['ent_spec']}", "entity")]
+    probes = [(r, "direct") for r in rt["direct_reprs"]]
+    probes += [(r, "derivation") for r in rt["derivation_reprs"]]
+    return probes
+
+
+def _token_matches(sp_tok: dict, dt: dict, closure_map: dict) -> tuple[str, int, str] | None:
+    """First-match-wins strategy chain (reference manager.py:163-214
+    order: direct → derivation → entity → ontology). Returns
+    (match_type, depth, matched_doc_word) or None."""
+    if sp_tok["ent_spec"]:
+        if dt["ent_type"] == sp_tok["ent_spec"] and dt["dep"] != "compound":
+            return ("entity", 0, dt["text"].lower())
+        return None
+    doc_direct = set(dt["direct_reprs"])
+    doc_deriv = set(dt["derivation_reprs"])
+    for mw in dt["multiwords"]:
+        doc_direct |= {mw["text"], mw["lemma"]}
+        doc_deriv |= {mw["derived_lemma"]}
+    sp_direct = set(sp_tok["direct_reprs"])
+    sp_deriv = set(sp_tok["derivation_reprs"])
+    if sp_direct & doc_direct:
+        return ("direct", 0, dt["lemma"])
+    if (sp_deriv & (doc_direct | doc_deriv)) or (sp_direct & doc_deriv):
+        return ("derivation", 0, dt["derived_lemma"])
+    for q in sp_direct | sp_deriv:
+        for w in doc_direct | doc_deriv:
+            d = closure_map.get((q, w))
+            if d is not None:
+                return ("ontology", d, w)
+    return None
+
+
+def _verify_doc(sp: dict, tokens: list[dict], deps: list[dict],
+                root_candidates: list[int], closure_map: dict) -> list[dict]:
+    """Recursive subgraph verification for one document (reference:
+    structural_matching.py:486-819 — depth-first expansion with
+    visited-table loop guard; coref chains are already materialized as
+    coref-linked deps by the parse stage)."""
+    by_parent: dict[int, list[dict]] = {}
+    for d in deps:
+        by_parent.setdefault(d["parent"], []).append(d)
+    toks = {t["i"]: t for t in tokens}
+    out = []
+
+    def rec(sp_i: int, d_i: int, used: set[int]) -> list[list[dict]] | None:
+        wm_type = _token_matches(sp["tokens"][sp_i], toks[d_i], closure_map)
+        if wm_type is None:
+            return None
+        dt = toks[d_i]
+        extracted = dt["derived_lemma"]
+        if dt["most_specific_coref"] >= 0:
+            extracted = toks[dt["most_specific_coref"]]["derived_lemma"]
+        elif len(dt["multiwords"]) > 0:
+            extracted = dt["multiwords"][0]["derived_lemma"]
+        base_wm = {
+            "sp_index": sp_i, "sp_word": sp["tokens"][sp_i]["derived_lemma"],
+            "doc_index": d_i, "doc_word": dt["derived_lemma"],
+            "match_type": wm_type[0], "depth": wm_type[1],
+            "extracted_word": extracted,
+            "_negated": bool(dt["is_negated"]),
+            "_coref": len(dt["coref_chain"]) > 0,
+            "_uncertain": False,
+        }
+        solutions: list[list[dict]] = [[base_wm]]
+        for (p, c, lbl) in sp["pattern_deps"]:
+            if p != sp_i:
+                continue
+            allowed = LABEL_IMPLICATIONS[lbl]
+            new_solutions: list[list[dict]] = []
+            for dd in by_parent.get(d_i, []):
+                if dd["label"] not in allowed or dd["child"] == d_i:
+                    continue
+                if dd["child"] in used:
+                    continue
+                sub = rec(c, dd["child"], used | {d_i, dd["child"]})
+                if sub:
+                    for s in sub:
+                        for sol in solutions:
+                            merged = sol + [
+                                {**w, "_uncertain": w["_uncertain"] or dd["uncertain"],
+                                 "_coref": w["_coref"] or dd["coref"]}
+                                for w in s
+                            ]
+                            # conflict rejection: one doc token per sp token
+                            # (reference merge_word_match_dicts,
+                            #  structural_matching.py:805-819)
+                            seen_doc = [w["doc_index"] for w in merged]
+                            if len(set(seen_doc)) == len(seen_doc):
+                                new_solutions.append(merged)
+            if not new_solutions:
+                return None
+            solutions = new_solutions
+        return solutions
+
+    for rp in sorted(set(root_candidates)):
+        sols = rec(sp["root"], rp, {rp})
+        if not sols:
+            continue
+        # keep the first solution per root position (deterministic:
+        # solutions are generated in sorted doc order)
+        wm = sols[0]
+        out.append({
+            "phrase_label": sp["label"],
+            "index_within_document": rp,
+            "negated": any(w["_negated"] for w in wm),
+            "uncertain": any(w["_uncertain"] for w in wm),
+            "involves_coreference": any(w["_coref"] for w in wm),
+            "overall_similarity": 1.0,
+            "word_matches": [
+                {k: v for k, v in w.items() if not k.startswith("_")}
+                for w in sorted(wm, key=lambda w: w["sp_index"])
+            ],
+        })
+    return out
+
+
+def match(spark: SparkSession, docs: DataFrame, postings: DataFrame,
+          search_phrases: list[dict], closure_rows: list[tuple] | None = None) -> DataFrame:
+    """Distributed structural match. `closure_rows` = collected ontology
+    closure [(query_word, matched_word, depth)], broadcast into the
+    verify UDF (reference precomputes the closure eagerly,
+    ontology.py:91-125)."""
+    closure_map = {(q, w): d for (q, w, d) in (closure_rows or [])}
+    probe_rows = []
+    for pi, sp in enumerate(search_phrases):
+        for (r, kind) in root_reprs(sp):
+            probe_rows.append((pi, r, kind))
+        # ontology expansion of root probes
+        rt = sp["tokens"][sp["root"]]
+        for q in set(rt["direct_reprs"]) | set(rt["derivation_reprs"]):
+            for (qw, mw), d in closure_map.items():
+                if qw == q and d > 0:
+                    probe_rows.append((pi, mw, "direct"))
+    probes = spark.createDataFrame(probe_rows, "phrase_idx int, repr string, kind string").distinct()
+
+    cands = (
+        postings.join(F.broadcast(probes), ["repr", "kind"])
+        .select("url", "phrase_idx", "token_index")
+        .groupBy("url")
+        .agg(F.collect_set(F.struct("phrase_idx", "token_index")).alias("cands"))
+    )
+    cand_docs = docs.join(cands, "url")
+
+    sp_list = search_phrases  # captured in closure (broadcast via pickle)
+
+    def verify_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in MATCH_ROW.fields]
+        for pdf in batches:
+            rows = []
+            for url, toks, deps, cnds in zip(pdf["url"], pdf["tokens"],
+                                             pdf["deps"], pdf["cands"]):
+                tokens = [dict(t) for t in toks]
+                dep_list = [dict(d) for d in deps]
+                by_phrase: dict[int, list[int]] = {}
+                for c in cnds:
+                    c = dict(c)
+                    by_phrase.setdefault(c["phrase_idx"], []).append(c["token_index"])
+                for pi, positions in by_phrase.items():
+                    for m in _verify_doc(sp_list[pi], tokens, dep_list,
+                                         positions, closure_map):
+                        m["url"] = url
+                        rows.append(m)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return (
+        cand_docs.select("url", "tokens", "deps", "cands")
+        .mapInPandas(verify_batches, schema=MATCH_ROW)
+        .orderBy(F.desc("overall_similarity"), "url", "index_within_document")
+    )

@@ -1,0 +1,239 @@
+"""Topic matching — the reference's
+``Manager.topic_match_documents_against()`` (reference:
+manager.py:677-898, topic_matching.py) re-planned on columnar tables.
+
+The reference runs 4 matching passes per worker (single words →
+forward relations → frequency-gated reverse relations →
+embedding retries, topic_matching.py:224-327). Our corpus-side
+``edges`` table *is* the set of all relation-phraselet instances
+(SURVEY.md §2.5), so relation matching collapses into a broadcast join
+query-phraselets ⋈ edges — the staged re-probing the reference does
+imperatively becomes join-side selection that AQE handles, with the
+frequency gates kept as explicit filters (reference's
+reverse_only/frequency-threshold planning, topic_matching.py:379-549).
+
+Scoring follows the reference's activation model
+(topic_matching.py:867-1054; defaults manager.py:683-701):
+per-phraselet linear decay over 75 words, relation matches 300,
+reverse-only 200, single noun 50 / other 20, ×1.5 when two relations
+overlap on a word, × the phraselet frequency factor; passages are
+greedy non-overlapping peaks extended sideways ≤100 words while
+neighbor score ≥15; global top-k with tie ranking at quotient 0.9.
+Activation is doc-local and docs are bounded (≤1M chars), so the scan
+runs in an Arrow-batched applyInPandas per url — the only wide ops are
+the phraselet join and the final TakeOrderedAndProject.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..nlp.parser import parse_document
+from ..pipeline.phraselets import (REVERSE_ONLY_TEMPLATES,
+                                   extract_candidate_edges,
+                                   extract_word_phraselets)
+
+DEFAULTS = dict(
+    maximum_activation_distance=75,
+    relation_score=300.0,
+    reverse_only_relation_score=200.0,
+    single_word_score=50.0,
+    single_word_any_tag_score=20.0,
+    overlapping_relation_multiplier=1.5,
+    sideways_match_extent=100,
+    different_match_cutoff_score=15.0,
+    number_of_results=10,
+    tied_result_quotient=0.9,
+)
+
+TOPIC_MATCH = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("start_idx", T.IntegerType()),
+    T.StructField("end_idx", T.IntegerType()),
+    T.StructField("score", T.DoubleType()),
+    T.StructField("n_matches", T.IntegerType()),
+])
+
+
+def query_phraselets(query_text: str, lang: str = "en") -> tuple[list[dict], list[dict]]:
+    """Compile the query document into relation + single-word
+    phraselets (reference: parsing.py:2418-2458 two-pass production)."""
+    parsed = parse_document(query_text, lang)
+    rels = extract_candidate_edges(parsed, lang)
+    words = extract_word_phraselets(parsed, lang)
+    return rels, words
+
+
+def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
+                     rel_ph: list[dict], word_ph: list[dict],
+                     closure: DataFrame | None = None) -> DataFrame:
+    """Phraselet matches against the corpus:
+    (url, phraselet_label, kind, position, base_score).
+
+    Relation phraselets join the edges table on (template, pred-pole,
+    child-pole) with ontology expansion of each pole via the broadcast
+    closure; word phraselets join the words table. Both joins broadcast
+    the (tiny) query side."""
+    rel_rows = [(p["template"], p["label"], p["pred"],
+                 p["obj"] if p["template"] != "predicate-actor" else p["subj"],
+                 p["template"] in REVERSE_ONLY_TEMPLATES)
+                for p in rel_ph]
+    out = None
+    if rel_rows:
+        q = spark.createDataFrame(
+            rel_rows, "template string, phraselet_label string, q_pred string, q_child string, reverse_only boolean")
+        if closure is not None:
+            c = closure.select(F.col("query_word"), F.col("matched_word"))
+            q = (
+                q.join(F.broadcast(c).withColumnRenamed("query_word", "q_pred")
+                       .withColumnRenamed("matched_word", "m_pred"), "q_pred", "left")
+                .join(F.broadcast(c).withColumnRenamed("query_word", "q_child")
+                      .withColumnRenamed("matched_word", "m_child"), "q_child", "left")
+                .select("template", "phraselet_label", "reverse_only",
+                        F.coalesce("m_pred", "q_pred").alias("q_pred"),
+                        F.coalesce("m_child", "q_child").alias("q_child"))
+                .distinct()
+            )
+        child_col = F.when(F.col("template") == "predicate-actor", F.col("subj")).otherwise(F.col("obj"))
+        rel_m = (
+            edges.withColumn("q_child", child_col)
+            .withColumnRenamed("pred", "q_pred")
+            .join(F.broadcast(q), ["template", "q_pred", "q_child"])
+            .select("url", "phraselet_label",
+                    F.when(F.col("reverse_only"), F.lit("relation_reverse_only"))
+                     .otherwise(F.lit("relation")).alias("kind"),
+                    F.least("parent_idx", "child_idx").alias("position"))
+        )
+        out = rel_m
+    if word_ph:
+        qw = spark.createDataFrame(
+            [(p["word"], p["label"]) for p in word_ph],
+            "word string, phraselet_label string")
+        if closure is not None:
+            c = closure.select("query_word", "matched_word")
+            qw = (qw.join(F.broadcast(c).withColumnRenamed("query_word", "word")
+                          .withColumnRenamed("matched_word", "m_word"), "word", "left")
+                  .select(F.coalesce("m_word", "word").alias("word"), "phraselet_label")
+                  .distinct())
+        word_m = (
+            words.join(F.broadcast(qw), "word")
+            .select("url", "phraselet_label", F.lit("single_word").alias("kind"),
+                    F.col("idx").alias("position"))
+        )
+        out = word_m if out is None else out.unionByName(word_m)
+    if out is None:
+        raise ValueError("query produced no phraselets")
+    return out
+
+
+def _score_docs(params: dict):
+    def score_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        url = pdf["url"].iloc[0]
+        ms = pdf.sort_values(["position", "phraselet_label"]).reset_index(drop=True)
+        max_d = params["maximum_activation_distance"]
+        # per-phraselet activation with linear decay (reference
+        # topic_matching.py:867-1054): token score = Σ live activations
+        last_pos: dict[str, float] = {}
+        last_act: dict[str, float] = {}
+        token_scores = []
+        positions = []
+        prev_by_pos: dict[int, set[str]] = {}
+        for _, r in ms.iterrows():
+            lbl, pos, kind = r["phraselet_label"], int(r["position"]), r["kind"]
+            base = {
+                "relation": params["relation_score"],
+                "relation_reverse_only": params["reverse_only_relation_score"],
+                "single_word": params["single_word_score"],
+                "single_word_any_tag": params["single_word_any_tag_score"],
+            }[kind] * float(r.get("freq_factor", 1.0))
+            if kind.startswith("relation"):
+                # overlapping relations on a shared position ×1.5
+                others = prev_by_pos.get(pos, set())
+                if any(o != lbl for o in others):
+                    base *= params["overlapping_relation_multiplier"]
+                prev_by_pos.setdefault(pos, set()).add(lbl)
+            # decay previous activation of this phraselet
+            act = base
+            if lbl in last_pos:
+                dist = pos - last_pos[lbl]
+                decayed = last_act[lbl] * max(0.0, 1.0 - dist / max_d)
+                act = max(base, decayed + base)
+            last_pos[lbl], last_act[lbl] = pos, act
+            total = act
+            for other, opos in last_pos.items():
+                if other == lbl:
+                    continue
+                d = pos - opos
+                dec = last_act[other] * max(0.0, 1.0 - d / max_d)
+                total += dec
+            token_scores.append(total)
+            positions.append(pos)
+        if not positions:
+            return pd.DataFrame(columns=["url", "start_idx", "end_idx", "score", "n_matches"])
+        # greedy peak + sideways extension (reference
+        # topic_matching.py:1056-1224)
+        df = pd.DataFrame({"pos": positions, "score": token_scores})
+        df = df.groupby("pos", as_index=False)["score"].max().sort_values("pos").reset_index(drop=True)
+        taken = [False] * len(df)
+        out = []
+        order = df.sort_values("score", ascending=False).index
+        for i in order:
+            if taken[i]:
+                continue
+            peak_pos, peak_score = int(df.loc[i, "pos"]), float(df.loc[i, "score"])
+            if peak_score < params["different_match_cutoff_score"]:
+                continue
+            start, end, n = peak_pos, peak_pos, 1
+            for j in range(len(df)):
+                if j == i or taken[j]:
+                    continue
+                pj = int(df.loc[j, "pos"])
+                if abs(pj - peak_pos) <= params["sideways_match_extent"] and \
+                        float(df.loc[j, "score"]) >= params["different_match_cutoff_score"]:
+                    start, end = min(start, pj), max(end, pj)
+                    n += 1
+                    taken[j] = True
+            taken[i] = True
+            out.append({"url": url, "start_idx": start, "end_idx": end,
+                        "score": peak_score, "n_matches": n})
+        return pd.DataFrame(out, columns=["url", "start_idx", "end_idx", "score", "n_matches"])
+    return score_one
+
+
+def topic_match(spark: SparkSession, edges: DataFrame, words: DataFrame,
+                query_text: str, lang: str = "en",
+                closure: DataFrame | None = None,
+                freq_factors: DataFrame | None = None,
+                **overrides) -> DataFrame:
+    """Ranked passages for a query document. Returns
+    (rank, url, start_idx, end_idx, score, n_matches, tied)."""
+    params = {**DEFAULTS, **overrides}
+    rel_ph, word_ph = query_phraselets(query_text, lang)
+    matches = match_phraselets(spark, edges, words, rel_ph, word_ph, closure)
+    if freq_factors is not None:
+        # phraselet frequency factor (reference parsing.py:1852-1885):
+        # gate/deflate matches on corpus-frequent words
+        ff = F.broadcast(freq_factors.select(
+            F.col("repr").alias("_w"), F.col("frequency_factor")))
+        pole = F.element_at(F.split(F.element_at(F.split("phraselet_label", ": "), 2), "-"), 1)
+        matches = (matches.withColumn("_w", pole)
+                   .join(ff, "_w", "left")
+                   .withColumn("freq_factor", F.coalesce("frequency_factor", F.lit(1.0)))
+                   .drop("_w", "frequency_factor"))
+    else:
+        matches = matches.withColumn("freq_factor", F.lit(1.0))
+    scored = matches.groupBy("url").applyInPandas(
+        _score_docs(params), schema=TOPIC_MATCH)
+    k = params["number_of_results"]
+    w = Window.orderBy(F.desc("score"), "url", "start_idx")
+    top = (scored.orderBy(F.desc("score"), "url", "start_idx").limit(k)
+           .withColumn("rank", F.row_number().over(w)))
+    # tie ranking (reference topic_matching.py:1488-1524)
+    top = top.withColumn(
+        "tied", (F.lag("score").over(w).isNotNull()
+                 & (F.col("score") / F.lag("score").over(w) > params["tied_result_quotient"])))
+    return top.select("rank", "url", "start_idx", "end_idx", "score", "n_matches", "tied")
