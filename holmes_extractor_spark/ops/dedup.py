@@ -1,0 +1,225 @@
+"""Deduplication operators over the `documents` table.
+
+Four tiers, cheapest-first (the standard web-corpus dedup ladder):
+
+1. exact        — hash groupBy on the full text (one shuffle).
+2. n-gram Jaccard — word-3-gram shingles, candidate pairs via a shared-
+                  shingle equi-join (blocking), exact Jaccard verify.
+3. MinHash LSH  — k-perm minhash signatures, banded bucket join,
+                  signature-agreement estimate. Scales to corpora where
+                  the shingle join is too dense: candidate generation
+                  touches only (band, bucket) groups.
+4. SimHash      — see text_analysis.simhash (Hamming-ball lookup).
+
+All hashing uses the shared deterministic token_val/rolling-hash so
+DuckDB oracles verify values exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..nlp.tokenizer import tokenize_spark, tokenize_sql
+from . import P_MOD, token_val_sql
+
+# ------------------------------------------------------------- exact
+
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    """Duplicate groups by exact text: keeper = min doc_id."""
+    return (
+        documents.groupBy("text")
+        .agg(F.min("doc_id").alias("keeper_doc_id"),
+             F.count("*").alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+        .select("keeper_doc_id", "n_copies")
+    )
+
+
+def exact_dedup_sql() -> str:
+    return """
+SELECT min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+FROM documents GROUP BY text HAVING count(*) > 1
+ORDER BY keeper_doc_id
+"""
+
+
+# ----------------------------------------------------- shingle common
+
+SHINGLE_K = 3
+
+
+def _shingles(documents: DataFrame) -> DataFrame:
+    """(doc_id, shingle) distinct word-3-gram rolling hashes, computed
+    as a pure array transform (no join, stays in codegen)."""
+    toks = tokenize_spark(F.lower(F.col("text")))
+    tvs = F.transform(toks, lambda t: (F.ascii(F.substring(t, 1, 1)) * 31
+                                       + F.length(t)).cast("long"))
+    base = documents.select("doc_id", tvs.alias("tvs"))
+    n = F.size(F.col("tvs"))
+
+    def sh(i):
+        a = F.element_at(F.col("tvs"), i + 1)
+        b = F.element_at(F.col("tvs"), i + 2)
+        c = F.element_at(F.col("tvs"), i + 3)
+        return (((a * 131 + b) % P_MOD) * 131 + c) % P_MOD
+
+    shingle_arr = F.when(
+        n >= SHINGLE_K,
+        F.transform(F.sequence(F.lit(0), n - SHINGLE_K), sh)
+    ).otherwise(F.array().cast("array<long>"))
+    return (base.select("doc_id", F.explode(F.array_distinct(shingle_arr)).alias("shingle")))
+
+
+def _shingles_cte() -> str:
+    toks = tokenize_sql("lower(text)")
+    tv = token_val_sql("t")
+    return f"""
+tv AS (
+  SELECT doc_id, list_transform({toks}, t -> {tv}::BIGINT) AS tvs
+  FROM documents
+),
+shingles AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(tvs) >= {SHINGLE_K} THEN
+      [(((tvs[i + 1] * 131 + tvs[i + 2]) % {P_MOD}) * 131 + tvs[i + 3]) % {P_MOD}
+       for i in range(len(tvs) - {SHINGLE_K - 1})]
+    ELSE [] END)) AS shingle
+  FROM tv
+)"""
+
+
+# ----------------------------------------------------- n-gram Jaccard
+
+def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Near-dup pairs with word-3-gram Jaccard ≥ threshold. Candidate
+    generation by shared-shingle equi-join (each shingle is a blocking
+    key) — never a cross join."""
+    sh = _shingles(documents).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        sh.alias("x").join(sh.alias("y"),
+                           (F.col("x.shingle") == F.col("y.shingle"))
+                           & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .groupBy(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .withColumn("jaccard", F.round(F.col("inter").cast("double")
+                                       / (F.col("na") + F.col("nb") - F.col("inter")), 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def ngram_jaccard_sql(threshold: float = 0.5) -> str:
+    return f"""
+WITH {_shingles_cte()},
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+  FROM shingles x JOIN shingles y
+    ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(inter::DOUBLE / (sa.n + sb.n - inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(inter::DOUBLE / (sa.n + sb.n - inter), 4) >= {threshold}
+ORDER BY doc_a, doc_b
+"""
+
+
+# -------------------------------------------------------- MinHash LSH
+
+N_PERM = 8
+BANDS = 4  # rows per band = N_PERM // BANDS = 2
+_AS = [2 * i + 3 for i in range(N_PERM)]   # odd multipliers
+_BS = [97 * i + 11 for i in range(N_PERM)]
+
+
+def minhash_signatures(documents: DataFrame) -> DataFrame:
+    """(doc_id, sig: array<long>) minhash over shingles with k=8
+    deterministic affine permutations h_i(s) = (a_i*s + b_i) mod P."""
+    sh = _shingles(documents)
+    aggs = [
+        F.min((F.col("shingle") * _AS[i] + _BS[i]) % P_MOD).alias(f"m{i}")
+        for i in range(N_PERM)
+    ]
+    return (sh.groupBy("doc_id").agg(*aggs)
+            .select("doc_id", F.array(*[F.col(f"m{i}") for i in range(N_PERM)]).alias("sig")))
+
+
+def minhash_lsh_pairs(documents: DataFrame, min_agree: float = 0.5) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any LSH band bucket,
+    scored by signature agreement fraction ≥ min_agree.
+
+    At 100 TB the band join is the only shuffle and its key space
+    (band, bucket-hash) is uniform by construction — no skew."""
+    sig = minhash_signatures(documents).cache()
+    rows_per_band = N_PERM // BANDS
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.concat_ws("_", *[F.col("sig")[b * rows_per_band + r].cast("string")
+                                        for r in range(rows_per_band)]).alias("bucket"))
+            for b in range(BANDS)])).alias("bb"))
+    cand = (
+        bands.alias("x").join(
+            bands.alias("y"),
+            (F.col("x.bb.band") == F.col("y.bb.band"))
+            & (F.col("x.bb.bucket") == F.col("y.bb.bucket"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    agree = (
+        cand.join(sig.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sig", "sig_a"), "doc_a")
+        .join(sig.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sig", "sig_b"), "doc_b")
+        .withColumn("agree", F.round(
+            F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda a, b: a == b),
+                            lambda x: x)).cast("double") / N_PERM, 4))
+    )
+    return agree.filter(F.col("agree") >= min_agree).select("doc_a", "doc_b", "agree")
+
+
+def minhash_lsh_sql(min_agree: float = 0.5) -> str:
+    rows_per_band = N_PERM // BANDS
+    mins = ",\n         ".join(
+        f"min((shingle * {_AS[i]} + {_BS[i]}) % {P_MOD}) AS m{i}"
+        for i in range(N_PERM))
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, ".format(b=b)
+        + "||'_'||".join(f"CAST(m{b * rows_per_band + r} AS VARCHAR)"
+                         for r in range(rows_per_band))
+        + " AS bucket FROM sig"
+        for b in range(BANDS))
+    agree_expr = "(" + " + ".join(
+        f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END" for i in range(N_PERM)
+    ) + f")::DOUBLE / {N_PERM}"
+    return f"""
+WITH {_shingles_cte()},
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM shingles GROUP BY doc_id
+),
+bands AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+)
+SELECT doc_a, doc_b, round({agree_expr}, 4) AS agree
+FROM cand
+JOIN sig sa ON sa.doc_id = doc_a
+JOIN sig sb ON sb.doc_id = doc_b
+WHERE round({agree_expr}, 4) >= {min_agree}
+ORDER BY doc_a, doc_b
+"""
