@@ -158,7 +158,7 @@ def pages_cte_sql() -> str:
         f"({i}, '{s.replace(chr(39), chr(39)*2)}')" for i, s in enumerate(POOL)
     )
     return f"""
-WITH pages AS (
+WITH RECURSIVE pages AS (
   SELECT doc_id AS page_id,
          '{URL_PREFIX}' || CAST(doc_id AS VARCHAR) AS url,
          CASE WHEN doc_id % 7 = 3 THEN 'de' ELSE 'en' END AS lang

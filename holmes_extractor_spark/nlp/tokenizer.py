@@ -40,7 +40,7 @@ def tokenize_sql(col: str) -> str:
     """DuckDB SQL mirror: list of tokens of ``col``."""
     return (
         f"list_filter(string_split_regex(trim(regexp_replace({col}, "
-        f"'([.,!?;:()\"])', ' \\1 ', 'g')), '\\s+'), t -> t <> '')"
+        f"'([.,!?;:()\"])', ' \\1 ', 'g')), '\\s+'), _tk -> _tk <> '')"
     )
 
 

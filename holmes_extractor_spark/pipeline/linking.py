@@ -31,6 +31,11 @@ ONTOLOGY_EDGES: list[tuple[str, str, str]] = [
     ("fido", "type", "dog"),
     ("hund", "subClassOf", "tier"),
     ("katze", "subClassOf", "tier"),
+    # cross-language entity/predicate merging (synonyms)
+    ("hund", "equivalentClass", "dog"),
+    ("katze", "equivalentClass", "cat"),
+    ("jagen", "equivalentClass", "chase"),
+    ("tier", "equivalentClass", "animal"),
 ]
 
 MAX_DEPTH = 8
@@ -69,7 +74,7 @@ def ontology_closure(spark: SparkSession, edges: DataFrame | None = None) -> Dat
                 F.lit(0).alias("depth"), F.lit(False).alias("is_individual"))
     )
     closure = syn_pairs.unionByName(hypo).unionByName(inst).unionByName(self_rows)
-    frontier = hypo.unionByName(inst)
+    frontier = hypo.unionByName(inst).unionByName(syn_pairs)
     step = hypo.unionByName(inst).unionByName(syn_pairs)
     for _ in range(MAX_DEPTH):
         nxt = (

@@ -38,12 +38,16 @@ def build_postings(docs: DataFrame) -> DataFrame:
         F.col("tok.i").alias("token_index"),
         F.col("tok.dep").alias("dep"),
         F.col("tok.ent_type").alias("ent_type"),
+        F.lower(F.col("tok.text")).alias("word_lower"),
         F.col("tok.direct_reprs").alias("direct_reprs"),
         F.col("tok.derivation_reprs").alias("derivation_reprs"),
         F.col("tok.subwords").alias("subwords"),
     )
     direct = base.select(
         F.explode("direct_reprs").alias("repr"), F.lit("direct").alias("kind"),
+        "url", "token_index", F.lit(-1).alias("subword_index"))
+    text_kind = base.select(
+        F.col("word_lower").alias("repr"), F.lit("text").alias("kind"),
         "url", "token_index", F.lit(-1).alias("subword_index"))
     deriv = base.select(
         F.explode("derivation_reprs").alias("repr"),
@@ -57,7 +61,8 @@ def build_postings(docs: DataFrame) -> DataFrame:
         "url", "token_index", F.explode("subwords").alias("sw")).select(
         F.col("sw.lemma").alias("repr"), F.lit("subword").alias("kind"),
         "url", "token_index", F.col("sw.idx").alias("subword_index"))
-    return direct.unionByName(deriv).unionByName(entity).unionByName(sub)
+    return (direct.unionByName(text_kind).unionByName(deriv)
+            .unionByName(entity).unionByName(sub))
 
 
 def corpus_frequencies(postings: DataFrame) -> DataFrame:

@@ -258,11 +258,12 @@ def match(spark: SparkSession, docs: DataFrame, postings: DataFrame,
     for pi, sp in enumerate(search_phrases):
         for (r, kind) in root_reprs(sp):
             probe_rows.append((pi, r, kind))
-        # ontology expansion of root probes
+        # ontology expansion of root probes (hyponyms depth>0 AND
+        # synonyms depth 0 — both match, reference ontology.py:224-353)
         rt = sp["tokens"][sp["root"]]
         for q in set(rt["direct_reprs"]) | set(rt["derivation_reprs"]):
             for (qw, mw), d in closure_map.items():
-                if qw == q and d > 0:
+                if qw == q and mw != q:
                     probe_rows.append((pi, mw, "direct"))
     probes = spark.createDataFrame(probe_rows, "phrase_idx int, repr string, kind string").distinct()
 
