@@ -40,7 +40,10 @@ def _kg(spark: SparkSession, sf_dir: str) -> dict:
     """Parse-once cache shared by the KG queries."""
     key = (id(spark.sparkContext), sf_dir)
     if key not in _CACHE:
-        pages = clean_pages(build_pages(spark, sf_dir))
+        par = spark.sparkContext.defaultParallelism * 2
+        # salted repartition before the CPU-bound parse: the seed read
+        # is a single file task otherwise (north-rule skew handling)
+        pages = clean_pages(build_pages(spark, sf_dir)).repartition(par, "url")
         docs = parse_pages(pages).cache()
         _CACHE[key] = {
             "docs": docs,

@@ -1,0 +1,132 @@
+"""Benchmark harness.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value", "unit", "queries": {name: sec}, "sf", ...}.
+
+Also measures the north-rule scaling evidence: the same KG-construction
+job (pages → parse → edges, count-materialized) at local[8] vs
+local[32] on identical input, reporting docs/sec at both plus scaling
+efficiency = speedup / (32/8). Details are appended to BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SCALING_PAGES = int(os.environ.get("BENCH_SCALING_PAGES", "320000"))
+SCALE_DATA = "/tmp/holmes_scale_pages"
+
+HEADLINE = [
+    "kg_triples", "kg_entities", "structural_match", "ontology_match",
+    "topic_scores", "topic_ranking", "postings_direct",
+    "minhash_lsh", "ngram_jaccard", "simhash", "ann_brute_force",
+    "ann_lsh", "token_counts", "lang_id", "quality", "fingerprints",
+]
+
+
+def _sf_label(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _ensure_scale_data() -> None:
+    """Materialize the scaling corpus once (pages parquet, 128 files) —
+    scaling runs then READ it, like the real pipeline reads Iceberg;
+    generating inline would let the N=8 run borrow idle cores for the
+    generator and skew the comparison."""
+    import glob
+    if glob.glob(os.path.join(SCALE_DATA, "*.parquet")):
+        return
+    from holmes_extractor_spark.fixtures import build_pages_n
+    from holmes_extractor_spark.session import get_spark
+    spark = get_spark(app_name="bench_gen", cpus=CPUS)
+    build_pages_n(spark, SCALING_PAGES).repartition(128) \
+        .write.mode("overwrite").parquet(SCALE_DATA)
+    spark.stop()
+
+
+def run_scaling() -> dict:
+    """The same KG job (pages → fused parse+extract → count) at 8 and
+    32 cores — the sandbox stand-in for N vs 4N executor clusters.
+
+    Each measurement runs in a subprocess confined with `taskset` to
+    exactly that many cores, so the JVM + python workers of the small
+    run cannot borrow the idle cores of the box (which would understate
+    scaling). Best of 2 timed runs after a warmup run, per level.
+    """
+    import subprocess
+    _ensure_scale_data()
+    here = os.path.dirname(os.path.abspath(__file__))
+    out = {}
+    for cpus in (8, 32):
+        cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable,
+               os.path.join(here, "tools", "scale_run.py"), str(cpus), SCALE_DATA]
+        proc = subprocess.run(cmd, capture_output=True, text=True, timeout=600)
+        line = proc.stdout.strip().splitlines()[-1]
+        out[f"local[{cpus}]"] = json.loads(line)
+        time.sleep(3)  # let the previous JVM fully tear down
+    t8 = out["local[8]"]["docs_per_sec"]
+    t32 = out["local[32]"]["docs_per_sec"]
+    speedup = t32 / t8 if t8 else 0.0
+    out["speedup_8_to_32"] = round(speedup, 3)
+    out["scaling_efficiency"] = round(speedup / 4.0, 3)
+    return out
+
+
+def main() -> None:
+    import __spark_entry__ as entry
+    from holmes_extractor_spark.session import get_spark
+
+    scaling = run_scaling() if os.environ.get("BENCH_SKIP_SCALING") != "1" else {}
+
+    spark = get_spark(app_name="bench", cpus=CPUS)
+    qs = entry.queries()
+    times: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        fn(spark, SF_DIR).count()
+        dt = time.time() - t0
+        times[name] = round(dt, 3)
+        total += dt
+    spark.stop()
+
+    result = {
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": _sf_label(SF_DIR),
+        "cpus": CPUS,
+        "scaling": scaling,
+    }
+    if scaling:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"), "w") as f:
+            f.write("# BENCH — measured throughput and scaling\n\n")
+            f.write(f"KG end-to-end job (pages→parse→triples), {SCALING_PAGES} pages, identical input:\n\n")
+            f.write("| parallelism | seconds | docs/sec | triples/sec |\n|---|---|---|---|\n")
+            for k in ("local[8]", "local[32]"):
+                s = scaling[k]
+                f.write(f"| {k} | {s['seconds']} | {s['docs_per_sec']} | {s['triples_per_sec']} |\n")
+            f.write(f"\nSpeedup 8→32 cores: **{scaling['speedup_8_to_32']}×**; "
+                    f"scaling efficiency (speedup/4): **{scaling['scaling_efficiency']}** "
+                    f"(north-rule target ≥ 0.8).\n\n")
+            f.write(f"Headline query times at sf={_sf_label(SF_DIR)} on local[{CPUS}]: "
+                    + json.dumps(times) + "\n")
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -131,6 +131,17 @@ def build_pages(spark: SparkSession, sf_dir: str, n_pages: int | None = None) ->
     ids = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
     if n_pages is not None:
         ids = ids.filter(F.col("doc_id") < n_pages)
+    return _pages_from_ids(ids)
+
+
+def build_pages_n(spark: SparkSession, n_pages: int, partitions: int | None = None) -> DataFrame:
+    """Same corpus from spark.range — for benchmarks at arbitrary scale
+    (doc_id = range id; identical arithmetic, still SQL-mirrorable)."""
+    ids = spark.range(0, n_pages, 1, partitions or spark.sparkContext.defaultParallelism)
+    return _pages_from_ids(ids.select(F.col("id").alias("doc_id")))
+
+
+def _pages_from_ids(ids: DataFrame) -> DataFrame:
     doc_id = F.col("doc_id")
     text = F.concat_ws(" ", *[_snip_expr(doc_id, j) for j in range(MAX_SNIPS)])
     return ids.select(

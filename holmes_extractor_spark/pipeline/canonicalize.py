@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-MAX_ROUNDS = 12
+MAX_ROUNDS = 6
 
 
 def cluster_edges_from(closure: DataFrame, deriv_pairs: DataFrame | None = None) -> DataFrame:
@@ -42,29 +42,49 @@ def cluster_edges_from(closure: DataFrame, deriv_pairs: DataFrame | None = None)
 def connected_components(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
     """nodes(word) + pairs(a, b) → (word, canonical) where canonical is
     the lexicographic min of the component (min-label propagation).
+
+    Scale design: nodes NOT touched by any pair keep their own label —
+    only the pair-connected subgraph (tiny: synonym/coref clusters, a
+    vanishing fraction of the distinct-word set at 100 TB) iterates.
+    Each round is one shuffle over that small frame.
     """
-    # symmetric adjacency incl. self-loop
+    # restrict pairs to corpus-present endpoints: merging through a
+    # word absent from the corpus is not allowed (mirrors the oracle)
+    pe = (pairs.join(nodes.withColumnRenamed("word", "a"), "a", "semi")
+          .join(nodes.withColumnRenamed("word", "b"), "b", "semi")
+          .select("a", "b").cache())
     adj = (
-        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-        .unionByName(nodes.select(F.col("word").alias("src"), F.col("word").alias("dst")))
-        .distinct()
+        pe.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(pe.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .distinct().cache()
     )
-    labels = nodes.select(F.col("word"), F.col("word").alias("canonical"))
+    touched = adj.select(F.col("src").alias("word")).distinct()
+    # materialize the (small) iterated frames once; per-round
+    # localCheckpoint truncates lineage so Catalyst never sees an
+    # N-deep self-join plan (the standard iterative-algorithm pattern)
+    adj = adj.localCheckpoint(eager=True)
+    labels = touched.select("word", F.col("word").alias("canonical")) \
+        .localCheckpoint(eager=True)
     for _ in range(MAX_ROUNDS):
-        # candidate label per node = min over neighbors' labels
         cand = (
-            adj.join(labels.withColumnRenamed("word", "dst"), "dst")
+            adj.join(labels.withColumnRenamed("word", "dst")
+                     .withColumnRenamed("canonical", "ncanon"), "dst")
             .groupBy(F.col("src").alias("word"))
-            .agg(F.min("canonical").alias("new_canonical"))
+            .agg(F.min("ncanon").alias("new_canonical"))
         )
-        merged = labels.join(cand, "word", "left").withColumn(
-            "next", F.least(F.col("canonical"), F.coalesce("new_canonical", "canonical")))
-        changed = merged.filter(F.col("next") != F.col("canonical")).isEmpty()
-        labels = merged.select("word", F.col("next").alias("canonical")).cache()
-        if changed:
+        nxt = labels.join(cand, "word", "left").select(
+            "word",
+            F.least(F.col("canonical"),
+                    F.coalesce("new_canonical", "canonical")).alias("canonical"))
+        nxt = nxt.localCheckpoint(eager=True)
+        # convergence check on the already-materialized frames (cheap)
+        if nxt.exceptAll(labels).isEmpty():
+            labels = nxt
             break
-    return labels
+        labels = nxt
+    untouched = nodes.join(touched, "word", "anti").select(
+        "word", F.col("word").alias("canonical"))
+    return labels.join(nodes, "word", "semi").unionByName(untouched)
 
 
 def build_entities(linked_edges: DataFrame, closure: DataFrame) -> DataFrame:

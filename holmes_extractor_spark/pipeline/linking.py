@@ -45,54 +45,55 @@ def ontology_edges_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(ONTOLOGY_EDGES, "subject string, relation string, object string")
 
 
-def ontology_closure(spark: SparkSession, edges: DataFrame | None = None) -> DataFrame:
-    """(query_word, matched_word, depth, is_individual): query_word
-    matches matched_word at hyponym/instance depth > 0, synonym depth 0.
-    Matches the reference's Ontology.match_dict semantics
-    (reference: ontology.py:224-353): a search word matches itself, its
-    synonyms, and all transitive hyponyms/instances.
+def ontology_closure_local(edges: list[tuple[str, str, str]] | None = None) -> list[tuple[str, str, int, bool]]:
+    """Eager driver-side closure (the reference computes the closure in
+    memory at ontology load, ontology.py:91-125, README.md:2085 —
+    ontologies are driver-sized by nature). BFS over the synonym/
+    hyponym/instance graph; min depth kept per pair.
+
+    Returns [(query_word, matched_word, depth, is_individual)].
     """
-    if edges is None:
-        edges = ontology_edges_df(spark)
-    # canonicalize synonyms into an undirected depth-0 relation
-    syn = edges.filter(F.col("relation") == "equivalentClass")
-    syn_pairs = (
-        syn.select(F.col("object").alias("query_word"), F.col("subject").alias("matched_word"))
-        .unionByName(syn.select(F.col("subject").alias("query_word"), F.col("object").alias("matched_word")))
-        .withColumn("depth", F.lit(0)).withColumn("is_individual", F.lit(False))
-    )
-    hypo = edges.filter(F.col("relation") == "subClassOf").select(
-        F.col("object").alias("query_word"), F.col("subject").alias("matched_word"),
-        F.lit(1).alias("depth"), F.lit(False).alias("is_individual"))
-    inst = edges.filter(F.col("relation") == "type").select(
-        F.col("object").alias("query_word"), F.col("subject").alias("matched_word"),
-        F.lit(1).alias("depth"), F.lit(True).alias("is_individual"))
-    self_rows = (
-        edges.select(F.col("subject").alias("w"))
-        .unionByName(edges.select(F.col("object").alias("w"))).distinct()
-        .select(F.col("w").alias("query_word"), F.col("w").alias("matched_word"),
-                F.lit(0).alias("depth"), F.lit(False).alias("is_individual"))
-    )
-    closure = syn_pairs.unionByName(hypo).unionByName(inst).unionByName(self_rows)
-    frontier = hypo.unionByName(inst).unionByName(syn_pairs)
-    step = hypo.unionByName(inst).unionByName(syn_pairs)
-    for _ in range(MAX_DEPTH):
-        nxt = (
-            frontier.alias("f")
-            .join(step.alias("s"), F.col("f.matched_word") == F.col("s.query_word"))
-            .select(F.col("f.query_word").alias("query_word"),
-                    F.col("s.matched_word").alias("matched_word"),
-                    (F.col("f.depth") + F.col("s.depth")).alias("depth"),
-                    (F.col("f.is_individual") | F.col("s.is_individual")).alias("is_individual"))
-        )
-        nxt = nxt.join(closure, ["query_word", "matched_word"], "left_anti").cache()
-        if nxt.isEmpty():
-            break
-        closure = closure.unionByName(nxt)
-        frontier = nxt
-    # keep min depth per pair
-    return (closure.groupBy("query_word", "matched_word")
-            .agg(F.min("depth").alias("depth"), F.max("is_individual").alias("is_individual")))
+    edges = edges if edges is not None else ONTOLOGY_EDGES
+    step: dict[str, list[tuple[str, int, bool]]] = {}
+    words = set()
+    for (s, r, o) in edges:
+        words |= {s, o}
+        if r == "equivalentClass":
+            step.setdefault(s, []).append((o, 0, False))
+            step.setdefault(o, []).append((s, 0, False))
+        elif r == "subClassOf":
+            step.setdefault(o, []).append((s, 1, False))
+        elif r == "type":
+            step.setdefault(o, []).append((s, 1, True))
+    out: dict[tuple[str, str], tuple[int, bool]] = {}
+    for q in sorted(words):
+        best: dict[str, tuple[int, bool]] = {q: (0, False)}
+        frontier = [(q, 0, False)]
+        for _ in range(MAX_DEPTH):
+            nxt = []
+            for (w, d, ind) in frontier:
+                for (w2, d2, ind2) in step.get(w, []):
+                    nd, nind = d + d2, ind or ind2
+                    if w2 not in best or nd < best[w2][0]:
+                        best[w2] = (nd, nind)
+                        nxt.append((w2, nd, nind))
+            if not nxt:
+                break
+            frontier = nxt
+        for w2, (d, ind) in best.items():
+            out[(q, w2)] = (d, ind)
+    return [(q, w, d, ind) for (q, w), (d, ind) in sorted(out.items())]
+
+
+def ontology_closure(spark: SparkSession, edges: DataFrame | None = None) -> DataFrame:
+    """Closure as a (broadcastable) DataFrame. Semantics per the
+    reference's Ontology.match_dict (ontology.py:224-353): a search word
+    matches itself, its synonyms (depth 0), and all transitive
+    hyponyms/instances (depth > 0)."""
+    rows = ontology_closure_local(
+        [tuple(r) for r in edges.collect()] if edges is not None else None)
+    return spark.createDataFrame(
+        rows, "query_word string, matched_word string, depth int, is_individual boolean")
 
 
 def link_edges(cand_edges: DataFrame, closure: DataFrame) -> DataFrame:

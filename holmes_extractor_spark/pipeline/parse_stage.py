@@ -80,6 +80,31 @@ def extract_edges(docs: DataFrame) -> DataFrame:
         _edges_batches, schema=EDGES)
 
 
+def _fused_edges_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    cols = [f.name for f in EDGES.fields]
+    for pdf in batches:
+        data: dict[str, list] = {c: [] for c in cols}
+        for url, lang, text in zip(pdf["url"], pdf["lang"], pdf["text"]):
+            parsed = parse_document(text, lang)
+            for e in extract_candidate_edges(parsed, lang):
+                data["url"].append(url)
+                data["lang"].append(lang)
+                for k in ("template", "label", "pred", "subj", "obj",
+                          "parent_idx", "child_idx", "negated", "uncertain",
+                          "involves_coref"):
+                    data[k].append(e[k])
+        yield pd.DataFrame(data, columns=cols)
+
+
+def extract_edges_fused(pages: DataFrame) -> DataFrame:
+    """pages → candidate_edges in ONE python stage (parse + extract
+    fused). Skips materializing the nested docs schema through Arrow —
+    the fast path when only triples are needed (the docs table is still
+    the checkpointable artifact for match/posting queries)."""
+    return pages.select("url", "lang", "text").mapInPandas(
+        _fused_edges_batches, schema=EDGES)
+
+
 def _words_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     cols = [f.name for f in WORDS.fields]
     for pdf in batches:

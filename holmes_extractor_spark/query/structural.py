@@ -281,13 +281,10 @@ def match(spark: SparkSession, docs: DataFrame, postings: DataFrame,
         cols = [f.name for f in MATCH_ROW.fields]
         for pdf in batches:
             rows = []
-            for url, toks, deps, cnds in zip(pdf["url"], pdf["tokens"],
-                                             pdf["deps"], pdf["cands"]):
-                tokens = [dict(t) for t in toks]
-                dep_list = [dict(d) for d in deps]
+            for url, tokens, dep_list, cnds in zip(pdf["url"], pdf["tokens"],
+                                                   pdf["deps"], pdf["cands"]):
                 by_phrase: dict[int, list[int]] = {}
                 for c in cnds:
-                    c = dict(c)
                     by_phrase.setdefault(c["phrase_idx"], []).append(c["token_index"])
                 for pi, positions in by_phrase.items():
                     for m in _verify_doc(sp_list[pi], tokens, dep_list,

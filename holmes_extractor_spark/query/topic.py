@@ -142,14 +142,17 @@ def _score_docs(params: dict):
         token_scores = []
         positions = []
         prev_by_pos: dict[int, set[str]] = {}
-        for _, r in ms.iterrows():
-            lbl, pos, kind = r["phraselet_label"], int(r["position"]), r["kind"]
-            base = {
-                "relation": params["relation_score"],
-                "relation_reverse_only": params["reverse_only_relation_score"],
-                "single_word": params["single_word_score"],
-                "single_word_any_tag": params["single_word_any_tag_score"],
-            }[kind] * float(r.get("freq_factor", 1.0))
+        base_scores = {
+            "relation": params["relation_score"],
+            "relation_reverse_only": params["reverse_only_relation_score"],
+            "single_word": params["single_word_score"],
+            "single_word_any_tag": params["single_word_any_tag_score"],
+        }
+        ffs = ms["freq_factor"] if "freq_factor" in ms.columns else [1.0] * len(ms)
+        for lbl, pos, kind, ff in zip(ms["phraselet_label"], ms["position"],
+                                      ms["kind"], ffs):
+            pos = int(pos)
+            base = base_scores[kind] * float(ff)
             if kind.startswith("relation"):
                 # overlapping relations on a shared position ×1.5
                 others = prev_by_pos.get(pos, set())
@@ -176,25 +179,27 @@ def _score_docs(params: dict):
             return pd.DataFrame(columns=["url", "start_idx", "end_idx", "score", "n_matches"])
         # greedy peak + sideways extension (reference
         # topic_matching.py:1056-1224)
-        df = pd.DataFrame({"pos": positions, "score": token_scores})
-        df = df.groupby("pos", as_index=False)["score"].max().sort_values("pos").reset_index(drop=True)
-        taken = [False] * len(df)
+        best: dict[int, float] = {}
+        for p, s in zip(positions, token_scores):
+            if s > best.get(p, -1.0):
+                best[p] = s
+        ps = sorted(best)
+        ss = [best[p] for p in ps]
+        n_pts = len(ps)
+        taken = [False] * n_pts
         out = []
-        order = df.sort_values("score", ascending=False).index
-        for i in order:
-            if taken[i]:
+        cutoff = params["different_match_cutoff_score"]
+        extent = params["sideways_match_extent"]
+        for i in sorted(range(n_pts), key=lambda x: (-ss[x], ps[x])):
+            if taken[i] or ss[i] < cutoff:
                 continue
-            peak_pos, peak_score = int(df.loc[i, "pos"]), float(df.loc[i, "score"])
-            if peak_score < params["different_match_cutoff_score"]:
-                continue
+            peak_pos, peak_score = ps[i], ss[i]
             start, end, n = peak_pos, peak_pos, 1
-            for j in range(len(df)):
+            for j in range(n_pts):
                 if j == i or taken[j]:
                     continue
-                pj = int(df.loc[j, "pos"])
-                if abs(pj - peak_pos) <= params["sideways_match_extent"] and \
-                        float(df.loc[j, "score"]) >= params["different_match_cutoff_score"]:
-                    start, end = min(start, pj), max(end, pj)
+                if abs(ps[j] - peak_pos) <= extent and ss[j] >= cutoff:
+                    start, end = min(start, ps[j]), max(end, ps[j])
                     n += 1
                     taken[j] = True
             taken[i] = True

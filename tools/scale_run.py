@@ -1,0 +1,46 @@
+"""One scaling measurement, meant to run under `taskset -c 0-(N-1)`:
+the whole process (JVM + python workers) is confined to N cores —
+the honest single-box emulation of an N-core cluster.
+
+Usage: taskset -c 0-7 python tools/scale_run.py 8 /tmp/scale_pages
+Prints one JSON line {"cpus", "pages", "edges", "seconds", "docs_per_sec"}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from holmes_extractor_spark.pipeline.ingest import clean_pages  # noqa: E402
+from holmes_extractor_spark.pipeline.parse_stage import extract_edges_fused  # noqa: E402
+from holmes_extractor_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    cpus = int(sys.argv[1])
+    src = sys.argv[2]
+    spark = get_spark(app_name=f"scale_{cpus}", cpus=cpus,
+                      shuffle_partitions=cpus)
+    pages = clean_pages(spark.read.parquet(src))
+    edges = extract_edges_fused(pages)
+    n_pages = pages.count()
+    n_edges = edges.count()  # warm: spawns python workers
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        edges.count()
+        best = min(best, time.time() - t0)
+    spark.stop()
+    print(json.dumps({
+        "cpus": cpus, "pages": n_pages, "edges": n_edges,
+        "seconds": round(best, 3),
+        "docs_per_sec": round(n_pages / best, 1),
+        "triples_per_sec": round(n_edges / best, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()
