@@ -75,12 +75,28 @@ def run_scaling() -> dict:
         proc = subprocess.run(cmd, capture_output=True, text=True, timeout=600)
         line = proc.stdout.strip().splitlines()[-1]
         out[f"local[{cpus}]"] = json.loads(line)
-        time.sleep(3)  # let the previous JVM fully tear down
+        time.sleep(5)  # JVM teardown + thermal cooldown between levels
+    # hardware-ceiling control: same workload, bare multiprocessing
+    # (no Spark/JVM/Arrow) under the same taskset confinement — bounds
+    # what ANY framework could achieve 8→32-wide on this single box
+    ctrl = {}
+    for cpus in (8, 32):
+        cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable,
+               os.path.join(here, "tools", "mp_control.py"), str(cpus),
+               str(SCALING_PAGES)]
+        proc = subprocess.run(cmd, capture_output=True, text=True, timeout=600)
+        ctrl[f"mp[{cpus}]"] = json.loads(proc.stdout.strip().splitlines()[-1])
+        time.sleep(5)
     t8 = out["local[8]"]["docs_per_sec"]
     t32 = out["local[32]"]["docs_per_sec"]
     speedup = t32 / t8 if t8 else 0.0
+    mp_speedup = (ctrl["mp[32]"]["docs_per_sec"]
+                  / ctrl["mp[8]"]["docs_per_sec"]) if ctrl["mp[8]"]["docs_per_sec"] else 4.0
+    out["control"] = ctrl
     out["speedup_8_to_32"] = round(speedup, 3)
     out["scaling_efficiency"] = round(speedup / 4.0, 3)
+    out["hardware_ceiling_speedup"] = round(mp_speedup, 3)
+    out["normalized_efficiency"] = round(speedup / mp_speedup, 3)
     return out
 
 
@@ -121,8 +137,17 @@ def main() -> None:
                 s = scaling[k]
                 f.write(f"| {k} | {s['seconds']} | {s['docs_per_sec']} | {s['triples_per_sec']} |\n")
             f.write(f"\nSpeedup 8→32 cores: **{scaling['speedup_8_to_32']}×**; "
-                    f"scaling efficiency (speedup/4): **{scaling['scaling_efficiency']}** "
+                    f"raw scaling efficiency (speedup/4): **{scaling['scaling_efficiency']}** "
                     f"(north-rule target ≥ 0.8).\n\n")
+            f.write("Single-box caveat + control: on one machine, 8→32-core scaling is "
+                    "capped by all-core frequency/memory effects a real 4× cluster does "
+                    "not have. Control (same parse+extract via bare multiprocessing, no "
+                    "Spark/JVM/Arrow, same taskset confinement): "
+                    f"{scaling['control']['mp[8]']['docs_per_sec']} docs/s @8 → "
+                    f"{scaling['control']['mp[32]']['docs_per_sec']} docs/s @32, i.e. a "
+                    f"hardware ceiling of **{scaling['hardware_ceiling_speedup']}×** "
+                    "(out of 4.0). Spark efficiency normalized to that ceiling: "
+                    f"**{scaling['normalized_efficiency']}**.\n\n")
             f.write(f"Headline query times at sf={_sf_label(SF_DIR)} on local[{CPUS}]: "
                     + json.dumps(times) + "\n")
     print(json.dumps(result))
