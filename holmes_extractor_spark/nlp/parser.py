@@ -236,6 +236,24 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
 
     nps = _chunk_nps(toks)
 
+    # --- conjunction folding BEFORE role assignment (reference
+    # parsing.py:1209-1223 righthand siblings): "X and Y" — the left
+    # conjunct takes the grammatical role; Y hangs off X as conj and
+    # inherits X's deps (uncertain) afterwards
+    conj_right: set[int] = set()
+    head_list = [h for (_, _, h) in nps]
+    for j, t in enumerate(toks):
+        if t.pos == "CCONJ" and 0 < j < n - 1:
+            left = next((h for h in reversed(head_list) if h < j), None)
+            right = next((h for h in head_list if h > j), None)
+            if left is not None and right is not None and right not in conj_right:
+                toks[right].head = toks[left].i
+                toks[right].dep = "conj"
+                toks[j].head = toks[left].i
+                toks[j].dep = "cc"
+                toks[left].righthand_siblings.append(toks[right].i)
+                conj_right.add(right)
+
     # --- NP-internal deps
     np_heads = []
     for (s, e, h) in nps:
@@ -279,7 +297,7 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
     first_v = min(verb_pos + aux_pos) if (verb_pos or aux_pos) else None
     subj_local = None
     if first_v is not None:
-        pre = [h for h in np_heads if h < first_v]
+        pre = [h for h in np_heads if h < first_v and h not in conj_right]
         if pre:
             subj_local = pre[-1]
             st = toks[subj_local]
@@ -337,6 +355,9 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
             continue
         np_here = next(((s, e, h) for (s, e, h) in nps if s == j), None)
         if np_here is not None:
+            if np_here[2] in conj_right:
+                j = np_here[1] + 1
+                continue
             h = toks[np_here[2]]
             if copula:
                 h.head = root.i
@@ -371,23 +392,14 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
             if d["label"] == "acomp" and d["parent"] == root.i:
                 add(toks[subj_local].i, d["child"], "amod", uncertain=False)
 
-    # --- conjunction distribution (reference parsing.py:1225-1316):
-    # "X and Y verb..." / "verb X and Y": the conjunct inherits the
-    # lefthand sibling's deps, marked uncertain
-    for j, t in enumerate(toks):
-        if t.pos == "CCONJ" and 0 < j < n - 1:
-            left = next((h for h in reversed(np_heads) if h < j), None)
-            right = next((h for h in np_heads if h > j), None)
-            if left is not None and right is not None and toks[right].dep in ("dep", "conj", "ROOT", "compound"):
-                lt, rt = toks[left], toks[right]
-                rt.head = lt.i
-                rt.dep = "conj"
-                lt.righthand_siblings.append(rt.i)
-                for d in list(deps):
-                    if d["child"] == lt.i:
-                        add(d["parent"], rt.i, d["label"], uncertain=True)
-                    elif d["parent"] == lt.i and d["label"] in ("amod", "compound"):
-                        pass
+    # --- conjunction dep distribution (reference parsing.py:1225-1316):
+    # each righthand sibling inherits the lefthand sibling's incoming
+    # deps, marked uncertain
+    for t in toks:
+        for rs in t.righthand_siblings:
+            for d in list(deps):
+                if d["child"] == t.i:
+                    add(d["parent"], rs, d["label"], uncertain=True)
 
     # leftover heads
     for t in toks:

@@ -21,7 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-N_PLANES = 6
+N_TABLES = 4   # independent LSH tables (union of candidates)
+N_PLANES = 4   # hyperplanes per table → 16 buckets per table
 _PLANE = lambda p, j: ((j * 37 + p * 101) % 19) - 9  # noqa: E731
 
 
@@ -75,96 +76,114 @@ ORDER BY query_id, rank
 """
 
 
-def _bucket(v: Column, dim: int) -> Column:
-    """LSH signature: bit p = sign(v · plane_p) as integer bucket."""
+def _bucket(v: Column, table: int, dim: int) -> Column:
+    """LSH signature for one table: bit p = sign(v · plane_{table,p})."""
     bucket = F.lit(0)
     for p in range(N_PLANES):
-        plane = F.array(*[F.lit(float(_PLANE(p, j))) for j in range(dim)])
+        plane = F.array(*[F.lit(float(_PLANE(table * N_PLANES + p, j)))
+                          for j in range(dim)])
         dot = _dot(v, plane)
         bucket = bucket + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
     return bucket
 
 
 def with_lsh_bucket(embeddings: DataFrame, dim: int = 64) -> DataFrame:
-    return embeddings.select(
-        "vec_id", _as_double("embedding").alias("v")
-    ).withColumn("bucket", _bucket(F.col("v"), dim))
+    """One row per (vec, table): (vec_id, v, table, bucket). Multi-table
+    LSH — candidates are unioned across tables, the standard recall
+    lever for random-hyperplane LSH."""
+    emb = embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    tables = F.explode(F.array(*[
+        F.struct(F.lit(t).alias("table"),
+                 _bucket(F.col("v"), t, dim).alias("bucket"))
+        for t in range(N_TABLES)])).alias("tb")
+    return emb.select("vec_id", "v", tables).select(
+        "vec_id", "v", F.col("tb.table").alias("table"),
+        F.col("tb.bucket").alias("bucket"))
 
 
 def lsh_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 5, dim: int = 64) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH
-    bucket. One shuffle on (bucket); quality vs brute force is the
-    standard LSH recall tradeoff."""
+    """Approximate top-k: candidates = vectors sharing any table's
+    bucket with the query. One shuffle on (table, bucket); recall vs
+    brute force is the standard multi-table LSH tradeoff."""
     emb = with_lsh_bucket(embeddings, dim)
     q = emb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bucket")
-    pairs = emb.join(F.broadcast(q), "bucket").filter(F.col("vec_id") != F.col("query_id"))
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        "table", "bucket")
+    pairs = (emb.join(F.broadcast(q), ["table", "bucket"])
+             .filter(F.col("vec_id") != F.col("query_id")))
     scored = pairs.select(
-        "query_id", F.col("vec_id").alias("neighbor_id"), "bucket",
-        _cosine(F.col("qv"), F.col("v")).alias("cosine"))
+        "query_id", F.col("vec_id").alias("neighbor_id"),
+        _cosine(F.col("qv"), F.col("v")).alias("cosine")
+    ).dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
-            .select("query_id", "neighbor_id", "bucket", "cosine", "rank"))
+            .select("query_id", "neighbor_id", "cosine", "rank"))
 
 
-def _bucket_sql(v: str, dim: int = 64) -> str:
+def _bucket_sql(v: str, table: int, dim: int = 64) -> str:
     terms = []
     for p in range(N_PLANES):
-        plane = "[" + ",".join(str(float(_PLANE(p, j))) for j in range(dim)) + "]"
+        plane = "[" + ",".join(
+            str(float(_PLANE(table * N_PLANES + p, j))) for j in range(dim)) + "]"
         terms.append(
             f"CASE WHEN list_dot_product({v}, {plane}) > 0 THEN {1 << p} ELSE 0 END")
     return "(" + " + ".join(terms) + ")"
 
 
-def lsh_topk_sql(n_queries: int = 5, k: int = 5, dim: int = 64) -> str:
-    b = _bucket_sql("v", dim)
+def _be_cte(dim: int = 64) -> str:
+    per_table = " UNION ALL ".join(
+        f"SELECT vec_id, v, {t} AS tbl, {_bucket_sql('v', t, dim)} AS bucket FROM emb"
+        for t in range(N_TABLES))
     return f"""
-WITH emb AS (
+emb AS (
   SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
 ),
-be AS (SELECT vec_id, v, {b} AS bucket FROM emb),
+be AS ({per_table})"""
+
+
+def lsh_topk_sql(n_queries: int = 5, k: int = 5, dim: int = 64) -> str:
+    return f"""
+WITH {_be_cte(dim)},
 pairs AS (
-  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, e.bucket,
+  SELECT DISTINCT q.vec_id AS query_id, e.vec_id AS neighbor_id,
          round(list_dot_product(q.v, e.v)
                / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))), 6) AS cosine
-  FROM be q JOIN be e ON e.bucket = q.bucket AND e.vec_id <> q.vec_id
+  FROM be q JOIN be e ON e.tbl = q.tbl AND e.bucket = q.bucket AND e.vec_id <> q.vec_id
   WHERE q.vec_id < {n_queries}
 ),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
   FROM pairs
 )
-SELECT query_id, neighbor_id, bucket, cosine, rank FROM ranked WHERE rank <= {k}
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
 ORDER BY query_id, rank
 """
 
 
 def embedding_neardup(embeddings: DataFrame, threshold: float = 0.95, dim: int = 64) -> DataFrame:
     """Near-duplicate vector pairs (cosine ≥ threshold), candidates
-    blocked by LSH bucket."""
+    blocked by (table, bucket), deduped across tables."""
     emb = with_lsh_bucket(embeddings, dim)
     pairs = (
         emb.alias("x").join(emb.alias("y"),
-                            (F.col("x.bucket") == F.col("y.bucket"))
+                            (F.col("x.table") == F.col("y.table"))
+                            & (F.col("x.bucket") == F.col("y.bucket"))
                             & (F.col("x.vec_id") < F.col("y.vec_id")))
         .select(F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b"),
                 _cosine(F.col("x.v"), F.col("y.v")).alias("cosine"))
+        .dropDuplicates(["vec_a", "vec_b"])
     )
     return pairs.filter(F.col("cosine") >= threshold).select("vec_a", "vec_b", "cosine")
 
 
 def embedding_neardup_sql(threshold: float = 0.95, dim: int = 64) -> str:
-    b = _bucket_sql("v", dim)
     return f"""
-WITH emb AS (
-  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
-),
-be AS (SELECT vec_id, v, {b} AS bucket FROM emb)
-SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+WITH {_be_cte(dim)}
+SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b,
        round(list_dot_product(x.v, y.v)
              / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6) AS cosine
-FROM be x JOIN be y ON y.bucket = x.bucket AND x.vec_id < y.vec_id
+FROM be x JOIN be y ON y.tbl = x.tbl AND y.bucket = x.bucket AND x.vec_id < y.vec_id
 WHERE round(list_dot_product(x.v, y.v)
             / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6) >= {threshold}
 ORDER BY vec_a, vec_b

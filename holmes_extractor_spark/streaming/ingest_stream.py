@@ -47,6 +47,9 @@ def windowed_event_counts(events_stream: DataFrame,
     data — the canonical streaming aggregation shape."""
     return (
         events_stream
+        # parquet timestamps may load as TIMESTAMP_NTZ; watermarks
+        # require instant-typed event time
+        .withColumn("ts", F.col("ts").cast("timestamp"))
         .withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
