@@ -46,11 +46,16 @@ POOL_EN: list[str] = [
     "The man was poor.",                             # 8  (predicative adj)
     "The rich man came home.",                       # 9
     "Somebody gives a file to an employee.",         # 10 (recipient)
+    "The dog of the man chased the cat.",            # 11 (word-ofword)
+    "Three dogs chased a cat.",                      # 12 (number-noun)
+    "The man sang in the garden.",                   # 13 (prepgovernor)
+    "Who came?",                                     # 14 (question; no triples)
 ]
 
 POOL_DE: list[str] = [
-    "Der Hund jagte die Katze.",                     # 11
-    "Polizeiinformation über Kriminelle.",           # 12 (compound subword)
+    "Der Hund jagte die Katze.",                     # 15
+    "Polizeiinformation über Kriminelle.",           # 16 (compound subword)
+    "Der reiche Mann kam nach Hause.",               # 17 (de adjective + PP)
 ]
 
 POOL = POOL_EN + POOL_DE  # global snippet ids 0..12
@@ -81,10 +86,23 @@ GOLDEN_EDGES: list[tuple] = [
     (9, "governor-adverb", "governor-adverb: come-home", "come", "home", "come", False, False, False),
     (10, "predicate-patient", "predicate-patient: give-file", "give", "file", "give", False, False, False),
     (10, "predicate-recipient", "predicate-recipient: give-employee", "give", "employee", "give", False, False, False),
-    (11, "predicate-actor", "predicate-actor: jagen-hund", "hund", "jagen", "jagen", False, False, False),
-    (11, "predicate-patient", "predicate-patient: jagen-katze", "jagen", "katze", "jagen", False, False, False),
-    (12, "prepgovernor-noun", "prepgovernor-noun: polizeiinformation-kriminelle", "polizeiinformation", "kriminelle", "polizeiinformation", False, False, False),
-    (12, "intcompound", "intcompound: informieren-polizei", "informieren", "polizei", "informieren", False, False, False),
+    (11, "word-ofword", "word-ofword: dog-man", "dog", "man", "dog", False, False, False),
+    (11, "predicate-actor", "predicate-actor: chase-dog", "dog", "chase", "chase", False, False, False),
+    (11, "predicate-patient", "predicate-patient: chase-cat", "chase", "cat", "chase", False, False, False),
+    (12, "number-noun", "number-noun: dog-three", "dog", "three", "dog", False, False, False),
+    (12, "predicate-actor", "predicate-actor: chase-dog", "dog", "chase", "chase", False, False, False),
+    (12, "predicate-patient", "predicate-patient: chase-cat", "chase", "cat", "chase", False, False, False),
+    (13, "predicate-actor", "predicate-actor: sing-man", "man", "sing", "sing", False, False, False),
+    (13, "prepgovernor-noun", "prepgovernor-noun: sing-garden", "sing", "garden", "sing", False, False, False),
+    # 14 "Who came?": interrogatives produce no phraselets (reference
+    # excludes initial question words from matchability)
+    (15, "predicate-actor", "predicate-actor: jagen-hund", "hund", "jagen", "jagen", False, False, False),
+    (15, "predicate-patient", "predicate-patient: jagen-katze", "jagen", "katze", "jagen", False, False, False),
+    (16, "prepgovernor-noun", "prepgovernor-noun: polizeiinformation-kriminelle", "polizeiinformation", "kriminelle", "polizeiinformation", False, False, False),
+    (16, "intcompound", "intcompound: informieren-polizei", "informieren", "polizei", "informieren", False, False, False),
+    (17, "governor-adjective", "governor-adjective: mann-reich", "mann", "reich", "mann", False, False, False),
+    (17, "predicate-actor", "predicate-actor: kommen-mann", "mann", "kommen", "kommen", False, False, False),
+    (17, "prepgovernor-noun", "prepgovernor-noun: kommen-haus", "kommen", "haus", "kommen", False, False, False),
 ]
 
 # (snip_id, word)
@@ -100,9 +118,13 @@ GOLDEN_WORDS: list[tuple] = [
     (8, "man"),
     (9, "man"),
     (10, "file"), (10, "employee"),
-    (11, "hund"), (11, "katze"),
-    (12, "polizeiinformation"), (12, "polizei"), (12, "informieren"),
-    (12, "kriminelle"),
+    (11, "dog"), (11, "man"), (11, "cat"),
+    (12, "dog"), (12, "cat"),
+    (13, "man"), (13, "garden"),
+    (15, "hund"), (15, "katze"),
+    (16, "polizeiinformation"), (16, "polizei"), (16, "informieren"),
+    (16, "kriminelle"),
+    (17, "mann"), (17, "haus"),
 ]
 
 MAX_SNIPS = 5

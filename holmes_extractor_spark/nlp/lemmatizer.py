@@ -197,6 +197,9 @@ IRREGULAR_DE: dict[str, str] = {
     "hat": "haben", "hatte": "haben",
     "wurde": "werden", "wurden": "werden", "wird": "werden",
     "kriminellen": "kriminelle", "kriminellem": "kriminelle",
+    "reiche": "reich", "reichen": "reich", "reicher": "reich",
+    "arme": "arm", "armen": "arm", "hause": "haus",
+    "große": "groß", "großen": "groß", "kleine": "klein",
     "hunde": "hund", "katzen": "katze", "männer": "mann",
     "frauen": "frau", "kinder": "kind", "pflanzen": "pflanze",
     "häuser": "haus", "städte": "stadt", "bücher": "buch",

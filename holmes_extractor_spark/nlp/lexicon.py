@@ -83,6 +83,10 @@ ADJECTIVES_EN = {
 
 ADJ_SUFFIXES_EN = ("ful", "ous", "ive", "able", "ible", "al", "ic", "ish", "less")
 
+NUMBER_WORDS_EN = {"one", "two", "three", "four", "five", "six", "seven",
+                   "eight", "nine", "ten", "eleven", "twelve", "twenty",
+                   "hundred", "thousand", "million"}
+
 # content-verb lemma seed lexicon: a surface form is tagged VERB when its
 # lemma is here and it shows verbal morphology or sits in verb position
 VERB_LEMMAS_EN = {
@@ -142,6 +146,14 @@ PREPOSITIONS_DE = {"in", "an", "auf", "über", "unter", "mit", "von",
 
 NEGATION_WORDS_DE = {"nicht", "kein", "keine", "keinen", "nie", "niemals",
                      "nichts", "niemand"}
+
+ADJECTIVES_DE = {"reich", "reiche", "reicher", "reichen", "arm", "arme",
+                 "armen", "groß", "große", "großen", "klein", "kleine",
+                 "kleinen", "gut", "gute", "guten", "alt", "alte", "alten",
+                 "jung", "junge", "jungen", "schnell", "schnelle", "langsam"}
+
+ADVERBS_DE = {"schnell", "langsam", "heute", "gestern", "morgen", "hier",
+              "dort", "jetzt", "immer", "oft", "bald", "gern", "sehr"}
 
 VERB_LEMMAS_DE = {
     "jagen", "sehen", "kommen", "wachsen", "geben", "öffnen", "kaufen",

@@ -113,7 +113,7 @@ def _tag_en(toks: list[Tok], start_of_sent: int) -> None:
             t.pos = "NOUN"
         elif w in L.ADJECTIVES_EN or (w.endswith(L.ADJ_SUFFIXES_EN) and len(w) > 5):
             t.pos = "ADJ"
-        elif w.isdigit():
+        elif w.isdigit() or w in L.NUMBER_WORDS_EN:
             t.pos = "NUM"
         elif lemma(w, "en") in L.VERB_LEMMAS_EN and not (prev is not None and prev.pos in ("DET", "ADJ", "NUM")):
             t.pos = "VERB"
@@ -152,6 +152,10 @@ def _tag_de(toks: list[Tok]) -> None:
             t.pos = "VERB"
         elif w in L.VERB_LEMMAS_DE:
             t.pos = "VERB"
+        elif w in L.ADJECTIVES_DE and not t.text[:1].isupper():
+            t.pos = "ADJ"
+        elif w in L.ADVERBS_DE and not t.text[:1].isupper():
+            t.pos = "ADV"
         elif t.text[:1].isupper():
             # German nouns are capitalized
             t.pos = "NOUN" if w in L.NOUN_LEXICON_DE or j > 0 or w not in L.VERB_LEMMAS_DE else "VERB"
@@ -293,11 +297,31 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
             t.dep = "neg"
             add(root.i, t.i, "neg")
 
-    # --- subject: closest NP head strictly before the verb/aux chain
+    # --- pre-verbal PP attachment: "NP1 of NP2 <verb>" — NP2 attaches
+    # to NP1 (word-ofword / prepgovernor-noun), NP1 stays the subject
     first_v = min(verb_pos + aux_pos) if (verb_pos or aux_pos) else None
+    consumed_pp: set[int] = set()
+    if first_v is not None:
+        for j, t in enumerate(toks):
+            if t.pos != "ADP" or j >= first_v:
+                continue
+            left = next(((s, e, h) for (s, e, h) in nps if e == j - 1), None)
+            right = next(((s, e, h) for (s, e, h) in nps if s == j + 1), None)
+            if left and right:
+                t.head = toks[left[2]].i
+                t.dep = "prep"
+                rh = toks[right[2]]
+                rh.head = t.i
+                rh.dep = "pobj"
+                label = "wordof" if t.text.lower() in ("of", "von") else "pobjp"
+                add(toks[left[2]].i, rh.i, label)
+                consumed_pp.add(right[2])
+
+    # --- subject: closest NP head strictly before the verb/aux chain
     subj_local = None
     if first_v is not None:
-        pre = [h for h in np_heads if h < first_v and h not in conj_right]
+        pre = [h for h in np_heads
+               if h < first_v and h not in conj_right and h not in consumed_pp]
         if pre:
             subj_local = pre[-1]
             st = toks[subj_local]
@@ -578,11 +602,12 @@ def parse_document(text: str, lang: str) -> dict:
                                      "label": d["label"], "uncertain": d["uncertain"],
                                      "coref": True})
 
-    # --- matchability (reference parsing.py:1436-1448)
+    # --- matchability (reference parsing.py:1436-1448; NUM included —
+    # the number-noun phraselet template matches numerals)
     for t in toks:
         w = t.text.lower()
         t.is_matchable = (
-            t.pos in ("NOUN", "PROPN", "VERB", "ADJ", "ADV")
+            t.pos in ("NOUN", "PROPN", "VERB", "ADJ", "ADV", "NUM")
             and w not in L.GENERIC_PRONOUNS_EN
             and w not in L.INTERROGATIVES_EN
         )

@@ -35,6 +35,7 @@ TEMPLATES_EN: dict[str, str] = {
     "compound": "noun-noun",
     "nummod": "number-noun",
     "pobjp": "prepgovernor-noun",
+    "wordof": "word-ofword",
     "attr": "be-attribute",
 }
 

@@ -3,14 +3,15 @@ the frozen golden tables in fixtures.py (which the DuckDB oracles are
 built from). If extraction semantics drift, this fails before the
 driver's correctness gate does."""
 
-from holmes_extractor_spark.fixtures import GOLDEN_EDGES, GOLDEN_WORDS, POOL
+from holmes_extractor_spark.fixtures import (GOLDEN_EDGES, GOLDEN_WORDS, POOL,
+                                              POOL_EN)
 from holmes_extractor_spark.nlp.parser import parse_document
 from holmes_extractor_spark.pipeline.phraselets import (extract_candidate_edges,
                                                         extract_word_phraselets)
 
 
 def snippet_lang(sid: int) -> str:
-    return "de" if sid >= 11 else "en"
+    return "de" if sid >= len(POOL_EN) else "en"
 
 
 def test_golden_edges_match_engine():
