@@ -121,6 +121,20 @@ def q_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _match_query(spark, sf_dir, "An ENTITYPERSON comes home", False)
 
 
+def q_question_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Question answering: 'Who came?' → (url, answer) where answer is
+    the extracted word filling the question slot (reference
+    word_matching/question.py; answers mirror Manager.match dicts)."""
+    kg = _kg(spark, sf_dir)
+    postings = build_postings(kg["docs"])
+    sp = compile_search_phrase("Who came?")
+    res = match(spark, kg["docs"], postings, [sp])
+    ans = F.filter("word_matches", lambda w: w["match_type"] == F.lit("question"))
+    return (res.select("url", F.element_at(ans, 1)["extracted_word"].alias("answer"))
+            .filter(F.col("answer").isNotNull())
+            .distinct())
+
+
 def q_topic_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic document-level topic relevance for the query
     'A dog chases a cat': 300 per relation-phraselet instance + 50 per
@@ -233,6 +247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "structural_match": q_structural_match,
         "ontology_match": q_ontology_match,
         "entity_match": q_entity_match,
+        "question_match": q_question_match,
         "topic_scores": q_topic_scores,
         "topic_ranking": q_topic_ranking,
         "postings_direct": q_postings_direct,
@@ -394,6 +409,11 @@ GROUP BY g.template, g.label
         "structural_match": _structural_oracle("dog_chases_cat"),
         "ontology_match": _structural_oracle("animal_chases_animal"),
         "entity_match": _structural_oracle("person_comes_home"),
+        "question_match": pages_cte_sql() + """
+, q_golden(snip_id, answer) AS (VALUES (5, 'richard paul hudson'))
+SELECT DISTINCT ps.url, g.answer
+FROM page_snips ps JOIN q_golden g USING (snip_id)
+""",
         "topic_scores": _topic_scores_oracle(),
         "postings_direct": _postings_direct_oracle(),
         "token_counts": text_analysis.token_counts_sql(),

@@ -1,0 +1,150 @@
+"""User-facing Manager — API parity with the reference's
+``holmes_extractor.Manager`` (reference: manager.py) so a user of the
+reference can switch with minimal changes:
+
+    m = SparkHolmesManager(spark)
+    m.parse_and_register_document("A dog chased a cat", label="doc1")
+    m.register_search_phrase("A dog chases a cat")
+    m.match()                                   # list of match dicts
+    m.topic_match_documents_against("dogs chasing cats")
+
+Differences by design (Spark-first):
+- the corpus is a DataFrame, not worker-process memory; registration is
+  lazy and the parse runs distributed on first query (the reference's
+  per-worker round-robin + reverse dict build, manager.py:289-361,
+  becomes repartition + postings build);
+- serialization is a parquet/Iceberg write, not pickled spaCy bytes;
+  the parser_version column replicates the version guard
+  (reference manager.py:1057-1079).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import PARSER_VERSION
+from .pipeline.linking import ontology_closure_local
+from .pipeline.parse_stage import extract_edges, extract_words, parse_pages
+from .pipeline.postings import build_postings
+from .query import structural, topic
+
+
+class SparkHolmesManager:
+    def __init__(self, spark: SparkSession, ontology: list[tuple] | None = None):
+        self.spark = spark
+        self._pending: list[tuple[str, str, str]] = []  # (url/label, text, lang)
+        self._labels: set[str] = set()
+        self._search_phrases: list[dict] = []
+        self._docs: DataFrame | None = None
+        self._postings: DataFrame | None = None
+        self._closure_rows = [(q, m, d) for (q, m, d, _)
+                              in ontology_closure_local(ontology)]
+
+    # ------------------------------------------------- corpus lifecycle
+
+    def parse_and_register_document(self, document_text: str,
+                                    label: str = "", lang: str = "en") -> None:
+        """Reference: manager.py:375-384."""
+        label = label or f"doc{len(self._labels)}"
+        if label in self._labels:
+            raise ValueError(f"duplicate document label {label!r}")
+        if len(document_text) > 1_000_000:
+            # reference DocumentTooBigError (parsing.py:953-963)
+            raise ValueError("document too big (>1,000,000 chars)")
+        self._labels.add(label)
+        self._pending.append((label, document_text, lang))
+        # postings rebuild needed (reference
+        # word_dictionaries_need_rebuilding, manager.py:263)
+        self._postings = None
+
+    def register_serialized_documents(self, docs: DataFrame) -> None:
+        """Bulk-register a pre-parsed docs table (reference:
+        manager.py:333-361). Version-guarded like the reference."""
+        bad = docs.filter(F.col("parser_version") != PARSER_VERSION).count()
+        if bad:
+            raise ValueError(
+                f"{bad} documents parsed with a different parser version "
+                f"(expected {PARSER_VERSION})")
+        self._docs = docs if self._docs is None else self._docs.unionByName(docs)
+        self._labels |= {r["url"] for r in docs.select("url").collect()}
+        self._postings = None
+
+    def remove_document(self, label: str) -> None:
+        """Reference: manager.py:386-...; postings rebuilt lazily
+        (anti-join semantics)."""
+        self._labels.discard(label)
+        self._pending = [p for p in self._pending if p[0] != label]
+        if self._docs is not None:
+            self._docs = self._docs.filter(F.col("url") != label)
+        self._postings = None
+
+    def document_labels(self) -> list[str]:
+        return sorted(self._labels)
+
+    def serialize_documents(self, path: str) -> None:
+        """Export the parsed corpus (parquet stands in for the
+        reference's doc.to_bytes)."""
+        self.docs().write.mode("overwrite").parquet(path)
+
+    # --------------------------------------------------------- queries
+
+    def register_search_phrase(self, text: str, label: str | None = None,
+                               lang: str = "en") -> None:
+        """Reference: manager.py:480-519 (compile + scatter)."""
+        self._search_phrases.append(
+            structural.compile_search_phrase(text, label, lang))
+
+    def remove_all_search_phrases(self) -> None:
+        self._search_phrases = []
+
+    def docs(self) -> DataFrame:
+        if self._docs is None or self._pending:
+            pending = self._pending
+            self._pending = []
+            df = self.spark.createDataFrame(
+                pending, "url string, text string, lang string")
+            par = self.spark.sparkContext.defaultParallelism
+            parsed = parse_pages(df.repartition(par, "url"))
+            self._docs = (parsed if self._docs is None
+                          else self._docs.unionByName(parsed)).cache()
+        return self._docs
+
+    def postings(self) -> DataFrame:
+        if self._postings is None:
+            self._postings = build_postings(self.docs()).cache()
+        return self._postings
+
+    def match(self, search_phrase_text: str | None = None) -> list[dict]:
+        """Reference: manager.py:562-613. Returns reference-shaped
+        match dicts sorted like the reference (manager.py:607-613)."""
+        sps = self._search_phrases
+        if search_phrase_text is not None:
+            sps = [structural.compile_search_phrase(search_phrase_text)]
+        if not sps:
+            raise ValueError("no search phrases registered")
+        res = structural.match(self.spark, self.docs(), self.postings(),
+                               sps, self._closure_rows)
+        out = []
+        for r in res.collect():
+            out.append({
+                "search_phrase_label": r["phrase_label"],
+                "document": r["url"],
+                "index_within_document": r["index_within_document"],
+                "negated": r["negated"],
+                "uncertain": r["uncertain"],
+                "involves_coreference": r["involves_coreference"],
+                "overall_similarity_measure": r["overall_similarity"],
+                "word_matches": [w.asDict() for w in r["word_matches"]],
+            })
+        return out
+
+    def topic_match_documents_against(self, text_to_match: str,
+                                      **params) -> list[dict]:
+        """Reference: manager.py:677-898."""
+        docs = self.docs()
+        edges = extract_edges(docs)
+        words = extract_words(docs)
+        res = topic.topic_match(self.spark, edges, words, text_to_match,
+                                **params)
+        return [r.asDict() for r in res.collect()]

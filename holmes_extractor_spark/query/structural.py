@@ -82,10 +82,17 @@ def compile_search_phrase(text: str, label: str | None = None,
     pattern_deps = []
     matchable = set()
 
+    def _is_q(t: dict) -> bool:
+        # initial interrogatives become question placeholders
+        # (reference word_matching/question.py:8-146)
+        return t["is_initial_question_word"]
+
     def walk(i: int) -> None:
         matchable.add(i)
         for d in parsed["deps"]:
-            if d["parent"] == i and toks[d["child"]]["is_matchable"] and d["label"] in LABEL_IMPLICATIONS:
+            child = toks[d["child"]]
+            if d["parent"] == i and (child["is_matchable"] or _is_q(child)) \
+                    and d["label"] in LABEL_IMPLICATIONS:
                 pattern_deps.append((i, d["child"], d["label"]))
                 walk(d["child"])
 
@@ -101,6 +108,7 @@ def compile_search_phrase(text: str, label: str | None = None,
             "direct_reprs": t["direct_reprs"],
             "derivation_reprs": t["derivation_reprs"] or [t["derived_lemma"]],
             "ent_spec": m.group(1) if m else None,
+            "q_spec": t["text"].lower() if _is_q(t) else None,
             "derived_lemma": t["derived_lemma"],
         }
     # ENTITY placeholders and generic pronouns at non-root positions
@@ -114,6 +122,7 @@ def compile_search_phrase(text: str, label: str | None = None,
                     "i": d["child"], "text": c["text"],
                     "direct_reprs": [], "derivation_reprs": [],
                     "ent_spec": _ENTITY_RE.match(c["text"]).group(1),
+                    "q_spec": None,
                     "derived_lemma": c["derived_lemma"],
                 }
     return {
@@ -140,6 +149,18 @@ def _token_matches(sp_tok: dict, dt: dict, closure_map: dict) -> tuple[str, int,
     """First-match-wins strategy chain (reference manager.py:163-214
     order: direct → derivation → entity → ontology). Returns
     (match_type, depth, matched_doc_word) or None."""
+    if sp_tok.get("q_spec"):
+        # who → person-like entities; what → non-entity nouns
+        # (reference en question rules,
+        #  language_specific_rules.py:1327-1469)
+        q = sp_tok["q_spec"]
+        if q in ("who", "whom", "whose"):
+            if dt["ent_type"] in ("PERSON", "NORP", "ORG", "GPE") and dt["dep"] != "compound":
+                return ("question", 0, dt["text"].lower())
+        elif q == "what":
+            if dt["pos"] in ("NOUN",) and dt["ent_type"] == "":
+                return ("question", 0, dt["text"].lower())
+        return None
     if sp_tok["ent_spec"]:
         if dt["ent_type"] == sp_tok["ent_spec"] and dt["dep"] != "compound":
             return ("entity", 0, dt["text"].lower())

@@ -1,0 +1,93 @@
+"""Manager API parity tests — modeled on the reference's manager/
+structural-matching suites (reference tests/common/test_manager.py,
+tests/en/test_structural_matching_EN.py:84-119 asserts match counts and
+negated/uncertain/coreference flags on the match dicts)."""
+
+import pytest
+
+from holmes_extractor_spark.manager import SparkHolmesManager
+
+
+@pytest.fixture()
+def mgr(spark):
+    m = SparkHolmesManager(spark)
+    m.parse_and_register_document("The dog chased the cat.", "d_active")
+    m.parse_and_register_document("The cat was chased by the dog.", "d_passive")
+    m.parse_and_register_document("The dog did not chase the cat.", "d_negated")
+    m.parse_and_register_document("I saw a cat. It was chased by the dog.", "d_coref")
+    m.parse_and_register_document("Richard Paul Hudson came home.", "d_person")
+    m.parse_and_register_document("A plant grows.", "d_plant")
+    return m
+
+
+def test_match_counts_and_flags(mgr):
+    matches = mgr.match("A dog chases a cat")
+    by_doc = {m["document"]: m for m in matches}
+    assert set(by_doc) == {"d_active", "d_passive", "d_negated", "d_coref"}
+    assert not by_doc["d_active"]["negated"]
+    assert by_doc["d_negated"]["negated"]
+    assert by_doc["d_coref"]["involves_coreference"]
+    assert by_doc["d_passive"]["overall_similarity_measure"] == 1.0
+    wm = by_doc["d_active"]["word_matches"]
+    assert [w["doc_word"] for w in wm] == ["dog", "chase", "cat"]
+
+
+def test_registered_phrases_and_labels(mgr):
+    mgr.register_search_phrase("A plant grows", label="growth")
+    matches = mgr.match()
+    assert {m["search_phrase_label"] for m in matches} == {"growth"}
+    assert matches[0]["document"] == "d_plant"
+
+
+def test_entity_and_question_matching(mgr):
+    who = mgr.match("Who came?")
+    assert [m["document"] for m in who] == ["d_person"]
+    q_wm = [w for w in who[0]["word_matches"] if w["match_type"] == "question"]
+    assert q_wm and q_wm[0]["extracted_word"] == "richard paul hudson"
+    ent = mgr.match("An ENTITYPERSON comes home")
+    assert [m["document"] for m in ent] == ["d_person"]
+
+
+def test_ontology_matching(spark):
+    m = SparkHolmesManager(spark)
+    m.parse_and_register_document("The dog chased the cat.", "d1")
+    res = m.match("An animal chases an animal")
+    assert len(res) == 1
+    types = {w["match_type"] for w in res[0]["word_matches"]}
+    assert "ontology" in types and types <= {"ontology", "direct"}
+    depths = {w["sp_word"]: w["depth"] for w in res[0]["word_matches"]
+              if w["match_type"] == "ontology"}
+    assert depths.get("animal") == 1  # dog/cat are depth-1 hyponyms
+
+
+def test_remove_document(mgr):
+    mgr.remove_document("d_active")
+    assert "d_active" not in mgr.document_labels()
+    matches = mgr.match("A dog chases a cat")
+    assert "d_active" not in {m["document"] for m in matches}
+
+
+def test_duplicate_label_and_too_big(spark):
+    m = SparkHolmesManager(spark)
+    m.parse_and_register_document("x.", "a")
+    with pytest.raises(ValueError):
+        m.parse_and_register_document("y.", "a")
+    with pytest.raises(ValueError):
+        m.parse_and_register_document("z" * 1_000_001, "big")
+
+
+def test_serialize_roundtrip(mgr, spark, tmp_path):
+    path = str(tmp_path / "corpus")
+    before = mgr.match("A dog chases a cat")
+    mgr.serialize_documents(path)
+    m2 = SparkHolmesManager(spark)
+    m2.register_serialized_documents(spark.read.parquet(path))
+    after = m2.match("A dog chases a cat")
+    key = lambda ms: sorted((m["document"], m["index_within_document"]) for m in ms)  # noqa: E731
+    assert key(before) == key(after)
+
+
+def test_topic_match_api(mgr):
+    res = mgr.topic_match_documents_against("A dog chases a cat")
+    assert res and res[0]["rank"] == 1
+    assert res[0]["url"] in ("d_active", "d_passive", "d_coref", "d_negated")
