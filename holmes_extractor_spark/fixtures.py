@@ -50,12 +50,15 @@ POOL_EN: list[str] = [
     "Three dogs chased a cat.",                      # 12 (number-noun)
     "The man sang in the garden.",                   # 13 (prepgovernor)
     "Who came?",                                     # 14 (question; no triples)
+    "The man who chased the cat came home.",         # 15 (subject relative)
+    "The cat that the dog chased was old.",          # 16 (object relative, relant)
+    "The man decided to open an account.",           # 17 (xcomp control, uncertain)
 ]
 
 POOL_DE: list[str] = [
-    "Der Hund jagte die Katze.",                     # 15
-    "Polizeiinformation über Kriminelle.",           # 16 (compound subword)
-    "Der reiche Mann kam nach Hause.",               # 17 (de adjective + PP)
+    "Der Hund jagte die Katze.",                     # 18
+    "Polizeiinformation über Kriminelle.",           # 19 (compound subword)
+    "Der reiche Mann kam nach Hause.",               # 20 (de adjective + PP)
 ]
 
 POOL = POOL_EN + POOL_DE  # global snippet ids 0..12
@@ -96,13 +99,23 @@ GOLDEN_EDGES: list[tuple] = [
     (13, "prepgovernor-noun", "prepgovernor-noun: sing-garden", "sing", "garden", "sing", False, False, False),
     # 14 "Who came?": interrogatives produce no phraselets (reference
     # excludes initial question words from matchability)
-    (15, "predicate-actor", "predicate-actor: jagen-hund", "hund", "jagen", "jagen", False, False, False),
-    (15, "predicate-patient", "predicate-patient: jagen-katze", "jagen", "katze", "jagen", False, False, False),
-    (16, "prepgovernor-noun", "prepgovernor-noun: polizeiinformation-kriminelle", "polizeiinformation", "kriminelle", "polizeiinformation", False, False, False),
-    (16, "intcompound", "intcompound: informieren-polizei", "informieren", "polizei", "informieren", False, False, False),
-    (17, "governor-adjective", "governor-adjective: mann-reich", "mann", "reich", "mann", False, False, False),
-    (17, "predicate-actor", "predicate-actor: kommen-mann", "mann", "kommen", "kommen", False, False, False),
-    (17, "prepgovernor-noun", "prepgovernor-noun: kommen-haus", "kommen", "haus", "kommen", False, False, False),
+    (15, "predicate-actor", "predicate-actor: come-man", "man", "come", "come", False, False, False),
+    (15, "predicate-actor", "predicate-actor: chase-man", "man", "chase", "chase", False, False, False),
+    (15, "predicate-patient", "predicate-patient: chase-cat", "chase", "cat", "chase", False, False, False),
+    (15, "governor-adverb", "governor-adverb: come-home", "come", "home", "come", False, False, False),
+    (16, "predicate-patient", "predicate-patient: chase-cat", "chase", "cat", "chase", False, False, False),
+    (16, "predicate-actor", "predicate-actor: chase-dog", "dog", "chase", "chase", False, False, False),
+    (16, "governor-adjective", "governor-adjective: cat-old", "cat", "old", "cat", False, False, False),
+    (17, "predicate-actor", "predicate-actor: decide-man", "man", "decide", "decide", False, False, False),
+    (17, "predicate-actor", "predicate-actor: open-man", "man", "open", "open", False, True, False),
+    (17, "predicate-patient", "predicate-patient: open-account", "open", "account", "open", False, False, False),
+    (18, "predicate-actor", "predicate-actor: jagen-hund", "hund", "jagen", "jagen", False, False, False),
+    (18, "predicate-patient", "predicate-patient: jagen-katze", "jagen", "katze", "jagen", False, False, False),
+    (19, "prepgovernor-noun", "prepgovernor-noun: polizeiinformation-kriminelle", "polizeiinformation", "kriminelle", "polizeiinformation", False, False, False),
+    (19, "intcompound", "intcompound: informieren-polizei", "informieren", "polizei", "informieren", False, False, False),
+    (20, "governor-adjective", "governor-adjective: mann-reich", "mann", "reich", "mann", False, False, False),
+    (20, "predicate-actor", "predicate-actor: kommen-mann", "mann", "kommen", "kommen", False, False, False),
+    (20, "prepgovernor-noun", "prepgovernor-noun: kommen-haus", "kommen", "haus", "kommen", False, False, False),
 ]
 
 # (snip_id, word)
@@ -121,10 +134,13 @@ GOLDEN_WORDS: list[tuple] = [
     (11, "dog"), (11, "man"), (11, "cat"),
     (12, "dog"), (12, "cat"),
     (13, "man"), (13, "garden"),
-    (15, "hund"), (15, "katze"),
-    (16, "polizeiinformation"), (16, "polizei"), (16, "informieren"),
-    (16, "kriminelle"),
-    (17, "mann"), (17, "haus"),
+    (15, "man"), (15, "cat"),
+    (16, "cat"), (16, "dog"),
+    (17, "man"), (17, "account"),
+    (18, "hund"), (18, "katze"),
+    (19, "polizeiinformation"), (19, "polizei"), (19, "informieren"),
+    (19, "kriminelle"),
+    (20, "mann"), (20, "haus"),
 ]
 
 MAX_SNIPS = 5

@@ -104,6 +104,8 @@ VERB_LEMMAS_EN = {
     "carry", "wear", "break", "fix", "cook", "wash", "clean", "push",
     "pull", "throw", "climb", "swim", "dance", "laugh", "cry", "smile",
     "bark", "bite", "hunt", "feed", "plant", "water", "pick", "drop",
+    "decide", "agree", "plan", "promise", "refuse", "attempt", "manage",
+    "fail", "hope", "wish", "intend", "continue", "choose", "prefer",
 }
 
 # nouns that would otherwise look verbal (tagged NOUN after DET/ADJ)

@@ -89,10 +89,17 @@ def _tag_en(toks: list[Tok], start_of_sent: int) -> None:
             t.pos = "CCONJ"
         elif w in ("not", "n't"):
             t.pos = "PART"
+        elif w == "that" and prev is not None and prev.pos in ("NOUN", "PROPN"):
+            t.pos = "PRON"  # relative 'that'
+        elif w == "that":
+            t.pos = "DET"
         elif w in L.PRONOUNS_EN:
             t.pos = "PRON"
         elif w in L.BE_FORMS_EN or w in L.DO_FORMS_EN or w in L.HAVE_FORMS_EN or w in L.MODALS_EN:
             t.pos = "AUX"
+        elif w == "to" and j + 1 < n and toks[j + 1].text[:1].islower() \
+                and lemma(toks[j + 1].text.lower(), "en") in L.VERB_LEMMAS_EN:
+            t.pos = "PART"  # infinitival 'to'
         elif w in L.PARTICLES_EN and prev is not None and prev.pos in ("VERB", "AUX"):
             # particle vs preposition: preposition only if an NP follows
             # (lexical lookahead — the next token is not yet tagged)
@@ -178,22 +185,21 @@ def _chunk_nps(toks: list[Tok]) -> list[tuple[int, int, int]]:
     j = 0
     n = len(toks)
     while j < n:
-        if toks[j].pos in ("DET", "ADJ", "NUM") or toks[j].pos in ("NOUN", "PROPN", "PRON"):
+        if toks[j].pos == "PRON":
+            # a pronoun is always its own single-token NP
+            spans.append((j, j, j))
+            j += 1
+        elif toks[j].pos in ("DET", "ADJ", "NUM", "NOUN", "PROPN"):
             start = j
             last_nominal = -1
-            while j < n and toks[j].pos in ("DET", "ADJ", "NUM", "NOUN", "PROPN", "PRON"):
-                if toks[j].pos in ("NOUN", "PROPN", "PRON"):
+            while j < n and toks[j].pos in ("DET", "ADJ", "NUM", "NOUN", "PROPN"):
+                if toks[j].pos in ("NOUN", "PROPN"):
                     last_nominal = j
-                # a pronoun is always its own NP
-                if toks[j].pos == "PRON" and last_nominal == j and j > start:
-                    break
                 j += 1
-                if last_nominal >= 0 and j < n and toks[j].pos == "PRON":
-                    break
             if last_nominal >= 0:
                 spans.append((start, j - 1, last_nominal))
             else:
-                j += 1
+                j = start + 1
         else:
             j += 1
     return spans
@@ -219,21 +225,50 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
     # --- verb chain & root
     verb_pos = [j for j, t in enumerate(toks) if t.pos == "VERB"]
     aux_pos = [j for j, t in enumerate(toks) if t.pos == "AUX"]
+
+    # --- relative clause detection: "NP who/which/that VERB … MAINVERB"
+    # (reference relative constructions,
+    #  en language_specific_rules.py:287-476)
+    rel = None  # (rel_pron, rel_verb, main_predicate, antecedent_local)
+    for rp, t in enumerate(toks):
+        if t.text.lower() in ("who", "which", "that") and rp > 0 \
+                and toks[rp - 1].pos in ("NOUN", "PROPN") and t.pos == "PRON":
+            # 'to' infinitives are PART-tagged, so verbs here are finite
+            vafter = [v for v in verb_pos if v > rp and toks[v - 1].text.lower() != "to"]
+            if vafter:
+                rel_v = vafter[0]
+                # main predicate: next finite verb OR aux (copula) after
+                preds = sorted(v for v in verb_pos + aux_pos if v > rel_v)
+                if preds:
+                    rel = (rp, rel_v, preds[0], rp - 1)
+                    break
+    rel_region: set[int] = set(range(rel[0], rel[2])) if rel else set()
+
     root_local: int
     copula = False
     passive = False
-    if verb_pos:
+    main_verbs = [v for v in verb_pos if v not in rel_region]
+    if rel:
+        root_local = rel[2]
+        if root_local in aux_pos and root_local not in verb_pos:
+            copula = True  # "the cat that the dog chased WAS old"
+    elif verb_pos:
         root_local = verb_pos[0]
-        # passive: a BE aux before the verb + participle form
-        be_before = [a for a in aux_pos if a < root_local and toks[a].text.lower() in L.BE_FORMS_EN | {"wird", "wurde", "wurden", "ist", "war"}]
-        if be_before and _is_participle(toks[root_local].text):
-            passive = True
     elif aux_pos:
         root_local = aux_pos[-1]
         copula = True
     else:
         nps = _chunk_nps(toks)
         root_local = nps[0][2] if nps else 0
+    if main_verbs and not rel:
+        root_local = main_verbs[0]
+    if root_local in set(verb_pos):
+        # passive: a BE aux before the verb + participle form
+        be_before = [a for a in aux_pos
+                     if a < root_local and a not in rel_region
+                     and toks[a].text.lower() in L.BE_FORMS_EN | {"wird", "wurde", "wurden", "ist", "war"}]
+        if be_before and _is_participle(toks[root_local].text):
+            passive = True
     root = toks[root_local]
     root.dep = "ROOT"
     root.head = root.i
@@ -287,15 +322,17 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
     for a in aux_pos:
         if copula and a == root_local:
             continue
-        toks[a].head = root.i
+        gov = toks[rel[1]] if (rel and a in rel_region) else root
+        toks[a].head = gov.i
         toks[a].dep = "auxpass" if passive and toks[a].text.lower() in L.BE_FORMS_EN else "aux"
 
     # --- negation particle
     for j, t in enumerate(toks):
         if t.pos == "PART" and t.text.lower() in ("not", "n't", "nicht"):
-            t.head = root.i
+            gov = toks[rel[1]] if (rel and j in rel_region) else root
+            t.head = gov.i
             t.dep = "neg"
-            add(root.i, t.i, "neg")
+            add(gov.i, t.i, "neg")
 
     # --- pre-verbal PP attachment: "NP1 of NP2 <verb>" — NP2 attaches
     # to NP1 (word-ofword / prepgovernor-noun), NP1 stays the subject
@@ -303,7 +340,7 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
     consumed_pp: set[int] = set()
     if first_v is not None:
         for j, t in enumerate(toks):
-            if t.pos != "ADP" or j >= first_v:
+            if t.pos != "ADP" or j >= first_v or j in rel_region:
                 continue
             left = next(((s, e, h) for (s, e, h) in nps if e == j - 1), None)
             right = next(((s, e, h) for (s, e, h) in nps if s == j + 1), None)
@@ -319,7 +356,41 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
 
     # --- subject: closest NP head strictly before the verb/aux chain
     subj_local = None
-    if first_v is not None:
+    if rel:
+        # main-clause subject = the relative clause's antecedent
+        rp, rel_verb, _, ante = rel
+        subj_local = ante
+        st = toks[ante]
+        st.head = root.i
+        st.dep = "nsubjpass" if passive else "nsubj"
+        add(root.i, st.i, st.dep)
+        # relative clause internals (reference relant handling,
+        # language_specific_rules.py:287-476)
+        rt = toks[rel_verb]
+        rt.head = st.i
+        rt.dep = "relcl"
+        toks[rp].head = rt.i
+        toks[rp].dep = "relpron"
+        rel_nps = [(s, e, h) for (s, e, h) in nps if rp < s < rel[2]]
+        subject_relative = all(
+            toks[k].pos in ("VERB", "AUX", "PART", "ADV")
+            for k in range(rp + 1, rel_verb))
+        if subject_relative:
+            add(rt.i, st.i, "nsubj")          # "the man who chased ..."
+            if rel_nps:  # object inside the relative clause
+                oh = toks[rel_nps[0][2]]
+                oh.head = rt.i
+                oh.dep = "dobj"
+                add(rt.i, oh.i, "dobj")
+        else:
+            add(rt.i, st.i, "relant")         # "the cat that the dog chased"
+            pre_rel = [h for (s, e, h) in rel_nps if h < rel_verb]
+            if pre_rel:
+                sh = toks[pre_rel[-1]]
+                sh.head = rt.i
+                sh.dep = "nsubj"
+                add(rt.i, sh.i, "nsubj")
+    elif first_v is not None:
         pre = [h for h in np_heads
                if h < first_v and h not in conj_right and h not in consumed_pp]
         if pre:
@@ -329,33 +400,51 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
             st.dep = "nsubjpass" if passive else "nsubj"
             add(root.i, st.i, st.dep)
 
-    # --- post-verbal material
+    # --- post-verbal material; `cur` tracks the governing verb and
+    # switches to the xcomp verb across infinitival 'to' (control
+    # verbs, reference language_specific_rules.py:169-285)
     got_obj = False
     dobj_local = None
+    cur = root
     j = root_local + 1
     while j < n:
         t = toks[j]
+        if t.pos == "VERB" and j > 0 and toks[j - 1].text.lower() == "to" \
+                and toks[j - 1].pos == "PART":
+            t.head = cur.i
+            t.dep = "xcomp"
+            toks[j - 1].head = t.i
+            toks[j - 1].dep = "aux"
+            if subj_local is not None:
+                # control: the matrix subject is also the xcomp verb's
+                # subject, marked uncertain (reference :169-285)
+                add(t.i, toks[subj_local].i, "nsubj", uncertain=True)
+            cur = t
+            got_obj = False
+            dobj_local = None
+            j += 1
+            continue
         if t.pos == "PUNCT":
             t.head = root.i
             t.dep = "punct"
             j += 1
             continue
-        if t.pos == "PART" and t.text.lower() not in ("not", "n't", "nicht"):
-            t.head = root.i
+        if t.pos == "PART" and t.text.lower() not in ("not", "n't", "nicht", "to"):
+            t.head = cur.i
             t.dep = "prt"
-            add(root.i, t.i, "prt")
+            add(cur.i, t.i, "prt")
             j += 1
             continue
         if t.pos == "ADV":
-            t.head = root.i
+            t.head = cur.i
             t.dep = "advmod"
-            add(root.i, t.i, "advmod")
+            add(cur.i, t.i, "advmod")
             j += 1
             continue
         if t.pos == "ADP":
             # PP: find the NP directly after
             pp_np = next(((s, e, h) for (s, e, h) in nps if s == j + 1 or (s <= j + 1 <= e)), None)
-            t.head = root.i
+            t.head = cur.i
             t.dep = "agent" if (passive and t.text.lower() in ("by", "von")) else "prep"
             if pp_np is not None:
                 ph = toks[pp_np[2]]
@@ -364,13 +453,13 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
                 if t.dep == "agent":
                     # passive agent = actor (reference pobjb,
                     # language_specific_rules.py:558-797)
-                    add(root.i, ph.i, "pobjb")
+                    add(cur.i, ph.i, "pobjb")
                 elif t.text.lower() in ("to", "für") and got_obj:
-                    add(root.i, ph.i, "dative")
+                    add(cur.i, ph.i, "dative")
                 else:
                     # attach prep object to the prep's governor
                     # (reference prepgovernor-noun phraselet)
-                    gov = toks[dobj_local].i if (dobj_local is not None and t.text.lower() == "of") else root.i
+                    gov = toks[dobj_local].i if (dobj_local is not None and t.text.lower() == "of") else cur.i
                     add(gov, ph.i, "pobjp")
                 add(t.i, ph.i, "pobj-raw", uncertain=False)
                 j = pp_np[1] + 1
@@ -384,28 +473,28 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
                 continue
             h = toks[np_here[2]]
             if copula:
-                h.head = root.i
+                h.head = cur.i
                 h.dep = "attr"
-                add(root.i, h.i, "attr")
+                add(cur.i, h.i, "attr")
             elif not got_obj:
-                h.head = root.i
+                h.head = cur.i
                 h.dep = "dobj"
-                add(root.i, h.i, "dobj")
+                add(cur.i, h.i, "dobj")
                 got_obj = True
                 dobj_local = np_here[2]
             else:
-                h.head = root.i
+                h.head = cur.i
                 h.dep = "dep"
             j = np_here[1] + 1
             continue
         if t.pos == "ADJ" and copula:
-            t.head = root.i
+            t.head = cur.i
             t.dep = "acomp"
-            add(root.i, t.i, "acomp")
+            add(cur.i, t.i, "acomp")
             j += 1
             continue
         if t.head < 0:
-            t.head = root.i
+            t.head = cur.i
             t.dep = "dep"
         j += 1
 
