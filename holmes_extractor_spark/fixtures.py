@@ -143,6 +143,21 @@ GOLDEN_WORDS: list[tuple] = [
     (20, "mann"), (20, "haus"),
 ]
 
+# deterministic word-vector fixture for embedding-based matching (the
+# reference reads vectors off the spaCy model; we broadcast a table).
+# Designed geometry: wolf≈dog≈hound, kitten≈cat, pursue≈chase.
+WORD_VECTORS: dict[str, list[float]] = {
+    "dog":    [1.00, 0.10, 0.00, 0.00],
+    "wolf":   [0.95, 0.15, 0.05, 0.00],
+    "hound":  [0.90, 0.20, 0.00, 0.10],
+    "cat":    [0.05, 1.00, 0.10, 0.00],
+    "kitten": [0.10, 0.95, 0.15, 0.00],
+    "chase":  [0.00, 0.05, 1.00, 0.10],
+    "pursue": [0.05, 0.00, 0.98, 0.12],
+    "man":    [0.00, 0.00, 0.10, 1.00],
+    "plant":  [0.30, 0.30, 0.30, 0.30],
+}
+
 MAX_SNIPS = 5
 URL_PREFIX = "https://example.org/doc-"
 HTML_PREFIX = "<html><body><p>"

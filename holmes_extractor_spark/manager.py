@@ -31,7 +31,11 @@ from .query import structural, topic
 
 
 class SparkHolmesManager:
-    def __init__(self, spark: SparkSession, ontology: list[tuple] | None = None):
+    def __init__(self, spark: SparkSession, ontology: list[tuple] | None = None,
+                 vectors: dict[str, list[float]] | None = None,
+                 word_embedding_match_threshold: float = 1.0):
+        """`word_embedding_match_threshold` < 1.0 enables embedding
+        matching (reference manager.py:115 — disabled by default)."""
         self.spark = spark
         self._pending: list[tuple[str, str, str]] = []  # (url/label, text, lang)
         self._labels: set[str] = set()
@@ -40,6 +44,8 @@ class SparkHolmesManager:
         self._postings: DataFrame | None = None
         self._closure_rows = [(q, m, d) for (q, m, d, _)
                               in ontology_closure_local(ontology)]
+        self._vectors = vectors
+        self._embedding_threshold = word_embedding_match_threshold
 
     # ------------------------------------------------- corpus lifecycle
 
@@ -115,7 +121,8 @@ class SparkHolmesManager:
             self._postings = build_postings(self.docs()).cache()
         return self._postings
 
-    def match(self, search_phrase_text: str | None = None) -> list[dict]:
+    def match(self, search_phrase_text: str | None = None,
+              document_label_filter: str | None = None) -> list[dict]:
         """Reference: manager.py:562-613. Returns reference-shaped
         match dicts sorted like the reference (manager.py:607-613)."""
         sps = self._search_phrases
@@ -124,7 +131,10 @@ class SparkHolmesManager:
         if not sps:
             raise ValueError("no search phrases registered")
         res = structural.match(self.spark, self.docs(), self.postings(),
-                               sps, self._closure_rows)
+                               sps, self._closure_rows,
+                               vectors=self._vectors,
+                               embedding_threshold=self._embedding_threshold,
+                               document_label_filter=document_label_filter)
         out = []
         for r in res.collect():
             out.append({

@@ -106,6 +106,7 @@ VERB_LEMMAS_EN = {
     "bark", "bite", "hunt", "feed", "plant", "water", "pick", "drop",
     "decide", "agree", "plan", "promise", "refuse", "attempt", "manage",
     "fail", "hope", "wish", "intend", "continue", "choose", "prefer",
+    "pursue", "observe", "examine", "discover", "describe", "explain",
 }
 
 # nouns that would otherwise look verbal (tagged NOUN after DET/ADJ)

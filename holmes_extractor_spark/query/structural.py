@@ -64,6 +64,7 @@ MATCH_ROW = T.StructType([
         T.StructField("match_type", T.StringType()),
         T.StructField("depth", T.IntegerType()),
         T.StructField("extracted_word", T.StringType()),
+        T.StructField("similarity", T.DoubleType()),
     ]))),
 ])
 
@@ -145,10 +146,26 @@ def root_reprs(sp: dict) -> list[tuple[str, str]]:
     return probes
 
 
-def _token_matches(sp_tok: dict, dt: dict, closure_map: dict) -> tuple[str, int, str] | None:
+def _cosine_py(a: list[float], b: list[float]) -> float:
+    num = sum(x * y for x, y in zip(a, b))
+    da = sum(x * x for x in a) ** 0.5
+    db = sum(y * y for y in b) ** 0.5
+    return num / (da * db) if da and db else 0.0
+
+
+def _token_matches(sp_tok: dict, dt: dict, closure_map: dict,
+                   vectors: dict | None = None,
+                   embedding_threshold: float = 1.0) -> tuple | None:
     """First-match-wins strategy chain (reference manager.py:163-214
-    order: direct → derivation → entity → ontology). Returns
-    (match_type, depth, matched_doc_word) or None."""
+    order: direct → derivation → entity → ontology → embedding).
+    Returns (match_type, depth, matched_doc_word, similarity) or None.
+
+    Embedding matching mirrors the reference's
+    word_matching/embedding.py:7-136: cosine(sp vector, doc vector) >
+    threshold, gated to nouns/verbs/adjs; vectors come from a broadcast
+    word→vector table (the reference reads them off the spaCy model).
+    Disabled by default (threshold 1.0), like the reference
+    (manager.py:115)."""
     if sp_tok.get("q_spec"):
         # who → person-like entities; what → non-entity nouns
         # (reference en question rules,
@@ -156,14 +173,14 @@ def _token_matches(sp_tok: dict, dt: dict, closure_map: dict) -> tuple[str, int,
         q = sp_tok["q_spec"]
         if q in ("who", "whom", "whose"):
             if dt["ent_type"] in ("PERSON", "NORP", "ORG", "GPE") and dt["dep"] != "compound":
-                return ("question", 0, dt["text"].lower())
+                return ("question", 0, dt["text"].lower(), 1.0)
         elif q == "what":
             if dt["pos"] in ("NOUN",) and dt["ent_type"] == "":
-                return ("question", 0, dt["text"].lower())
+                return ("question", 0, dt["text"].lower(), 1.0)
         return None
     if sp_tok["ent_spec"]:
         if dt["ent_type"] == sp_tok["ent_spec"] and dt["dep"] != "compound":
-            return ("entity", 0, dt["text"].lower())
+            return ("entity", 0, dt["text"].lower(), 1.0)
         return None
     doc_direct = set(dt["direct_reprs"])
     doc_deriv = set(dt["derivation_reprs"])
@@ -173,19 +190,29 @@ def _token_matches(sp_tok: dict, dt: dict, closure_map: dict) -> tuple[str, int,
     sp_direct = set(sp_tok["direct_reprs"])
     sp_deriv = set(sp_tok["derivation_reprs"])
     if sp_direct & doc_direct:
-        return ("direct", 0, dt["lemma"])
+        return ("direct", 0, dt["lemma"], 1.0)
     if (sp_deriv & (doc_direct | doc_deriv)) or (sp_direct & doc_deriv):
-        return ("derivation", 0, dt["derived_lemma"])
+        return ("derivation", 0, dt["derived_lemma"], 1.0)
     for q in sp_direct | sp_deriv:
         for w in doc_direct | doc_deriv:
             d = closure_map.get((q, w))
             if d is not None:
-                return ("ontology", d, w)
+                return ("ontology", d, w, 1.0)
+    if vectors is not None and embedding_threshold < 1.0 \
+            and dt["pos"] in ("NOUN", "PROPN", "VERB", "ADJ"):
+        sp_vec = vectors.get(sp_tok["derived_lemma"])
+        doc_vec = vectors.get(dt["derived_lemma"])
+        if sp_vec is not None and doc_vec is not None:
+            sim = _cosine_py(sp_vec, doc_vec)
+            if sim > embedding_threshold:
+                return ("embedding", 0, dt["derived_lemma"], round(sim, 8))
     return None
 
 
 def _verify_doc(sp: dict, tokens: list[dict], deps: list[dict],
-                root_candidates: list[int], closure_map: dict) -> list[dict]:
+                root_candidates: list[int], closure_map: dict,
+                vectors: dict | None = None,
+                embedding_threshold: float = 1.0) -> list[dict]:
     """Recursive subgraph verification for one document (reference:
     structural_matching.py:486-819 — depth-first expansion with
     visited-table loop guard; coref chains are already materialized as
@@ -197,7 +224,8 @@ def _verify_doc(sp: dict, tokens: list[dict], deps: list[dict],
     out = []
 
     def rec(sp_i: int, d_i: int, used: set[int]) -> list[list[dict]] | None:
-        wm_type = _token_matches(sp["tokens"][sp_i], toks[d_i], closure_map)
+        wm_type = _token_matches(sp["tokens"][sp_i], toks[d_i], closure_map,
+                                 vectors, embedding_threshold)
         if wm_type is None:
             return None
         dt = toks[d_i]
@@ -211,6 +239,7 @@ def _verify_doc(sp: dict, tokens: list[dict], deps: list[dict],
             "doc_index": d_i, "doc_word": dt["derived_lemma"],
             "match_type": wm_type[0], "depth": wm_type[1],
             "extracted_word": extracted,
+            "similarity": wm_type[3],
             "_negated": bool(dt["is_negated"]),
             "_coref": len(dt["coref_chain"]) > 0,
             "_uncertain": False,
@@ -253,13 +282,18 @@ def _verify_doc(sp: dict, tokens: list[dict], deps: list[dict],
         # keep the first solution per root position (deterministic:
         # solutions are generated in sorted doc order)
         wm = sols[0]
+        # geometric-mean overall similarity, 8 dp (reference
+        # structural_matching.py:458-463)
+        prod = 1.0
+        for w in wm:
+            prod *= w["similarity"]
         out.append({
             "phrase_label": sp["label"],
             "index_within_document": rp,
             "negated": any(w["_negated"] for w in wm),
             "uncertain": any(w["_uncertain"] for w in wm),
             "involves_coreference": any(w["_coref"] for w in wm),
-            "overall_similarity": 1.0,
+            "overall_similarity": round(prod ** (1.0 / len(wm)), 8),
             "word_matches": [
                 {k: v for k, v in w.items() if not k.startswith("_")}
                 for w in sorted(wm, key=lambda w: w["sp_index"])
@@ -269,11 +303,23 @@ def _verify_doc(sp: dict, tokens: list[dict], deps: list[dict],
 
 
 def match(spark: SparkSession, docs: DataFrame, postings: DataFrame,
-          search_phrases: list[dict], closure_rows: list[tuple] | None = None) -> DataFrame:
-    """Distributed structural match. `closure_rows` = collected ontology
-    closure [(query_word, matched_word, depth)], broadcast into the
-    verify UDF (reference precomputes the closure eagerly,
-    ontology.py:91-125)."""
+          search_phrases: list[dict], closure_rows: list[tuple] | None = None,
+          vectors: dict[str, list[float]] | None = None,
+          embedding_threshold: float = 1.0,
+          document_label_filter: str | None = None) -> DataFrame:
+    """Distributed structural match.
+
+    - `closure_rows`: collected ontology closure [(query_word,
+      matched_word, depth)], broadcast into the verify UDF (reference
+      precomputes the closure eagerly, ontology.py:91-125).
+    - `vectors` + `embedding_threshold`: word-embedding matching
+      (reference word_matching/embedding.py; root-word candidates come
+      from a driver-side scan of the vector vocabulary, mirroring the
+      reference's embedding root scan, structural_matching.py:260-349).
+      Threshold 1.0 = disabled (the reference's default).
+    - `document_label_filter`: url prefix filter, pushed down to the
+      postings/docs scans (reference structural_matching.py:350-358).
+    """
     closure_map = {(q, w): d for (q, w, d) in (closure_rows or [])}
     probe_rows = []
     for pi, sp in enumerate(search_phrases):
@@ -282,11 +328,27 @@ def match(spark: SparkSession, docs: DataFrame, postings: DataFrame,
         # ontology expansion of root probes (hyponyms depth>0 AND
         # synonyms depth 0 — both match, reference ontology.py:224-353)
         rt = sp["tokens"][sp["root"]]
-        for q in set(rt["direct_reprs"]) | set(rt["derivation_reprs"]):
+        root_words = set(rt["direct_reprs"]) | set(rt["derivation_reprs"])
+        for q in root_words:
             for (qw, mw), d in closure_map.items():
                 if qw == q and mw != q:
                     probe_rows.append((pi, mw, "direct"))
+        # embedding expansion: every vocabulary word similar enough to
+        # the root becomes a probe (driver-side — the vector table is
+        # broadcast-sized, like the reference's model vocabulary)
+        if vectors is not None and embedding_threshold < 1.0:
+            for q in root_words:
+                qv = vectors.get(q)
+                if qv is None:
+                    continue
+                for w, wv in vectors.items():
+                    if w != q and _cosine_py(qv, wv) > embedding_threshold:
+                        probe_rows.append((pi, w, "direct"))
     probes = spark.createDataFrame(probe_rows, "phrase_idx int, repr string, kind string").distinct()
+
+    if document_label_filter:
+        postings = postings.filter(F.col("url").startswith(document_label_filter))
+        docs = docs.filter(F.col("url").startswith(document_label_filter))
 
     cands = (
         postings.join(F.broadcast(probes), ["repr", "kind"])
@@ -309,7 +371,8 @@ def match(spark: SparkSession, docs: DataFrame, postings: DataFrame,
                     by_phrase.setdefault(c["phrase_idx"], []).append(c["token_index"])
                 for pi, positions in by_phrase.items():
                     for m in _verify_doc(sp_list[pi], tokens, dep_list,
-                                         positions, closure_map):
+                                         positions, closure_map,
+                                         vectors, embedding_threshold):
                         m["url"] = url
                         rows.append(m)
             yield pd.DataFrame(rows, columns=cols)

@@ -91,3 +91,35 @@ def test_topic_match_api(mgr):
     res = mgr.topic_match_documents_against("A dog chases a cat")
     assert res and res[0]["rank"] == 1
     assert res[0]["url"] in ("d_active", "d_passive", "d_coref", "d_negated")
+
+
+def test_embedding_matching(spark):
+    from holmes_extractor_spark.fixtures import WORD_VECTORS
+    m = SparkHolmesManager(spark, vectors=WORD_VECTORS,
+                           word_embedding_match_threshold=0.85)
+    m.parse_and_register_document("The wolf chased the cat.", "d_wolf")
+    m.parse_and_register_document("The man pursued the cat.", "d_pursue")
+    # non-root embedding match: dog ≈ wolf
+    res = m.match("A dog chases a cat")
+    assert [r["document"] for r in res] == ["d_wolf"]
+    wm = {w["sp_word"]: w for w in res[0]["word_matches"]}
+    assert wm["dog"]["match_type"] == "embedding"
+    assert 0.85 < wm["dog"]["similarity"] < 1.0
+    assert 0.9 < res[0]["overall_similarity_measure"] < 1.0
+    # root embedding match: chase ≈ pursue (probe expansion)
+    res2 = m.match("A man chases a cat")
+    assert [r["document"] for r in res2] == ["d_pursue"]
+    types2 = {w["sp_word"]: w["match_type"] for w in res2[0]["word_matches"]}
+    assert types2["chase"] == "embedding"
+    # disabled by default (reference manager.py:115)
+    m2 = SparkHolmesManager(spark)
+    m2.parse_and_register_document("The wolf chased the cat.", "d_wolf")
+    assert m2.match("A dog chases a cat") == []
+
+
+def test_document_label_filter(spark):
+    m = SparkHolmesManager(spark)
+    m.parse_and_register_document("The dog chased the cat.", "en/a1")
+    m.parse_and_register_document("The dog chased the cat.", "fr/b1")
+    res = m.match("A dog chases a cat", document_label_filter="en/")
+    assert [r["document"] for r in res] == ["en/a1"]
