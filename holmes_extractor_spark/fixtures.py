@@ -59,6 +59,8 @@ POOL_DE: list[str] = [
     "Der Hund jagte die Katze.",                     # 18
     "Polizeiinformation über Kriminelle.",           # 19 (compound subword)
     "Der reiche Mann kam nach Hause.",               # 20 (de adjective + PP)
+    "Die Katze wurde vom Hund gejagt.",              # 21 (de passive + agent)
+    "Der Hund jagte die Katze nicht.",               # 22 (de negation)
 ]
 
 POOL = POOL_EN + POOL_DE  # global snippet ids 0..12
@@ -116,6 +118,10 @@ GOLDEN_EDGES: list[tuple] = [
     (20, "governor-adjective", "governor-adjective: mann-reich", "mann", "reich", "mann", False, False, False),
     (20, "predicate-actor", "predicate-actor: kommen-mann", "mann", "kommen", "kommen", False, False, False),
     (20, "prepgovernor-noun", "prepgovernor-noun: kommen-haus", "kommen", "haus", "kommen", False, False, False),
+    (21, "predicate-patient", "predicate-patient: jagen-katze", "jagen", "katze", "jagen", False, False, False),
+    (21, "predicate-actor", "predicate-actor: jagen-hund", "hund", "jagen", "jagen", False, False, False),
+    (22, "predicate-actor", "predicate-actor: jagen-hund", "hund", "jagen", "jagen", True, False, False),
+    (22, "predicate-patient", "predicate-patient: jagen-katze", "jagen", "katze", "jagen", True, False, False),
 ]
 
 # (snip_id, word)
@@ -141,6 +147,8 @@ GOLDEN_WORDS: list[tuple] = [
     (19, "polizeiinformation"), (19, "polizei"), (19, "informieren"),
     (19, "kriminelle"),
     (20, "mann"), (20, "haus"),
+    (21, "katze"), (21, "hund"),
+    (22, "hund"), (22, "katze"),
 ]
 
 # deterministic word-vector fixture for embedding-based matching (the

@@ -145,7 +145,8 @@ PRONOUNS_DE = {"ich", "du", "er", "sie", "es", "wir", "ihr", "man",
 
 PREPOSITIONS_DE = {"in", "an", "auf", "über", "unter", "mit", "von",
                    "zu", "bei", "nach", "aus", "für", "gegen", "ohne",
-                   "um", "durch", "vor", "hinter", "neben", "zwischen"}
+                   "um", "durch", "vor", "hinter", "neben", "zwischen",
+                   "vom", "zum", "zur", "beim", "im", "am", "ins", "ans"}
 
 NEGATION_WORDS_DE = {"nicht", "kein", "keine", "keinen", "nie", "niemals",
                      "nichts", "niemand"}

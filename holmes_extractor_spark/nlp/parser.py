@@ -71,7 +71,10 @@ class Tok:
 
 def _is_participle(w: str) -> bool:
     lw = w.lower()
-    return lw in _IRREG_PARTICIPLES or (lw.endswith("ed") and len(lw) > 3)
+    return (lw in _IRREG_PARTICIPLES
+            or (lw.endswith("ed") and len(lw) > 3)
+            # German ge-…-t/-en participles (gejagt, gesehen)
+            or (lw.startswith("ge") and lw.endswith(("t", "en")) and len(lw) > 5))
 
 
 # ----------------------------------------------------------- tagging EN
@@ -406,8 +409,22 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
     got_obj = False
     dobj_local = None
     cur = root
-    j = root_local + 1
-    while j < n:
+    # scan segments: after the root verb, and — for verb-final clauses
+    # (German passive "wurde vom Hund gejagt") — the mid-field between
+    # the finite aux and the clause-final participle
+    segments = [[root_local + 1, n]]
+    if first_v is not None and root_local > first_v + 1 \
+            and root_local in set(verb_pos) and first_v in set(aux_pos):
+        segments.append([first_v + 1, root_local])
+    seg_idx = 0
+    j, scan_end = segments[0]
+    while True:
+        if j >= scan_end:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                break
+            j, scan_end = segments[seg_idx]
+            continue
         t = toks[j]
         if t.pos == "VERB" and j > 0 and toks[j - 1].text.lower() == "to" \
                 and toks[j - 1].pos == "PART":
@@ -445,7 +462,7 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
             # PP: find the NP directly after
             pp_np = next(((s, e, h) for (s, e, h) in nps if s == j + 1 or (s <= j + 1 <= e)), None)
             t.head = cur.i
-            t.dep = "agent" if (passive and t.text.lower() in ("by", "von")) else "prep"
+            t.dep = "agent" if (passive and t.text.lower() in ("by", "von", "vom")) else "prep"
             if pp_np is not None:
                 ph = toks[pp_np[2]]
                 ph.head = t.i
