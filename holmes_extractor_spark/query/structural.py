@@ -356,6 +356,15 @@ def match(spark: SparkSession, docs: DataFrame, postings: DataFrame,
         .groupBy("url")
         .agg(F.collect_set(F.struct("phrase_idx", "token_index")).alias("cands"))
     )
+    # prune the token struct to the fields the verifier reads — cuts
+    # the Arrow transfer into the python verify stage substantially
+    verify_fields = ("i", "text", "lemma", "derived_lemma", "pos", "dep",
+                     "ent_type", "direct_reprs", "derivation_reprs",
+                     "is_negated", "coref_chain", "most_specific_coref",
+                     "multiwords")
+    docs = docs.withColumn(
+        "tokens",
+        F.transform("tokens", lambda t: F.struct(*[t[f].alias(f) for f in verify_fields])))
     cand_docs = docs.join(cands, "url")
 
     sp_list = search_phrases  # captured in closure (broadcast via pickle)

@@ -131,9 +131,8 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
 
 
 def _score_docs(params: dict):
-    def score_one(pdf: pd.DataFrame) -> pd.DataFrame:
-        url = pdf["url"].iloc[0]
-        ms = pdf.sort_values(["position", "phraselet_label"]).reset_index(drop=True)
+    def score_one(url: str, rows: list[dict]) -> list[dict]:
+        ms = rows  # sorted (position, phraselet_label) by caller
         max_d = params["maximum_activation_distance"]
         # per-phraselet activation with linear decay (reference
         # topic_matching.py:867-1054): token score = Σ live activations
@@ -148,11 +147,9 @@ def _score_docs(params: dict):
             "single_word": params["single_word_score"],
             "single_word_any_tag": params["single_word_any_tag_score"],
         }
-        ffs = ms["freq_factor"] if "freq_factor" in ms.columns else [1.0] * len(ms)
-        for lbl, pos, kind, ff in zip(ms["phraselet_label"], ms["position"],
-                                      ms["kind"], ffs):
-            pos = int(pos)
-            base = base_scores[kind] * float(ff)
+        for r in ms:
+            lbl, pos, kind = r["phraselet_label"], int(r["position"]), r["kind"]
+            base = base_scores[kind] * float(r.get("freq_factor", 1.0))
             if kind.startswith("relation"):
                 # overlapping relations on a shared position ×1.5
                 others = prev_by_pos.get(pos, set())
@@ -176,7 +173,7 @@ def _score_docs(params: dict):
             token_scores.append(total)
             positions.append(pos)
         if not positions:
-            return pd.DataFrame(columns=["url", "start_idx", "end_idx", "score", "n_matches"])
+            return []
         # greedy peak + sideways extension (reference
         # topic_matching.py:1056-1224)
         best: dict[int, float] = {}
@@ -205,7 +202,7 @@ def _score_docs(params: dict):
             taken[i] = True
             out.append({"url": url, "start_idx": start, "end_idx": end,
                         "score": peak_score, "n_matches": n})
-        return pd.DataFrame(out, columns=["url", "start_idx", "end_idx", "score", "n_matches"])
+        return out
     return score_one
 
 
@@ -231,8 +228,26 @@ def topic_match(spark: SparkSession, edges: DataFrame, words: DataFrame,
                    .drop("_w", "frequency_factor"))
     else:
         matches = matches.withColumn("freq_factor", F.lit(1.0))
-    scored = matches.groupBy("url").applyInPandas(
-        _score_docs(params), schema=TOPIC_MATCH)
+    # one collect_list per url, then mapInPandas (one python call per
+    # Arrow batch of MANY urls) — applyInPandas would pay per-group
+    # invocation overhead across millions of documents
+    grouped = matches.groupBy("url").agg(
+        F.collect_list(F.struct("phraselet_label", "kind", "position",
+                                "freq_factor")).alias("ms"))
+    score_one = _score_docs(params)
+
+    cols = [f.name for f in TOPIC_MATCH.fields]
+
+    def score_batches(batches):
+        for pdf in batches:
+            rows: list[dict] = []
+            for url, ms in zip(pdf["url"], pdf["ms"]):
+                srt = sorted((dict(r) for r in ms),
+                             key=lambda r: (r["position"], r["phraselet_label"]))
+                rows.extend(score_one(url, srt))
+            yield pd.DataFrame(rows, columns=cols)
+
+    scored = grouped.mapInPandas(score_batches, schema=TOPIC_MATCH)
     k = params["number_of_results"]
     w = Window.orderBy(F.desc("score"), "url", "start_idx")
     top = (scored.orderBy(F.desc("score"), "url", "start_idx").limit(k)
