@@ -53,14 +53,15 @@ POOL_EN: list[str] = [
     "The man who chased the cat came home.",         # 15 (subject relative)
     "The cat that the dog chased was old.",          # 16 (object relative, relant)
     "The man decided to open an account.",           # 17 (xcomp control, uncertain)
+    "The man saw the dog in the garden.",            # 18 (prepposs alt attachment)
 ]
 
 POOL_DE: list[str] = [
-    "Der Hund jagte die Katze.",                     # 18
-    "Polizeiinformation über Kriminelle.",           # 19 (compound subword)
-    "Der reiche Mann kam nach Hause.",               # 20 (de adjective + PP)
-    "Die Katze wurde vom Hund gejagt.",              # 21 (de passive + agent)
-    "Der Hund jagte die Katze nicht.",               # 22 (de negation)
+    "Der Hund jagte die Katze.",                     # 19
+    "Polizeiinformation über Kriminelle.",           # 20 (compound subword)
+    "Der reiche Mann kam nach Hause.",               # 21 (de adjective + PP)
+    "Die Katze wurde vom Hund gejagt.",              # 22 (de passive + agent)
+    "Der Hund jagte die Katze nicht.",               # 23 (de negation)
 ]
 
 POOL = POOL_EN + POOL_DE  # global snippet ids 0..12
@@ -111,17 +112,21 @@ GOLDEN_EDGES: list[tuple] = [
     (17, "predicate-actor", "predicate-actor: decide-man", "man", "decide", "decide", False, False, False),
     (17, "predicate-actor", "predicate-actor: open-man", "man", "open", "open", False, True, False),
     (17, "predicate-patient", "predicate-patient: open-account", "open", "account", "open", False, False, False),
-    (18, "predicate-actor", "predicate-actor: jagen-hund", "hund", "jagen", "jagen", False, False, False),
-    (18, "predicate-patient", "predicate-patient: jagen-katze", "jagen", "katze", "jagen", False, False, False),
-    (19, "prepgovernor-noun", "prepgovernor-noun: polizeiinformation-kriminelle", "polizeiinformation", "kriminelle", "polizeiinformation", False, False, False),
-    (19, "intcompound", "intcompound: informieren-polizei", "informieren", "polizei", "informieren", False, False, False),
-    (20, "governor-adjective", "governor-adjective: mann-reich", "mann", "reich", "mann", False, False, False),
-    (20, "predicate-actor", "predicate-actor: kommen-mann", "mann", "kommen", "kommen", False, False, False),
-    (20, "prepgovernor-noun", "prepgovernor-noun: kommen-haus", "kommen", "haus", "kommen", False, False, False),
-    (21, "predicate-patient", "predicate-patient: jagen-katze", "jagen", "katze", "jagen", False, False, False),
-    (21, "predicate-actor", "predicate-actor: jagen-hund", "hund", "jagen", "jagen", False, False, False),
-    (22, "predicate-actor", "predicate-actor: jagen-hund", "hund", "jagen", "jagen", True, False, False),
-    (22, "predicate-patient", "predicate-patient: jagen-katze", "jagen", "katze", "jagen", True, False, False),
+    (18, "predicate-actor", "predicate-actor: see-man", "man", "see", "see", False, False, False),
+    (18, "predicate-patient", "predicate-patient: see-dog", "see", "dog", "see", False, False, False),
+    (18, "prepgovernor-noun", "prepgovernor-noun: see-garden", "see", "garden", "see", False, False, False),
+    (18, "prepgovernor-noun", "prepgovernor-noun: dog-garden", "dog", "garden", "dog", False, True, False),
+    (19, "predicate-actor", "predicate-actor: jagen-hund", "hund", "jagen", "jagen", False, False, False),
+    (19, "predicate-patient", "predicate-patient: jagen-katze", "jagen", "katze", "jagen", False, False, False),
+    (20, "prepgovernor-noun", "prepgovernor-noun: polizeiinformation-kriminelle", "polizeiinformation", "kriminelle", "polizeiinformation", False, False, False),
+    (20, "intcompound", "intcompound: informieren-polizei", "informieren", "polizei", "informieren", False, False, False),
+    (21, "governor-adjective", "governor-adjective: mann-reich", "mann", "reich", "mann", False, False, False),
+    (21, "predicate-actor", "predicate-actor: kommen-mann", "mann", "kommen", "kommen", False, False, False),
+    (21, "prepgovernor-noun", "prepgovernor-noun: kommen-haus", "kommen", "haus", "kommen", False, False, False),
+    (22, "predicate-patient", "predicate-patient: jagen-katze", "jagen", "katze", "jagen", False, False, False),
+    (22, "predicate-actor", "predicate-actor: jagen-hund", "hund", "jagen", "jagen", False, False, False),
+    (23, "predicate-actor", "predicate-actor: jagen-hund", "hund", "jagen", "jagen", True, False, False),
+    (23, "predicate-patient", "predicate-patient: jagen-katze", "jagen", "katze", "jagen", True, False, False),
 ]
 
 # (snip_id, word)
@@ -143,12 +148,13 @@ GOLDEN_WORDS: list[tuple] = [
     (15, "man"), (15, "cat"),
     (16, "cat"), (16, "dog"),
     (17, "man"), (17, "account"),
-    (18, "hund"), (18, "katze"),
-    (19, "polizeiinformation"), (19, "polizei"), (19, "informieren"),
-    (19, "kriminelle"),
-    (20, "mann"), (20, "haus"),
-    (21, "katze"), (21, "hund"),
-    (22, "hund"), (22, "katze"),
+    (18, "man"), (18, "dog"), (18, "garden"),
+    (19, "hund"), (19, "katze"),
+    (20, "polizeiinformation"), (20, "polizei"), (20, "informieren"),
+    (20, "kriminelle"),
+    (21, "mann"), (21, "haus"),
+    (22, "katze"), (22, "hund"),
+    (23, "hund"), (23, "katze"),
 ]
 
 # deterministic word-vector fixture for embedding-based matching (the

@@ -478,6 +478,12 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
                     # (reference prepgovernor-noun phraselet)
                     gov = toks[dobj_local].i if (dobj_local is not None and t.text.lower() == "of") else cur.i
                     add(gov, ph.i, "pobjp")
+                    # alternative noun attachment, uncertain (reference
+                    # prepposs deps, parsing.py:1359-1434): "saw the dog
+                    # in the garden" → garden may modify dog
+                    if gov == cur.i and dobj_local is not None \
+                            and t.text.lower() != "of":
+                        add(toks[dobj_local].i, ph.i, "pobjp", uncertain=True)
                 add(t.i, ph.i, "pobj-raw", uncertain=False)
                 j = pp_np[1] + 1
                 continue
