@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from holmes_extractor_spark.fixtures import build_pages, pages_cte_sql
-from holmes_extractor_spark.ops import dedup, similarity, text_analysis
+from holmes_extractor_spark.ops import dedup, events, similarity, text_analysis
 from holmes_extractor_spark.ops import multimodal
 from holmes_extractor_spark.pipeline.canonicalize import build_entities
 from holmes_extractor_spark.pipeline.ingest import clean_pages
@@ -217,6 +217,18 @@ def q_embedding_neardup(spark, sf_dir):
     return similarity.embedding_neardup(spark.read.parquet(f"{sf_dir}/embeddings.parquet"), 0.5)
 
 
+def q_dup_clusters(spark, sf_dir):
+    return dedup.duplicate_clusters(spark.read.parquet(f"{sf_dir}/documents.parquet"), 0.5)
+
+
+def q_event_windows(spark, sf_dir):
+    return events.event_windows(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_sessionize(spark, sf_dir):
+    return events.sessionize(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_blob_metadata(spark, sf_dir):
     blobs = multimodal.documents_as_blobs(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     return multimodal.blob_metadata(blobs).select("doc_id", "n_bytes", "magic")
@@ -259,6 +271,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
+        "dup_clusters": q_dup_clusters,
+        "event_windows": q_event_windows,
+        "sessionize": q_sessionize,
         "ann_brute_force": q_ann_brute_force,
         "ann_lsh": q_ann_lsh,
         "embedding_neardup": q_embedding_neardup,
@@ -425,6 +440,9 @@ FROM page_snips ps JOIN q_golden g USING (snip_id)
         "exact_dedup": dedup.exact_dedup_sql(),
         "ngram_jaccard": dedup.ngram_jaccard_sql(0.5),
         "minhash_lsh": dedup.minhash_lsh_sql(0.5),
+        "dup_clusters": dedup.duplicate_clusters_sql(0.5),
+        "event_windows": events.event_windows_sql(),
+        "sessionize": events.sessionize_sql(),
         "ann_brute_force": similarity.brute_force_topk_sql(),
         "ann_lsh": similarity.lsh_topk_sql(),
         "embedding_neardup": similarity.embedding_neardup_sql(0.5),

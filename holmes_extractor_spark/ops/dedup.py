@@ -189,6 +189,78 @@ def minhash_lsh_pairs(documents: DataFrame, min_agree: float = 0.5) -> DataFrame
     return agree.filter(F.col("agree") >= min_agree).select("doc_a", "doc_b", "agree")
 
 
+def duplicate_clusters(documents: DataFrame, min_agree: float = 0.5) -> DataFrame:
+    """Group near-duplicate docs into clusters: connected components
+    over the MinHash-LSH pair graph (min-doc_id label propagation —
+    the same CC machinery as entity canonicalization). Returns
+    (cluster_id, members, size) for clusters of size ≥ 2: the keeper
+    is cluster_id, the rest are droppable duplicates."""
+    from ..pipeline.canonicalize import connected_components
+    pairs = (minhash_lsh_pairs(documents, min_agree)
+             .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")))
+    nodes = (pairs.select(F.col("a").alias("word"))
+             .unionByName(pairs.select(F.col("b").alias("word"))).distinct())
+    comp = connected_components(nodes, pairs)
+    return (comp.groupBy(F.col("canonical").alias("cluster_id"))
+            .agg(F.sort_array(F.collect_list("word")).alias("members"),
+                 F.count("*").alias("size"))
+            .filter(F.col("size") >= 2)
+            .select(F.col("cluster_id").cast("long").alias("cluster_id"),
+                    F.concat_ws(",", F.transform("members", lambda m: m.cast("string"))).alias("members"),
+                    F.col("size").cast("long").alias("size")))
+
+
+def duplicate_clusters_sql(min_agree: float = 0.5) -> str:
+    """Recursive-CTE mirror: min-label connected components over the
+    same pair graph."""
+    rows_per_band = N_PERM // BANDS
+    mins = ",\n         ".join(
+        f"min((shingle * {_AS[i]} + {_BS[i]}) % {P_MOD}) AS m{i}"
+        for i in range(N_PERM))
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, ".format(b=b)
+        + "||'_'||".join(f"CAST(m{b * rows_per_band + r} AS VARCHAR)"
+                         for r in range(rows_per_band))
+        + " AS bucket FROM sig"
+        for b in range(BANDS))
+    agree_expr = "(" + " + ".join(
+        f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END" for i in range(N_PERM)
+    ) + f")::DOUBLE / {N_PERM}"
+    return f"""
+WITH RECURSIVE {_shingles_cte()},
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM shingles GROUP BY doc_id
+),
+bands AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+),
+pairs AS (
+  SELECT doc_a AS a, doc_b AS b FROM cand
+  JOIN sig sa ON sa.doc_id = doc_a
+  JOIN sig sb ON sb.doc_id = doc_b
+  WHERE round({agree_expr}, 4) >= {min_agree}
+),
+nodes AS (SELECT a AS w FROM pairs UNION SELECT b FROM pairs),
+pairs2 AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+reach(w, r) AS (
+  SELECT w, w FROM nodes
+  UNION
+  SELECT reach.w, p.b FROM reach JOIN pairs2 p ON p.a = reach.r
+),
+comp AS (SELECT w, min(r) AS cluster_id FROM reach GROUP BY w)
+SELECT cluster_id,
+       string_agg(CAST(w AS VARCHAR), ',' ORDER BY w) AS members,
+       count(*) AS size
+FROM comp GROUP BY cluster_id HAVING count(*) >= 2
+ORDER BY cluster_id
+"""
+
+
 def minhash_lsh_sql(min_agree: float = 0.5) -> str:
     rows_per_band = N_PERM // BANDS
     mins = ",\n         ".join(
