@@ -157,4 +157,5 @@ class SparkHolmesManager:
         words = extract_words(docs)
         res = topic.topic_match(self.spark, edges, words, text_to_match,
                                 **params)
+        res = topic.with_passage_text(res, docs)
         return [r.asDict() for r in res.collect()]

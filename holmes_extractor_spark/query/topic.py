@@ -206,6 +206,22 @@ def _score_docs(params: dict):
     return score_one
 
 
+def with_passage_text(topic_df: DataFrame, docs: DataFrame) -> DataFrame:
+    """Attach the passage's surface text (tokens start_idx..end_idx) —
+    the reference reports sentence-aligned passage text in its topic
+    match dicts (topic_matching.py:1226-1485). Pure column exprs."""
+    toks = docs.select("url", "tokens")
+    joined = topic_df.join(toks, "url", "left")
+    span = F.slice(
+        F.col("tokens"),
+        F.col("start_idx") + 1,
+        F.col("end_idx") - F.col("start_idx") + 1)
+    return (joined.withColumn(
+        "passage_text",
+        F.concat_ws(" ", F.transform(span, lambda t: t["text"])))
+        .drop("tokens"))
+
+
 def topic_match(spark: SparkSession, edges: DataFrame, words: DataFrame,
                 query_text: str, lang: str = "en",
                 closure: DataFrame | None = None,

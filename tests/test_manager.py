@@ -123,3 +123,11 @@ def test_document_label_filter(spark):
     m.parse_and_register_document("The dog chased the cat.", "fr/b1")
     res = m.match("A dog chases a cat", document_label_filter="en/")
     assert [r["document"] for r in res] == ["en/a1"]
+
+
+def test_topic_passage_text(spark):
+    m = SparkHolmesManager(spark)
+    m.parse_and_register_document(
+        "A plant grows. The dog chased the cat. Richard Paul Hudson came home.", "d1")
+    res = m.topic_match_documents_against("A dog chases a cat")
+    assert res[0]["passage_text"] == "dog chased the cat"
