@@ -127,6 +127,15 @@ GOLDEN_EDGES: list[tuple] = [
     (22, "predicate-actor", "predicate-actor: jagen-hund", "hund", "jagen", "jagen", False, False, False),
     (23, "predicate-actor", "predicate-actor: jagen-hund", "hund", "jagen", "jagen", True, False, False),
     (23, "predicate-patient", "predicate-patient: jagen-katze", "jagen", "katze", "jagen", True, False, False),
+    # prep-noun (reverse-only) phraselets — preposition as parent
+    (1, "prep-noun", "prep-noun: by-dog", "by", "dog", "by", False, False, False),
+    (4, "prep-noun", "prep-noun: by-dog", "by", "dog", "by", False, False, False),
+    (10, "prep-noun", "prep-noun: to-employee", "to", "employee", "to", False, False, False),
+    (13, "prep-noun", "prep-noun: in-garden", "in", "garden", "in", False, False, False),
+    (18, "prep-noun", "prep-noun: in-garden", "in", "garden", "in", False, False, False),
+    (20, "prep-noun", "prep-noun: über-kriminelle", "über", "kriminelle", "über", False, False, False),
+    (21, "prep-noun", "prep-noun: nach-haus", "nach", "haus", "nach", False, False, False),
+    (22, "prep-noun", "prep-noun: vom-hund", "vom", "hund", "vom", False, False, False),
 ]
 
 # (snip_id, word)

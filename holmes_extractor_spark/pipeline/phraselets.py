@@ -37,6 +37,7 @@ TEMPLATES_EN: dict[str, str] = {
     "pobjp": "prepgovernor-noun",
     "wordof": "word-ofword",
     "attr": "be-attribute",
+    "pobj-raw": "prep-noun",
 }
 
 TEMPLATES_DE = dict(TEMPLATES_EN)
@@ -98,7 +99,14 @@ def extract_candidate_edges(parsed: dict, lang: str) -> list[dict]:
         if template is None:
             continue
         p, c = toks[d["parent"]], toks[d["child"]]
-        if not p["is_matchable"] or not c["is_matchable"]:
+        if template == "prep-noun":
+            # reverse-only preposition-noun phraselet: the preposition
+            # is the (unmatchable-POS) parent — the reference exempts
+            # it (prep-noun template, language_specific_rules.py:1114-
+            # 1325, reverse_only per parsing.py:512-515)
+            if not c["is_matchable"]:
+                continue
+        elif not p["is_matchable"] or not c["is_matchable"]:
             continue
         # skip the pronoun-side duplicate when a coref-linked dep exists
         emit(template, p, _repr_of(c), c["i"],

@@ -39,6 +39,7 @@ def build_postings(docs: DataFrame) -> DataFrame:
         F.col("tok.dep").alias("dep"),
         F.col("tok.ent_type").alias("ent_type"),
         F.lower(F.col("tok.text")).alias("word_lower"),
+        F.col("tok.pos").alias("pos"),
         F.col("tok.direct_reprs").alias("direct_reprs"),
         F.col("tok.derivation_reprs").alias("derivation_reprs"),
         F.col("tok.subwords").alias("subwords"),
@@ -57,12 +58,19 @@ def build_postings(docs: DataFrame) -> DataFrame:
         F.concat(F.lit("ENTITY"), "ent_type").alias("repr"),
         F.lit("entity").alias("kind"),
         "url", "token_index", F.lit(-1).alias("subword_index"))
+    # ENTITYNOUN: the reference falls back to a full noun scan
+    # (structural_matching.py:209-230); we pay index space instead so
+    # the probe stays a hash join at 100 TB
+    entity_noun = base.filter((F.col("pos").isin("NOUN", "PROPN"))
+                              & (F.col("dep") != "compound")).select(
+        F.lit("ENTITYNOUN").alias("repr"), F.lit("entity").alias("kind"),
+        "url", "token_index", F.lit(-1).alias("subword_index"))
     sub = base.select(
         "url", "token_index", F.explode("subwords").alias("sw")).select(
         F.col("sw.lemma").alias("repr"), F.lit("subword").alias("kind"),
         "url", "token_index", F.col("sw.idx").alias("subword_index"))
     return (direct.unionByName(text_kind).unionByName(deriv)
-            .unionByName(entity).unionByName(sub))
+            .unionByName(entity).unionByName(entity_noun).unionByName(sub))
 
 
 def corpus_frequencies(postings: DataFrame) -> DataFrame:

@@ -179,6 +179,12 @@ def _token_matches(sp_tok: dict, dt: dict, closure_map: dict,
                 return ("question", 0, dt["text"].lower(), 1.0)
         return None
     if sp_tok["ent_spec"]:
+        if sp_tok["ent_spec"] == "NOUN":
+            # ENTITYNOUN matches any non-compound noun (reference
+            # structural_matching.py:209-230)
+            if dt["pos"] in ("NOUN", "PROPN") and dt["dep"] != "compound":
+                return ("entity", 0, dt["text"].lower(), 1.0)
+            return None
         if dt["ent_type"] == sp_tok["ent_spec"] and dt["dep"] != "compound":
             return ("entity", 0, dt["text"].lower(), 1.0)
         return None

@@ -131,3 +131,13 @@ def test_topic_passage_text(spark):
         "A plant grows. The dog chased the cat. Richard Paul Hudson came home.", "d1")
     res = m.topic_match_documents_against("A dog chases a cat")
     assert res[0]["passage_text"] == "dog chased the cat"
+
+
+def test_entitynoun_matching(spark):
+    m = SparkHolmesManager(spark)
+    m.parse_and_register_document("The dog chased the cat.", "d1")
+    m.parse_and_register_document("A plant grows.", "d2")
+    res = m.match("An ENTITYNOUN chases an ENTITYNOUN")
+    assert [r["document"] for r in res] == ["d1"]
+    wm = res[0]["word_matches"]
+    assert {w["doc_word"] for w in wm if w["match_type"] == "entity"} == {"dog", "cat"}
