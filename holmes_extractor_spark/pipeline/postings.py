@@ -32,45 +32,38 @@ def build_postings(docs: DataFrame) -> DataFrame:
                    (reference word_matching/entity.py:80-114)
     - 'subword'    German compound parts (lemma + derived lemma)
     """
+    # single scan: build the per-token (repr, kind, subword_index)
+    # entry array with column expressions, then explode once — a union
+    # of per-kind branches would re-scan the nested docs table per kind
     tok = F.explode("tokens").alias("tok")
-    base = docs.select("url", tok).select(
-        "url",
-        F.col("tok.i").alias("token_index"),
-        F.col("tok.dep").alias("dep"),
-        F.col("tok.ent_type").alias("ent_type"),
-        F.lower(F.col("tok.text")).alias("word_lower"),
-        F.col("tok.pos").alias("pos"),
-        F.col("tok.direct_reprs").alias("direct_reprs"),
-        F.col("tok.derivation_reprs").alias("derivation_reprs"),
-        F.col("tok.subwords").alias("subwords"),
+    base = docs.select("url", tok)
+    t = F.col("tok")
+    entry_t = "repr string, kind string, subword_index int"
+
+    def e(repr_col, kind, sub=F.lit(-1)):
+        return F.struct(repr_col.alias("repr"), F.lit(kind).alias("kind"),
+                        sub.alias("subword_index"))
+
+    entries = F.concat(
+        F.transform(t["direct_reprs"], lambda r: e(r, "direct")),
+        F.array(e(F.lower(t["text"]), "text")),
+        F.transform(t["derivation_reprs"], lambda r: e(r, "derivation")),
+        F.when((t["ent_type"] != "") & (t["dep"] != "compound"),
+               F.array(e(F.concat(F.lit("ENTITY"), t["ent_type"]), "entity"))
+               ).otherwise(F.array().cast(f"array<struct<{entry_t}>>")),
+        # ENTITYNOUN: the reference falls back to a full noun scan
+        # (structural_matching.py:209-230); we pay index space instead
+        # so the probe stays a hash join at 100 TB
+        F.when(t["pos"].isin("NOUN", "PROPN") & (t["dep"] != "compound"),
+               F.array(e(F.lit("ENTITYNOUN"), "entity"))
+               ).otherwise(F.array().cast(f"array<struct<{entry_t}>>")),
+        F.transform(t["subwords"], lambda s: e(s["lemma"], "subword", s["idx"])),
     )
-    direct = base.select(
-        F.explode("direct_reprs").alias("repr"), F.lit("direct").alias("kind"),
-        "url", "token_index", F.lit(-1).alias("subword_index"))
-    text_kind = base.select(
-        F.col("word_lower").alias("repr"), F.lit("text").alias("kind"),
-        "url", "token_index", F.lit(-1).alias("subword_index"))
-    deriv = base.select(
-        F.explode("derivation_reprs").alias("repr"),
-        F.lit("derivation").alias("kind"),
-        "url", "token_index", F.lit(-1).alias("subword_index"))
-    entity = base.filter((F.col("ent_type") != "") & (F.col("dep") != "compound")).select(
-        F.concat(F.lit("ENTITY"), "ent_type").alias("repr"),
-        F.lit("entity").alias("kind"),
-        "url", "token_index", F.lit(-1).alias("subword_index"))
-    # ENTITYNOUN: the reference falls back to a full noun scan
-    # (structural_matching.py:209-230); we pay index space instead so
-    # the probe stays a hash join at 100 TB
-    entity_noun = base.filter((F.col("pos").isin("NOUN", "PROPN"))
-                              & (F.col("dep") != "compound")).select(
-        F.lit("ENTITYNOUN").alias("repr"), F.lit("entity").alias("kind"),
-        "url", "token_index", F.lit(-1).alias("subword_index"))
-    sub = base.select(
-        "url", "token_index", F.explode("subwords").alias("sw")).select(
-        F.col("sw.lemma").alias("repr"), F.lit("subword").alias("kind"),
-        "url", "token_index", F.col("sw.idx").alias("subword_index"))
-    return (direct.unionByName(text_kind).unionByName(deriv)
-            .unionByName(entity).unionByName(entity_noun).unionByName(sub))
+    return (base.select("url", t["i"].alias("token_index"),
+                        F.explode(entries).alias("en"))
+            .select(F.col("en.repr").alias("repr"), F.col("en.kind").alias("kind"),
+                    "url", "token_index",
+                    F.col("en.subword_index").alias("subword_index")))
 
 
 def corpus_frequencies(postings: DataFrame) -> DataFrame:
