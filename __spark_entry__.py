@@ -15,6 +15,11 @@ driver's order-insensitive value hash is type-stable.
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -34,6 +39,35 @@ from holmes_extractor_spark.query.structural import compile_search_phrase, match
 from holmes_extractor_spark.query.topic import match_phraselets, query_phraselets, topic_match
 
 _CACHE: dict = {}
+_SHIPPED: set = set()
+
+
+def _ensure_workers(spark: SparkSession) -> None:
+    """Ship the package to python workers (the spark-submit --py-files
+    equivalent, applied programmatically): if the driver's cwd is not
+    the repo root, workers cannot import holmes_extractor_spark."""
+    key = id(spark.sparkContext)
+    if key in _SHIPPED:
+        return
+    _SHIPPED.add(key)
+    import shutil
+    import tempfile
+    here = os.path.dirname(os.path.abspath(__file__))
+    zip_base = os.path.join(tempfile.gettempdir(), "holmes_extractor_spark_pkg")
+    zip_path = zip_base + ".zip"
+    if not os.path.exists(zip_path):
+        shutil.make_archive(zip_base, "zip", root_dir=here,
+                            base_dir="holmes_extractor_spark")
+    spark.sparkContext.addPyFile(zip_path)
+
+
+def _wrap(fn):
+    def g(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_workers(spark)
+        return fn(spark, sf_dir)
+    g.__name__ = fn.__name__
+    g.__doc__ = fn.__doc__
+    return g
 
 
 def _kg(spark: SparkSession, sf_dir: str) -> dict:
@@ -246,11 +280,15 @@ def q_blob_features(spark, sf_dir):
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG triple extraction on sf0.001."""
+    _ensure_workers(spark)
     return q_kg_triples(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    return {k: _wrap(v) for k, v in _QUERIES.items()}
+
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "kg_triples": q_kg_triples,
         "kg_words": q_kg_words,
         "kg_word_freq": q_kg_word_freq,
@@ -279,7 +317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "blob_metadata": q_blob_metadata,
         "blob_features": q_blob_features,
-    }
+}
 
 
 # ---------------------------------------------------------- oracles
