@@ -169,6 +169,19 @@ def q_question_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct())
 
 
+def q_freq_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus frequency factors (reference parsing.py:1852-1885:
+    1 - log(freq)/log(max_freq)) over the surface-text postings —
+    the gate for reverse-only/retry planning."""
+    from holmes_extractor_spark.pipeline.postings import corpus_frequencies, frequency_factor
+    kg = _kg(spark, sf_dir)
+    postings = build_postings(kg["docs"]).filter(F.col("kind") == "text")
+    ff = frequency_factor(corpus_frequencies(postings))
+    return (ff.select("repr", F.col("freq").cast("long").alias("freq"),
+                      F.round("frequency_factor", 4).alias("frequency_factor"))
+            .orderBy(F.desc("freq"), "repr").limit(100))
+
+
 def q_topic_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic document-level topic relevance for the query
     'A dog chases a cat': 300 per relation-phraselet instance + 50 per
@@ -301,6 +314,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "topic_scores": q_topic_scores,
         "topic_ranking": q_topic_ranking,
         "postings_direct": q_postings_direct,
+        "freq_factors": q_freq_factors,
         "token_counts": q_token_counts,
         "lang_id": q_lang_id,
         "quality": q_quality,
@@ -396,6 +410,48 @@ ORDER BY score DESC, url LIMIT 50
 """
 
 
+def _freq_factors_oracle() -> str:
+    """Frequency-factor mirror over the same tokenize+lowercase freqs."""
+    from holmes_extractor_spark.nlp.tokenizer import tokenize_sql
+    toks = tokenize_sql("s.snip_text")
+    toks2 = tokenize_sql("s2.snip_text")
+    return pages_cte_sql() + f""",
+toks AS (
+  SELECT ps.url, ps.j, tt.pos - 1 AS local_idx, tt.t
+  FROM page_snips ps
+  JOIN snippets s USING (snip_id)
+  CROSS JOIN LATERAL (
+    SELECT unnest({toks}) AS t,
+           generate_subscripts({toks}, 1) AS pos
+  ) tt
+),
+snip_lens AS (
+  SELECT snip_id, len({toks2}) AS n FROM snippets s2
+),
+offsets AS (
+  SELECT ps.url, ps.j,
+         coalesce(sum(sl.n) FILTER (WHERE prev.j < ps.j), 0) AS off
+  FROM page_snips ps
+  LEFT JOIN page_snips prev ON prev.url = ps.url AND prev.j < ps.j
+  LEFT JOIN snip_lens sl ON sl.snip_id = prev.snip_id
+  GROUP BY ps.url, ps.j
+),
+freqs AS (
+  SELECT lower(t.t) AS repr,
+         count(DISTINCT (t.url, o.off + t.local_idx)) AS freq
+  FROM toks t JOIN offsets o ON o.url = t.url AND o.j = t.j
+  GROUP BY lower(t.t)
+),
+mx AS (SELECT max(freq) AS maxf FROM freqs)
+SELECT repr, freq,
+       round(CASE WHEN mx.maxf <= 1 THEN 1.0
+                  ELSE 1.0 - ln(greatest(freq, 1)::DOUBLE) / ln(mx.maxf::DOUBLE)
+             END, 4) AS frequency_factor
+FROM freqs, mx
+ORDER BY freq DESC, repr LIMIT 100
+"""
+
+
 def _postings_direct_oracle() -> str:
     """Mirror of the 'text'-kind postings: tokenize each page's snippet
     stream with the shared tokenizer rule, assign global token indexes
@@ -470,6 +526,7 @@ FROM page_snips ps JOIN q_golden g USING (snip_id)
 """,
         "topic_scores": _topic_scores_oracle(),
         "postings_direct": _postings_direct_oracle(),
+        "freq_factors": _freq_factors_oracle(),
         "token_counts": text_analysis.token_counts_sql(),
         "lang_id": text_analysis.lang_id_sql(),
         "quality": text_analysis.quality_scores_sql(),
