@@ -345,7 +345,7 @@ def _golden_match_cte(phrase_key: str) -> str:
         # via the cross-language synonym edges
         "animal_chases_animal": [(0, 0, 0), (1, 0, 0), (2, 1, 0), (3, 1, 0),
                                  (4, 0, 1), (11, 0, 0), (12, 0, 0), (16, 0, 0),
-                                 (19, 0, 0), (22, 0, 0), (23, 1, 0)],
+                                 (20, 0, 0), (23, 0, 0), (24, 1, 0)],
         "person_comes_home": [(5, 0, 0)],
     }
     rows = ",".join(f"({s},{n},{c})" for (s, n, c) in tables[phrase_key])

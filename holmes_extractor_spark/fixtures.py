@@ -54,14 +54,15 @@ POOL_EN: list[str] = [
     "The cat that the dog chased was old.",          # 16 (object relative, relant)
     "The man decided to open an account.",           # 17 (xcomp control, uncertain)
     "The man saw the dog in the garden.",            # 18 (prepposs alt attachment)
+    "A holiday is hard to book.",                    # 19 (tough movement)
 ]
 
 POOL_DE: list[str] = [
-    "Der Hund jagte die Katze.",                     # 19
-    "Polizeiinformation über Kriminelle.",           # 20 (compound subword)
-    "Der reiche Mann kam nach Hause.",               # 21 (de adjective + PP)
-    "Die Katze wurde vom Hund gejagt.",              # 22 (de passive + agent)
-    "Der Hund jagte die Katze nicht.",               # 23 (de negation)
+    "Der Hund jagte die Katze.",                     # 20
+    "Polizeiinformation über Kriminelle.",           # 21 (compound subword)
+    "Der reiche Mann kam nach Hause.",               # 22 (de adjective + PP)
+    "Die Katze wurde vom Hund gejagt.",              # 23 (de passive + agent)
+    "Der Hund jagte die Katze nicht.",               # 24 (de negation)
 ]
 
 POOL = POOL_EN + POOL_DE  # global snippet ids 0..12
@@ -116,26 +117,28 @@ GOLDEN_EDGES: list[tuple] = [
     (18, "predicate-patient", "predicate-patient: see-dog", "see", "dog", "see", False, False, False),
     (18, "prepgovernor-noun", "prepgovernor-noun: see-garden", "see", "garden", "see", False, False, False),
     (18, "prepgovernor-noun", "prepgovernor-noun: dog-garden", "dog", "garden", "dog", False, True, False),
-    (19, "predicate-actor", "predicate-actor: jagen-hund", "hund", "jagen", "jagen", False, False, False),
-    (19, "predicate-patient", "predicate-patient: jagen-katze", "jagen", "katze", "jagen", False, False, False),
-    (20, "prepgovernor-noun", "prepgovernor-noun: polizeiinformation-kriminelle", "polizeiinformation", "kriminelle", "polizeiinformation", False, False, False),
-    (20, "intcompound", "intcompound: informieren-polizei", "informieren", "polizei", "informieren", False, False, False),
-    (21, "governor-adjective", "governor-adjective: mann-reich", "mann", "reich", "mann", False, False, False),
-    (21, "predicate-actor", "predicate-actor: kommen-mann", "mann", "kommen", "kommen", False, False, False),
-    (21, "prepgovernor-noun", "prepgovernor-noun: kommen-haus", "kommen", "haus", "kommen", False, False, False),
-    (22, "predicate-patient", "predicate-patient: jagen-katze", "jagen", "katze", "jagen", False, False, False),
-    (22, "predicate-actor", "predicate-actor: jagen-hund", "hund", "jagen", "jagen", False, False, False),
-    (23, "predicate-actor", "predicate-actor: jagen-hund", "hund", "jagen", "jagen", True, False, False),
-    (23, "predicate-patient", "predicate-patient: jagen-katze", "jagen", "katze", "jagen", True, False, False),
+    (19, "predicate-toughmovedargument", "predicate-toughmovedargument: book-holiday", "book", "holiday", "book", False, True, False),
+    (19, "governor-adjective", "governor-adjective: holiday-hard", "holiday", "hard", "holiday", False, False, False),
+    (20, "predicate-actor", "predicate-actor: jagen-hund", "hund", "jagen", "jagen", False, False, False),
+    (20, "predicate-patient", "predicate-patient: jagen-katze", "jagen", "katze", "jagen", False, False, False),
+    (21, "prepgovernor-noun", "prepgovernor-noun: polizeiinformation-kriminelle", "polizeiinformation", "kriminelle", "polizeiinformation", False, False, False),
+    (21, "intcompound", "intcompound: informieren-polizei", "informieren", "polizei", "informieren", False, False, False),
+    (22, "governor-adjective", "governor-adjective: mann-reich", "mann", "reich", "mann", False, False, False),
+    (22, "predicate-actor", "predicate-actor: kommen-mann", "mann", "kommen", "kommen", False, False, False),
+    (22, "prepgovernor-noun", "prepgovernor-noun: kommen-haus", "kommen", "haus", "kommen", False, False, False),
+    (23, "predicate-patient", "predicate-patient: jagen-katze", "jagen", "katze", "jagen", False, False, False),
+    (23, "predicate-actor", "predicate-actor: jagen-hund", "hund", "jagen", "jagen", False, False, False),
+    (24, "predicate-actor", "predicate-actor: jagen-hund", "hund", "jagen", "jagen", True, False, False),
+    (24, "predicate-patient", "predicate-patient: jagen-katze", "jagen", "katze", "jagen", True, False, False),
     # prep-noun (reverse-only) phraselets — preposition as parent
     (1, "prep-noun", "prep-noun: by-dog", "by", "dog", "by", False, False, False),
     (4, "prep-noun", "prep-noun: by-dog", "by", "dog", "by", False, False, False),
     (10, "prep-noun", "prep-noun: to-employee", "to", "employee", "to", False, False, False),
     (13, "prep-noun", "prep-noun: in-garden", "in", "garden", "in", False, False, False),
     (18, "prep-noun", "prep-noun: in-garden", "in", "garden", "in", False, False, False),
-    (20, "prep-noun", "prep-noun: über-kriminelle", "über", "kriminelle", "über", False, False, False),
-    (21, "prep-noun", "prep-noun: nach-haus", "nach", "haus", "nach", False, False, False),
-    (22, "prep-noun", "prep-noun: vom-hund", "vom", "hund", "vom", False, False, False),
+    (21, "prep-noun", "prep-noun: über-kriminelle", "über", "kriminelle", "über", False, False, False),
+    (22, "prep-noun", "prep-noun: nach-haus", "nach", "haus", "nach", False, False, False),
+    (23, "prep-noun", "prep-noun: vom-hund", "vom", "hund", "vom", False, False, False),
 ]
 
 # (snip_id, word)
@@ -158,12 +161,13 @@ GOLDEN_WORDS: list[tuple] = [
     (16, "cat"), (16, "dog"),
     (17, "man"), (17, "account"),
     (18, "man"), (18, "dog"), (18, "garden"),
-    (19, "hund"), (19, "katze"),
-    (20, "polizeiinformation"), (20, "polizei"), (20, "informieren"),
-    (20, "kriminelle"),
-    (21, "mann"), (21, "haus"),
-    (22, "katze"), (22, "hund"),
-    (23, "hund"), (23, "katze"),
+    (19, "holiday"),
+    (20, "hund"), (20, "katze"),
+    (21, "polizeiinformation"), (21, "polizei"), (21, "informieren"),
+    (21, "kriminelle"),
+    (22, "mann"), (22, "haus"),
+    (23, "katze"), (23, "hund"),
+    (24, "hund"), (24, "katze"),
 ]
 
 # deterministic word-vector fixture for embedding-based matching (the

@@ -43,6 +43,11 @@ _FIRST_NAMES = {
 _PLACES = {"london", "berlin", "paris", "munich", "hamburg", "rome",
            "madrid", "vienna", "york", "england", "germany", "france"}
 
+# tough-movement adjectives: "X is hard to VERB" → X is VERB's object
+# (reference 'arg' dependency, en language_specific_rules.py:558-797)
+_TOUGH_ADJS = {"hard", "easy", "difficult", "tough", "impossible",
+               "simple", "tricky"}
+
 
 @dataclass
 class Tok:
@@ -117,6 +122,8 @@ def _tag_en(toks: list[Tok], start_of_sent: int) -> None:
                 t.pos = "PART"
         elif w in L.PREPOSITIONS_EN:
             t.pos = "ADP"
+        elif w in L.ADJECTIVES_EN and prev is not None and prev.pos == "AUX":
+            t.pos = "ADJ"  # predicative position: "is hard/easy/…"
         elif w in L.ADVERBS_EN or (w.endswith("ly") and len(w) > 4):
             t.pos = "ADV"
         elif w in L.NOUN_LEXICON_EN and (prev is None or prev.pos in ("DET", "ADJ", "ADP", "NUM", "NOUN", "PROPN", "CCONJ") or prev.text in PUNCT):
@@ -250,21 +257,26 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
     root_local: int
     copula = False
     passive = False
-    main_verbs = [v for v in verb_pos if v not in rel_region]
+    # finite verbs only: an infinitive after 'to' cannot head the clause
+    # ("A holiday is hard to book" — root is the copula, not 'book')
+    finite_verbs = [v for v in verb_pos
+                    if not (v > 0 and toks[v - 1].text.lower() == "to"
+                            and toks[v - 1].pos == "PART")]
+    main_verbs = [v for v in finite_verbs if v not in rel_region]
     if rel:
         root_local = rel[2]
         if root_local in aux_pos and root_local not in verb_pos:
             copula = True  # "the cat that the dog chased WAS old"
-    elif verb_pos:
-        root_local = verb_pos[0]
+    elif main_verbs:
+        root_local = main_verbs[0]
     elif aux_pos:
         root_local = aux_pos[-1]
         copula = True
+    elif verb_pos:
+        root_local = verb_pos[0]
     else:
         nps = _chunk_nps(toks)
         root_local = nps[0][2] if nps else 0
-    if main_verbs and not rel:
-        root_local = main_verbs[0]
     if root_local in set(verb_pos):
         # passive: a BE aux before the verb + participle form
         be_before = [a for a in aux_pos
@@ -432,10 +444,19 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
             t.dep = "xcomp"
             toks[j - 1].head = t.i
             toks[j - 1].dep = "aux"
+            tough = copula and any(
+                tk.dep == "acomp" and tk.text.lower() in _TOUGH_ADJS
+                for tk in toks)
             if subj_local is not None:
-                # control: the matrix subject is also the xcomp verb's
-                # subject, marked uncertain (reference :169-285)
-                add(t.i, toks[subj_local].i, "nsubj", uncertain=True)
+                if tough:
+                    # tough movement: "a holiday is hard to book" — the
+                    # matrix subject is the infinitive's OBJECT
+                    # (reference 'arg', language_specific_rules.py:558-797)
+                    add(t.i, toks[subj_local].i, "toughobj", uncertain=True)
+                else:
+                    # control: the matrix subject is also the xcomp
+                    # verb's subject, uncertain (reference :169-285)
+                    add(t.i, toks[subj_local].i, "nsubj", uncertain=True)
             cur = t
             got_obj = False
             dobj_local = None

@@ -38,6 +38,7 @@ TEMPLATES_EN: dict[str, str] = {
     "wordof": "word-ofword",
     "attr": "be-attribute",
     "pobj-raw": "prep-noun",
+    "toughobj": "predicate-toughmovedargument",
 }
 
 TEMPLATES_DE = dict(TEMPLATES_EN)

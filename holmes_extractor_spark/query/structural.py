@@ -33,7 +33,8 @@ from ..nlp.parser import parse_document
 # per-language tables at language_specific_rules.py:878-1111)
 LABEL_IMPLICATIONS: dict[str, set[str]] = {
     "nsubj": {"nsubj", "pobjb", "advmodsubj"},
-    "dobj": {"dobj", "nsubjpass", "relant", "advmodobj"},
+    "dobj": {"dobj", "nsubjpass", "relant", "advmodobj", "toughobj"},
+    "toughobj": {"toughobj", "dobj"},
     "dative": {"dative"},
     "amod": {"amod", "attr"},
     "advmod": {"advmod"},
@@ -43,6 +44,7 @@ LABEL_IMPLICATIONS: dict[str, set[str]] = {
     "pobjb": {"pobjb", "nsubj"},
     "nsubjpass": {"nsubjpass", "dobj"},
     "attr": {"attr", "amod"},
+    "acomp": {"acomp", "amod", "attr"},
     "neg": {"neg"},
 }
 
