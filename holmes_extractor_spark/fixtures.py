@@ -73,26 +73,26 @@ POOL = POOL_EN + POOL_DE  # global snippet ids 0..12
 GOLDEN_EDGES: list[tuple] = [
     (0, "predicate-actor", "predicate-actor: chase-dog", "dog", "chase", "chase", False, False, False),
     (0, "predicate-patient", "predicate-patient: chase-cat", "chase", "cat", "chase", False, False, False),
-    (1, "predicate-patient", "predicate-patient: chase-cat", "chase", "cat", "chase", False, False, False),
+    (1, "predicate-passivesubject", "predicate-passivesubject: chase-cat", "chase", "cat", "chase", False, False, False),
     (1, "predicate-actor", "predicate-actor: chase-dog", "dog", "chase", "chase", False, False, False),
     (2, "predicate-actor", "predicate-actor: chase-dog", "dog", "chase", "chase", True, False, False),
     (2, "predicate-patient", "predicate-patient: chase-cat", "chase", "cat", "chase", True, False, False),
     (3, "predicate-actor", "predicate-actor: chase-dog", "dog", "chase", "chase", True, False, False),
-    (3, "predicate-patient", "predicate-patient: chase-cat", "chase", "cat", "chase", True, False, False),
+    (3, "predicate-patient", "predicate-patient: chase-cat", "chase", "cat", "chase", False, False, False),
     (4, "predicate-patient", "predicate-patient: see-cat", "see", "cat", "see", False, False, False),
     (4, "predicate-actor", "predicate-actor: chase-dog", "dog", "chase", "chase", False, False, False),
-    (4, "predicate-patient", "predicate-patient: chase-cat", "chase", "cat", "chase", False, False, True),
+    (4, "predicate-passivesubject", "predicate-passivesubject: chase-cat", "chase", "cat", "chase", False, False, True),
     (5, "predicate-actor", "predicate-actor: come-richard paul hudson", "richard paul hudson", "come", "come", False, False, False),
-    (5, "governor-adverb", "governor-adverb: come-home", "come", "home", "come", False, False, False),
+    (5, "governor-adjective", "governor-adjective: come-home", "come", "home", "come", False, False, False),
     (6, "predicate-actor", "predicate-actor: grow-plant", "plant", "grow", "grow", False, False, False),
     (7, "predicate-actor", "predicate-actor: grow up-plant", "plant", "grow up", "grow up", False, False, False),
-    (7, "governor-adverb", "governor-adverb: grow up-quickly", "grow up", "quickly", "grow up", False, False, False),
+    (7, "governor-adjective", "governor-adjective: grow up-quick", "grow up", "quick", "grow up", False, False, False),
     (8, "governor-adjective", "governor-adjective: man-poor", "man", "poor", "man", False, False, False),
     (9, "governor-adjective", "governor-adjective: man-rich", "man", "rich", "man", False, False, False),
     (9, "predicate-actor", "predicate-actor: come-man", "man", "come", "come", False, False, False),
-    (9, "governor-adverb", "governor-adverb: come-home", "come", "home", "come", False, False, False),
-    (10, "predicate-patient", "predicate-patient: give-file", "give", "file", "give", False, False, False),
-    (10, "predicate-recipient", "predicate-recipient: give-employee", "give", "employee", "give", False, False, False),
+    (9, "governor-adjective", "governor-adjective: come-home", "come", "home", "come", False, False, False),
+    (10, "predicate-patient", "predicate-patient: gift-file", "gift", "file", "gift", False, False, False),
+    (10, "predicate-recipient", "predicate-recipient: gift-employee", "gift", "employee", "gift", False, False, False),
     (11, "word-ofword", "word-ofword: dog-man", "dog", "man", "dog", False, False, False),
     (11, "predicate-actor", "predicate-actor: chase-dog", "dog", "chase", "chase", False, False, False),
     (11, "predicate-patient", "predicate-patient: chase-cat", "chase", "cat", "chase", False, False, False),
@@ -106,13 +106,14 @@ GOLDEN_EDGES: list[tuple] = [
     (15, "predicate-actor", "predicate-actor: come-man", "man", "come", "come", False, False, False),
     (15, "predicate-actor", "predicate-actor: chase-man", "man", "chase", "chase", False, False, False),
     (15, "predicate-patient", "predicate-patient: chase-cat", "chase", "cat", "chase", False, False, False),
-    (15, "governor-adverb", "governor-adverb: come-home", "come", "home", "come", False, False, False),
+    (15, "governor-adjective", "governor-adjective: come-home", "come", "home", "come", False, False, False),
     (16, "predicate-patient", "predicate-patient: chase-cat", "chase", "cat", "chase", False, False, False),
     (16, "predicate-actor", "predicate-actor: chase-dog", "dog", "chase", "chase", False, False, False),
     (16, "governor-adjective", "governor-adjective: cat-old", "cat", "old", "cat", False, False, False),
     (17, "predicate-actor", "predicate-actor: decide-man", "man", "decide", "decide", False, False, False),
     (17, "predicate-actor", "predicate-actor: open-man", "man", "open", "open", False, True, False),
     (17, "predicate-patient", "predicate-patient: open-account", "open", "account", "open", False, False, False),
+    (17, "predicate-patient", "predicate-patient: decide-open", "decide", "open", "decide", False, False, False),
     (18, "predicate-actor", "predicate-actor: see-man", "man", "see", "see", False, False, False),
     (18, "predicate-patient", "predicate-patient: see-dog", "see", "dog", "see", False, False, False),
     (18, "prepgovernor-noun", "prepgovernor-noun: see-garden", "see", "garden", "see", False, False, False),
@@ -126,7 +127,7 @@ GOLDEN_EDGES: list[tuple] = [
     (22, "governor-adjective", "governor-adjective: mann-reich", "mann", "reich", "mann", False, False, False),
     (22, "predicate-actor", "predicate-actor: kommen-mann", "mann", "kommen", "kommen", False, False, False),
     (22, "prepgovernor-noun", "prepgovernor-noun: kommen-haus", "kommen", "haus", "kommen", False, False, False),
-    (23, "predicate-patient", "predicate-patient: jagen-katze", "jagen", "katze", "jagen", False, False, False),
+    (23, "predicate-passivesubject", "predicate-passivesubject: jagen-katze", "jagen", "katze", "jagen", False, False, False),
     (23, "predicate-actor", "predicate-actor: jagen-hund", "hund", "jagen", "jagen", False, False, False),
     (24, "predicate-actor", "predicate-actor: jagen-hund", "hund", "jagen", "jagen", True, False, False),
     (24, "predicate-patient", "predicate-patient: jagen-katze", "jagen", "katze", "jagen", True, False, False),

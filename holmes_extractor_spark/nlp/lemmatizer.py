@@ -149,36 +149,51 @@ def lemma_en_sql(col: str) -> str:
 
 # ------------------------------------------------------- derived lemmas
 
-# derivational canonicalization map (reference loads
-# lang/en/data/derivation.csv at parsing.py:938-951 and applies suffix
-# rules -isation→-ise etc. at language_specific_rules.py:494-556;
-# re-authored seed map from scratch)
-DERIVATION_EN: dict[str, str] = {
-    "information": "inform", "extraction": "extract", "growth": "grow",
-    "gift": "give", "sale": "sell", "purchase": "buy", "sight": "see",
-    "arrival": "arrive", "payment": "pay", "movement": "move",
-    "creation": "create", "speech": "speak", "flight": "fly",
-    "song": "sing", "thought": "think", "knowledge": "know",
-    "feeling": "feel", "teaching": "teach", "opening": "open",
-    "booking": "book", "chaser": "chase", "hunter": "hunt",
-    "worker": "work", "player": "play", "writer": "write",
-    "reader": "read", "builder": "build", "helper": "help",
-    "richness": "rich", "poverty": "poor", "quickness": "quick",
-}
+# derivational canonicalization: the reference checks its derivation
+# dictionary FIRST (parsing.py:1152-1157), then falls back to
+# POS-gated suffix rules (en language_specific_rules.py:494-556).
+# DERIVATION_MAP_EN is the transcribed reference table (member → first
+# word of line = canonical form, e.g. give→gift); the seed entries
+# below keep lexicon words that the table does not cover.
+from .derivation_data import DERIVATION_MAP_EN
 
-_DERIV_SUFFIX_RULES_EN = (
-    ("isation", "ise"), ("ization", "ize"), ("ication", "y"),
-    ("ness", ""), ("ment", ""), ("ally", "al"),
-)
+DERIVATION_EN: dict[str, str] = dict(DERIVATION_MAP_EN)
+DERIVATION_EN.update({
+    # seed entries not covered by the transcribed table
+    "chaser": "chase", "booking": "book", "poverty": "poor",
+    "quickness": "quick", "richness": "rich",
+})
 
 
-def derived_lemma_en(lemma: str) -> str:
-    """Derivationally canonical form (predicate canonicalization)."""
+def derived_lemma_en(lemma: str, pos: str = "") -> str:
+    """Derivationally canonical form (predicate canonicalization).
+
+    Mirrors the reference's rule order (parsing.py:1152-1157 then
+    en language_specific_rules.py:494-556): dictionary first, then
+    noun rules (-isation→-ise, -ization→-ize, -ication→-y, -ness),
+    then adverb rules gated on tag RB (-ically→-ic, -ably/-ibly→-able/
+    -ible, -ly→'', -ily→-y). ``pos`` is our coarse POS ("" = ungated,
+    matching the reference's token-is-None path)."""
     if lemma in DERIVATION_EN:
         return DERIVATION_EN[lemma]
-    for suf, rep in _DERIV_SUFFIX_RULES_EN:
-        if lemma.endswith(suf) and len(lemma) > len(suf) + 2:
-            return lemma[: -len(suf)] + rep
+    if pos in ("", "NOUN") and len(lemma) >= 10:
+        if lemma.endswith("isation"):
+            return lemma[:-5] + "e"
+        if lemma.endswith("ization"):
+            return lemma[:-5] + "e"
+        if lemma.endswith("ication"):
+            return lemma[:-7] + "y"
+    if pos in ("", "NOUN") and len(lemma) >= 7 and lemma.endswith("ness"):
+        stem = lemma[:-4]
+        return stem[:-1] + "y" if stem.endswith("i") else stem
+    if pos in ("", "ADV"):
+        if lemma.endswith("ically"):
+            return lemma[:-4]
+        if lemma.endswith(("ably", "ibly")):
+            return lemma[:-1] + "e"
+        if lemma.endswith("ly") and len(lemma) > 3:
+            stem = lemma[:-2]
+            return stem[:-1] + "y" if stem.endswith("i") else stem
     return lemma
 
 
@@ -229,5 +244,5 @@ def lemma(word: str, lang: str) -> str:
     return lemma_de(word) if lang == "de" else lemma_en(word)
 
 
-def derived_lemma(lem: str, lang: str) -> str:
-    return derived_lemma_de(lem) if lang == "de" else derived_lemma_en(lem)
+def derived_lemma(lem: str, lang: str, pos: str = "") -> str:
+    return derived_lemma_de(lem) if lang == "de" else derived_lemma_en(lem, pos)

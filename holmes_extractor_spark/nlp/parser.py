@@ -88,6 +88,8 @@ def _tag_en(toks: list[Tok], start_of_sent: int) -> None:
     n = len(toks)
     for j, t in enumerate(toks):
         w = t.text.lower()
+        if w.endswith(("'s", "’s")):
+            w = w[:-2]  # possessive clitic: tag by the stem
         prev = toks[j - 1] if j > 0 else None
         if t.text in PUNCT:
             t.pos = "PUNCT"
@@ -319,6 +321,12 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
             t.head = toks[h].i
             if t.pos == "DET":
                 t.dep = "det"
+            elif t.text.lower().endswith(("'s", "’s")) and t.pos in ("NOUN", "PROPN"):
+                # possessor: "a gardener's plant" → poss(plant, gardener)
+                # (reference word-ofword template deps ["pobjo","poss"],
+                # language_specific_rules.py:1138-1147)
+                t.dep = "poss"
+                add(toks[h].i, t.i, "poss")
             elif t.pos == "ADJ":
                 t.dep = "amod"
                 add(toks[h].i, t.i, "amod")
@@ -365,7 +373,9 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
                 rh = toks[right[2]]
                 rh.head = t.i
                 rh.dep = "pobj"
-                label = "wordof" if t.text.lower() in ("of", "von") else "pobjp"
+                # pobjo = "of"-genitive (reference word-ofword template
+                # deps ["pobjo", "poss"], language_specific_rules.py:1138-1147)
+                label = "pobjo" if t.text.lower() in ("of", "von") else "pobjp"
                 add(toks[left[2]].i, rh.i, label)
                 consumed_pp.add(right[2])
 
@@ -444,6 +454,10 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
             t.dep = "xcomp"
             toks[j - 1].head = t.i
             toks[j - 1].dep = "aux"
+            # xcomp is a predicate-patient dependency in the reference
+            # ("decide to open" → predicate-patient: decide-open,
+            # language_specific_rules.py:1126-1136)
+            add(cur.i, t.i, "xcomp")
             tough = copula and any(
                 tk.dep == "acomp" and tk.text.lower() in _TOUGH_ADJS
                 for tk in toks)
@@ -452,7 +466,7 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
                     # tough movement: "a holiday is hard to book" — the
                     # matrix subject is the infinitive's OBJECT
                     # (reference 'arg', language_specific_rules.py:558-797)
-                    add(t.i, toks[subj_local].i, "toughobj", uncertain=True)
+                    add(t.i, toks[subj_local].i, "arg", uncertain=True)
                 else:
                     # control: the matrix subject is also the xcomp
                     # verb's subject, uncertain (reference :169-285)
@@ -493,7 +507,11 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
                     # language_specific_rules.py:558-797)
                     add(cur.i, ph.i, "pobjb")
                 elif t.text.lower() in ("to", "für") and got_obj:
-                    add(cur.i, ph.i, "dative")
+                    # "gives a file TO an employee" — pobjt, mapped to
+                    # predicate-recipient like dative (reference template
+                    # deps ["dative", "pobjt"],
+                    # language_specific_rules.py:1186-1196)
+                    add(cur.i, ph.i, "pobjt")
                 else:
                     # attach prep object to the prep's governor
                     # (reference prepgovernor-noun phraselet)
@@ -505,7 +523,7 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
                     if gov == cur.i and dobj_local is not None \
                             and t.text.lower() != "of":
                         add(toks[dobj_local].i, ph.i, "pobjp", uncertain=True)
-                add(t.i, ph.i, "pobj-raw", uncertain=False)
+                add(t.i, ph.i, "pobj", uncertain=False)
                 j = pp_np[1] + 1
                 continue
             j += 1
@@ -549,14 +567,22 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
             if d["label"] == "acomp" and d["parent"] == root.i:
                 add(toks[subj_local].i, d["child"], "amod", uncertain=False)
 
-    # --- conjunction dep distribution (reference parsing.py:1225-1316):
-    # each righthand sibling inherits the lefthand sibling's incoming
-    # deps, marked uncertain
+    # --- conjunction dep distribution (reference copy_any_sibling_info,
+    # parsing.py:1225-1316): when a CHILD has righthand siblings, the
+    # parent gains deps to the siblings with the ORIGINAL uncertainty
+    # ("chased a cat and a cat" → both matches certain, reference
+    # tests/en/test_structural_matching_EN.py:423-455); when a PARENT
+    # has righthand siblings, the siblings gain deps to the child
+    # marked uncertain (mark_child_dependencies_copied_to_siblings_
+    # as_uncertain=True for EN, language_specific_rules.py:88-90)
     for t in toks:
         for rs in t.righthand_siblings:
             for d in list(deps):
                 if d["child"] == t.i:
-                    add(d["parent"], rs, d["label"], uncertain=True)
+                    add(d["parent"], rs, d["label"], uncertain=d["uncertain"])
+                if d["parent"] == t.i and d["child"] != rs \
+                        and (rs < d["child"] or d["child"] < t.i):
+                    add(rs, d["child"], d["label"], uncertain=True)
 
     # leftover heads
     for t in toks:
@@ -640,14 +666,20 @@ def parse_document(text: str, lang: str) -> dict:
     for d in all_deps:
         dep_by_parent.setdefault(d["parent"], []).append(d)
     for t in toks:
-        t.lemma = lemma(t.text, lang)
+        base = t.text
+        if base.lower().endswith(("'s", "’s")):
+            base = base[:-2]  # possessive clitic stripped for lemma
+        t.lemma = lemma(base, lang)
         if t.pos == "VERB":
             for d in dep_by_parent.get(t.i, []):
                 if d["label"] == "prt":
                     # phrasal verb lemma merge (reference
                     # language_specific_rules.py:478-492)
                     t.lemma = f"{t.lemma} {toks[d['child']].text.lower()}"
-        t.derived_lemma = derived_lemma(t.lemma, lang)
+        # derived lemma is POS-gated like the reference's rules
+        # (noun suffixes vs RB-tagged -ly adverbs,
+        # language_specific_rules.py:494-556)
+        t.derived_lemma = derived_lemma(t.lemma, lang, t.pos)
 
     # --- entity typing (gazetteer NER stand-in)
     for t in toks:
@@ -686,17 +718,38 @@ def parse_document(text: str, lang: str) -> dict:
         else:
             j += 1
 
-    # --- negation (sentence-scoped; reference marks tokens negated via
-    # negation words among children/ancestors,
-    # language_specific_rules.py:134-167)
+    # --- negation (reference set_negation, en language_specific_rules.py
+    # :134-167): a token is negated iff it or a SYNTACTIC ANCESTOR has a
+    # negation word among its syntactic children. So "No dog chased any
+    # cat" negates 'dog' (det child 'no') but NOT 'chased', and "The dog
+    # who was not old chased the cat" does not negate the chase at all.
     neg_words = L.NEGATION_WORDS_DE if lang == "de" else L.NEGATION_WORDS_EN
-    for (s, e) in sent_bounds:
-        stoks = toks[s: e + 1]
-        if any(t.text.lower() in neg_words for t in stoks):
-            connected = {d["parent"] for d in all_deps} | {d["child"] for d in all_deps}
-            for t in stoks:
-                if t.pos in ("VERB", "AUX", "NOUN", "PROPN", "ADJ", "PRON") and (t.i in connected or t.dep == "ROOT"):
-                    t.is_negated = True
+    children_by_head: dict[int, list[Tok]] = {}
+    for t in toks:
+        if 0 <= t.head != t.i:
+            children_by_head.setdefault(t.head, []).append(t)
+    has_neg_child = {
+        t.i for t in toks
+        if any(c.text.lower() in neg_words or c.dep == "neg"
+               for c in children_by_head.get(t.i, []))
+    }
+    neg_memo: dict[int, bool] = {}
+
+    def _negated(i: int) -> bool:
+        if i in neg_memo:
+            return neg_memo[i]
+        neg_memo[i] = False  # cycle guard
+        t = toks[i]
+        if i in has_neg_child:
+            neg_memo[i] = True
+        elif t.dep == "ROOT" or t.head == t.i or t.head < 0:
+            neg_memo[i] = False
+        else:
+            neg_memo[i] = _negated(t.head)
+        return neg_memo[i]
+
+    for t in toks:
+        t.is_negated = _negated(t.i)
 
     # --- coreference: 3rd-person pronoun → head noun of the last
     # compatible NP of the previous sentence (coreferee stand-in;
@@ -735,12 +788,13 @@ def parse_document(text: str, lang: str) -> dict:
                                      "label": d["label"], "uncertain": d["uncertain"],
                                      "coref": True})
 
-    # --- matchability (reference parsing.py:1436-1448; NUM included —
-    # the number-noun phraselet template matches numerals)
+    # --- matchability (reference parsing.py:1436-1448: matchable_pos
+    # includes ADP and AUX, en language_specific_rules.py:25-36 — the
+    # prep-noun and be-attribute phraselet parents must be matchable)
     for t in toks:
         w = t.text.lower()
         t.is_matchable = (
-            t.pos in ("NOUN", "PROPN", "VERB", "ADJ", "ADV", "NUM")
+            t.pos in ("NOUN", "PROPN", "VERB", "ADJ", "ADV", "NUM", "ADP", "AUX")
             and w not in L.GENERIC_PRONOUNS_EN
             and w not in L.INTERROGATIVES_EN
         )

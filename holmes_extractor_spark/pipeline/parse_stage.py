@@ -91,7 +91,7 @@ def _fused_edges_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
                 data["lang"].append(lang)
                 for k in ("template", "label", "pred", "subj", "obj",
                           "parent_idx", "child_idx", "negated", "uncertain",
-                          "involves_coref"):
+                          "involves_coref", "reverse_only"):
                     data[k].append(e[k])
         yield pd.DataFrame(data, columns=cols)
 

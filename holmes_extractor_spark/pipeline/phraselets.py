@@ -1,82 +1,146 @@
 """Phraselet templates and candidate-edge (triple) extraction.
 
-Re-expresses the reference's relation phraselet templates (reference:
-en language_specific_rules.py:1114-1325 — predicate-actor,
-predicate-patient, predicate-recipient, governor-adjective, noun-noun,
-prepgovernor-noun, word-ofword, …; German adds intcompound subword
-relations, de language_specific_rules.py:1697-1960) and the corpus-side
-phraselet extraction walk (reference: parsing.py:1703-2306) as a pure
-doc-local function over our normalized parse, suitable for Arrow-batch
-execution inside ``mapInPandas``.
+Re-expresses the reference's phraselet templates faithfully — the 12
+EN relation templates with their dependency-label AND part-of-speech
+gates (reference: en language_specific_rules.py:1114-1325), the 6
+question templates (:1247-1312), the reverse-only markers
+(parsing.py:512-515) and the reverse-only parent lemmas (:834-845) —
+and the corpus-side extraction walk (reference: parsing.py:1703-2306)
+as a pure doc-local function over our normalized parse, suitable for
+Arrow-batch execution inside ``mapInPandas``.
 
 Each relation phraselet instance is a candidate (subj, pred, obj) edge:
 ``pred`` = the parent (predicate) derived lemma, ``subj``/``obj`` per
 template; the phraselet label format ``template: parent-child`` matches
 the reference's (e.g. ``predicate-actor: grow-plant``,
 reference parsing.py:558, tests/en/test_phraselet_production_EN.py).
+
+The reference gates each template on PTB tags; our deterministic
+parser produces coarse POS, so the gates are mapped:
+FW/NN/NNP/NNPS/NNS → {NOUN, PROPN}; VB..VBZ → {VERB} (plus AUX where
+the reference's verb tags cover copulas); JJ/JJR/JJS/VBN/RB/RBR/RBS →
+{ADJ, ADV}; CD → {NUM}; IN → {ADP}; WP/WRB → initial question words.
 """
 
 from __future__ import annotations
 
-# semantic dep label → (template, role of child)
-# role "actor" → child is the subject of the triple; "patient"/"attr"
-# etc. → child is the object; parent is always the predicate.
-TEMPLATES_EN: dict[str, str] = {
-    "nsubj": "predicate-actor",
-    "pobjb": "predicate-actor",          # passive agent
-    "advmodsubj": "predicate-actor",
-    "dobj": "predicate-patient",
-    "nsubjpass": "predicate-patient",
-    "relant": "predicate-patient",
-    "advmodobj": "predicate-patient",
-    "dative": "predicate-recipient",
-    "amod": "governor-adjective",
-    "advmod": "governor-adverb",
-    "compound": "noun-noun",
-    "nummod": "number-noun",
-    "pobjp": "prepgovernor-noun",
-    "wordof": "word-ofword",
-    "attr": "be-attribute",
-    "pobj-raw": "prep-noun",
-    "toughobj": "predicate-toughmovedargument",
+_NOUNS = frozenset({"NOUN", "PROPN"})
+_NV = frozenset({"NOUN", "PROPN", "VERB"})
+_ADJS = frozenset({"ADJ", "ADV"})
+_WP = frozenset({"who", "whom", "what"})
+_WRB = frozenset({"where", "when", "why", "how"})
+
+# (label, dep labels, parent POS gate, child POS gate, reverse_only)
+# — transcription of the reference's PhraseletTemplate list, in the
+# reference's order (en language_specific_rules.py:1114-1325).
+RELATION_TEMPLATES_EN: list[tuple[str, frozenset, frozenset, frozenset, bool]] = [
+    ("predicate-actor", frozenset({"nsubj", "csubj", "pobjb", "advmodsubj"}),
+     _NV, _NOUNS, False),
+    ("predicate-patient", frozenset({"dobj", "relant", "advmodobj", "xcomp"}),
+     _NV, _NV, False),
+    ("word-ofword", frozenset({"pobjo", "poss"}), _NV, _NV, False),
+    ("predicate-toughmovedargument", frozenset({"arg"}), _NV, _NOUNS, False),
+    ("predicate-passivesubject", frozenset({"nsubjpass", "csubjpass"}),
+     _NV, _NOUNS, False),
+    # copulas are AUX in our coarse tags but VBZ/VBD… in the reference's
+    ("be-attribute", frozenset({"attr"}), frozenset({"VERB", "AUX"}),
+     _NOUNS, True),
+    ("predicate-recipient", frozenset({"dative", "pobjt"}), _NV, _NOUNS, False),
+    ("governor-adjective",
+     frozenset({"acomp", "amod", "advmod", "npmod", "advcl", "dobj"}),
+     _NV, _ADJS, False),
+    ("noun-noun", frozenset({"nmod", "appos", "compound", "nounmod"}),
+     _NOUNS, _NOUNS, False),
+    ("number-noun", frozenset({"nummod"}), _NOUNS, frozenset({"NUM"}), False),
+    ("prepgovernor-noun", frozenset({"pobjp"}), _NV, _NOUNS, False),
+    ("prep-noun", frozenset({"pobj", "pcomp"}), frozenset({"ADP"}),
+     _NOUNS, True),
+]
+
+# question templates (child = initial question word; reference
+# en language_specific_rules.py:1247-1312): (label, deps, parent gate,
+# question words admitted as child)
+QUESTION_TEMPLATES_EN: list[tuple[str, frozenset, frozenset, frozenset]] = [
+    ("head-WHattr", frozenset({"attr"}), frozenset({"VERB", "AUX"}), _WP),
+    ("head-WHsubj", frozenset({"nsubj", "nsubjpass", "pobjb"}),
+     frozenset({"VERB"}), _WP),
+    ("head-WHobj", frozenset({"dobj", "pobjo"}), frozenset({"VERB"}), _WP),
+    ("head-WHadv", frozenset({"advmod"}), _NV, _WRB),
+    ("headprep-WH", frozenset({"pobjp"}), _NV, _WP),
+    ("headprepto-WH", frozenset({"pobjt"}), _NV, _WP),
+]
+
+# German templates: same relation set (the reference's DE list mirrors
+# the EN one over German dep labels, de language_specific_rules.py:
+# 1697-1960) plus the intcompound subword relation.
+RELATION_TEMPLATES_DE = RELATION_TEMPLATES_EN
+
+# phraselets whose template is reverse-only never initiate matching
+REVERSE_ONLY_TEMPLATES = {t[0] for t in RELATION_TEMPLATES_EN if t[4]}
+
+# parent lemma/POS pairs that force reverse-only during topic matching
+# (reference en language_specific_rules.py:834-845)
+REVERSE_ONLY_PARENT_LEMMAS = {
+    ("be", "VERB"), ("be", "AUX"), ("have", "VERB"), ("have", "AUX"),
+    ("do", "VERB"), ("say", "VERB"), ("go", "VERB"), ("get", "VERB"),
+    ("make", "VERB"),
 }
 
-TEMPLATES_DE = dict(TEMPLATES_EN)
-TEMPLATES_DE["intcompound"] = "intcompound"
+# lemmas suppressed in topic phraselets (reference :830-831); pronoun
+# stop tags PRP/PRP$ are handled by the matchability flag upstream
+STOP_LEMMAS = {"then", "therefore", "so"}
 
-# templates the reference marks reverse_only (high-fanout parents; they
-# never *initiate* matching — reference parsing.py:512-515): used by the
-# topic-matching planner, not excluded from extraction.
-REVERSE_ONLY_TEMPLATES = {"be-attribute", "prep-noun"}
-
-# single-word phraselet: matchable nouns (reference 'word' template is
-# noun-tag gated, language_specific_rules.py:1114-1138)
+# single-word phraselet: noun tags only (reference 'word' template,
+# language_specific_rules.py:1313-1325)
 WORD_TEMPLATE_POS = {"NOUN", "PROPN"}
 
 
 def _repr_of(tok: dict) -> str:
     """Derived-lemma representation, multiword-substituted when the
     token heads an entity multiword (reference parsing.py:1534-1588 and
-    multiword substitution during phraselet extraction)."""
+    multiword substitution during phraselet extraction,
+    parsing.py:2036-2066)."""
     if len(tok["multiwords"]) > 0:
         return tok["multiwords"][0]["derived_lemma"]
     return tok["derived_lemma"]
 
 
-def extract_candidate_edges(parsed: dict, lang: str) -> list[dict]:
-    """All relation-phraselet instances of one parsed document.
+def _multiword_member_indexes(toks: list[dict]) -> set[int]:
+    """Non-head members of multiword spans — excluded from phraselet
+    production (reference token_indexes_within_multiwords_to_ignore,
+    parsing.py:2036-2066)."""
+    ignore: set[int] = set()
+    for t in toks:
+        for mw in t["multiwords"]:
+            for i in mw["token_indexes"]:
+                if i != t["i"]:
+                    ignore.add(i)
+    return ignore
+
+
+def extract_candidate_edges(parsed: dict, lang: str,
+                            include_questions: bool = False) -> list[dict]:
+    """All relation-phraselet instances of one parsed document
+    (reference add_phraselets_to_dict relation walk,
+    parsing.py:2106-2243).
 
     Returns dicts with keys: template, pred (parent derived lemma),
     subj, obj, label, parent_idx, child_idx, negated, uncertain,
-    involves_coref.
+    involves_coref, reverse_only.
+
+    ``include_questions`` mirrors the reference's
+    ``process_initial_question_words`` flag: interrogative children are
+    admitted only in question-answering mode.
     """
     toks = parsed["tokens"]
-    templates = TEMPLATES_DE if lang == "de" else TEMPLATES_EN
+    templates = RELATION_TEMPLATES_DE if lang == "de" else RELATION_TEMPLATES_EN
+    mw_ignore = _multiword_member_indexes(toks)
     out: list[dict] = []
     seen: set[tuple] = set()
 
     def emit(template: str, parent: dict, child_repr: str, child_idx: int,
-             negated: bool, uncertain: bool, coref: bool) -> None:
+             negated: bool, uncertain: bool, coref: bool,
+             reverse_only: bool) -> None:
         parent_repr = _repr_of(parent)
         key = (template, parent["i"], child_repr)
         if key in seen:
@@ -92,59 +156,86 @@ def extract_candidate_edges(parsed: dict, lang: str) -> list[dict]:
             "pred": parent_repr, "subj": subj, "obj": obj,
             "parent_idx": parent["i"], "child_idx": child_idx,
             "negated": negated, "uncertain": uncertain,
-            "involves_coref": coref,
+            "involves_coref": coref, "reverse_only": reverse_only,
         })
 
     for d in parsed["deps"]:
-        template = templates.get(d["label"])
-        if template is None:
-            continue
         p, c = toks[d["parent"]], toks[d["child"]]
-        if template == "prep-noun":
-            # reverse-only preposition-noun phraselet: the preposition
-            # is the (unmatchable-POS) parent — the reference exempts
-            # it (prep-noun template, language_specific_rules.py:1114-
-            # 1325, reverse_only per parsing.py:512-515)
+        if p["i"] in mw_ignore or c["i"] in mw_ignore:
+            continue
+        if p["derived_lemma"] in STOP_LEMMAS or c["derived_lemma"] in STOP_LEMMAS:
+            continue
+        # parent must be matchable; child matchable or an admitted
+        # initial question word (reference parsing.py:2147-2160)
+        if not p["is_matchable"]:
+            continue
+        parent_reverse = (p["lemma"], p["pos"]) in REVERSE_ONLY_PARENT_LEMMAS
+        for (name, dep_labels, parent_gate, child_gate, tmpl_reverse) in templates:
+            if d["label"] not in dep_labels:
+                continue
+            if p["pos"] not in parent_gate or c["pos"] not in child_gate:
+                continue
             if not c["is_matchable"]:
                 continue
-        elif not p["is_matchable"] or not c["is_matchable"]:
-            continue
-        # skip the pronoun-side duplicate when a coref-linked dep exists
-        emit(template, p, _repr_of(c), c["i"],
-             p["is_negated"] or c["is_negated"], d["uncertain"], d["coref"])
+            emit(name, p, _repr_of(c), c["i"],
+                 p["is_negated"] or c["is_negated"], d["uncertain"],
+                 d["coref"], tmpl_reverse or parent_reverse)
+        if include_questions and c["is_initial_question_word"]:
+            for (name, dep_labels, parent_gate, q_words) in QUESTION_TEMPLATES_EN:
+                if d["label"] not in dep_labels:
+                    continue
+                if p["pos"] not in parent_gate:
+                    continue
+                if c["text"].lower() not in q_words:
+                    continue
+                emit(name, p, c["derived_lemma"], c["i"],
+                     p["is_negated"], d["uncertain"], d["coref"], False)
 
     # German subword relations (intcompound): compound parts form an
-    # edge part1 → part2 within the containing token
+    # edge governor-part → dependent-part within the containing token
+    # (reference de language_specific_rules.py:1697-1960; subword walk
+    # parsing.py:2245-2306)
     if lang == "de":
         for t in toks:
-            if len(t["subwords"]) == 2 and t["is_matchable"]:
-                dep_sw, gov_sw = t["subwords"][0], t["subwords"][1]
+            for sw in t["subwords"]:
+                if sw["dependent"] < 0 or not t["is_matchable"]:
+                    continue
+                gov_sw = t["subwords"][sw["idx"]]
+                dep_sw = t["subwords"][sw["dependent"]]
                 label = f"intcompound: {gov_sw['derived_lemma']}-{dep_sw['derived_lemma']}"
-                key = ("intcompound", t["i"], dep_sw["derived_lemma"])
-                if key not in seen:
-                    seen.add(key)
-                    out.append({
-                        "template": "intcompound", "label": label,
-                        "pred": gov_sw["derived_lemma"],
-                        "subj": gov_sw["derived_lemma"],
-                        "obj": dep_sw["derived_lemma"],
-                        "parent_idx": t["i"], "child_idx": t["i"],
-                        "negated": t["is_negated"], "uncertain": False,
-                        "involves_coref": False,
-                    })
+                key = ("intcompound", t["i"], sw["idx"], sw["dependent"])
+                if key in seen:
+                    continue
+                seen.add(key)
+                out.append({
+                    "template": "intcompound", "label": label,
+                    "pred": gov_sw["derived_lemma"],
+                    "subj": gov_sw["derived_lemma"],
+                    "obj": dep_sw["derived_lemma"],
+                    "parent_idx": t["i"], "child_idx": t["i"],
+                    "negated": t["is_negated"], "uncertain": False,
+                    "involves_coref": False, "reverse_only": False,
+                })
     return out
 
 
 def extract_word_phraselets(parsed: dict, lang: str) -> list[dict]:
-    """Single-word phraselets (template 'word') over matchable nouns —
-    the reference's single-word topic phraselets
-    (parsing.py:1703-2306, label e.g. ``word: plant``)."""
+    """Single-word phraselets (template 'word') over matchable
+    noun-tagged tokens — the reference's single-word topic phraselets
+    (parsing.py:1955-2006, label e.g. ``word: plant``). Non-head
+    members of multiwords are excluded (the multiword substitutes for
+    its head); compounds and possessors DO get their own entries
+    (reference tests: "A hobby plant" → word: plant, word: hobby)."""
+    toks = parsed["tokens"]
+    mw_ignore = _multiword_member_indexes(toks)
     out = []
     seen = set()
-    for t in parsed["tokens"]:
-        if t["pos"] in WORD_TEMPLATE_POS and t["is_matchable"] and t["dep"] != "compound":
+    for t in toks:
+        if t["i"] in mw_ignore:
+            continue
+        if t["pos"] in WORD_TEMPLATE_POS and t["is_matchable"]:
             r = _repr_of(t)
-            if r not in seen:
+            if r not in seen and r not in STOP_LEMMAS:
                 seen.add(r)
                 out.append({"template": "word", "label": f"word: {r}",
                             "word": r, "idx": t["i"],

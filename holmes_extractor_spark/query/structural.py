@@ -28,24 +28,67 @@ from pyspark.sql import types as T
 
 from ..nlp.parser import parse_document
 
-# search-phrase dep label → doc dep labels it matches (the asymmetric
-# label-implication table, reference parsing.py:2823-2853 with the
-# per-language tables at language_specific_rules.py:878-1111)
+# search-phrase dep label → doc dep labels it matches — full port of
+# the asymmetric label-implication table (reference parsing.py:
+# 2823-2853 consuming the per-language MatchImplication tables at
+# en language_specific_rules.py:878-1111). Every label implies itself.
 LABEL_IMPLICATIONS: dict[str, set[str]] = {
-    "nsubj": {"nsubj", "pobjb", "advmodsubj"},
-    "dobj": {"dobj", "nsubjpass", "relant", "advmodobj", "toughobj"},
-    "toughobj": {"toughobj", "dobj"},
-    "dative": {"dative"},
-    "amod": {"amod", "attr"},
-    "advmod": {"advmod"},
-    "compound": {"compound", "intcompound"},
+    "nsubj": {"nsubj", "csubj", "poss", "pobjb", "pobjo", "advmodsubj", "arg"},
+    "acomp": {"acomp", "amod", "advmod", "npmod", "advcl"},
+    "advcl": {"advcl", "pobjo", "poss", "relant", "nsubjpass", "csubjpass",
+              "compound", "advmodobj", "arg", "dobj", "xcomp"},
+    "amod": {"amod", "acomp", "advmod", "npmod", "advcl", "compound"},
+    "advmod": {"advmod", "acomp", "amod", "npmod", "advcl"},
+    "arg": {"arg", "nsubj", "csubj", "poss", "pobjb", "advmodsubj", "dobj",
+            "pobjo", "relant", "nsubjpass", "csubjpass", "compound",
+            "advmodobj", "dative", "pobjp"},
+    "compound": {"compound", "nmod", "appos", "nounmod", "nsubj", "csubj",
+                 "poss", "pobjb", "advmodsubj", "dobj", "pobjo", "relant",
+                 "pobjp", "nsubjpass", "csubjpass", "arg", "advmodobj",
+                 "dative", "amod", "intcompound"},
+    "dative": {"dative", "pobjt", "relant", "nsubjpass"},
+    "pobjt": {"pobjt", "dative", "relant"},
+    "nsubjpass": {"nsubjpass", "dobj", "pobjo", "poss", "relant",
+                  "csubjpass", "compound", "advmodobj", "arg", "dative"},
+    "dobj": {"dobj", "pobjo", "poss", "relant", "nsubjpass", "csubjpass",
+             "compound", "advmodobj", "arg", "xcomp", "advcl"},
+    "nmod": {"nmod", "appos", "compound", "nummod"},
+    "poss": {"poss", "pobjo", "nsubj", "csubj", "pobjb", "advmodsubj",
+             "arg", "relant", "nsubjpass", "csubjpass", "compound",
+             "advmodobj", "det"},
+    "pobjo": {"pobjo", "poss", "dobj", "relant", "nsubjpass", "csubjpass",
+              "compound", "advmodobj", "arg", "xcomp", "nsubj", "csubj",
+              "advmodsubj"},
+    "pobjb": {"pobjb", "nsubj", "csubj", "poss", "advmodsubj", "arg"},
+    "pobjp": {"pobjp", "compound"},
+    "pobj": {"pobj", "pcomp"},
+    "pcomp": {"pcomp", "pobj"},
+    "xcomp": {"xcomp", "pobjo", "poss", "relant", "nsubjpass", "csubjpass",
+              "compound", "advmodobj", "arg", "dobj", "advcl"},
+    "wh_wildcard": {"wh_wildcard", "advmod", "advcl", "npadvmod", "prep",
+                    "pobjp"},
     "nummod": {"nummod"},
-    "pobjp": {"pobjp"},
-    "pobjb": {"pobjb", "nsubj"},
-    "nsubjpass": {"nsubjpass", "dobj"},
+    "relant": {"relant"},
     "attr": {"attr", "amod"},
-    "acomp": {"acomp", "amod", "attr"},
     "neg": {"neg"},
+}
+
+# reverse-polarity implications: a search-phrase dep parent→child may
+# match a DOCUMENT dep child→parent carrying one of these labels
+# (reference MatchImplication.reverse_document_dependencies,
+# en language_specific_rules.py:878-1111)
+_REV_STD = {"acomp", "amod"}
+REVERSE_IMPLICATIONS: dict[str, set[str]] = {
+    "nsubj": _REV_STD,
+    "acomp": {"nsubj", "csubj", "poss", "pobjb", "advmodsubj", "dobj",
+              "pobjo", "relant", "nsubjpass", "csubjpass", "compound",
+              "advmodobj", "dative", "arg"},
+    "amod": {"nsubj", "csubj", "poss", "pobjb", "advmodsubj", "dobj",
+             "pobjo", "relant", "nsubjpass", "csubjpass", "compound",
+             "advmodobj", "dative", "arg"},
+    "arg": _REV_STD, "compound": _REV_STD, "dative": _REV_STD,
+    "pobjt": _REV_STD, "nsubjpass": _REV_STD, "dobj": _REV_STD,
+    "poss": _REV_STD, "pobjo": _REV_STD, "pobjb": _REV_STD,
 }
 
 _ENTITY_RE = re.compile(r"^ENTITY([A-Z]+)$")
@@ -226,8 +269,10 @@ def _verify_doc(sp: dict, tokens: list[dict], deps: list[dict],
     visited-table loop guard; coref chains are already materialized as
     coref-linked deps by the parse stage)."""
     by_parent: dict[int, list[dict]] = {}
+    by_child: dict[int, list[dict]] = {}
     for d in deps:
         by_parent.setdefault(d["parent"], []).append(d)
+        by_child.setdefault(d["child"], []).append(d)
     toks = {t["i"]: t for t in tokens}
     out = []
 
@@ -257,13 +302,22 @@ def _verify_doc(sp: dict, tokens: list[dict], deps: list[dict],
             if p != sp_i:
                 continue
             allowed = LABEL_IMPLICATIONS[lbl]
+            rev_allowed = REVERSE_IMPLICATIONS.get(lbl, set())
+            # candidate (doc_child, dep) pairs: same-direction children
+            # plus reverse-polarity parents (reference
+            # structural_matching.py:486-819 expands both directions per
+            # the implication table's reverse_document_dependencies)
+            cand_pairs = [(dd["child"], dd) for dd in by_parent.get(d_i, [])
+                          if dd["label"] in allowed]
+            cand_pairs += [(dd["parent"], dd) for dd in by_child.get(d_i, [])
+                           if dd["label"] in rev_allowed]
             new_solutions: list[list[dict]] = []
-            for dd in by_parent.get(d_i, []):
-                if dd["label"] not in allowed or dd["child"] == d_i:
+            for (cand_i, dd) in cand_pairs:
+                if cand_i == d_i:
                     continue
-                if dd["child"] in used:
+                if cand_i in used:
                     continue
-                sub = rec(c, dd["child"], used | {d_i, dd["child"]})
+                sub = rec(c, cand_i, used | {d_i, cand_i})
                 if sub:
                     for s in sub:
                         for sol in solutions:

@@ -80,12 +80,13 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
     the (tiny) query side."""
     rel_rows = [(p["template"], p["label"], p["pred"],
                  p["obj"] if p["template"] != "predicate-actor" else p["subj"],
-                 p["template"] in REVERSE_ONLY_TEMPLATES)
+                 bool(p.get("reverse_only"))
+                 or p["template"] in REVERSE_ONLY_TEMPLATES)
                 for p in rel_ph]
     out = None
     if rel_rows:
         q = spark.createDataFrame(
-            rel_rows, "template string, phraselet_label string, q_pred string, q_child string, reverse_only boolean")
+            rel_rows, "template string, phraselet_label string, q_pred string, q_child string, q_reverse_only boolean")
         if closure is not None:
             c = closure.select(F.col("query_word"), F.col("matched_word"))
             q = (
@@ -93,7 +94,7 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
                        .withColumnRenamed("matched_word", "m_pred"), "q_pred", "left")
                 .join(F.broadcast(c).withColumnRenamed("query_word", "q_child")
                       .withColumnRenamed("matched_word", "m_child"), "q_child", "left")
-                .select("template", "phraselet_label", "reverse_only",
+                .select("template", "phraselet_label", "q_reverse_only",
                         F.coalesce("m_pred", "q_pred").alias("q_pred"),
                         F.coalesce("m_child", "q_child").alias("q_child"))
                 .distinct()
@@ -104,7 +105,7 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
             .withColumnRenamed("pred", "q_pred")
             .join(F.broadcast(q), ["template", "q_pred", "q_child"])
             .select("url", "phraselet_label",
-                    F.when(F.col("reverse_only"), F.lit("relation_reverse_only"))
+                    F.when(F.col("q_reverse_only"), F.lit("relation_reverse_only"))
                      .otherwise(F.lit("relation")).alias("kind"),
                     F.least("parent_idx", "child_idx").alias("position"))
         )

@@ -83,6 +83,10 @@ EDGES = T.StructType([
     T.StructField("negated", T.BooleanType()),
     T.StructField("uncertain", T.BooleanType()),
     T.StructField("involves_coref", T.BooleanType()),
+    # reverse-only phraselets never initiate matching (reference
+    # parsing.py:512-515 + reverse-only parent lemmas,
+    # en language_specific_rules.py:834-845)
+    T.StructField("reverse_only", T.BooleanType()),
 ])
 
 WORDS = T.StructType([

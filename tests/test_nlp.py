@@ -77,8 +77,11 @@ def test_german_compound_subwords():
 
 def test_conjunction_distribution():
     p = parse_document("The dog and the lion chased the cat.", "en")
-    # lion inherits nsubj (uncertain)
-    assert any(d["child"] == 4 and d["label"] == "nsubj" and d["uncertain"]
+    # lion inherits nsubj with the ORIGINAL (certain) uncertainty —
+    # child-side sibling copies are not marked uncertain (reference
+    # copy_any_sibling_info parsing.py:1236-1274; conjunct matches are
+    # asserted certain in tests/en/test_structural_matching_EN.py:423-455)
+    assert any(d["child"] == 4 and d["label"] == "nsubj" and not d["uncertain"]
                for d in p["deps"])
 
 
