@@ -337,19 +337,27 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # ---------------------------------------------------------- oracles
 
 def _golden_match_cte(phrase_key: str) -> str:
-    """Golden snippet→match-flag tables for the structural queries."""
+    """Golden snippet→match-flag tables for the structural queries —
+    maintained per-snippet next to the corpus pool (fixtures.py),
+    derived from the reference's match semantics."""
+    from holmes_extractor_spark.fixtures import (MATCH_ANIMAL_CHASES_ANIMAL,
+                                                 MATCH_DOG_CHASES_CAT,
+                                                 MATCH_PERSON_COMES_HOME)
     tables = {
-        "dog_chases_cat": [(0, 0, 0), (1, 0, 0), (2, 1, 0), (3, 1, 0), (4, 0, 1),
-                           (11, 0, 0), (12, 0, 0), (16, 0, 0)],
-        # ontology closure reaches the German jagen/hund/katze snippet
-        # via the cross-language synonym edges
-        "animal_chases_animal": [(0, 0, 0), (1, 0, 0), (2, 1, 0), (3, 1, 0),
-                                 (4, 0, 1), (11, 0, 0), (12, 0, 0), (16, 0, 0),
-                                 (20, 0, 0), (23, 0, 0), (24, 1, 0)],
-        "person_comes_home": [(5, 0, 0)],
+        "dog_chases_cat": MATCH_DOG_CHASES_CAT,
+        # the ontology closure reaches the German jagen/hund/katze
+        # snippets via the cross-language synonym edges
+        "animal_chases_animal": MATCH_ANIMAL_CHASES_ANIMAL,
+        "person_comes_home": MATCH_PERSON_COMES_HOME,
     }
     rows = ",".join(f"({s},{n},{c})" for (s, n, c) in tables[phrase_key])
     return f", match_golden(snip_id, negated, involves_coref) AS (VALUES {rows})"
+
+
+def _question_cte() -> str:
+    from holmes_extractor_spark.fixtures import QUESTION_ANSWERS
+    rows = ",".join(f"({s},'{a}')" for (s, a) in QUESTION_ANSWERS)
+    return f", q_golden(snip_id, answer) AS (VALUES {rows})"
 
 
 def _structural_oracle(phrase_key: str) -> str:
@@ -519,8 +527,7 @@ GROUP BY g.template, g.label
         "structural_match": _structural_oracle("dog_chases_cat"),
         "ontology_match": _structural_oracle("animal_chases_animal"),
         "entity_match": _structural_oracle("person_comes_home"),
-        "question_match": pages_cte_sql() + """
-, q_golden(snip_id, answer) AS (VALUES (5, 'richard paul hudson'))
+        "question_match": pages_cte_sql() + _question_cte() + """
 SELECT DISTINCT ps.url, g.answer
 FROM page_snips ps JOIN q_golden g USING (snip_id)
 """,

@@ -35,141 +35,716 @@ from pyspark.sql import functions as F
 # ----------------------------------------------------------- the pools
 
 POOL_EN: list[str] = [
-    "The dog chased the cat.",                       # 0
-    "The cat was chased by the dog.",                # 1
-    "The dog did not chase the cat.",                # 2
-    "No dog chased any cat.",                        # 3
-    "I saw a cat. It was chased by the dog.",        # 4  (coref)
-    "Richard Paul Hudson came home.",                # 5  (entity multiword)
-    "A plant grows.",                                # 6
-    "A plant grows up quickly.",                     # 7  (phrasal verb)
-    "The man was poor.",                             # 8  (predicative adj)
-    "The rich man came home.",                       # 9
-    "Somebody gives a file to an employee.",         # 10 (recipient)
-    "The dog of the man chased the cat.",            # 11 (word-ofword)
-    "Three dogs chased a cat.",                      # 12 (number-noun)
-    "The man sang in the garden.",                   # 13 (prepgovernor)
-    "Who came?",                                     # 14 (question; no triples)
-    "The man who chased the cat came home.",         # 15 (subject relative)
-    "The cat that the dog chased was old.",          # 16 (object relative, relant)
-    "The man decided to open an account.",           # 17 (xcomp control, uncertain)
-    "The man saw the dog in the garden.",            # 18 (prepposs alt attachment)
-    "A holiday is hard to book.",                    # 19 (tough movement)
+    'The dog chased the cat.',  # 0
+    'The cat was chased by the dog.',  # 1
+    'The dog did not chase the cat.',  # 2
+    'No dog chased any cat.',  # 3
+    'I saw a cat. It was chased by the dog.',  # 4
+    'Richard Paul Hudson came home.',  # 5
+    'A plant grows.',  # 6
+    'A plant grows up quickly.',  # 7
+    'The man was poor.',  # 8
+    'The rich man came home.',  # 9
+    'Somebody gives a file to an employee.',  # 10
+    'The dog of the man chased the cat.',  # 11
+    'Three dogs chased a cat.',  # 12
+    'The man sang in the garden.',  # 13
+    'Who came?',  # 14
+    'The man who chased the cat came home.',  # 15
+    'The cat that the dog chased was old.',  # 16
+    'The man decided to open an account.',  # 17
+    'The man saw the dog in the garden.',  # 18
+    'A holiday is hard to book.',  # 19
+    'A plant is grown.',  # 20
+    'The sailors sailed rapidly.',  # 21
+    'A hobby plant grew.',  # 22
+    "A gardener's plant grew.",  # 23
+    "A gardener's healthy hobby plant grows in the sun.",  # 24
+    'A healthy plant grew.',  # 25
+    'Information extraction progresses with information.',  # 26
+    'The man needs insurance for five years.',  # 27
+    'Somebody gives something to a plant.',  # 28
+    'Who opened the door?',  # 29
+    'The dog will chase the cat.',  # 30
+    'The dog never chased the cat.',  # 31
+    'The dog and the lion chased the cat.',  # 32
+    'The dog chased the cat and the mouse.',  # 33
+    'A lion chased a mouse.',  # 34
+    'The hound chased the kitten.',  # 35
+    'The man opened an account.',  # 36
+    'An employee needs insurance.',  # 37
+    'Richard Paul Hudson opened an account.',  # 38
+    'Mary came home.',  # 39
+    'The old king came home.',  # 40
+    'The dog was chased by the lion.',  # 41
+    'Three lions chased two mice.',  # 42
+    'The man decided to buy a house.',  # 43
+    'The woman tried to open the door.',  # 44
+    'The man saw the woman in the house.',  # 45
+    'I saw a dog. It was chasing a cat and a cat.',  # 46
+    'A holiday is easy to book.',  # 47
+    'The account was opened by the manager.',  # 48
+    'The information was extracted.',  # 49
+    'Houses are built quickly.',  # 50
+    'The child found a dog in the garden.',  # 51
+    'The author wrote a book.',  # 52
+    'Dogs chase cats.',  # 53
+    'The farmer planted a tree.',  # 54
+    'A bird ate the food.',  # 55
+    'The student read the book.',  # 56
+    'The doctor helped the child.',  # 57
+    'A king bought a horse.',  # 58
+    'The nurse watched the children.',  # 59
+    'The hunter caught a fox.',  # 60
+    'The boy broke the window.',  # 61
+    'A woman sold the car.',  # 62
+    'A teacher explained the lesson.',  # 63
+    'A child threw the ball.',  # 64
+    'The cat ate a mouse.',  # 65
+    'The rich man sang quickly.',  # 66
+    'The sick woman slept.',  # 67
+    'The famous author visited the village.',  # 68
+    'The workers repaired the bridge.',  # 69
+    'A girl painted a picture.',  # 70
+    'The criminal stole the car.',  # 71
+    'The manager delivered a letter to the employee.',  # 72
+    'The ship sank in the sea.',  # 73
+    'The boat approached the bridge.',  # 74
+    'The king of the castle bought a horse.',  # 75
+    'The cook washed the dishes.',  # 76
+    'The king sang in the castle.',  # 77
+    'The doctor visited the sick child.',  # 78
+    'The gentle teacher helped the students.',  # 79
+    'No man opened the door.',  # 80
+    'The boy did not break the window.',  # 81
+    'The girl never visited the castle.',  # 82
+    'An old woman fed the birds.',  # 83
+    'The strong man carried the table.',  # 84
+    'A small dog barked.',  # 85
+    'The tired child slept in the house.',  # 86
+    'The man of the house opened the door.',  # 87
+    'Two birds flew over the river.',  # 88
+    'John came home.',  # 89
+    'The happy girl sang a song.',  # 90
 ]
 
 POOL_DE: list[str] = [
-    "Der Hund jagte die Katze.",                     # 20
-    "Polizeiinformation über Kriminelle.",           # 21 (compound subword)
-    "Der reiche Mann kam nach Hause.",               # 22 (de adjective + PP)
-    "Die Katze wurde vom Hund gejagt.",              # 23 (de passive + agent)
-    "Der Hund jagte die Katze nicht.",               # 24 (de negation)
+    'Der Hund jagte die Katze.',  # 91
+    'Polizeiinformation über Kriminelle.',  # 92
+    'Der reiche Mann kam nach Hause.',  # 93
+    'Die Katze wurde vom Hund gejagt.',  # 94
+    'Der Hund jagte die Katze nicht.',  # 95
+    'Der Hund jagte die Katze und die Maus.',  # 96
+    'Die Polizei jagte den Kriminellen.',  # 97
+    'Die Katze wurde nicht gejagt.',  # 98
+    'Der kleine Hund sah die Katze.',  # 99
+    'Die Wohnungsgesellschaft verkaufte das Haus.',  # 100
+    'Das Kind öffnete die Tür.',  # 101
+    'Der reiche Mann kaufte ein Auto.',  # 102
+    'Die Versicherungsgesellschaft informierte den Mann.',  # 103
+    'Der Mann sah den Hund im Garten.',  # 104
+    'Die Frau las ein Buch.',  # 105
+    'Die Kinder spielten im Garten.',  # 106
 ]
-
-POOL = POOL_EN + POOL_DE  # global snippet ids 0..12
 
 # ------------------------------------------- golden per-snippet output
 # (snip_id, template, label, subj, obj, pred, negated, uncertain, coref)
+# Each snippet block cites its reference provenance: transcribed test
+# expectations where available, else the template rules that define it.
+POOL = POOL_EN + POOL_DE  # global snippet ids: EN then DE
 
 GOLDEN_EDGES: list[tuple] = [
-    (0, "predicate-actor", "predicate-actor: chase-dog", "dog", "chase", "chase", False, False, False),
-    (0, "predicate-patient", "predicate-patient: chase-cat", "chase", "cat", "chase", False, False, False),
-    (1, "predicate-passivesubject", "predicate-passivesubject: chase-cat", "chase", "cat", "chase", False, False, False),
-    (1, "predicate-actor", "predicate-actor: chase-dog", "dog", "chase", "chase", False, False, False),
-    (2, "predicate-actor", "predicate-actor: chase-dog", "dog", "chase", "chase", True, False, False),
-    (2, "predicate-patient", "predicate-patient: chase-cat", "chase", "cat", "chase", True, False, False),
-    (3, "predicate-actor", "predicate-actor: chase-dog", "dog", "chase", "chase", True, False, False),
-    (3, "predicate-patient", "predicate-patient: chase-cat", "chase", "cat", "chase", False, False, False),
-    (4, "predicate-patient", "predicate-patient: see-cat", "see", "cat", "see", False, False, False),
-    (4, "predicate-actor", "predicate-actor: chase-dog", "dog", "chase", "chase", False, False, False),
-    (4, "predicate-passivesubject", "predicate-passivesubject: chase-cat", "chase", "cat", "chase", False, False, True),
-    (5, "predicate-actor", "predicate-actor: come-richard paul hudson", "richard paul hudson", "come", "come", False, False, False),
-    (5, "governor-adjective", "governor-adjective: come-home", "come", "home", "come", False, False, False),
-    (6, "predicate-actor", "predicate-actor: grow-plant", "plant", "grow", "grow", False, False, False),
-    (7, "predicate-actor", "predicate-actor: grow up-plant", "plant", "grow up", "grow up", False, False, False),
-    (7, "governor-adjective", "governor-adjective: grow up-quick", "grow up", "quick", "grow up", False, False, False),
-    (8, "governor-adjective", "governor-adjective: man-poor", "man", "poor", "man", False, False, False),
-    (9, "governor-adjective", "governor-adjective: man-rich", "man", "rich", "man", False, False, False),
-    (9, "predicate-actor", "predicate-actor: come-man", "man", "come", "come", False, False, False),
-    (9, "governor-adjective", "governor-adjective: come-home", "come", "home", "come", False, False, False),
-    (10, "predicate-patient", "predicate-patient: gift-file", "gift", "file", "gift", False, False, False),
-    (10, "predicate-recipient", "predicate-recipient: gift-employee", "gift", "employee", "gift", False, False, False),
-    (11, "word-ofword", "word-ofword: dog-man", "dog", "man", "dog", False, False, False),
-    (11, "predicate-actor", "predicate-actor: chase-dog", "dog", "chase", "chase", False, False, False),
-    (11, "predicate-patient", "predicate-patient: chase-cat", "chase", "cat", "chase", False, False, False),
-    (12, "number-noun", "number-noun: dog-three", "dog", "three", "dog", False, False, False),
-    (12, "predicate-actor", "predicate-actor: chase-dog", "dog", "chase", "chase", False, False, False),
-    (12, "predicate-patient", "predicate-patient: chase-cat", "chase", "cat", "chase", False, False, False),
-    (13, "predicate-actor", "predicate-actor: sing-man", "man", "sing", "sing", False, False, False),
-    (13, "prepgovernor-noun", "prepgovernor-noun: sing-garden", "sing", "garden", "sing", False, False, False),
-    # 14 "Who came?": interrogatives produce no phraselets (reference
-    # excludes initial question words from matchability)
-    (15, "predicate-actor", "predicate-actor: come-man", "man", "come", "come", False, False, False),
-    (15, "predicate-actor", "predicate-actor: chase-man", "man", "chase", "chase", False, False, False),
-    (15, "predicate-patient", "predicate-patient: chase-cat", "chase", "cat", "chase", False, False, False),
-    (15, "governor-adjective", "governor-adjective: come-home", "come", "home", "come", False, False, False),
-    (16, "predicate-patient", "predicate-patient: chase-cat", "chase", "cat", "chase", False, False, False),
-    (16, "predicate-actor", "predicate-actor: chase-dog", "dog", "chase", "chase", False, False, False),
-    (16, "governor-adjective", "governor-adjective: cat-old", "cat", "old", "cat", False, False, False),
-    (17, "predicate-actor", "predicate-actor: decide-man", "man", "decide", "decide", False, False, False),
-    (17, "predicate-actor", "predicate-actor: open-man", "man", "open", "open", False, True, False),
-    (17, "predicate-patient", "predicate-patient: open-account", "open", "account", "open", False, False, False),
-    (17, "predicate-patient", "predicate-patient: decide-open", "decide", "open", "decide", False, False, False),
-    (18, "predicate-actor", "predicate-actor: see-man", "man", "see", "see", False, False, False),
-    (18, "predicate-patient", "predicate-patient: see-dog", "see", "dog", "see", False, False, False),
-    (18, "prepgovernor-noun", "prepgovernor-noun: see-garden", "see", "garden", "see", False, False, False),
-    (18, "prepgovernor-noun", "prepgovernor-noun: dog-garden", "dog", "garden", "dog", False, True, False),
-    (19, "predicate-toughmovedargument", "predicate-toughmovedargument: book-holiday", "book", "holiday", "book", False, True, False),
-    (19, "governor-adjective", "governor-adjective: holiday-hard", "holiday", "hard", "holiday", False, False, False),
-    (20, "predicate-actor", "predicate-actor: jagen-hund", "hund", "jagen", "jagen", False, False, False),
-    (20, "predicate-patient", "predicate-patient: jagen-katze", "jagen", "katze", "jagen", False, False, False),
-    (21, "prepgovernor-noun", "prepgovernor-noun: polizeiinformation-kriminelle", "polizeiinformation", "kriminelle", "polizeiinformation", False, False, False),
-    (21, "intcompound", "intcompound: informieren-polizei", "informieren", "polizei", "informieren", False, False, False),
-    (22, "governor-adjective", "governor-adjective: mann-reich", "mann", "reich", "mann", False, False, False),
-    (22, "predicate-actor", "predicate-actor: kommen-mann", "mann", "kommen", "kommen", False, False, False),
-    (22, "prepgovernor-noun", "prepgovernor-noun: kommen-haus", "kommen", "haus", "kommen", False, False, False),
-    (23, "predicate-passivesubject", "predicate-passivesubject: jagen-katze", "jagen", "katze", "jagen", False, False, False),
-    (23, "predicate-actor", "predicate-actor: jagen-hund", "hund", "jagen", "jagen", False, False, False),
-    (24, "predicate-actor", "predicate-actor: jagen-hund", "hund", "jagen", "jagen", True, False, False),
-    (24, "predicate-patient", "predicate-patient: jagen-katze", "jagen", "katze", "jagen", True, False, False),
-    # prep-noun (reverse-only) phraselets — preposition as parent
-    (1, "prep-noun", "prep-noun: by-dog", "by", "dog", "by", False, False, False),
-    (4, "prep-noun", "prep-noun: by-dog", "by", "dog", "by", False, False, False),
-    (10, "prep-noun", "prep-noun: to-employee", "to", "employee", "to", False, False, False),
-    (13, "prep-noun", "prep-noun: in-garden", "in", "garden", "in", False, False, False),
-    (18, "prep-noun", "prep-noun: in-garden", "in", "garden", "in", False, False, False),
-    (21, "prep-noun", "prep-noun: über-kriminelle", "über", "kriminelle", "über", False, False, False),
-    (22, "prep-noun", "prep-noun: nach-haus", "nach", "haus", "nach", False, False, False),
-    (23, "prep-noun", "prep-noun: vom-hund", "vom", "hund", "vom", False, False, False),
+    (0, 'predicate-actor', 'predicate-actor: chase-dog', 'dog', 'chase', 'chase', False, False, False),
+    (0, 'predicate-patient', 'predicate-patient: chase-cat', 'chase', 'cat', 'chase', False, False, False),
+    (1, 'predicate-actor', 'predicate-actor: chase-dog', 'dog', 'chase', 'chase', False, False, False),
+    (1, 'predicate-passivesubject', 'predicate-passivesubject: chase-cat', 'chase', 'cat', 'chase', False, False, False),
+    (1, 'prep-noun', 'prep-noun: by-dog', 'by', 'dog', 'by', False, False, False),
+    (2, 'predicate-actor', 'predicate-actor: chase-dog', 'dog', 'chase', 'chase', True, False, False),
+    (2, 'predicate-patient', 'predicate-patient: chase-cat', 'chase', 'cat', 'chase', True, False, False),
+    (3, 'predicate-actor', 'predicate-actor: chase-dog', 'dog', 'chase', 'chase', True, False, False),
+    (3, 'predicate-patient', 'predicate-patient: chase-cat', 'chase', 'cat', 'chase', False, False, False),
+    (4, 'predicate-actor', 'predicate-actor: chase-dog', 'dog', 'chase', 'chase', False, False, False),
+    (4, 'predicate-passivesubject', 'predicate-passivesubject: chase-cat', 'chase', 'cat', 'chase', False, False, True),
+    (4, 'predicate-patient', 'predicate-patient: see-cat', 'see', 'cat', 'see', False, False, False),
+    (4, 'prep-noun', 'prep-noun: by-dog', 'by', 'dog', 'by', False, False, False),
+    (5, 'governor-adjective', 'governor-adjective: come-home', 'come', 'home', 'come', False, False, False),
+    (5, 'predicate-actor', 'predicate-actor: come-richard paul hudson', 'richard paul hudson', 'come', 'come', False, False, False),
+    (6, 'predicate-actor', 'predicate-actor: grow-plant', 'plant', 'grow', 'grow', False, False, False),
+    (7, 'governor-adjective', 'governor-adjective: grow up-quick', 'grow up', 'quick', 'grow up', False, False, False),
+    (7, 'predicate-actor', 'predicate-actor: grow up-plant', 'plant', 'grow up', 'grow up', False, False, False),
+    (8, 'governor-adjective', 'governor-adjective: man-poor', 'man', 'poor', 'man', False, False, False),
+    (9, 'governor-adjective', 'governor-adjective: come-home', 'come', 'home', 'come', False, False, False),
+    (9, 'governor-adjective', 'governor-adjective: man-rich', 'man', 'rich', 'man', False, False, False),
+    (9, 'predicate-actor', 'predicate-actor: come-man', 'man', 'come', 'come', False, False, False),
+    (10, 'predicate-patient', 'predicate-patient: gift-file', 'gift', 'file', 'gift', False, False, False),
+    (10, 'predicate-recipient', 'predicate-recipient: gift-employee', 'gift', 'employee', 'gift', False, False, False),
+    (10, 'prep-noun', 'prep-noun: to-employee', 'to', 'employee', 'to', False, False, False),
+    (11, 'predicate-actor', 'predicate-actor: chase-dog', 'dog', 'chase', 'chase', False, False, False),
+    (11, 'predicate-patient', 'predicate-patient: chase-cat', 'chase', 'cat', 'chase', False, False, False),
+    (11, 'word-ofword', 'word-ofword: dog-man', 'dog', 'man', 'dog', False, False, False),
+    (12, 'number-noun', 'number-noun: dog-three', 'dog', 'three', 'dog', False, False, False),
+    (12, 'predicate-actor', 'predicate-actor: chase-dog', 'dog', 'chase', 'chase', False, False, False),
+    (12, 'predicate-patient', 'predicate-patient: chase-cat', 'chase', 'cat', 'chase', False, False, False),
+    (13, 'predicate-actor', 'predicate-actor: sing-man', 'man', 'sing', 'sing', False, False, False),
+    (13, 'prep-noun', 'prep-noun: in-garden', 'in', 'garden', 'in', False, False, False),
+    (13, 'prepgovernor-noun', 'prepgovernor-noun: sing-garden', 'sing', 'garden', 'sing', False, False, False),
+    (15, 'governor-adjective', 'governor-adjective: come-home', 'come', 'home', 'come', False, False, False),
+    (15, 'predicate-actor', 'predicate-actor: chase-man', 'man', 'chase', 'chase', False, False, False),
+    (15, 'predicate-actor', 'predicate-actor: come-man', 'man', 'come', 'come', False, False, False),
+    (15, 'predicate-patient', 'predicate-patient: chase-cat', 'chase', 'cat', 'chase', False, False, False),
+    (16, 'governor-adjective', 'governor-adjective: cat-old', 'cat', 'old', 'cat', False, False, False),
+    (16, 'predicate-actor', 'predicate-actor: chase-dog', 'dog', 'chase', 'chase', False, False, False),
+    (16, 'predicate-patient', 'predicate-patient: chase-cat', 'chase', 'cat', 'chase', False, False, False),
+    (17, 'predicate-actor', 'predicate-actor: decide-man', 'man', 'decide', 'decide', False, False, False),
+    (17, 'predicate-actor', 'predicate-actor: open-man', 'man', 'open', 'open', False, True, False),
+    (17, 'predicate-patient', 'predicate-patient: decide-open', 'decide', 'open', 'decide', False, False, False),
+    (17, 'predicate-patient', 'predicate-patient: open-account', 'open', 'account', 'open', False, False, False),
+    (18, 'predicate-actor', 'predicate-actor: see-man', 'man', 'see', 'see', False, False, False),
+    (18, 'predicate-patient', 'predicate-patient: see-dog', 'see', 'dog', 'see', False, False, False),
+    (18, 'prep-noun', 'prep-noun: in-garden', 'in', 'garden', 'in', False, False, False),
+    (18, 'prepgovernor-noun', 'prepgovernor-noun: dog-garden', 'dog', 'garden', 'dog', False, True, False),
+    (18, 'prepgovernor-noun', 'prepgovernor-noun: see-garden', 'see', 'garden', 'see', False, False, False),
+    (19, 'governor-adjective', 'governor-adjective: holiday-hard', 'holiday', 'hard', 'holiday', False, False, False),
+    (19, 'predicate-toughmovedargument', 'predicate-toughmovedargument: book-holiday', 'book', 'holiday', 'book', False, True, False),
+    # 20: 'A plant is grown.' — ref tests/en/test_phraselet_production_EN.py:96-99
+    (20, 'predicate-passivesubject', 'predicate-passivesubject: grow-plant', 'grow', 'plant', 'grow', False, False, False),
+    # 21: 'The sailors sailed rapidly.' — ref tests/en/test_phraselet_production_EN.py:115-118
+    # (subject NP substituted for the pronoun to keep the snippet
+    # coref-inert under document concatenation)
+    (21, 'governor-adjective', 'governor-adjective: sail-rapid', 'sail', 'rapid', 'sail', False, False, False),
+    (21, 'predicate-actor', 'predicate-actor: sail-sailor', 'sailor', 'sail', 'sail', False, False, False),
+    # 22: 'A hobby plant grew.' — ref tests/en/test_phraselet_production_EN.py:122-125
+    (22, 'noun-noun', 'noun-noun: plant-hobby', 'plant', 'hobby', 'plant', False, False, False),
+    (22, 'predicate-actor', 'predicate-actor: grow-plant', 'plant', 'grow', 'grow', False, False, False),
+    # 23: "A gardener's plant grew." — ref tests/en/test_phraselet_production_EN.py:127-130
+    (23, 'predicate-actor', 'predicate-actor: grow-plant', 'plant', 'grow', 'grow', False, False, False),
+    (23, 'word-ofword', 'word-ofword: plant-gardener', 'plant', 'gardener', 'plant', False, False, False),
+    # 24: "A gardener's healthy hobby plant grows in the sun." — ref tests/en/test_phraselet_production_EN.py:133-141
+    (24, 'governor-adjective', 'governor-adjective: plant-healthy', 'plant', 'healthy', 'plant', False, False, False),
+    (24, 'noun-noun', 'noun-noun: plant-hobby', 'plant', 'hobby', 'plant', False, False, False),
+    (24, 'predicate-actor', 'predicate-actor: grow-plant', 'plant', 'grow', 'grow', False, False, False),
+    (24, 'prep-noun', 'prep-noun: in-sun', 'in', 'sun', 'in', False, False, False),
+    (24, 'prepgovernor-noun', 'prepgovernor-noun: grow-sun', 'grow', 'sun', 'grow', False, False, False),
+    (24, 'word-ofword', 'word-ofword: plant-gardener', 'plant', 'gardener', 'plant', False, False, False),
+    # 25: 'A healthy plant grew.' — ref tests/en/test_phraselet_production_EN.py:105-108
+    (25, 'governor-adjective', 'governor-adjective: plant-healthy', 'plant', 'healthy', 'plant', False, False, False),
+    (25, 'predicate-actor', 'predicate-actor: grow-plant', 'plant', 'grow', 'grow', False, False, False),
+    # 26: 'Information extraction progresses with information.' — ref tests/en/test_phraselet_production_EN.py:186-190
+    (26, 'noun-noun', 'noun-noun: extract-inform', 'extract', 'inform', 'extract', False, False, False),
+    (26, 'predicate-actor', 'predicate-actor: progress-extract', 'extract', 'progress', 'progress', False, False, False),
+    (26, 'prep-noun', 'prep-noun: with-inform', 'with', 'inform', 'with', False, False, False),
+    (26, 'prepgovernor-noun', 'prepgovernor-noun: progress-inform', 'progress', 'inform', 'progress', False, False, False),
+    # 27: 'The man needs insurance for five years.' — ref tests/en/test_phraselet_production_EN.py:263-275
+    # (subject NP substituted for the pronoun, as above)
+    (27, 'number-noun', 'number-noun: year-five', 'year', 'five', 'year', False, False, False),
+    (27, 'predicate-actor', 'predicate-actor: need-man', 'man', 'need', 'need', False, False, False),
+    (27, 'predicate-patient', 'predicate-patient: need-insurance', 'need', 'insurance', 'need', False, False, False),
+    (27, 'prep-noun', 'prep-noun: for-year', 'for', 'year', 'for', False, False, False),
+    (27, 'prepgovernor-noun', 'prepgovernor-noun: insurance-year', 'insurance', 'year', 'insurance', False, True, False),
+    (27, 'prepgovernor-noun', 'prepgovernor-noun: need-year', 'need', 'year', 'need', False, False, False),
+    # 28: 'Somebody gives something to a plant.' — ref tests/en/test_phraselet_production_EN.py:101-103
+    (28, 'predicate-recipient', 'predicate-recipient: gift-plant', 'gift', 'plant', 'gift', False, False, False),
+    (28, 'prep-noun', 'prep-noun: to-plant', 'to', 'plant', 'to', False, False, False),
+    # 29: 'Who opened the door?' — ref tests/en/test_phraselet_production_EN.py:303-312
+    (29, 'predicate-patient', 'predicate-patient: open-door', 'open', 'door', 'open', False, False, False),
+    # 30: 'The dog will chase the cat.' — ref tests/en/test_structural_matching_EN.py:505-516
+    (30, 'predicate-actor', 'predicate-actor: chase-dog', 'dog', 'chase', 'chase', False, False, False),
+    (30, 'predicate-patient', 'predicate-patient: chase-cat', 'chase', 'cat', 'chase', False, False, False),
+    # 31: 'The dog never chased the cat.' — ref tests/en/test_structural_matching_EN.py:456-466
+    (31, 'predicate-actor', 'predicate-actor: chase-dog', 'dog', 'chase', 'chase', True, False, False),
+    (31, 'predicate-patient', 'predicate-patient: chase-cat', 'chase', 'cat', 'chase', True, False, False),
+    # 32: 'The dog and the lion chased the cat.' — ref tests/en/test_structural_matching_EN.py:423-445
+    (32, 'predicate-actor', 'predicate-actor: chase-dog', 'dog', 'chase', 'chase', False, False, False),
+    (32, 'predicate-actor', 'predicate-actor: chase-lion', 'lion', 'chase', 'chase', False, False, False),
+    (32, 'predicate-patient', 'predicate-patient: chase-cat', 'chase', 'cat', 'chase', False, False, False),
+    # 33: 'The dog chased the cat and the mouse.' — ref derived from the reference template rules (en language_specific_rules.py:1114-1325)
+    (33, 'predicate-actor', 'predicate-actor: chase-dog', 'dog', 'chase', 'chase', False, False, False),
+    (33, 'predicate-patient', 'predicate-patient: chase-cat', 'chase', 'cat', 'chase', False, False, False),
+    (33, 'predicate-patient', 'predicate-patient: chase-mouse', 'chase', 'mouse', 'chase', False, False, False),
+    # 34: 'A lion chased a mouse.' — ref derived from the reference template rules (en language_specific_rules.py:1114-1325)
+    (34, 'predicate-actor', 'predicate-actor: chase-lion', 'lion', 'chase', 'chase', False, False, False),
+    (34, 'predicate-patient', 'predicate-patient: chase-mouse', 'chase', 'mouse', 'chase', False, False, False),
+    # 35: 'The hound chased the kitten.' — ref derived from the reference template rules (en language_specific_rules.py:1114-1325)
+    (35, 'predicate-actor', 'predicate-actor: chase-hound', 'hound', 'chase', 'chase', False, False, False),
+    (35, 'predicate-patient', 'predicate-patient: chase-kitten', 'chase', 'kitten', 'chase', False, False, False),
+    # 36: 'The man opened an account.' — ref derived from the reference template rules (en language_specific_rules.py:1114-1325)
+    (36, 'predicate-actor', 'predicate-actor: open-man', 'man', 'open', 'open', False, False, False),
+    (36, 'predicate-patient', 'predicate-patient: open-account', 'open', 'account', 'open', False, False, False),
+    # 37: 'An employee needs insurance.' — ref derived from the reference template rules (en language_specific_rules.py:1114-1325)
+    (37, 'predicate-actor', 'predicate-actor: need-employee', 'employee', 'need', 'need', False, False, False),
+    (37, 'predicate-patient', 'predicate-patient: need-insurance', 'need', 'insurance', 'need', False, False, False),
+    # 38: 'Richard Paul Hudson opened an account.' — ref derived from the reference template rules (en language_specific_rules.py:1114-1325)
+    (38, 'predicate-actor', 'predicate-actor: open-richard paul hudson', 'richard paul hudson', 'open', 'open', False, False, False),
+    (38, 'predicate-patient', 'predicate-patient: open-account', 'open', 'account', 'open', False, False, False),
+    # 39: 'Mary came home.' — ref derived from the reference template rules (en language_specific_rules.py:1114-1325)
+    (39, 'governor-adjective', 'governor-adjective: come-home', 'come', 'home', 'come', False, False, False),
+    (39, 'predicate-actor', 'predicate-actor: come-mary', 'mary', 'come', 'come', False, False, False),
+    # 40: 'The old king came home.' — ref derived from the reference template rules (en language_specific_rules.py:1114-1325)
+    (40, 'governor-adjective', 'governor-adjective: come-home', 'come', 'home', 'come', False, False, False),
+    (40, 'governor-adjective', 'governor-adjective: king-old', 'king', 'old', 'king', False, False, False),
+    (40, 'predicate-actor', 'predicate-actor: come-king', 'king', 'come', 'come', False, False, False),
+    # 41: 'The dog was chased by the lion.' — ref derived from the reference template rules (en language_specific_rules.py:1114-1325)
+    (41, 'predicate-actor', 'predicate-actor: chase-lion', 'lion', 'chase', 'chase', False, False, False),
+    (41, 'predicate-passivesubject', 'predicate-passivesubject: chase-dog', 'chase', 'dog', 'chase', False, False, False),
+    (41, 'prep-noun', 'prep-noun: by-lion', 'by', 'lion', 'by', False, False, False),
+    # 42: 'Three lions chased two mice.' — ref derived from the reference template rules (en language_specific_rules.py:1114-1325)
+    (42, 'number-noun', 'number-noun: lion-three', 'lion', 'three', 'lion', False, False, False),
+    (42, 'number-noun', 'number-noun: mouse-two', 'mouse', 'two', 'mouse', False, False, False),
+    (42, 'predicate-actor', 'predicate-actor: chase-lion', 'lion', 'chase', 'chase', False, False, False),
+    (42, 'predicate-patient', 'predicate-patient: chase-mouse', 'chase', 'mouse', 'chase', False, False, False),
+    # 43: 'The man decided to buy a house.' — ref derived from the reference template rules (en language_specific_rules.py:1114-1325)
+    (43, 'predicate-actor', 'predicate-actor: buy-man', 'man', 'buy', 'buy', False, True, False),
+    (43, 'predicate-actor', 'predicate-actor: decide-man', 'man', 'decide', 'decide', False, False, False),
+    (43, 'predicate-patient', 'predicate-patient: buy-house', 'buy', 'house', 'buy', False, False, False),
+    (43, 'predicate-patient', 'predicate-patient: decide-buy', 'decide', 'buy', 'decide', False, False, False),
+    # 44: 'The woman tried to open the door.' — ref derived from the reference template rules (en language_specific_rules.py:1114-1325)
+    (44, 'predicate-actor', 'predicate-actor: open-woman', 'woman', 'open', 'open', False, True, False),
+    (44, 'predicate-actor', 'predicate-actor: try-woman', 'woman', 'try', 'try', False, False, False),
+    (44, 'predicate-patient', 'predicate-patient: open-door', 'open', 'door', 'open', False, False, False),
+    (44, 'predicate-patient', 'predicate-patient: try-open', 'try', 'open', 'try', False, False, False),
+    # 45: 'The man saw the woman in the house.' — ref derived from the reference template rules (en language_specific_rules.py:1114-1325)
+    (45, 'predicate-actor', 'predicate-actor: see-man', 'man', 'see', 'see', False, False, False),
+    (45, 'predicate-patient', 'predicate-patient: see-woman', 'see', 'woman', 'see', False, False, False),
+    (45, 'prep-noun', 'prep-noun: in-house', 'in', 'house', 'in', False, False, False),
+    (45, 'prepgovernor-noun', 'prepgovernor-noun: see-house', 'see', 'house', 'see', False, False, False),
+    (45, 'prepgovernor-noun', 'prepgovernor-noun: woman-house', 'woman', 'house', 'woman', False, True, False),
+    # 46: 'I saw a dog. It was chasing a cat and a cat.' — ref tests/en/test_phraselet_production_EN.py:288-293 (It-coref variant)
+    (46, 'predicate-actor', 'predicate-actor: chase-dog', 'dog', 'chase', 'chase', False, False, True),
+    (46, 'predicate-patient', 'predicate-patient: chase-cat', 'chase', 'cat', 'chase', False, False, False),
+    (46, 'predicate-patient', 'predicate-patient: see-dog', 'see', 'dog', 'see', False, False, False),
+    # 47: 'A holiday is easy to book.' — ref derivation.csv:160 (ease,easy)
+    (47, 'governor-adjective', 'governor-adjective: holiday-ease', 'holiday', 'ease', 'holiday', False, False, False),
+    (47, 'predicate-toughmovedargument', 'predicate-toughmovedargument: book-holiday', 'book', 'holiday', 'book', False, True, False),
+    # 48: 'The account was opened by the manager.' — ref derived from the reference template rules (en language_specific_rules.py:1114-1325)
+    (48, 'predicate-actor', 'predicate-actor: open-manager', 'manager', 'open', 'open', False, False, False),
+    (48, 'predicate-passivesubject', 'predicate-passivesubject: open-account', 'open', 'account', 'open', False, False, False),
+    (48, 'prep-noun', 'prep-noun: by-manager', 'by', 'manager', 'by', False, False, False),
+    # 49: 'The information was extracted.' — ref derived from the reference template rules (en language_specific_rules.py:1114-1325)
+    (49, 'predicate-passivesubject', 'predicate-passivesubject: extract-inform', 'extract', 'inform', 'extract', False, False, False),
+    # 50: 'Houses are built quickly.' — ref derived from the reference template rules (en language_specific_rules.py:1114-1325)
+    (50, 'governor-adjective', 'governor-adjective: build-quick', 'build', 'quick', 'build', False, False, False),
+    (50, 'predicate-passivesubject', 'predicate-passivesubject: build-house', 'build', 'house', 'build', False, False, False),
+    # 51: 'The child found a dog in the garden.' — ref derived from the reference template rules (en language_specific_rules.py:1114-1325)
+    (51, 'predicate-actor', 'predicate-actor: find-child', 'child', 'find', 'find', False, False, False),
+    (51, 'predicate-patient', 'predicate-patient: find-dog', 'find', 'dog', 'find', False, False, False),
+    (51, 'prep-noun', 'prep-noun: in-garden', 'in', 'garden', 'in', False, False, False),
+    (51, 'prepgovernor-noun', 'prepgovernor-noun: dog-garden', 'dog', 'garden', 'dog', False, True, False),
+    (51, 'prepgovernor-noun', 'prepgovernor-noun: find-garden', 'find', 'garden', 'find', False, False, False),
+    # 52: 'The author wrote a book.' — ref derived from the reference template rules (en language_specific_rules.py:1114-1325)
+    (52, 'predicate-actor', 'predicate-actor: write-author', 'author', 'write', 'write', False, False, False),
+    (52, 'predicate-patient', 'predicate-patient: write-book', 'write', 'book', 'write', False, False, False),
+    # 53: 'Dogs chase cats.' — ref derived from the reference template rules (en language_specific_rules.py:1114-1325)
+    (53, 'predicate-actor', 'predicate-actor: chase-dog', 'dog', 'chase', 'chase', False, False, False),
+    (53, 'predicate-patient', 'predicate-patient: chase-cat', 'chase', 'cat', 'chase', False, False, False),
+    # 54: 'The farmer planted a tree.' — ref derived from the reference template rules (en language_specific_rules.py:1114-1325)
+    (54, 'predicate-actor', 'predicate-actor: plant-farmer', 'farmer', 'plant', 'plant', False, False, False),
+    (54, 'predicate-patient', 'predicate-patient: plant-tree', 'plant', 'tree', 'plant', False, False, False),
+    # 55: 'A bird ate the food.' — ref derived from the reference template rules (en language_specific_rules.py:1114-1325)
+    (55, 'predicate-actor', 'predicate-actor: eat-bird', 'bird', 'eat', 'eat', False, False, False),
+    (55, 'predicate-patient', 'predicate-patient: eat-food', 'eat', 'food', 'eat', False, False, False),
+    # 56: 'The student read the book.' — ref derived from the reference template rules (en language_specific_rules.py:1114-1325)
+    (56, 'predicate-actor', 'predicate-actor: read-student', 'student', 'read', 'read', False, False, False),
+    (56, 'predicate-patient', 'predicate-patient: read-book', 'read', 'book', 'read', False, False, False),
+    # 57: 'The doctor helped the child.' — ref derived from the reference template rules (en language_specific_rules.py:1114-1325)
+    (57, 'predicate-actor', 'predicate-actor: help-doctor', 'doctor', 'help', 'help', False, False, False),
+    (57, 'predicate-patient', 'predicate-patient: help-child', 'help', 'child', 'help', False, False, False),
+    # 58: 'A king bought a horse.' — ref derived from the reference template rules (en language_specific_rules.py:1114-1325)
+    (58, 'predicate-actor', 'predicate-actor: buy-king', 'king', 'buy', 'buy', False, False, False),
+    (58, 'predicate-patient', 'predicate-patient: buy-horse', 'buy', 'horse', 'buy', False, False, False),
+    # 59: 'The nurse watched the children.' — ref derived from the reference template rules (en language_specific_rules.py:1114-1325)
+    (59, 'predicate-actor', 'predicate-actor: watch-nurse', 'nurse', 'watch', 'watch', False, False, False),
+    (59, 'predicate-patient', 'predicate-patient: watch-child', 'watch', 'child', 'watch', False, False, False),
+    # 60: 'The hunter caught a fox.' — ref derived from the reference template rules (en language_specific_rules.py:1114-1325)
+    (60, 'predicate-actor', 'predicate-actor: catch-hunter', 'hunter', 'catch', 'catch', False, False, False),
+    (60, 'predicate-patient', 'predicate-patient: catch-fox', 'catch', 'fox', 'catch', False, False, False),
+    # 61: 'The boy broke the window.' — ref derived from the reference template rules (en language_specific_rules.py:1114-1325)
+    (61, 'predicate-actor', 'predicate-actor: break-boy', 'boy', 'break', 'break', False, False, False),
+    (61, 'predicate-patient', 'predicate-patient: break-window', 'break', 'window', 'break', False, False, False),
+    # 62: 'A woman sold the car.' — ref derived from the reference template rules (en language_specific_rules.py:1114-1325)
+    (62, 'predicate-actor', 'predicate-actor: sell-woman', 'woman', 'sell', 'sell', False, False, False),
+    (62, 'predicate-patient', 'predicate-patient: sell-car', 'sell', 'car', 'sell', False, False, False),
+    # 63: 'A teacher explained the lesson.' — ref derived from the reference template rules (en language_specific_rules.py:1114-1325)
+    (63, 'predicate-actor', 'predicate-actor: explain-teacher', 'teacher', 'explain', 'explain', False, False, False),
+    (63, 'predicate-patient', 'predicate-patient: explain-lesson', 'explain', 'lesson', 'explain', False, False, False),
+    # 64: 'A child threw the ball.' — ref derived from the reference template rules (en language_specific_rules.py:1114-1325)
+    (64, 'predicate-actor', 'predicate-actor: throw-child', 'child', 'throw', 'throw', False, False, False),
+    (64, 'predicate-patient', 'predicate-patient: throw-ball', 'throw', 'ball', 'throw', False, False, False),
+    # 65: 'The cat ate a mouse.' — ref derived from the reference template rules (en language_specific_rules.py:1114-1325)
+    (65, 'predicate-actor', 'predicate-actor: eat-cat', 'cat', 'eat', 'eat', False, False, False),
+    (65, 'predicate-patient', 'predicate-patient: eat-mouse', 'eat', 'mouse', 'eat', False, False, False),
+    # 66: 'The rich man sang quickly.' — ref derived from the reference template rules (en language_specific_rules.py:1114-1325)
+    (66, 'governor-adjective', 'governor-adjective: man-rich', 'man', 'rich', 'man', False, False, False),
+    (66, 'governor-adjective', 'governor-adjective: sing-quick', 'sing', 'quick', 'sing', False, False, False),
+    (66, 'predicate-actor', 'predicate-actor: sing-man', 'man', 'sing', 'sing', False, False, False),
+    # 67: 'The sick woman slept.' — ref derived from the reference template rules (en language_specific_rules.py:1114-1325)
+    (67, 'governor-adjective', 'governor-adjective: woman-sick', 'woman', 'sick', 'woman', False, False, False),
+    (67, 'predicate-actor', 'predicate-actor: sleep-woman', 'woman', 'sleep', 'sleep', False, False, False),
+    # 68: 'The famous author visited the village.' — ref derived from the reference template rules (en language_specific_rules.py:1114-1325)
+    (68, 'governor-adjective', 'governor-adjective: author-famous', 'author', 'famous', 'author', False, False, False),
+    (68, 'predicate-actor', 'predicate-actor: visit-author', 'author', 'visit', 'visit', False, False, False),
+    (68, 'predicate-patient', 'predicate-patient: visit-village', 'visit', 'village', 'visit', False, False, False),
+    # 69: 'The workers repaired the bridge.' — ref derived from the reference template rules (en language_specific_rules.py:1114-1325)
+    (69, 'predicate-actor', 'predicate-actor: repair-worker', 'worker', 'repair', 'repair', False, False, False),
+    (69, 'predicate-patient', 'predicate-patient: repair-bridge', 'repair', 'bridge', 'repair', False, False, False),
+    # 70: 'A girl painted a picture.' — ref derived from the reference template rules (en language_specific_rules.py:1114-1325)
+    (70, 'predicate-actor', 'predicate-actor: paint-girl', 'girl', 'paint', 'paint', False, False, False),
+    (70, 'predicate-patient', 'predicate-patient: paint-picture', 'paint', 'picture', 'paint', False, False, False),
+    # 71: 'The criminal stole the car.' — ref derived from the reference template rules (en language_specific_rules.py:1114-1325)
+    (71, 'predicate-actor', 'predicate-actor: steal-criminal', 'criminal', 'steal', 'steal', False, False, False),
+    (71, 'predicate-patient', 'predicate-patient: steal-car', 'steal', 'car', 'steal', False, False, False),
+    # 72: 'The manager delivered a letter to the employee.' — ref derived from the reference template rules (en language_specific_rules.py:1114-1325)
+    (72, 'predicate-actor', 'predicate-actor: deliver-manager', 'manager', 'deliver', 'deliver', False, False, False),
+    (72, 'predicate-patient', 'predicate-patient: deliver-letter', 'deliver', 'letter', 'deliver', False, False, False),
+    (72, 'predicate-recipient', 'predicate-recipient: deliver-employee', 'deliver', 'employee', 'deliver', False, False, False),
+    (72, 'prep-noun', 'prep-noun: to-employee', 'to', 'employee', 'to', False, False, False),
+    # 73: 'The ship sank in the sea.' — ref derived from the reference template rules (en language_specific_rules.py:1114-1325)
+    (73, 'predicate-actor', 'predicate-actor: sink-ship', 'ship', 'sink', 'sink', False, False, False),
+    (73, 'prep-noun', 'prep-noun: in-sea', 'in', 'sea', 'in', False, False, False),
+    (73, 'prepgovernor-noun', 'prepgovernor-noun: sink-sea', 'sink', 'sea', 'sink', False, False, False),
+    # 74: 'The boat approached the bridge.' — ref derived from the reference template rules (en language_specific_rules.py:1114-1325)
+    (74, 'predicate-actor', 'predicate-actor: approach-boat', 'boat', 'approach', 'approach', False, False, False),
+    (74, 'predicate-patient', 'predicate-patient: approach-bridge', 'approach', 'bridge', 'approach', False, False, False),
+    # 75: 'The king of the castle bought a horse.' — ref derived from the reference template rules (en language_specific_rules.py:1114-1325)
+    (75, 'predicate-actor', 'predicate-actor: buy-king', 'king', 'buy', 'buy', False, False, False),
+    (75, 'predicate-patient', 'predicate-patient: buy-horse', 'buy', 'horse', 'buy', False, False, False),
+    (75, 'word-ofword', 'word-ofword: king-castle', 'king', 'castle', 'king', False, False, False),
+    # 76: 'The cook washed the dishes.' — ref derived from the reference template rules (en language_specific_rules.py:1114-1325)
+    (76, 'predicate-actor', 'predicate-actor: wash-cook', 'cook', 'wash', 'wash', False, False, False),
+    (76, 'predicate-patient', 'predicate-patient: wash-dish', 'wash', 'dish', 'wash', False, False, False),
+    # 77: 'The king sang in the castle.' — ref derived from the reference template rules (en language_specific_rules.py:1114-1325)
+    (77, 'predicate-actor', 'predicate-actor: sing-king', 'king', 'sing', 'sing', False, False, False),
+    (77, 'prep-noun', 'prep-noun: in-castle', 'in', 'castle', 'in', False, False, False),
+    (77, 'prepgovernor-noun', 'prepgovernor-noun: sing-castle', 'sing', 'castle', 'sing', False, False, False),
+    # 78: 'The doctor visited the sick child.' — ref derived from the reference template rules (en language_specific_rules.py:1114-1325)
+    (78, 'governor-adjective', 'governor-adjective: child-sick', 'child', 'sick', 'child', False, False, False),
+    (78, 'predicate-actor', 'predicate-actor: visit-doctor', 'doctor', 'visit', 'visit', False, False, False),
+    (78, 'predicate-patient', 'predicate-patient: visit-child', 'visit', 'child', 'visit', False, False, False),
+    # 79: 'The gentle teacher helped the students.' — ref derived from the reference template rules (en language_specific_rules.py:1114-1325)
+    (79, 'governor-adjective', 'governor-adjective: teacher-gentle', 'teacher', 'gentle', 'teacher', False, False, False),
+    (79, 'predicate-actor', 'predicate-actor: help-teacher', 'teacher', 'help', 'help', False, False, False),
+    (79, 'predicate-patient', 'predicate-patient: help-student', 'help', 'student', 'help', False, False, False),
+    # 80: 'No man opened the door.' — ref derived from the reference template rules (en language_specific_rules.py:1114-1325)
+    (80, 'predicate-actor', 'predicate-actor: open-man', 'man', 'open', 'open', True, False, False),
+    (80, 'predicate-patient', 'predicate-patient: open-door', 'open', 'door', 'open', False, False, False),
+    # 81: 'The boy did not break the window.' — ref derived from the reference template rules (en language_specific_rules.py:1114-1325)
+    (81, 'predicate-actor', 'predicate-actor: break-boy', 'boy', 'break', 'break', True, False, False),
+    (81, 'predicate-patient', 'predicate-patient: break-window', 'break', 'window', 'break', True, False, False),
+    # 82: 'The girl never visited the castle.' — ref derived from the reference template rules (en language_specific_rules.py:1114-1325)
+    (82, 'predicate-actor', 'predicate-actor: visit-girl', 'girl', 'visit', 'visit', True, False, False),
+    (82, 'predicate-patient', 'predicate-patient: visit-castle', 'visit', 'castle', 'visit', True, False, False),
+    # 83: 'An old woman fed the birds.' — ref derived from the reference template rules (en language_specific_rules.py:1114-1325)
+    (83, 'governor-adjective', 'governor-adjective: woman-old', 'woman', 'old', 'woman', False, False, False),
+    (83, 'predicate-actor', 'predicate-actor: feed-woman', 'woman', 'feed', 'feed', False, False, False),
+    (83, 'predicate-patient', 'predicate-patient: feed-bird', 'feed', 'bird', 'feed', False, False, False),
+    # 84: 'The strong man carried the table.' — ref derived from the reference template rules (en language_specific_rules.py:1114-1325)
+    (84, 'governor-adjective', 'governor-adjective: man-strong', 'man', 'strong', 'man', False, False, False),
+    (84, 'predicate-actor', 'predicate-actor: carry-man', 'man', 'carry', 'carry', False, False, False),
+    (84, 'predicate-patient', 'predicate-patient: carry-table', 'carry', 'table', 'carry', False, False, False),
+    # 85: 'A small dog barked.' — ref derived from the reference template rules (en language_specific_rules.py:1114-1325)
+    (85, 'governor-adjective', 'governor-adjective: dog-small', 'dog', 'small', 'dog', False, False, False),
+    (85, 'predicate-actor', 'predicate-actor: bark-dog', 'dog', 'bark', 'bark', False, False, False),
+    # 86: 'The tired child slept in the house.' — ref derived from the reference template rules (en language_specific_rules.py:1114-1325)
+    (86, 'governor-adjective', 'governor-adjective: child-tire', 'child', 'tire', 'child', False, False, False),
+    (86, 'predicate-actor', 'predicate-actor: sleep-child', 'child', 'sleep', 'sleep', False, False, False),
+    (86, 'prep-noun', 'prep-noun: in-house', 'in', 'house', 'in', False, False, False),
+    (86, 'prepgovernor-noun', 'prepgovernor-noun: sleep-house', 'sleep', 'house', 'sleep', False, False, False),
+    # 87: 'The man of the house opened the door.' — ref derived from the reference template rules (en language_specific_rules.py:1114-1325)
+    (87, 'predicate-actor', 'predicate-actor: open-man', 'man', 'open', 'open', False, False, False),
+    (87, 'predicate-patient', 'predicate-patient: open-door', 'open', 'door', 'open', False, False, False),
+    (87, 'word-ofword', 'word-ofword: man-house', 'man', 'house', 'man', False, False, False),
+    # 88: 'Two birds flew over the river.' — ref derived from the reference template rules (en language_specific_rules.py:1114-1325)
+    (88, 'number-noun', 'number-noun: bird-two', 'bird', 'two', 'bird', False, False, False),
+    (88, 'predicate-actor', 'predicate-actor: fly-bird', 'bird', 'fly', 'fly', False, False, False),
+    (88, 'prep-noun', 'prep-noun: over-river', 'over', 'river', 'over', False, False, False),
+    (88, 'prepgovernor-noun', 'prepgovernor-noun: fly-river', 'fly', 'river', 'fly', False, False, False),
+    # 89: 'John came home.' — ref derived from the reference template rules (en language_specific_rules.py:1114-1325)
+    (89, 'governor-adjective', 'governor-adjective: come-home', 'come', 'home', 'come', False, False, False),
+    (89, 'predicate-actor', 'predicate-actor: come-john', 'john', 'come', 'come', False, False, False),
+    # 90: 'The happy girl sang a song.' — ref derived from the reference template rules (en language_specific_rules.py:1114-1325)
+    (90, 'governor-adjective', 'governor-adjective: girl-happy', 'girl', 'happy', 'girl', False, False, False),
+    (90, 'predicate-actor', 'predicate-actor: sing-girl', 'girl', 'sing', 'sing', False, False, False),
+    (90, 'predicate-patient', 'predicate-patient: sing-song', 'sing', 'song', 'sing', False, False, False),
+    (91, 'verb-acc', 'verb-acc: jagd-katze', 'jagd', 'katze', 'jagd', False, False, False),
+    (91, 'verb-nom', 'verb-nom: jagd-hund', 'hund', 'jagd', 'jagd', False, False, False),
+    (92, 'intcompound', 'intcompound: information-polizei', 'information', 'polizei', 'information', False, False, False),
+    (92, 'prep-noun', 'prep-noun: über-kriminelle', 'über', 'kriminelle', 'über', False, False, False),
+    (92, 'prepgovernor-noun', 'prepgovernor-noun: information-kriminelle', 'information', 'kriminelle', 'information', False, False, False),
+    (92, 'prepgovernor-noun', 'prepgovernor-noun: polizeiinformation-kriminelle', 'polizeiinformation', 'kriminelle', 'polizeiinformation', False, False, False),
+    (93, 'noun-dependent', 'noun-dependent: mann-reich', 'mann', 'reich', 'mann', False, False, False),
+    (93, 'prep-noun', 'prep-noun: nach-haus', 'nach', 'haus', 'nach', False, False, False),
+    (93, 'prepgovernor-noun', 'prepgovernor-noun: kommen-haus', 'kommen', 'haus', 'kommen', False, False, False),
+    (93, 'verb-nom', 'verb-nom: kommen-mann', 'mann', 'kommen', 'kommen', False, False, False),
+    (94, 'prep-noun', 'prep-noun: vom-hund', 'vom', 'hund', 'vom', False, False, False),
+    (94, 'verb-acc', 'verb-acc: jagd-katze', 'jagd', 'katze', 'jagd', False, False, False),
+    (94, 'verb-nom', 'verb-nom: jagd-hund', 'hund', 'jagd', 'jagd', False, False, False),
+    (95, 'verb-acc', 'verb-acc: jagd-katze', 'jagd', 'katze', 'jagd', True, False, False),
+    (95, 'verb-nom', 'verb-nom: jagd-hund', 'hund', 'jagd', 'jagd', True, False, False),
+    # 96: 'Der Hund jagte die Katze und die Maus.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
+    (96, 'verb-acc', 'verb-acc: jagd-katze', 'jagd', 'katze', 'jagd', False, False, False),
+    (96, 'verb-acc', 'verb-acc: jagd-maus', 'jagd', 'maus', 'jagd', False, False, False),
+    (96, 'verb-nom', 'verb-nom: jagd-hund', 'hund', 'jagd', 'jagd', False, False, False),
+    # 97: 'Die Polizei jagte den Kriminellen.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
+    (97, 'verb-acc', 'verb-acc: jagd-kriminelle', 'jagd', 'kriminelle', 'jagd', False, False, False),
+    (97, 'verb-nom', 'verb-nom: jagd-polizei', 'polizei', 'jagd', 'jagd', False, False, False),
+    # 98: 'Die Katze wurde nicht gejagt.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
+    (98, 'verb-acc', 'verb-acc: jagd-katze', 'jagd', 'katze', 'jagd', True, False, False),
+    # 99: 'Der kleine Hund sah die Katze.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
+    (99, 'noun-dependent', 'noun-dependent: hund-klein', 'hund', 'klein', 'hund', False, False, False),
+    (99, 'verb-acc', 'verb-acc: sehen-katze', 'sehen', 'katze', 'sehen', False, False, False),
+    (99, 'verb-nom', 'verb-nom: sehen-hund', 'hund', 'sehen', 'sehen', False, False, False),
+    # 100: 'Die Wohnungsgesellschaft verkaufte das Haus.' — ref de templates de/language_specific_rules.py:1697-1960 + subword walk (head-subword variant per tests/de/test_phraselet_production_DE.py:112-135)
+    (100, 'intcompound', 'intcompound: gesellschaft-wohnung', 'gesellschaft', 'wohnung', 'gesellschaft', False, False, False),
+    (100, 'verb-acc', 'verb-acc: verkauf-haus', 'verkauf', 'haus', 'verkauf', False, False, False),
+    (100, 'verb-nom', 'verb-nom: verkauf-gesellschaft', 'gesellschaft', 'verkauf', 'verkauf', False, False, False),
+    (100, 'verb-nom', 'verb-nom: verkauf-wohnungsgesellschaft', 'wohnungsgesellschaft', 'verkauf', 'verkauf', False, False, False),
+    # 101: 'Das Kind öffnete die Tür.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
+    (101, 'verb-acc', 'verb-acc: öffnen-tür', 'öffnen', 'tür', 'öffnen', False, False, False),
+    (101, 'verb-nom', 'verb-nom: öffnen-kind', 'kind', 'öffnen', 'öffnen', False, False, False),
+    # 102: 'Der reiche Mann kaufte ein Auto.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
+    (102, 'noun-dependent', 'noun-dependent: mann-reich', 'mann', 'reich', 'mann', False, False, False),
+    (102, 'verb-acc', 'verb-acc: kauf-auto', 'kauf', 'auto', 'kauf', False, False, False),
+    (102, 'verb-nom', 'verb-nom: kauf-mann', 'mann', 'kauf', 'kauf', False, False, False),
+    # 103: 'Die Versicherungsgesellschaft informierte den Mann.' — ref de derivation.csv:201 (information,informieren)
+    (103, 'intcompound', 'intcompound: gesellschaft-versicherung', 'gesellschaft', 'versicherung', 'gesellschaft', False, False, False),
+    (103, 'verb-acc', 'verb-acc: information-mann', 'information', 'mann', 'information', False, False, False),
+    (103, 'verb-nom', 'verb-nom: information-gesellschaft', 'gesellschaft', 'information', 'information', False, False, False),
+    (103, 'verb-nom', 'verb-nom: information-versicherungsgesellschaft', 'versicherungsgesellschaft', 'information', 'information', False, False, False),
+    # 104: 'Der Mann sah den Hund im Garten.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
+    (104, 'prep-noun', 'prep-noun: im-garten', 'im', 'garten', 'im', False, False, False),
+    (104, 'prepgovernor-noun', 'prepgovernor-noun: hund-garten', 'hund', 'garten', 'hund', False, True, False),
+    (104, 'prepgovernor-noun', 'prepgovernor-noun: sehen-garten', 'sehen', 'garten', 'sehen', False, False, False),
+    (104, 'verb-acc', 'verb-acc: sehen-hund', 'sehen', 'hund', 'sehen', False, False, False),
+    (104, 'verb-nom', 'verb-nom: sehen-mann', 'mann', 'sehen', 'sehen', False, False, False),
+    # 105: 'Die Frau las ein Buch.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
+    (105, 'verb-acc', 'verb-acc: lesen-buch', 'lesen', 'buch', 'lesen', False, False, False),
+    (105, 'verb-nom', 'verb-nom: lesen-frau', 'frau', 'lesen', 'lesen', False, False, False),
+    # 106: 'Die Kinder spielten im Garten.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
+    (106, 'prep-noun', 'prep-noun: im-garten', 'im', 'garten', 'im', False, False, False),
+    (106, 'prepgovernor-noun', 'prepgovernor-noun: spiel-garten', 'spiel', 'garten', 'spiel', False, False, False),
+    (106, 'verb-nom', 'verb-nom: spiel-kind', 'kind', 'spiel', 'spiel', False, False, False),
 ]
 
-# (snip_id, word)
+# (snip_id, word) — the reference's single-word phraselets
 GOLDEN_WORDS: list[tuple] = [
-    (0, "dog"), (0, "cat"),
-    (1, "cat"), (1, "dog"),
-    (2, "dog"), (2, "cat"),
-    (3, "dog"), (3, "cat"),
-    (4, "cat"), (4, "dog"),
-    (5, "richard paul hudson"),
-    (6, "plant"),
-    (7, "plant"),
-    (8, "man"),
-    (9, "man"),
-    (10, "file"), (10, "employee"),
-    (11, "dog"), (11, "man"), (11, "cat"),
-    (12, "dog"), (12, "cat"),
-    (13, "man"), (13, "garden"),
-    (15, "man"), (15, "cat"),
-    (16, "cat"), (16, "dog"),
-    (17, "man"), (17, "account"),
-    (18, "man"), (18, "dog"), (18, "garden"),
-    (19, "holiday"),
-    (20, "hund"), (20, "katze"),
-    (21, "polizeiinformation"), (21, "polizei"), (21, "informieren"),
-    (21, "kriminelle"),
-    (22, "mann"), (22, "haus"),
-    (23, "katze"), (23, "hund"),
-    (24, "hund"), (24, "katze"),
+    (21, 'sailor'),
+    (27, 'man'),
+    (0, 'cat'),
+    (0, 'dog'),
+    (1, 'cat'),
+    (1, 'dog'),
+    (2, 'cat'),
+    (2, 'dog'),
+    (3, 'cat'),
+    (3, 'dog'),
+    (4, 'cat'),
+    (4, 'dog'),
+    (5, 'richard paul hudson'),
+    (6, 'plant'),
+    (7, 'plant'),
+    (8, 'man'),
+    (9, 'man'),
+    (10, 'employee'),
+    (10, 'file'),
+    (11, 'cat'),
+    (11, 'dog'),
+    (11, 'man'),
+    (12, 'cat'),
+    (12, 'dog'),
+    (13, 'garden'),
+    (13, 'man'),
+    (15, 'cat'),
+    (15, 'man'),
+    (16, 'cat'),
+    (16, 'dog'),
+    (17, 'account'),
+    (17, 'man'),
+    (18, 'dog'),
+    (18, 'garden'),
+    (18, 'man'),
+    (19, 'holiday'),
+    (20, 'plant'),
+    (22, 'hobby'),
+    (22, 'plant'),
+    (23, 'gardener'),
+    (23, 'plant'),
+    (24, 'gardener'),
+    (24, 'hobby'),
+    (24, 'plant'),
+    (24, 'sun'),
+    (25, 'plant'),
+    (26, 'extract'),
+    (26, 'inform'),
+    (27, 'insurance'),
+    (27, 'year'),
+    (28, 'plant'),
+    (29, 'door'),
+    (30, 'cat'),
+    (30, 'dog'),
+    (31, 'cat'),
+    (31, 'dog'),
+    (32, 'cat'),
+    (32, 'dog'),
+    (32, 'lion'),
+    (33, 'cat'),
+    (33, 'dog'),
+    (33, 'mouse'),
+    (34, 'lion'),
+    (34, 'mouse'),
+    (35, 'hound'),
+    (35, 'kitten'),
+    (36, 'account'),
+    (36, 'man'),
+    (37, 'employee'),
+    (37, 'insurance'),
+    (38, 'account'),
+    (38, 'richard paul hudson'),
+    (39, 'mary'),
+    (40, 'king'),
+    (41, 'dog'),
+    (41, 'lion'),
+    (42, 'lion'),
+    (42, 'mouse'),
+    (43, 'house'),
+    (43, 'man'),
+    (44, 'door'),
+    (44, 'woman'),
+    (45, 'house'),
+    (45, 'man'),
+    (45, 'woman'),
+    (46, 'cat'),
+    (46, 'dog'),
+    (47, 'holiday'),
+    (48, 'account'),
+    (48, 'manager'),
+    (49, 'inform'),
+    (50, 'house'),
+    (51, 'child'),
+    (51, 'dog'),
+    (51, 'garden'),
+    (52, 'author'),
+    (52, 'book'),
+    (53, 'cat'),
+    (53, 'dog'),
+    (54, 'farmer'),
+    (54, 'tree'),
+    (55, 'bird'),
+    (55, 'food'),
+    (56, 'book'),
+    (56, 'student'),
+    (57, 'child'),
+    (57, 'doctor'),
+    (58, 'horse'),
+    (58, 'king'),
+    (59, 'child'),
+    (59, 'nurse'),
+    (60, 'fox'),
+    (60, 'hunter'),
+    (61, 'boy'),
+    (61, 'window'),
+    (62, 'car'),
+    (62, 'woman'),
+    (63, 'lesson'),
+    (63, 'teacher'),
+    (64, 'ball'),
+    (64, 'child'),
+    (65, 'cat'),
+    (65, 'mouse'),
+    (66, 'man'),
+    (67, 'woman'),
+    (68, 'author'),
+    (68, 'village'),
+    (69, 'bridge'),
+    (69, 'worker'),
+    (70, 'girl'),
+    (70, 'picture'),
+    (71, 'car'),
+    (71, 'criminal'),
+    (72, 'employee'),
+    (72, 'letter'),
+    (72, 'manager'),
+    (73, 'sea'),
+    (73, 'ship'),
+    (74, 'boat'),
+    (74, 'bridge'),
+    (75, 'castle'),
+    (75, 'horse'),
+    (75, 'king'),
+    (76, 'cook'),
+    (76, 'dish'),
+    (77, 'castle'),
+    (77, 'king'),
+    (78, 'child'),
+    (78, 'doctor'),
+    (79, 'student'),
+    (79, 'teacher'),
+    (80, 'door'),
+    (80, 'man'),
+    (81, 'boy'),
+    (81, 'window'),
+    (82, 'castle'),
+    (82, 'girl'),
+    (83, 'bird'),
+    (83, 'woman'),
+    (84, 'man'),
+    (84, 'table'),
+    (85, 'dog'),
+    (86, 'child'),
+    (86, 'house'),
+    (87, 'door'),
+    (87, 'house'),
+    (87, 'man'),
+    (88, 'bird'),
+    (88, 'river'),
+    (89, 'john'),
+    (90, 'girl'),
+    (90, 'song'),
+    (91, 'hund'),
+    (91, 'katze'),
+    (92, 'kriminelle'),
+    (92, 'polizeiinformation'),
+    (93, 'haus'),
+    (93, 'mann'),
+    (94, 'hund'),
+    (94, 'katze'),
+    (95, 'hund'),
+    (95, 'katze'),
+    (96, 'hund'),
+    (96, 'katze'),
+    (96, 'maus'),
+    (97, 'kriminelle'),
+    (97, 'polizei'),
+    (98, 'katze'),
+    (99, 'hund'),
+    (99, 'katze'),
+    (100, 'haus'),
+    (100, 'wohnungsgesellschaft'),
+    (101, 'kind'),
+    (101, 'tür'),
+    (102, 'auto'),
+    (102, 'mann'),
+    (103, 'mann'),
+    (103, 'versicherungsgesellschaft'),
+    (104, 'garten'),
+    (104, 'hund'),
+    (104, 'mann'),
+    (105, 'buch'),
+    (105, 'frau'),
+    (106, 'garten'),
+    (106, 'kind'),
 ]
+
+# per-snippet structural-match annotations (snip_id, negated, involves_coref);
+# match-level negation ORs over matched doc tokens (reference
+# structural_matching.py:381-465)
+MATCH_DOG_CHASES_CAT: list[tuple] = [(0, 0, 0), (1, 0, 0), (2, 1, 0), (3, 1, 0), (4, 0, 1), (11, 0, 0), (12, 0, 0), (16, 0, 0), (30, 0, 0), (31, 1, 0), (32, 0, 0), (33, 0, 0), (46, 0, 1), (53, 0, 0)]
+
+MATCH_ANIMAL_CHASES_ANIMAL: list[tuple] = [(0, 0, 0), (1, 0, 0), (2, 1, 0), (3, 1, 0), (4, 0, 1), (11, 0, 0), (12, 0, 0), (16, 0, 0), (30, 0, 0), (31, 1, 0), (32, 0, 0), (33, 0, 0), (35, 0, 0), (46, 0, 1), (53, 0, 0), (91, 0, 0), (94, 0, 0), (95, 1, 0), (96, 0, 0)]
+
+MATCH_PERSON_COMES_HOME: list[tuple] = [(5, 0, 0), (39, 0, 0), (89, 0, 0)]
+
+# (snip_id, answer) for the question query 'Who came?'
+QUESTION_ANSWERS: list[tuple] = [(5, 'richard paul hudson'), (39, 'mary'), (89, 'john')]
+
 
 # deterministic word-vector fixture for embedding-based matching (the
 # reference reads vectors off the spaCy model; we broadcast a table).

@@ -46,7 +46,9 @@ IRREGULAR_EN: dict[str, str] = {
     "woke": "wake", "woken": "wake", "wore": "wear", "worn": "wear",
     "broke": "break", "broken": "break", "threw": "throw", "thrown": "throw",
     "swam": "swim", "swum": "swim", "bit": "bite", "bitten": "bite",
-    "fed": "feed", "men": "man", "women": "woman", "children": "child",
+    "fed": "feed", "stole": "steal", "stolen": "steal",
+    "sank": "sink", "sunk": "sink", "lent": "lend",
+    "men": "man", "women": "woman", "children": "child",
     "people": "person", "mice": "mouse", "feet": "foot", "teeth": "tooth",
     "chasing": "chase", "used": "use", "using": "use",
 }
@@ -64,12 +66,22 @@ _KEEP_S = {"always", "perhaps", "species", "news", "bus", "gas", "yes",
 
 
 def _strip_ed_ing(w: str) -> str:
+    if w.endswith("ied") and len(w) > 4:
+        return w[:-3] + "y"  # tried -> try
     if w.endswith("ing") and len(w) > 5:
         stem = w[:-3]
     elif w.endswith("ed") and len(w) > 4:
         stem = w[:-2]
     else:
         return w
+    # vocabulary check first (the reference validates stems against the
+    # model vocab, en language_specific_rules.py:494-556): a known verb
+    # lemma wins over the heuristics (visited -> visit, chased -> chase)
+    from .lexicon import VERB_LEMMAS_EN
+    if stem in VERB_LEMMAS_EN:
+        return stem
+    if stem + "e" in VERB_LEMMAS_EN:
+        return stem + "e"
     if len(stem) > 2 and stem[-1] == stem[-2] and stem[-1] not in "aeiouls":
         return stem[:-1]  # chopped -> chop
     if stem.endswith(_E_RESTORE_ENDINGS):
@@ -101,20 +113,24 @@ def lemma_en_sql(col: str) -> str:
 
     Generated from the same rule tables — the oracle-side mirror.
     """
+    from .lexicon import VERB_LEMMAS_EN
     irr = ",".join(
         f"('{k}','{v}')" for k, v in sorted(IRREGULAR_EN.items())
     )
     keep_s = ",".join(f"'{w}'" for w in sorted(_KEEP_S))
+    verbs = ",".join(f"'{w}'" for w in sorted(VERB_LEMMAS_EN))
     restore = " OR ".join(
         f"stem LIKE '%{e}'" for e in _E_RESTORE_ENDINGS
     )
     # NOTE: mirrors the Python control flow 1:1; any rule change must be
-    # made in both (tests/test_lemmatizer.py asserts equivalence).
+    # made in both (tests/test_nlp.py asserts equivalence).
     return f"""(
       CASE
         WHEN lower({col}) IN (SELECT k FROM (VALUES {irr}) t(k, v))
           THEN (SELECT v FROM (VALUES {irr}) t(k, v) WHERE k = lower({col}))
         WHEN lower({col}) IN ({keep_s}) THEN lower({col})
+        WHEN lower({col}) LIKE '%ied' AND length({col}) > 4
+          THEN substr(lower({col}), 1, length({col}) - 3) || 'y'
         WHEN lower({col}) LIKE '%ies' AND length({col}) > 4
           THEN substr(lower({col}), 1, length({col}) - 3) || 'y'
         WHEN (lower({col}) LIKE '%sses' OR lower({col}) LIKE '%shes'
@@ -128,6 +144,8 @@ def lemma_en_sql(col: str) -> str:
         ELSE (
           SELECT CASE
             WHEN stem IS NULL THEN lower({col})
+            WHEN stem IN ({verbs}) THEN stem
+            WHEN stem || 'e' IN ({verbs}) THEN stem || 'e'
             WHEN length(stem) > 2
                  AND substr(stem, length(stem), 1) = substr(stem, length(stem) - 1, 1)
                  AND substr(stem, length(stem), 1) NOT IN
@@ -208,6 +226,13 @@ IRREGULAR_DE: dict[str, str] = {
     "informierte": "informieren", "informiert": "informieren",
     "öffnete": "öffnen", "öffnet": "öffnen", "geöffnet": "öffnen",
     "kaufte": "kaufen", "kauft": "kaufen", "gekauft": "kaufen",
+    "verkaufte": "verkaufen", "verkauft": "verkaufen",
+    "las": "lesen", "liest": "lesen", "gelesen": "lesen",
+    "schrieb": "schreiben", "geschrieben": "schreiben",
+    "traf": "treffen", "getroffen": "treffen",
+    "spielte": "spielen", "spielten": "spielen", "gespielt": "spielen",
+    "lasen": "lesen",
+    "mäuse": "maus", "türen": "tür", "autos": "auto",
     "ist": "sein", "war": "sein", "sind": "sein", "waren": "sein",
     "hat": "haben", "hatte": "haben",
     "wurde": "werden", "wurden": "werden", "wird": "werden",
@@ -230,10 +255,13 @@ def lemma_de(word: str) -> str:
     return w
 
 
-DERIVATION_DE: dict[str, str] = {
-    "information": "informieren", "extraktion": "extrahieren",
-    "verkauf": "verkaufen", "jagd": "jagen", "wachstum": "wachsen",
-}
+# transcribed reference table (lang/de/data/derivation.csv) — NOTE the
+# German canonical form is the FIRST word of each line, which is the
+# NOUN (jagen→jagd, geben→gabe, informieren→information), unlike the
+# English table where the verb usually comes first.
+from .derivation_data import DERIVATION_MAP_DE
+
+DERIVATION_DE: dict[str, str] = dict(DERIVATION_MAP_DE)
 
 
 def derived_lemma_de(lemma: str) -> str:

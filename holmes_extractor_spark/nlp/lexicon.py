@@ -68,7 +68,8 @@ ADVERBS_EN = {
     "quickly", "slowly", "very", "now", "here", "there", "home", "today",
     "yesterday", "tomorrow", "always", "often", "sometimes", "soon",
     "again", "away", "together", "well", "too", "also", "just", "still",
-    "already", "almost", "quite", "rather", "hard", "fast",
+    "already", "almost", "quite", "rather", "hard", "fast", "never",
+    "abroad", "everywhere", "outside", "inside", "upstairs", "downstairs",
 }
 
 ADJECTIVES_EN = {
@@ -78,7 +79,9 @@ ADJECTIVES_EN = {
     "tired", "hungry", "angry", "gentle", "serious", "important",
     "interesting", "beautiful", "strong", "weak", "dark", "light",
     "clean", "dirty", "full", "empty", "nice", "fine", "red", "green",
-    "blue", "black", "white", "brown",
+    "blue", "black", "white", "brown", "healthy", "sick", "famous",
+    "difficult", "expensive", "cheap", "loud", "quiet", "tough",
+    "impossible", "simple",
 }
 
 ADJ_SUFFIXES_EN = ("ful", "ous", "ive", "able", "ible", "al", "ic", "ish", "less")
@@ -107,6 +110,8 @@ VERB_LEMMAS_EN = {
     "decide", "agree", "plan", "promise", "refuse", "attempt", "manage",
     "fail", "hope", "wish", "intend", "continue", "choose", "prefer",
     "pursue", "observe", "examine", "discover", "describe", "explain",
+    "sail", "progress", "perform", "extract", "sink", "approach",
+    "repair", "paint", "steal", "borrow", "lend", "deliver",
 }
 
 # nouns that would otherwise look verbal (tagged NOUN after DET/ADJ)
@@ -120,6 +125,11 @@ NOUN_LEXICON_EN = {
     "mountain", "sea", "sky", "sun", "moon", "star", "friend", "family",
     "mother", "father", "brother", "sister", "king", "queen", "student",
     "teacher", "doctor", "nurse", "police", "information", "criminal",
+    "hobby", "gardener", "insurance", "extraction", "manager", "author",
+    "farmer", "fox", "key", "ball", "lesson", "dish", "wolf", "kitten",
+    "hound", "puppy", "boy", "girl", "letter", "song", "picture",
+    "ship", "boat", "bridge", "castle", "village", "market", "shop",
+    "sailor",
 }
 
 # nouns denoting persons (for coref gender/person compatibility)
@@ -188,10 +198,14 @@ STOPWORDS_DE = DETS_DE | PRONOUNS_DE | PREPOSITIONS_DE | {
 # splitting (the reference does recursive vocab-checked splitting,
 # de/language_specific_rules.py:364-772; we use a seed vocabulary +
 # the same idea: only split when every part is a known noun)
+# NOTE: only BASE forms here — Fugen variants (informations-, wohnungs-)
+# are derived by stripping FUGEN_DE linking elements during the split,
+# so subword lemmas come out in base form (reference subword lemma
+# handling, de language_specific_rules.py:364-772)
 COMPOUND_PARTS_DE = {
-    "polizei", "information", "informations", "kriminell", "kriminelle",
-    "versicherung", "versicherungs", "gesellschaft", "wohnung", "wohnungs",
-    "verkauf", "verkaufs", "interesse", "interessen", "extraktion",
+    "polizei", "information", "kriminell", "kriminelle",
+    "versicherung", "gesellschaft", "wohnung",
+    "verkauf", "interesse", "extraktion", "broschüre",
     "haus", "tür", "auto", "schule", "buch", "wasser", "stadt", "garten",
 }
 

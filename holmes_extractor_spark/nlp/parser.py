@@ -134,7 +134,12 @@ def _tag_en(toks: list[Tok], start_of_sent: int) -> None:
             t.pos = "ADJ"
         elif w.isdigit() or w in L.NUMBER_WORDS_EN:
             t.pos = "NUM"
-        elif lemma(w, "en") in L.VERB_LEMMAS_EN and not (prev is not None and prev.pos in ("DET", "ADJ", "NUM")):
+        elif lemma(w, "en") in L.VERB_LEMMAS_EN and not (prev is not None and (
+                prev.pos in ("DET", "NUM")
+                # an ADJ blocks a verb reading only when attributive;
+                # predicative position ("was not old chased…") does not
+                or (prev.pos == "ADJ"
+                    and not (j >= 2 and toks[j - 2].pos in ("AUX", "PART"))))):
             t.pos = "VERB"
         elif t.text[:1].isupper() and j + start_of_sent > start_of_sent and j > 0:
             t.pos = "PROPN"
@@ -245,8 +250,11 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
     for rp, t in enumerate(toks):
         if t.text.lower() in ("who", "which", "that") and rp > 0 \
                 and toks[rp - 1].pos in ("NOUN", "PROPN") and t.pos == "PRON":
-            # 'to' infinitives are PART-tagged, so verbs here are finite
-            vafter = [v for v in verb_pos if v > rp and toks[v - 1].text.lower() != "to"]
+            # 'to' infinitives are PART-tagged, so verbs here are finite;
+            # an AUX directly after the pronoun heads a copular relative
+            # clause ("the dog that was old …")
+            vafter = sorted(v for v in verb_pos + aux_pos
+                            if v > rp and toks[v - 1].text.lower() != "to")
             if vafter:
                 rel_v = vafter[0]
                 # main predicate: next finite verb OR aux (copula) after
@@ -349,10 +357,18 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
         toks[a].head = gov.i
         toks[a].dep = "auxpass" if passive and toks[a].text.lower() in L.BE_FORMS_EN else "aux"
 
-    # --- negation particle
+    # --- negation particle: "not ADJ" attaches to the adjective (spaCy
+    # attaches 'not' to the predicative adjective, which is what scopes
+    # "the dog that was not old" correctly — reference set_negation
+    # walks syntactic children only)
     for j, t in enumerate(toks):
         if t.pos == "PART" and t.text.lower() in ("not", "n't", "nicht"):
-            gov = toks[rel[1]] if (rel and j in rel_region) else root
+            if j + 1 < n and toks[j + 1].pos == "ADJ":
+                gov = toks[j + 1]
+            elif rel and j in rel_region:
+                gov = toks[rel[1]]
+            else:
+                gov = root
             t.head = gov.i
             t.dep = "neg"
             add(gov.i, t.i, "neg")
@@ -402,7 +418,17 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
             for k in range(rp + 1, rel_verb))
         if subject_relative:
             add(rt.i, st.i, "nsubj")          # "the man who chased ..."
-            if rel_nps:  # object inside the relative clause
+            if rel_v in aux_pos and rel_v not in verb_pos:
+                # copular relative ("the dog that was old chased …"):
+                # the predicative ADJ rewires to amod on the antecedent
+                # (reference predicative-adjective handling,
+                # parsing.py:1318-1357)
+                for k in range(rel_v + 1, rel[2]):
+                    if toks[k].pos == "ADJ":
+                        toks[k].head = st.i
+                        toks[k].dep = "amod"
+                        add(st.i, toks[k].i, "amod")
+            elif rel_nps:  # object inside the relative clause
                 oh = toks[rel_nps[0][2]]
                 oh.head = rt.i
                 oh.dep = "dobj"

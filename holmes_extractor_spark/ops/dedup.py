@@ -21,14 +21,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..nlp.tokenizer import tokenize_spark, tokenize_sql
-from . import P_MOD, token_val_sql
+from . import P_MOD, token_val_spark, token_val_sql
 
 # ------------------------------------------------------------- exact
 
 def exact_dedup(documents: DataFrame) -> DataFrame:
-    """Duplicate groups by exact text: keeper = min doc_id."""
+    """Duplicate groups by exact text: keeper = min doc_id.
+
+    Groups on sha2(text) rather than the raw text so the shuffle moves
+    32-byte keys instead of full document payloads — at 100 TB the
+    difference is the whole corpus' bytes going over the wire."""
     return (
-        documents.groupBy("text")
+        documents.groupBy(F.sha2(F.col("text"), 256).alias("text_sha"))
         .agg(F.min("doc_id").alias("keeper_doc_id"),
              F.count("*").alias("n_copies"))
         .filter(F.col("n_copies") > 1)
@@ -39,7 +43,7 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
 def exact_dedup_sql() -> str:
     return """
 SELECT min(doc_id) AS keeper_doc_id, count(*) AS n_copies
-FROM documents GROUP BY text HAVING count(*) > 1
+FROM documents GROUP BY sha256(text) HAVING count(*) > 1
 ORDER BY keeper_doc_id
 """
 
@@ -53,8 +57,7 @@ def _shingles(documents: DataFrame) -> DataFrame:
     """(doc_id, shingle) distinct word-3-gram rolling hashes, computed
     as a pure array transform (no join, stays in codegen)."""
     toks = tokenize_spark(F.lower(F.col("text")))
-    tvs = F.transform(toks, lambda t: (F.ascii(F.substring(t, 1, 1)) * 31
-                                       + F.length(t)).cast("long"))
+    tvs = F.transform(toks, lambda t: token_val_spark(t))
     base = documents.select("doc_id", tvs.alias("tvs"))
     n = F.size(F.col("tvs"))
 
@@ -91,18 +94,37 @@ shingles AS (
 
 # ----------------------------------------------------- n-gram Jaccard
 
-def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
+# shingles shared by more documents than this are dropped from
+# candidate generation (boilerplate blocking-key cap): one navbar
+# shingle shared by 10^6 docs would otherwise create 10^12 candidate
+# pairs. Exact Jaccard is still computed over ALL shingles of the
+# surviving candidate pairs, so only pairs whose ONLY common shingles
+# are boilerplate are missed — the standard blocking trade-off.
+MAX_SHINGLE_DF = 1000
+
+
+def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.5,
+                        max_shingle_df: int = MAX_SHINGLE_DF) -> DataFrame:
     """Near-dup pairs with word-3-gram Jaccard ≥ threshold. Candidate
     generation by shared-shingle equi-join (each shingle is a blocking
-    key) — never a cross join."""
+    key, document-frequency-capped) — never a cross join."""
     sh = _shingles(documents).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    rare = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_shingle_df).select("shingle"))
+    shc = sh.join(rare, "shingle")  # candidate-generation view only
+    cand = (
+        shc.alias("x").join(shc.alias("y"),
+                            (F.col("x.shingle") == F.col("y.shingle"))
+                            & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # exact intersection over ALL shingles of the candidate pairs
     inter = (
-        sh.alias("x").join(sh.alias("y"),
-                           (F.col("x.shingle") == F.col("y.shingle"))
-                           & (F.col("x.doc_id") < F.col("y.doc_id")))
-        .groupBy(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("inter"))
+        cand.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b"), ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter"))
     )
     return (
         inter
@@ -115,14 +137,26 @@ def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFra
     )
 
 
-def ngram_jaccard_sql(threshold: float = 0.5) -> str:
+def ngram_jaccard_sql(threshold: float = 0.5,
+                      max_shingle_df: int = MAX_SHINGLE_DF) -> str:
     return f"""
 WITH {_shingles_cte()},
 sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
-inter AS (
-  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
-  FROM shingles x JOIN shingles y
+rare AS (
+  SELECT shingle FROM shingles GROUP BY shingle
+  HAVING count(*) <= {max_shingle_df}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM (SELECT s.* FROM shingles s JOIN rare USING (shingle)) x
+  JOIN (SELECT s.* FROM shingles s JOIN rare USING (shingle)) y
     ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cand c
+  JOIN shingles sa ON sa.doc_id = c.doc_a
+  JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from ..nlp.lexicon import LANGID_STOPWORDS
 from ..nlp.tokenizer import tokenize_spark, tokenize_sql
-from . import P_MOD, token_val_sql
+from . import P_MOD, token_val_spark, token_val_sql
 
 # --------------------------------------------------------- token count
 
@@ -123,7 +123,7 @@ ORDER BY doc_id
 # ------------------------------------------------------- fingerprint
 
 def _token_val(t: Column) -> Column:
-    return F.ascii(F.substring(t, 1, 1)) * 31 + F.length(t)
+    return token_val_spark(t)
 
 
 def fingerprints(documents: DataFrame) -> DataFrame:

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-MAX_ROUNDS = 6
+MAX_ROUNDS = 12  # with pointer doubling: handles diameter ≤ 2^12
 
 
 def cluster_edges_from(closure: DataFrame, deriv_pairs: DataFrame | None = None) -> DataFrame:
@@ -65,7 +65,9 @@ def connected_components(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
     adj = adj.localCheckpoint(eager=True)
     labels = touched.select("word", F.col("word").alias("canonical")) \
         .localCheckpoint(eager=True)
+    converged = False
     for _ in range(MAX_ROUNDS):
+        # 1-hop neighbor-min propagation
         cand = (
             adj.join(labels.withColumnRenamed("word", "dst")
                      .withColumnRenamed("canonical", "ncanon"), "dst")
@@ -76,12 +78,27 @@ def connected_components(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
             "word",
             F.least(F.col("canonical"),
                     F.coalesce("new_canonical", "canonical")).alias("canonical"))
+        # pointer doubling (large-star shortcut): canonical ← its own
+        # canonical, halving the remaining path each round so total
+        # rounds are O(log diameter), not O(diameter)
+        ptr = nxt.select(F.col("word").alias("canonical"),
+                         F.col("canonical").alias("grand"))
+        nxt = (nxt.join(ptr, "canonical", "left")
+               .select("word",
+                       F.least(F.col("canonical"),
+                               F.coalesce("grand", "canonical")).alias("canonical")))
         nxt = nxt.localCheckpoint(eager=True)
         # convergence check on the already-materialized frames (cheap)
         if nxt.exceptAll(labels).isEmpty():
             labels = nxt
+            converged = True
             break
         labels = nxt
+    if not converged:
+        # never silent: a split cluster silently mislabels keepers
+        raise RuntimeError(
+            f"connected_components did not converge in {MAX_ROUNDS} "
+            f"pointer-doubling rounds (component diameter > 2^{MAX_ROUNDS})")
     untouched = nodes.join(touched, "word", "anti").select(
         "word", F.col("word").alias("canonical"))
     return labels.join(nodes, "word", "semi").unionByName(untouched)

@@ -31,10 +31,14 @@ ONTOLOGY_EDGES: list[tuple[str, str, str]] = [
     ("fido", "type", "dog"),
     ("hund", "subClassOf", "tier"),
     ("katze", "subClassOf", "tier"),
-    # cross-language entity/predicate merging (synonyms)
+    # cross-language entity/predicate merging (synonyms). Both the
+    # German verb lemma (jagen) and its noun-canonical derived lemma
+    # (jagd, reference lang/de/data/derivation.csv:211) are linked:
+    # document reprs carry the lemma, KG edge endpoints the derived one.
     ("hund", "equivalentClass", "dog"),
     ("katze", "equivalentClass", "cat"),
     ("jagen", "equivalentClass", "chase"),
+    ("jagd", "equivalentClass", "chase"),
     ("tier", "equivalentClass", "animal"),
 ]
 

@@ -70,13 +70,53 @@ QUESTION_TEMPLATES_EN: list[tuple[str, frozenset, frozenset, frozenset]] = [
     ("headprepto-WH", frozenset({"pobjt"}), _NV, _WP),
 ]
 
-# German templates: same relation set (the reference's DE list mirrors
-# the EN one over German dep labels, de language_specific_rules.py:
-# 1697-1960) plus the intcompound subword relation.
-RELATION_TEMPLATES_DE = RELATION_TEMPLATES_EN
+# German templates — the reference's DE list has DIFFERENT names and
+# groupings (de language_specific_rules.py:1697-1960): verb-nom
+# (sb/pobjb), verb-acc (oa/pobjo/ag/og/oc), verb-dat (da), verb-pd
+# (pd, reverse-only), noun-dependent (nk: nominal, adjectival AND
+# numeral children of nouns), verb-adverb (mo/moposs/oc),
+# prepgovernor-noun, prep-noun (reverse-only), verb-toughmovedargument
+# (arg), intcompound. Mapped over OUR dep labels:
+RELATION_TEMPLATES_DE: list[tuple[str, frozenset, frozenset, frozenset, bool]] = [
+    ("verb-nom", frozenset({"nsubj", "csubj", "pobjb", "advmodsubj"}),
+     _NV, _NOUNS, False),
+    ("verb-acc", frozenset({"dobj", "pobjo", "poss", "nsubjpass", "relant",
+                            "advmodobj"}), _NV, _NOUNS, False),
+    ("verb-dat", frozenset({"dative", "pobjt"}),
+     frozenset({"VERB", "AUX"}), _NOUNS, False),
+    ("verb-pd", frozenset({"attr"}), frozenset({"VERB", "AUX"}),
+     _NOUNS, True),
+    ("noun-dependent",
+     frozenset({"amod", "compound", "nummod", "nmod", "appos"}),
+     _NOUNS, _NOUNS | _ADJS | frozenset({"NUM"}), False),
+    ("verb-adverb", frozenset({"advmod", "acomp"}),
+     frozenset({"VERB", "AUX"}), _ADJS, False),
+    ("prepgovernor-noun", frozenset({"pobjp"}), _NV, _NOUNS, False),
+    ("prep-noun", frozenset({"pobj", "pcomp"}), frozenset({"ADP"}),
+     _NOUNS, True),
+    ("verb-toughmovedargument", frozenset({"arg"}),
+     frozenset({"VERB", "AUX"}), _NOUNS, False),
+]
+
+# DE question templates (head-WHnom/WHacc/WHdat/WHadv,
+# de language_specific_rules.py:1916-1957)
+QUESTION_TEMPLATES_DE: list[tuple[str, frozenset, frozenset, frozenset]] = [
+    ("head-WHnom", frozenset({"nsubj", "pobjb"}),
+     frozenset({"VERB", "AUX"}), frozenset({"wer", "was"})),
+    ("head-WHacc", frozenset({"dobj"}), frozenset({"VERB"}),
+     frozenset({"wer", "was"})),
+    ("head-WHdat", frozenset({"dative"}), frozenset({"VERB"}),
+     frozenset({"wer", "was"})),
+    ("head-WHadv", frozenset({"advmod"}), frozenset({"VERB"}),
+     frozenset({"wo", "wann", "warum", "wie"})),
+]
+
+# templates where the child is the semantic subject of the triple
+ACTOR_TEMPLATES = {"predicate-actor", "verb-nom"}
 
 # phraselets whose template is reverse-only never initiate matching
-REVERSE_ONLY_TEMPLATES = {t[0] for t in RELATION_TEMPLATES_EN if t[4]}
+REVERSE_ONLY_TEMPLATES = {t[0] for t in RELATION_TEMPLATES_EN if t[4]} \
+    | {t[0] for t in RELATION_TEMPLATES_DE if t[4]}
 
 # parent lemma/POS pairs that force reverse-only during topic matching
 # (reference en language_specific_rules.py:834-845)
@@ -133,21 +173,41 @@ def extract_candidate_edges(parsed: dict, lang: str,
     admitted only in question-answering mode.
     """
     toks = parsed["tokens"]
-    templates = RELATION_TEMPLATES_DE if lang == "de" else RELATION_TEMPLATES_EN
+    if lang == "de":
+        templates = RELATION_TEMPLATES_DE
+        q_templates = QUESTION_TEMPLATES_DE
+    else:
+        templates = RELATION_TEMPLATES_EN
+        q_templates = QUESTION_TEMPLATES_EN
     mw_ignore = _multiword_member_indexes(toks)
     out: list[dict] = []
     seen: set[tuple] = set()
 
-    def emit(template: str, parent: dict, child_repr: str, child_idx: int,
+    def _variants(tok: dict) -> list[str]:
+        """Representations of one pole: the whole token, plus — for
+        German compounds — the head subword (the reference adds head
+        subwords to the parent/child index lists, so e.g.
+        'Landschaftsgärtner gibt' emits BOTH verb-nom:
+        gabe-landschaftsgärtner and verb-nom: gabe-gärtner;
+        reference parsing.py:2009-2034 + tests/de/
+        test_phraselet_production_DE.py:112-135)."""
+        reprs = [_repr_of(tok)]
+        if len(tok["subwords"]) > 0:  # len(): Arrow batches give ndarrays
+            head = tok["subwords"][-1]
+            if head["derived_lemma"] not in reprs:
+                reprs.append(head["derived_lemma"])
+        return reprs
+
+    def emit(template: str, parent: dict, parent_repr: str,
+             child_repr: str, child_idx: int,
              negated: bool, uncertain: bool, coref: bool,
              reverse_only: bool) -> None:
-        parent_repr = _repr_of(parent)
-        key = (template, parent["i"], child_repr)
+        key = (template, parent["i"], parent_repr, child_repr)
         if key in seen:
             return
         seen.add(key)
         label = f"{template}: {parent_repr}-{child_repr}"
-        if template in ("predicate-actor",):
+        if template in ACTOR_TEMPLATES:
             subj, obj = child_repr, parent_repr
         else:
             subj, obj = parent_repr, child_repr
@@ -177,18 +237,20 @@ def extract_candidate_edges(parsed: dict, lang: str,
                 continue
             if not c["is_matchable"]:
                 continue
-            emit(name, p, _repr_of(c), c["i"],
-                 p["is_negated"] or c["is_negated"], d["uncertain"],
-                 d["coref"], tmpl_reverse or parent_reverse)
+            for pr in _variants(p):
+                for cr in _variants(c):
+                    emit(name, p, pr, cr, c["i"],
+                         p["is_negated"] or c["is_negated"], d["uncertain"],
+                         d["coref"], tmpl_reverse or parent_reverse)
         if include_questions and c["is_initial_question_word"]:
-            for (name, dep_labels, parent_gate, q_words) in QUESTION_TEMPLATES_EN:
+            for (name, dep_labels, parent_gate, q_words) in q_templates:
                 if d["label"] not in dep_labels:
                     continue
                 if p["pos"] not in parent_gate:
                     continue
                 if c["text"].lower() not in q_words:
                     continue
-                emit(name, p, c["derived_lemma"], c["i"],
+                emit(name, p, _repr_of(p), c["derived_lemma"], c["i"],
                      p["is_negated"], d["uncertain"], d["coref"], False)
 
     # German subword relations (intcompound): compound parts form an
@@ -219,13 +281,18 @@ def extract_candidate_edges(parsed: dict, lang: str,
     return out
 
 
-def extract_word_phraselets(parsed: dict, lang: str) -> list[dict]:
+def extract_word_phraselets(parsed: dict, lang: str,
+                            match_all_words: bool = False) -> list[dict]:
     """Single-word phraselets (template 'word') over matchable
     noun-tagged tokens — the reference's single-word topic phraselets
     (parsing.py:1955-2006, label e.g. ``word: plant``). Non-head
     members of multiwords are excluded (the multiword substitutes for
     its head); compounds and possessors DO get their own entries
-    (reference tests: "A hobby plant" → word: plant, word: hobby)."""
+    (reference tests: "A hobby plant" → word: plant, word: hobby).
+    Subword (German compound-part) entries are produced only in
+    ``match_all_words`` mode, mirroring the reference
+    (parsing.py:2085-2095; tests/de/test_phraselet_production_DE.py
+    expects word: landschaftsgärtner but NOT word: gärtner)."""
     toks = parsed["tokens"]
     mw_ignore = _multiword_member_indexes(toks)
     out = []
@@ -233,18 +300,19 @@ def extract_word_phraselets(parsed: dict, lang: str) -> list[dict]:
     for t in toks:
         if t["i"] in mw_ignore:
             continue
-        if t["pos"] in WORD_TEMPLATE_POS and t["is_matchable"]:
+        if (t["pos"] in WORD_TEMPLATE_POS or match_all_words) and t["is_matchable"]:
             r = _repr_of(t)
             if r not in seen and r not in STOP_LEMMAS:
                 seen.add(r)
                 out.append({"template": "word", "label": f"word: {r}",
                             "word": r, "idx": t["i"],
                             "negated": t["is_negated"]})
-        for sw in t["subwords"]:
-            r = sw["derived_lemma"]
-            if r not in seen:
-                seen.add(r)
-                out.append({"template": "word", "label": f"word: {r}",
-                            "word": r, "idx": t["i"],
-                            "negated": t["is_negated"]})
+        if match_all_words:
+            for sw in t["subwords"]:
+                r = sw["derived_lemma"]
+                if r not in seen:
+                    seen.add(r)
+                    out.append({"template": "word", "label": f"word: {r}",
+                                "word": r, "idx": t["i"],
+                                "negated": t["is_negated"]})
     return out
