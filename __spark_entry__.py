@@ -169,6 +169,34 @@ def q_question_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct())
 
 
+def q_where_question(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WH-adverb question answering: 'Where did somebody sing?' →
+    (url, answer). The wh_wildcard pattern dep matches document
+    prepositions per the reference's where-rules (en
+    language_specific_rules.py:1367-1413); the answer is the matched
+    preposition's object."""
+    kg = _kg(spark, sf_dir)
+    postings = build_postings(kg["docs"])
+    sp = compile_search_phrase("Where did somebody sing?")
+    res = match(spark, kg["docs"], postings, [sp])
+    ans = F.filter("word_matches", lambda w: w["match_type"] == F.lit("question"))
+    return (res.select("url", F.element_at(ans, 1)["extracted_word"].alias("answer"))
+            .filter(F.col("answer").isNotNull())
+            .distinct())
+
+
+def q_question_phraselets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Question-mode phraselet extraction over the corpus (the
+    reference's process_initial_question_words=True path): per-url
+    question-template labels. Exercises head-WHsubj/WHadv etc.
+    (reference en language_specific_rules.py:1247-1312)."""
+    from holmes_extractor_spark.pipeline.parse_stage import extract_edges_q
+    kg = _kg(spark, sf_dir)
+    e = extract_edges_q(kg["docs"])
+    return (e.filter(F.col("template").startswith("head"))
+            .select("url", "template", "label").distinct())
+
+
 def q_freq_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus frequency factors (reference parsing.py:1852-1885:
     1 - log(freq)/log(max_freq)) over the surface-text postings —
@@ -197,6 +225,39 @@ def q_topic_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("url").agg(F.sum("pts").cast("long").alias("score"))
     )
     return scored.orderBy(F.desc("score"), "url").limit(50)
+
+
+def q_topic_question(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Question topic scoring for 'Who opened the door?': answers to
+    the head-WHsubj phraselet score 600 (reference manager.py:683-701),
+    open-door relations 300, word matches 50 — decay-free so the oracle
+    can verify values."""
+    kg = _kg(spark, sf_dir)
+    rel_ph, word_ph = query_phraselets("Who opened the door?",
+                                       include_questions=True)
+    m = match_phraselets(spark, kg["edges"], kg["words"], rel_ph, word_ph)
+    pts = (F.when(F.col("kind") == "question_answer", F.lit(600))
+           .when(F.col("kind") == "single_word", F.lit(50))
+           .otherwise(F.lit(300)))
+    return (m.withColumn("pts", pts)
+            .groupBy("url").agg(F.sum("pts").cast("long").alias("score"))
+            .orderBy(F.desc("score"), "url").limit(50))
+
+
+def q_topic_ontology_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ontology-expanded topic scoring for 'An animal chases an animal'
+    with the reference's ontology penalty 0.9^(depth+1) per pole
+    (manager.py:683-701) — decay-free, value-checked."""
+    kg = _kg(spark, sf_dir)
+    closure = ontology_closure(spark)
+    rel_ph, word_ph = query_phraselets("An animal chases an animal")
+    m = match_phraselets(spark, kg["edges"], kg["words"], rel_ph, word_ph,
+                         closure=closure)
+    pts = (F.when(F.col("kind") == "single_word", F.lit(50.0))
+           .otherwise(F.lit(300.0))) * F.col("penalty")
+    return (m.withColumn("pts", pts)
+            .groupBy("url").agg(F.round(F.sum("pts"), 4).alias("score"))
+            .orderBy(F.desc("score"), "url").limit(50))
 
 
 def q_topic_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -311,7 +372,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ontology_match": q_ontology_match,
         "entity_match": q_entity_match,
         "question_match": q_question_match,
+        "where_question": q_where_question,
+        "question_phraselets": q_question_phraselets,
         "topic_scores": q_topic_scores,
+        "topic_question": q_topic_question,
+        "topic_ontology_scores": q_topic_ontology_scores,
         "topic_ranking": q_topic_ranking,
         "postings_direct": q_postings_direct,
         "freq_factors": q_freq_factors,
@@ -415,6 +480,90 @@ scores AS (
 )
 SELECT url, score::BIGINT AS score FROM scores
 ORDER BY score DESC, url LIMIT 50
+"""
+
+
+def _topic_question_oracle() -> str:
+    """'Who opened the door?' — answers 600, open-door relations 300,
+    word 'door' 50 (decay-free)."""
+    return pages_cte_sql() + """
+, qa AS (
+  SELECT ps.url, count(*) * 600 AS pts
+  FROM page_snips ps JOIN golden_edges g USING (snip_id)
+  WHERE g.template IN ('predicate-actor', 'predicate-passivesubject')
+    AND g.pred = 'open'
+  GROUP BY ps.url
+),
+rel AS (
+  SELECT ps.url, count(*) * 300 AS pts
+  FROM page_snips ps JOIN golden_edges g USING (snip_id)
+  WHERE g.label = 'predicate-patient: open-door'
+  GROUP BY ps.url
+),
+wrd AS (
+  SELECT url, count(*) * 50 AS pts FROM (
+    SELECT DISTINCT ps.url, g.word
+    FROM page_snips ps JOIN golden_words g USING (snip_id)
+    WHERE g.word = 'door'
+  ) GROUP BY url
+)
+SELECT url, sum(pts)::BIGINT AS score FROM (
+  SELECT * FROM qa UNION ALL SELECT * FROM rel UNION ALL SELECT * FROM wrd
+) GROUP BY url ORDER BY score DESC, url LIMIT 50
+"""
+
+
+def _ontology_closure_cte() -> str:
+    """Recursive min-depth closure over ONTOLOGY_EDGES (independent of
+    the engine's closure code): equivalentClass is a 0-weight edge both
+    ways, subClassOf/type a 1-weight edge parent→child."""
+    rows = []
+    for (s, r, o) in ONTOLOGY_EDGES:
+        if r == "equivalentClass":
+            rows.append(f"('{s}','{o}',0)")
+            rows.append(f"('{o}','{s}',0)")
+        else:
+            rows.append(f"('{o}','{s}',1)")
+    vals = ",".join(rows)
+    return f"""
+onto_edges(src, dst, w) AS (VALUES {vals}),
+reach(q, w, d) AS (
+  SELECT q, q, 0 FROM (SELECT 'chase' AS q UNION SELECT 'animal') seeds
+  UNION
+  SELECT r.q, e.dst, r.d + e.w FROM reach r JOIN onto_edges e ON e.src = r.w
+  WHERE r.d + e.w <= 8
+),
+pen AS (
+  SELECT q, w, CASE WHEN q = w THEN 1.0
+                    ELSE power(0.9, min(d) + 1) END AS p
+  FROM reach GROUP BY q, w
+)"""
+
+
+def _topic_ontology_oracle() -> str:
+    """'An animal chases an animal' with ontology penalty
+    0.9^(depth+1) per pole (reference manager.py:683-701)."""
+    return pages_cte_sql() + "," + _ontology_closure_cte() + """
+, rel AS (
+  SELECT ps.url, sum(300.0 * pp.p * pc.p) AS pts
+  FROM page_snips ps
+  JOIN golden_edges g USING (snip_id)
+  JOIN pen pp ON pp.q = 'chase' AND pp.w = g.pred
+  JOIN pen pc ON pc.q = 'animal'
+   AND pc.w = CASE WHEN g.template = 'predicate-actor' THEN g.subj ELSE g.obj END
+  WHERE g.template IN ('predicate-actor', 'predicate-patient')
+  GROUP BY ps.url
+),
+wrd AS (
+  SELECT url, sum(50.0 * p) AS pts FROM (
+    SELECT DISTINCT ps.url, g.word, pw.p
+    FROM page_snips ps JOIN golden_words g USING (snip_id)
+    JOIN pen pw ON pw.q = 'animal' AND pw.w = g.word
+  ) GROUP BY url
+)
+SELECT url, round(sum(pts), 4) AS score FROM (
+  SELECT * FROM rel UNION ALL SELECT * FROM wrd
+) GROUP BY url ORDER BY score DESC, url LIMIT 50
 """
 
 
@@ -531,7 +680,26 @@ GROUP BY g.template, g.label
 SELECT DISTINCT ps.url, g.answer
 FROM page_snips ps JOIN q_golden g USING (snip_id)
 """,
+        # 13: 'The man sang in the garden.'; 77: 'The king sang in the
+        # castle.' — the only sing+place-preposition snippets
+        "where_question": pages_cte_sql() + """
+, w_golden(snip_id, answer) AS (VALUES (13, 'garden'), (77, 'castle'))
+SELECT DISTINCT ps.url, g.answer
+FROM page_snips ps JOIN w_golden g USING (snip_id)
+""",
+        # 14: 'Who came?' / 29: 'Who opened the door?' — the pool's
+        # question snippets (question templates, reference en
+        # language_specific_rules.py:1247-1312)
+        "question_phraselets": pages_cte_sql() + """
+, qp_golden(snip_id, template, label) AS (VALUES
+    (14, 'head-WHsubj', 'head-WHsubj: come-who'),
+    (29, 'head-WHsubj', 'head-WHsubj: open-who'))
+SELECT DISTINCT ps.url, g.template, g.label
+FROM page_snips ps JOIN qp_golden g USING (snip_id)
+""",
         "topic_scores": _topic_scores_oracle(),
+        "topic_question": _topic_question_oracle(),
+        "topic_ontology_scores": _topic_ontology_oracle(),
         "postings_direct": _postings_direct_oracle(),
         "freq_factors": _freq_factors_oracle(),
         "token_counts": text_analysis.token_counts_sql(),

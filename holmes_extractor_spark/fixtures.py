@@ -145,6 +145,7 @@ POOL_DE: list[str] = [
     'Der Mann sah den Hund im Garten.',  # 104
     'Die Frau las ein Buch.',  # 105
     'Die Kinder spielten im Garten.',  # 106
+    'Die Polizeiinformationsbroschüre ist interessant.',  # 107
 ]
 
 # ------------------------------------------- golden per-snippet output
@@ -522,10 +523,20 @@ GOLDEN_EDGES: list[tuple] = [
     (106, 'prep-noun', 'prep-noun: im-garten', 'im', 'garten', 'im', False, False, False),
     (106, 'prepgovernor-noun', 'prepgovernor-noun: spiel-garten', 'spiel', 'garten', 'spiel', False, False, False),
     (106, 'verb-nom', 'verb-nom: spiel-kind', 'kind', 'spiel', 'spiel', False, False, False),
+    # 107: 'Die Polizeiinformationsbroschüre ist interessant.' — 3-part
+    # recursive compound split with penalty scoring (reference
+    # de/language_specific_rules.py:364-530); adjacent parts chain via
+    # intcompound (:740-746); predicative adjective → noun-dependent on
+    # both the whole compound and its head subword
+    (107, 'noun-dependent', 'noun-dependent: polizeiinformationsbroschüre-interessant', 'polizeiinformationsbroschüre', 'interessant', 'polizeiinformationsbroschüre', False, False, False),
+    (107, 'noun-dependent', 'noun-dependent: broschüre-interessant', 'broschüre', 'interessant', 'broschüre', False, False, False),
+    (107, 'intcompound', 'intcompound: information-polizei', 'information', 'polizei', 'information', False, False, False),
+    (107, 'intcompound', 'intcompound: broschüre-information', 'broschüre', 'information', 'broschüre', False, False, False),
 ]
 
 # (snip_id, word) — the reference's single-word phraselets
 GOLDEN_WORDS: list[tuple] = [
+    (107, 'polizeiinformationsbroschüre'),
     (21, 'sailor'),
     (27, 'man'),
     (0, 'cat'),
@@ -759,6 +770,10 @@ WORD_VECTORS: dict[str, list[float]] = {
     "pursue": [0.05, 0.00, 0.98, 0.12],
     "man":    [0.00, 0.00, 0.10, 1.00],
     "plant":  [0.30, 0.30, 0.30, 0.30],
+    # entity-label prototype lexemes (reference maps entity labels to
+    # lexeme vectors, en language_specific_rules.py:100-121)
+    "person": [0.00, 0.05, 0.12, 0.98],
+    "place":  [0.55, 0.55, 0.05, 0.15],
 }
 
 MAX_SNIPS = 5

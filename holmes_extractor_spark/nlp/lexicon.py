@@ -162,6 +162,7 @@ NEGATION_WORDS_DE = {"nicht", "kein", "keine", "keinen", "nie", "niemals",
                      "nichts", "niemand"}
 
 ADJECTIVES_DE = {"reich", "reiche", "reicher", "reichen", "arm", "arme",
+                 "interessant", "interessante",
                  "armen", "groß", "große", "großen", "klein", "kleine",
                  "kleinen", "gut", "gute", "guten", "alt", "alte", "alten",
                  "jung", "junge", "jungen", "schnell", "schnelle", "langsam"}

@@ -442,8 +442,16 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
                 sh.dep = "nsubj"
                 add(rt.i, sh.i, "nsubj")
     elif first_v is not None:
+        # sentence-initial interrogatives are not subject candidates;
+        # in subject-aux inversion ("Where did somebody sing?") the
+        # subject sits between the aux and the verb
+        is_q0 = toks[0].pos == "PRON" and toks[0].text.lower() in (
+            L.INTERROGATIVES_EN | {"wer", "was", "wo", "wann", "warum", "wie"})
         pre = [h for h in np_heads
-               if h < first_v and h not in conj_right and h not in consumed_pp]
+               if h < first_v and h not in conj_right and h not in consumed_pp
+               and not (is_q0 and h == 0)]
+        if not pre and is_q0 and first_v in aux_pos:
+            pre = [h for h in np_heads if first_v < h < root_local]
         if pre:
             subj_local = pre[-1]
             st = toks[subj_local]
@@ -524,6 +532,11 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
             pp_np = next(((s, e, h) for (s, e, h) in nps if s == j + 1 or (s <= j + 1 <= e)), None)
             t.head = cur.i
             t.dep = "agent" if (passive and t.text.lower() in ("by", "von", "vom")) else "prep"
+            # verb→preposition semantic dep: the target of wh_wildcard
+            # question matching (reference keeps prep deps; implication
+            # wh_wildcard→{advmod,advcl,npadvmod,prep,pobjp},
+            # language_specific_rules.py:1094-1100)
+            add(cur.i, t.i, "prep")
             if pp_np is not None:
                 ph = toks[pp_np[2]]
                 ph.head = t.i
@@ -556,7 +569,7 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
             continue
         np_here = next(((s, e, h) for (s, e, h) in nps if s == j), None)
         if np_here is not None:
-            if np_here[2] in conj_right:
+            if np_here[2] in conj_right or np_here[2] == subj_local:
                 j = np_here[1] + 1
                 continue
             h = toks[np_here[2]]
@@ -610,6 +623,27 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
                         and (rs < d["child"] or d["child"] < t.i):
                     add(rs, d["child"], d["label"], uncertain=True)
 
+    # --- sentence-initial interrogative hookup (reference initial
+    # question words, parsing.py:1170-1207; head-WHadv template uses the
+    # assigned label wh_wildcard, language_specific_rules.py:1283-1296)
+    q0 = toks[0]
+    if q0.pos == "PRON" and q0.text.lower() in L.INTERROGATIVES_EN | {"wer", "was", "wo", "wann", "warum", "wie"}:
+        w0 = q0.text.lower()
+        if w0 in ("where", "when", "why", "how", "wo", "wann", "warum", "wie"):
+            q0.head = root.i
+            q0.dep = "advmod"
+            add(root.i, q0.i, "wh_wildcard")
+        elif not any(d["child"] == q0.i for d in deps):
+            # WH-argument question: subject when the root still lacks
+            # one ("Who came?"), else the fronted object
+            # ("What did the man see?")
+            q0.head = root.i
+            has_subj = any(d["parent"] == root.i
+                           and d["label"] in ("nsubj", "nsubjpass")
+                           for d in deps)
+            q0.dep = "dobj" if has_subj else "nsubj"
+            add(root.i, q0.i, q0.dep)
+
     # leftover heads
     for t in toks:
         if t.head < 0:
@@ -621,45 +655,87 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
 
 # ------------------------------------------------------------ document
 
-def _german_subwords(t: Tok) -> list[dict]:
-    """Deterministic compound split: longest valid first part wins.
+# reference penalty constants (de/language_specific_rules.py:413-435:
+# minimum_normal_subword_length / maximum_realistic_subword_length)
+_MIN_SUBWORD_LEN = 6
+_MAX_SUBWORD_LEN = 12
 
-    Mirrors the *effect* of the reference's recursive vocab-scored split
-    (reference: de/language_specific_rules.py:364-772) on a seed
-    vocabulary: every part must be a known part; linking 's'/'es'/'n'/
-    'en' allowed; last part is the governor (intcompound dependency,
-    reference :740-746).
+
+def _split_compound_de(w: str) -> list[tuple[str, str, int]] | None:
+    """Recursive vocab-checked compound split with additive penalty
+    scoring — models the reference's scan_recursively_for_subwords +
+    score (de/language_specific_rules.py:364-530): every part must be a
+    known part (optionally after stripping a Fugen linking element);
+    among all full decompositions the lowest-penalty one wins (penalty
+    2·(6−len) for short parts, 2·(len−12) for overlong parts; ties →
+    fewer parts, then leftmost-longest). Supports any number of parts
+    (Polizeiinformationsbroschüre → polizei|informations|broschüre).
+
+    Returns [(surface, base_form, char_start)] or None.
     """
+    n = len(w)
+    best: tuple | None = None
+
+    def piece_penalty(surface: str) -> int:
+        if len(surface) < _MIN_SUBWORD_LEN:
+            return 2 * (_MIN_SUBWORD_LEN - len(surface))
+        if len(surface) > _MAX_SUBWORD_LEN:
+            return 2 * (len(surface) - _MAX_SUBWORD_LEN)
+        return 0
+
+    def rec(i: int, parts: list, penalty: int) -> None:
+        nonlocal best
+        if best is not None and penalty > best[0]:
+            return  # prune: penalties only grow
+        if i == n:
+            if len(parts) >= 2:
+                key = (penalty, len(parts),
+                       tuple(-len(p[0]) for p in parts))
+                if best is None or key < best[:3]:
+                    best = (*key, list(parts))
+            return
+        for j in range(min(n, i + _MAX_SUBWORD_LEN + 4), i + 2, -1):
+            surface = w[i:j]
+            cands = [(surface, surface)]
+            if j < n:  # Fugen only between parts, never word-finally
+                for f in L.FUGEN_DE:
+                    if surface.endswith(f) and len(surface) - len(f) >= 3:
+                        cands.append((surface, surface[: -len(f)]))
+            for sf, base in cands:
+                if base in L.COMPOUND_PARTS_DE \
+                        or lemma(base, "de") in L.COMPOUND_PARTS_DE:
+                    parts.append((sf, base, i))
+                    rec(j, parts, penalty + piece_penalty(sf))
+                    parts.pop()
+
+    rec(0, [], 0)
+    return best[3] if best is not None else None
+
+
+def _german_subwords(t: Tok) -> list[dict]:
+    """Compound subwords: recursive split (above); adjacent parts are
+    linked by intcompound dependencies — each part governs the part to
+    its LEFT (reference intcompound, de/language_specific_rules.py:
+    740-746); the final part is the semantic head."""
     w = t.text.lower()
     if len(w) < 7 or t.pos not in ("NOUN", "PROPN"):
         return []
-    best = None
-    for cut in range(len(w) - 3, 3, -1):  # longest first part wins
-        p1, rest = w[:cut], w[cut:]
-        cands = [(p1, rest)]
-        for f in L.FUGEN_DE:
-            if p1.endswith(f) and len(p1) - len(f) >= 4:
-                cands.append((p1[: -len(f)], rest))
-        for base1, p2 in cands:
-            if base1 in L.COMPOUND_PARTS_DE and (p2 in L.COMPOUND_PARTS_DE or lemma(p2, "de") in L.COMPOUND_PARTS_DE):
-                best = (base1, p2, cut)
-                break
-        if best:
-            break
-    if not best:
+    parts = _split_compound_de(w)
+    if not parts:
         return []
-    p1, p2, cut = best
-    l1, l2 = lemma(p1, "de"), lemma(p2, "de")
-    return [
-        {"idx": 0, "text": w[:cut], "lemma": l1,
-         "derived_lemma": derived_lemma(l1, "de"), "char_start": 0,
-         "dependent": -1, "dep_label": "", "governor": 1,
-         "gov_label": "intcompound"},
-        {"idx": 1, "text": p2, "lemma": l2,
-         "derived_lemma": derived_lemma(l2, "de"), "char_start": cut,
-         "dependent": 0, "dep_label": "intcompound", "governor": -1,
-         "gov_label": ""},
-    ]
+    out = []
+    k = len(parts)
+    for i, (surface, base, start) in enumerate(parts):
+        l = lemma(base, "de")
+        out.append({
+            "idx": i, "text": surface, "lemma": l,
+            "derived_lemma": derived_lemma(l, "de"), "char_start": start,
+            "dependent": i - 1 if i > 0 else -1,
+            "dep_label": "intcompound" if i > 0 else "",
+            "governor": i + 1 if i < k - 1 else -1,
+            "gov_label": "intcompound" if i < k - 1 else "",
+        })
+    return out
 
 
 def parse_document(text: str, lang: str) -> dict:

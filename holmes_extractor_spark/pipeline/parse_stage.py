@@ -80,6 +80,30 @@ def extract_edges(docs: DataFrame) -> DataFrame:
         _edges_batches, schema=EDGES)
 
 
+def _edges_q_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    cols = [f.name for f in EDGES.fields]
+    for pdf in batches:
+        rows = []
+        for url, lang, toks, deps in zip(pdf["url"], pdf["lang"],
+                                         pdf["tokens"], pdf["deps"]):
+            parsed = _docs_to_parsed(toks, deps)
+            for e in extract_candidate_edges(parsed, lang,
+                                             include_questions=True):
+                e = dict(e)
+                e["url"] = url
+                e["lang"] = lang
+                rows.append(e)
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def extract_edges_q(docs: DataFrame) -> DataFrame:
+    """Question-mode extraction (process_initial_question_words=True,
+    reference parsing.py:2147-2160): relation edges PLUS question-
+    template edges (head-WHsubj/WHadv/…)."""
+    return docs.select("url", "lang", "tokens", "deps").mapInPandas(
+        _edges_q_batches, schema=EDGES)
+
+
 def _fused_edges_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     cols = [f.name for f in EDGES.fields]
     for pdf in batches:

@@ -89,8 +89,10 @@ RELATION_TEMPLATES_DE: list[tuple[str, frozenset, frozenset, frozenset, bool]] =
     ("noun-dependent",
      frozenset({"amod", "compound", "nummod", "nmod", "appos"}),
      _NOUNS, _NOUNS | _ADJS | frozenset({"NUM"}), False),
-    ("verb-adverb", frozenset({"advmod", "acomp"}),
-     frozenset({"VERB", "AUX"}), _ADJS, False),
+    # 'mo'/'moposs' adverbials; predicative adjectives reach nouns via
+    # the amod rewrite (→ noun-dependent), so acomp is not mapped here
+    ("verb-adverb", frozenset({"advmod"}),
+     frozenset({"VERB"}), _ADJS, False),
     ("prepgovernor-noun", frozenset({"pobjp"}), _NV, _NOUNS, False),
     ("prep-noun", frozenset({"pobj", "pcomp"}), frozenset({"ADP"}),
      _NOUNS, True),
@@ -124,6 +126,10 @@ REVERSE_ONLY_PARENT_LEMMAS = {
     ("be", "VERB"), ("be", "AUX"), ("have", "VERB"), ("have", "AUX"),
     ("do", "VERB"), ("say", "VERB"), ("go", "VERB"), ("get", "VERB"),
     ("make", "VERB"),
+    # German equivalents (de language_specific_rules.py reverse-only
+    # parent lemma list)
+    ("sein", "VERB"), ("sein", "AUX"), ("haben", "VERB"), ("haben", "AUX"),
+    ("werden", "VERB"), ("werden", "AUX"),
 }
 
 # lemmas suppressed in topic phraselets (reference :830-831); pronoun

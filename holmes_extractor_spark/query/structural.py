@@ -93,6 +93,36 @@ REVERSE_IMPLICATIONS: dict[str, set[str]] = {
 
 _ENTITY_RE = re.compile(r"^ENTITY([A-Z]+)$")
 
+# 'where' place prepositions (reference en language_specific_rules.py:
+# 1378-1413) and 'when' temporal prepositions (:1415-1423)
+_WHERE_PREPS = {
+    "above", "across", "against", "along", "among", "amongst", "around",
+    "at", "behind", "below", "beneath", "beside", "between", "beyond",
+    "by", "close", "down", "in", "into", "near", "next", "off", "on",
+    "onto", "opposite", "out", "outside", "round", "through", "under",
+    "underneath", "up",
+}
+_WHEN_PREPS = {"after", "before", "by", "for", "since", "till", "until"}
+
+# entity label → lexeme whose vector is the label's prototype
+# (transcribed from reference en language_specific_rules.py:100-121,
+# entity_labels_to_corresponding_lexemes)
+ENTITY_LABEL_LEXEMES = {
+    "PERSON": "person", "NORP": "group", "FAC": "building",
+    "ORG": "organization", "GPE": "place", "LOC": "place",
+    "PRODUCT": "product", "EVENT": "event", "WORK_OF_ART": "artwork",
+    "LAW": "law", "LANGUAGE": "language", "DATE": "date", "TIME": "time",
+    "PERCENT": "percent", "MONEY": "money", "QUANTITY": "quantity",
+    "ORDINAL": "number", "CARDINAL": "number",
+}
+
+
+def entity_label_vectors(vectors: dict[str, list[float]]) -> dict[str, list[float]]:
+    """Label → prototype vector map (reference
+    entity_label_to_vector_dict, parsing.py:1590-1596)."""
+    return {label: vectors[lex]
+            for label, lex in ENTITY_LABEL_LEXEMES.items() if lex in vectors}
+
 MATCH_ROW = T.StructType([
     T.StructField("url", T.StringType()),
     T.StructField("phrase_label", T.StringType()),
@@ -212,15 +242,38 @@ def _token_matches(sp_tok: dict, dt: dict, closure_map: dict,
     Disabled by default (threshold 1.0), like the reference
     (manager.py:115)."""
     if sp_tok.get("q_spec"):
-        # who → person-like entities; what → non-entity nouns
-        # (reference en question rules,
-        #  language_specific_rules.py:1327-1469)
+        # question-word ↔ answering-token rules transcribed from the
+        # reference (en language_specific_rules.py:1327-1469,
+        # question_word_matches). DATE/TIME entity gates are vacuous
+        # under the gazetteer NER stand-in (no temporal entities) and
+        # are noted where skipped.
         q = sp_tok["q_spec"]
         if q in ("who", "whom", "whose"):
             if dt["ent_type"] in ("PERSON", "NORP", "ORG", "GPE") and dt["dep"] != "compound":
                 return ("question", 0, dt["text"].lower(), 1.0)
         elif q == "what":
             if dt["pos"] in ("NOUN",) and dt["ent_type"] == "":
+                return ("question", 0, dt["text"].lower(), 1.0)
+        elif q == "where":
+            # place prepositions (ref :1367-1413; DATE/TIME-child gate
+            # skipped — no temporal NER in the stand-in)
+            if dt["pos"] == "ADP" and dt["lemma"] in _WHERE_PREPS:
+                return ("question", 0, dt["lemma"], 1.0)
+        elif q == "when":
+            # temporal prepositions or DATE/TIME entities (ref :1414-1424)
+            if dt["pos"] == "ADP" and dt["lemma"] in _WHEN_PREPS:
+                return ("question", 0, dt["lemma"], 1.0)
+            if dt["ent_type"] in ("DATE", "TIME"):
+                return ("question", 0, dt["text"].lower(), 1.0)
+        elif q == "how":
+            # instrumental by/with (ref :1425-1429)
+            if dt["pos"] == "ADP" and dt["lemma"] in ("by", "with"):
+                return ("question", 0, dt["lemma"], 1.0)
+        elif q == "why":
+            # because / in-order / owing-to / thanks-to (ref :1430-1469)
+            if dt["pos"] == "ADP" and dt["lemma"] == "because":
+                return ("question", 0, dt["lemma"], 1.0)
+            if dt["text"].lower() in ("owing", "thanks", "because"):
                 return ("question", 0, dt["text"].lower(), 1.0)
         return None
     if sp_tok["ent_spec"]:
@@ -257,6 +310,17 @@ def _token_matches(sp_tok: dict, dt: dict, closure_map: dict,
             sim = _cosine_py(sp_vec, doc_vec)
             if sim > embedding_threshold:
                 return ("embedding", 0, dt["derived_lemma"], round(sim, 8))
+        # entity-embedding: the doc token's entity label's prototype
+        # vector vs the search word vector (reference
+        # word_matching/entity_embedding.py:8-174; prototypes from the
+        # label→lexeme map, en language_specific_rules.py:100-121)
+        if sp_vec is not None and dt["ent_type"] and dt["dep"] != "compound":
+            proto = vectors.get(ENTITY_LABEL_LEXEMES.get(dt["ent_type"], ""))
+            if proto is not None:
+                sim = _cosine_py(sp_vec, proto)
+                if sim > embedding_threshold:
+                    return ("entity_embedding", 0, dt["text"].lower(),
+                            round(sim, 8))
     return None
 
 
@@ -283,7 +347,16 @@ def _verify_doc(sp: dict, tokens: list[dict], deps: list[dict],
             return None
         dt = toks[d_i]
         extracted = dt["derived_lemma"]
-        if dt["most_specific_coref"] >= 0:
+        if wm_type[0] == "question" and dt["pos"] == "ADP":
+            # the answer to a WH-adverb question matched at a
+            # preposition is its object's content word (the reference
+            # reports the prep's filtered subtree as the answer span,
+            # parsing.py:2736-2757)
+            for dd in by_parent.get(d_i, []):
+                if dd["label"] == "pobj":
+                    extracted = toks[dd["child"]]["derived_lemma"]
+                    break
+        elif dt["most_specific_coref"] >= 0:
             extracted = toks[dt["most_specific_coref"]]["derived_lemma"]
         elif len(dt["multiwords"]) > 0:
             extracted = dt["multiwords"][0]["derived_lemma"]
@@ -399,6 +472,7 @@ def match(spark: SparkSession, docs: DataFrame, postings: DataFrame,
         # the root becomes a probe (driver-side — the vector table is
         # broadcast-sized, like the reference's model vocabulary)
         if vectors is not None and embedding_threshold < 1.0:
+            protos = entity_label_vectors(vectors)
             for q in root_words:
                 qv = vectors.get(q)
                 if qv is None:
@@ -406,6 +480,13 @@ def match(spark: SparkSession, docs: DataFrame, postings: DataFrame,
                 for w, wv in vectors.items():
                     if w != q and _cosine_py(qv, wv) > embedding_threshold:
                         probe_rows.append((pi, w, "direct"))
+                # entity-embedding root candidates: entity labels whose
+                # prototype vector is close to the root word probe the
+                # entity postings (reference word_matching/
+                # entity_embedding.py root handling)
+                for label, pv in protos.items():
+                    if _cosine_py(qv, pv) > embedding_threshold:
+                        probe_rows.append((pi, f"ENTITY{label}", "entity"))
     probes = spark.createDataFrame(probe_rows, "phrase_idx int, repr string, kind string").distinct()
 
     if document_label_filter:

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..nlp.parser import parse_document
-from ..pipeline.phraselets import (REVERSE_ONLY_TEMPLATES,
+from ..pipeline.phraselets import (ACTOR_TEMPLATES, REVERSE_ONLY_TEMPLATES,
                                    extract_candidate_edges,
                                    extract_word_phraselets)
 
@@ -43,12 +43,31 @@ DEFAULTS = dict(
     reverse_only_relation_score=200.0,
     single_word_score=50.0,
     single_word_any_tag_score=20.0,
+    initial_question_word_answer_score=600.0,
     overlapping_relation_multiplier=1.5,
+    embedding_penalty=0.6,
+    ontology_penalty=0.9,
     sideways_match_extent=100,
     different_match_cutoff_score=15.0,
     number_of_results=10,
     tied_result_quotient=0.9,
 )
+
+# question template → the corpus edge templates whose PARENT answers it
+# (reference question phraselets match answering dependencies,
+# word_matching/question.py + en language_specific_rules.py:1247-1312)
+QUESTION_ANSWER_TEMPLATES = {
+    "head-WHsubj": ("predicate-actor", "predicate-passivesubject",
+                    "verb-nom"),
+    "head-WHobj": ("predicate-patient", "verb-acc"),
+    "head-WHattr": ("be-attribute", "verb-pd"),
+    "head-WHadv": ("prepgovernor-noun",),
+    "headprep-WH": ("prepgovernor-noun",),
+    "headprepto-WH": ("predicate-recipient", "verb-dat"),
+    "head-WHnom": ("verb-nom", "predicate-actor"),
+    "head-WHacc": ("verb-acc", "predicate-patient"),
+    "head-WHdat": ("verb-dat", "predicate-recipient"),
+}
 
 TOPIC_MATCH = T.StructType([
     T.StructField("url", T.StringType()),
@@ -59,11 +78,15 @@ TOPIC_MATCH = T.StructType([
 ])
 
 
-def query_phraselets(query_text: str, lang: str = "en") -> tuple[list[dict], list[dict]]:
+def query_phraselets(query_text: str, lang: str = "en",
+                     include_questions: bool = False) -> tuple[list[dict], list[dict]]:
     """Compile the query document into relation + single-word
-    phraselets (reference: parsing.py:2418-2458 two-pass production)."""
+    phraselets (reference: parsing.py:2418-2458 two-pass production);
+    ``include_questions`` admits initial interrogatives (the
+    reference's process_initial_question_words)."""
     parsed = parse_document(query_text, lang)
-    rels = extract_candidate_edges(parsed, lang)
+    rels = extract_candidate_edges(parsed, lang,
+                                   include_questions=include_questions)
     words = extract_word_phraselets(parsed, lang)
     return rels, words
 
@@ -78,28 +101,49 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
     child-pole) with ontology expansion of each pole via the broadcast
     closure; word phraselets join the words table. Both joins broadcast
     the (tiny) query side."""
+    ontology_penalty = DEFAULTS["ontology_penalty"]
     rel_rows = [(p["template"], p["label"], p["pred"],
-                 p["obj"] if p["template"] != "predicate-actor" else p["subj"],
+                 p["obj"] if p["template"] not in ACTOR_TEMPLATES else p["subj"],
                  bool(p.get("reverse_only"))
                  or p["template"] in REVERSE_ONLY_TEMPLATES)
-                for p in rel_ph]
+                for p in rel_ph if not p["template"].startswith("head-")]
+    q_rows = [(p["template"], p["label"], p["pred"])
+              for p in rel_ph if p["template"].startswith("head-")]
     out = None
     if rel_rows:
         q = spark.createDataFrame(
             rel_rows, "template string, phraselet_label string, q_pred string, q_child string, q_reverse_only boolean")
         if closure is not None:
-            c = closure.select(F.col("query_word"), F.col("matched_word"))
+            # ontology expansion carries the closure depth so the
+            # activation penalty ontology_penalty^(depth+1) can be
+            # applied per pole (reference manager.py:683-701 +
+            # topic_matching.py:867-1054); identity matches (the word
+            # itself) carry no penalty
+            c = closure.select("query_word", "matched_word", "depth")
+            pen = lambda depth_col, m_col, q_col: F.when(  # noqa: E731
+                m_col.isNull() | (m_col == q_col), F.lit(1.0)).otherwise(
+                F.pow(F.lit(ontology_penalty), depth_col + 1))
             q = (
                 q.join(F.broadcast(c).withColumnRenamed("query_word", "q_pred")
-                       .withColumnRenamed("matched_word", "m_pred"), "q_pred", "left")
+                       .withColumnRenamed("matched_word", "m_pred")
+                       .withColumnRenamed("depth", "d_pred"), "q_pred", "left")
                 .join(F.broadcast(c).withColumnRenamed("query_word", "q_child")
-                      .withColumnRenamed("matched_word", "m_child"), "q_child", "left")
+                      .withColumnRenamed("matched_word", "m_child")
+                      .withColumnRenamed("depth", "d_child"), "q_child", "left")
                 .select("template", "phraselet_label", "q_reverse_only",
                         F.coalesce("m_pred", "q_pred").alias("q_pred"),
-                        F.coalesce("m_child", "q_child").alias("q_child"))
-                .distinct()
+                        F.coalesce("m_child", "q_child").alias("q_child"),
+                        (pen(F.col("d_pred"), F.col("m_pred"), F.col("q_pred"))
+                         * pen(F.col("d_child"), F.col("m_child"), F.col("q_child"))
+                         ).alias("penalty"))
+                .groupBy("template", "phraselet_label", "q_reverse_only",
+                         "q_pred", "q_child")
+                .agg(F.max("penalty").alias("penalty"))
             )
-        child_col = F.when(F.col("template") == "predicate-actor", F.col("subj")).otherwise(F.col("obj"))
+        else:
+            q = q.withColumn("penalty", F.lit(1.0))
+        child_col = F.when(F.col("template").isin(*ACTOR_TEMPLATES),
+                           F.col("subj")).otherwise(F.col("obj"))
         rel_m = (
             edges.withColumn("q_child", child_col)
             .withColumnRenamed("pred", "q_pred")
@@ -107,28 +151,67 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
             .select("url", "phraselet_label",
                     F.when(F.col("q_reverse_only"), F.lit("relation_reverse_only"))
                      .otherwise(F.lit("relation")).alias("kind"),
-                    F.least("parent_idx", "child_idx").alias("position"))
+                    F.least("parent_idx", "child_idx").alias("position"),
+                    "penalty")
         )
         out = rel_m
+    if q_rows:
+        # question phraselets: the WH pole matches any answering word,
+        # scored initial_question_word_answer_score (reference
+        # manager.py:683-701 score 600)
+        expand = [(t, lbl, pred, m)
+                  for (t, lbl, pred) in q_rows
+                  for m in QUESTION_ANSWER_TEMPLATES.get(t, ())]
+        if expand:
+            qq = spark.createDataFrame(
+                expand, "wh string, phraselet_label string, q_pred string, template string")
+            q_m = (
+                edges.withColumnRenamed("pred", "q_pred")
+                .join(F.broadcast(qq), ["template", "q_pred"])
+                .select("url", "phraselet_label",
+                        F.lit("question_answer").alias("kind"),
+                        F.least("parent_idx", "child_idx").alias("position"),
+                        F.lit(1.0).alias("penalty"))
+            )
+            out = q_m if out is None else out.unionByName(q_m)
     if word_ph:
         qw = spark.createDataFrame(
             [(p["word"], p["label"]) for p in word_ph],
             "word string, phraselet_label string")
         if closure is not None:
-            c = closure.select("query_word", "matched_word")
+            c = closure.select("query_word", "matched_word", "depth")
             qw = (qw.join(F.broadcast(c).withColumnRenamed("query_word", "word")
-                          .withColumnRenamed("matched_word", "m_word"), "word", "left")
-                  .select(F.coalesce("m_word", "word").alias("word"), "phraselet_label")
-                  .distinct())
+                          .withColumnRenamed("matched_word", "m_word")
+                          .withColumnRenamed("depth", "d_word"), "word", "left")
+                  .select(F.coalesce("m_word", "word").alias("word"),
+                          "phraselet_label",
+                          F.when(F.col("m_word").isNull()
+                                 | (F.col("m_word") == F.col("word")),
+                                 F.lit(1.0))
+                          .otherwise(F.pow(F.lit(ontology_penalty),
+                                           F.col("d_word") + 1)).alias("penalty"))
+                  .groupBy("word", "phraselet_label")
+                  .agg(F.max("penalty").alias("penalty")))
+        else:
+            qw = qw.withColumn("penalty", F.lit(1.0))
         word_m = (
             words.join(F.broadcast(qw), "word")
             .select("url", "phraselet_label", F.lit("single_word").alias("kind"),
-                    F.col("idx").alias("position"))
+                    F.col("idx").alias("position"), "penalty")
         )
         out = word_m if out is None else out.unionByName(word_m)
     if out is None:
         raise ValueError("query produced no phraselets")
-    return out
+    # superfluous-match / duplicate hygiene (reference
+    # topic_matching.py:606-847): one surviving match per
+    # (document, phraselet, position), keeping the least-penalized
+    # alternative — exact-join duplicates arise from ontology expansion
+    # mapping several query words onto the same corpus word, and from
+    # the same relation being reachable in both directions
+    w = Window.partitionBy("url", "phraselet_label", "position") \
+        .orderBy(F.desc("penalty"), "kind")
+    return (out.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
 
 
 def _score_docs(params: dict):
@@ -147,10 +230,12 @@ def _score_docs(params: dict):
             "relation_reverse_only": params["reverse_only_relation_score"],
             "single_word": params["single_word_score"],
             "single_word_any_tag": params["single_word_any_tag_score"],
+            "question_answer": params["initial_question_word_answer_score"],
         }
         for r in ms:
             lbl, pos, kind = r["phraselet_label"], int(r["position"]), r["kind"]
-            base = base_scores[kind] * float(r.get("freq_factor", 1.0))
+            base = (base_scores[kind] * float(r.get("freq_factor", 1.0))
+                    * float(r.get("penalty", 1.0)))
             if kind.startswith("relation"):
                 # overlapping relations on a shared position ×1.5
                 others = prev_by_pos.get(pos, set())
@@ -250,7 +335,7 @@ def topic_match(spark: SparkSession, edges: DataFrame, words: DataFrame,
     # invocation overhead across millions of documents
     grouped = matches.groupBy("url").agg(
         F.collect_list(F.struct("phraselet_label", "kind", "position",
-                                "freq_factor")).alias("ms"))
+                                "freq_factor", "penalty")).alias("ms"))
     score_one = _score_docs(params)
 
     cols = [f.name for f in TOPIC_MATCH.fields]

@@ -30,8 +30,10 @@ def test_svo_deps():
 
 def test_passive_normalization():
     p = parse_document("The cat was chased by the dog.", "en")
-    # patient via nsubjpass, actor via pobjb (passive agent)
-    assert dep_string(p, 3) == "1:nsubjpass; 6:pobjb"
+    # patient via nsubjpass, actor via pobjb (passive agent); the prep
+    # dep is kept for wh_wildcard question matching (reference keeps
+    # spaCy prep deps)
+    assert dep_string(p, 3) == "1:nsubjpass; 4:prep; 6:pobjb"
 
 
 def test_negation_scope():

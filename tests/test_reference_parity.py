@@ -259,3 +259,32 @@ def test_de_compound_head_subword_variant():
     assert "word: wohnungsgesellschaft" in got
     assert "word: gesellschaft" not in got
     assert "word: wohnung" not in got
+
+
+# ------------------------------------------- entity-embedding matching
+
+def test_entity_embedding_word_match():
+    # mirrors the embedding rows of reference
+    # tests/common/test_word_level_matching.py: a PERSON-labeled token
+    # matches a search word whose vector is close to the label's
+    # prototype lexeme ('person', en language_specific_rules.py:100-121)
+    from holmes_extractor_spark.fixtures import WORD_VECTORS
+    from holmes_extractor_spark.query.structural import (_verify_doc,
+                                                         compile_search_phrase)
+    sp = compile_search_phrase("The man comes home")
+    p = parse_document("Mary came home.", "en")
+    roots = [t["i"] for t in p["tokens"] if t["lemma"] == "come"]
+    ms = _verify_doc(sp, p["tokens"], p["deps"], roots, {},
+                     vectors=WORD_VECTORS, embedding_threshold=0.8)
+    assert ms, "entity-embedding match expected"
+    kinds = {w["sp_word"]: w["match_type"] for m in ms for w in m["word_matches"]}
+    assert kinds["man"] == "entity_embedding"
+
+
+def test_entity_embedding_disabled_by_default():
+    from holmes_extractor_spark.query.structural import (_verify_doc,
+                                                         compile_search_phrase)
+    sp = compile_search_phrase("The man comes home")
+    p = parse_document("Mary came home.", "en")
+    roots = [t["i"] for t in p["tokens"] if t["lemma"] == "come"]
+    assert _verify_doc(sp, p["tokens"], p["deps"], roots, {}) == []
