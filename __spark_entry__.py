@@ -121,8 +121,10 @@ def q_kg_edge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_kg_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     kg = _kg(spark, sf_dir)
     closure = ontology_closure(spark)
-    linked = link_edges(kg["edges"], closure)
-    ents = build_entities(linked, closure)
+    # build_entities reads only the subj/obj endpoint words — the
+    # class-attachment join (link_edges) belongs to the edge-output
+    # path (pipeline/graph.py), not the entity-cluster query
+    ents = build_entities(kg["edges"], closure)
     return ents.select(
         "canonical", F.concat_ws(",", "lemmas").alias("members"),
         F.col("cluster_size").cast("long").alias("cluster_size"))

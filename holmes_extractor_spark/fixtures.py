@@ -126,26 +126,27 @@ POOL_EN: list[str] = [
     'Two birds flew over the river.',  # 88
     'John came home.',  # 89
     'The happy girl sang a song.',  # 90
+    'The big cat creature chased the kitten.',  # 91
 ]
 
 POOL_DE: list[str] = [
-    'Der Hund jagte die Katze.',  # 91
-    'Polizeiinformation über Kriminelle.',  # 92
-    'Der reiche Mann kam nach Hause.',  # 93
-    'Die Katze wurde vom Hund gejagt.',  # 94
-    'Der Hund jagte die Katze nicht.',  # 95
-    'Der Hund jagte die Katze und die Maus.',  # 96
-    'Die Polizei jagte den Kriminellen.',  # 97
-    'Die Katze wurde nicht gejagt.',  # 98
-    'Der kleine Hund sah die Katze.',  # 99
-    'Die Wohnungsgesellschaft verkaufte das Haus.',  # 100
-    'Das Kind öffnete die Tür.',  # 101
-    'Der reiche Mann kaufte ein Auto.',  # 102
-    'Die Versicherungsgesellschaft informierte den Mann.',  # 103
-    'Der Mann sah den Hund im Garten.',  # 104
-    'Die Frau las ein Buch.',  # 105
-    'Die Kinder spielten im Garten.',  # 106
-    'Die Polizeiinformationsbroschüre ist interessant.',  # 107
+    'Der Hund jagte die Katze.',  # 92
+    'Polizeiinformation über Kriminelle.',  # 93
+    'Der reiche Mann kam nach Hause.',  # 94
+    'Die Katze wurde vom Hund gejagt.',  # 95
+    'Der Hund jagte die Katze nicht.',  # 96
+    'Der Hund jagte die Katze und die Maus.',  # 97
+    'Die Polizei jagte den Kriminellen.',  # 98
+    'Die Katze wurde nicht gejagt.',  # 99
+    'Der kleine Hund sah die Katze.',  # 100
+    'Die Wohnungsgesellschaft verkaufte das Haus.',  # 101
+    'Das Kind öffnete die Tür.',  # 102
+    'Der reiche Mann kaufte ein Auto.',  # 103
+    'Die Versicherungsgesellschaft informierte den Mann.',  # 104
+    'Der Mann sah den Hund im Garten.',  # 105
+    'Die Frau las ein Buch.',  # 106
+    'Die Kinder spielten im Garten.',  # 107
+    'Die Polizeiinformationsbroschüre ist interessant.',  # 108
 ]
 
 # ------------------------------------------- golden per-snippet output
@@ -465,78 +466,87 @@ GOLDEN_EDGES: list[tuple] = [
     (90, 'governor-adjective', 'governor-adjective: girl-happy', 'girl', 'happy', 'girl', False, False, False),
     (90, 'predicate-actor', 'predicate-actor: sing-girl', 'girl', 'sing', 'sing', False, False, False),
     (90, 'predicate-patient', 'predicate-patient: sing-song', 'sing', 'song', 'sing', False, False, False),
-    (91, 'verb-acc', 'verb-acc: jagd-katze', 'jagd', 'katze', 'jagd', False, False, False),
-    (91, 'verb-nom', 'verb-nom: jagd-hund', 'hund', 'jagd', 'jagd', False, False, False),
-    (92, 'intcompound', 'intcompound: information-polizei', 'information', 'polizei', 'information', False, False, False),
-    (92, 'prep-noun', 'prep-noun: über-kriminelle', 'über', 'kriminelle', 'über', False, False, False),
-    (92, 'prepgovernor-noun', 'prepgovernor-noun: information-kriminelle', 'information', 'kriminelle', 'information', False, False, False),
-    (92, 'prepgovernor-noun', 'prepgovernor-noun: polizeiinformation-kriminelle', 'polizeiinformation', 'kriminelle', 'polizeiinformation', False, False, False),
-    (93, 'noun-dependent', 'noun-dependent: mann-reich', 'mann', 'reich', 'mann', False, False, False),
-    (93, 'prep-noun', 'prep-noun: nach-haus', 'nach', 'haus', 'nach', False, False, False),
-    (93, 'prepgovernor-noun', 'prepgovernor-noun: kommen-haus', 'kommen', 'haus', 'kommen', False, False, False),
-    (93, 'verb-nom', 'verb-nom: kommen-mann', 'mann', 'kommen', 'kommen', False, False, False),
-    (94, 'prep-noun', 'prep-noun: vom-hund', 'vom', 'hund', 'vom', False, False, False),
-    (94, 'verb-acc', 'verb-acc: jagd-katze', 'jagd', 'katze', 'jagd', False, False, False),
-    (94, 'verb-nom', 'verb-nom: jagd-hund', 'hund', 'jagd', 'jagd', False, False, False),
-    (95, 'verb-acc', 'verb-acc: jagd-katze', 'jagd', 'katze', 'jagd', True, False, False),
-    (95, 'verb-nom', 'verb-nom: jagd-hund', 'hund', 'jagd', 'jagd', True, False, False),
-    # 96: 'Der Hund jagte die Katze und die Maus.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
-    (96, 'verb-acc', 'verb-acc: jagd-katze', 'jagd', 'katze', 'jagd', False, False, False),
-    (96, 'verb-acc', 'verb-acc: jagd-maus', 'jagd', 'maus', 'jagd', False, False, False),
-    (96, 'verb-nom', 'verb-nom: jagd-hund', 'hund', 'jagd', 'jagd', False, False, False),
-    # 97: 'Die Polizei jagte den Kriminellen.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
-    (97, 'verb-acc', 'verb-acc: jagd-kriminelle', 'jagd', 'kriminelle', 'jagd', False, False, False),
-    (97, 'verb-nom', 'verb-nom: jagd-polizei', 'polizei', 'jagd', 'jagd', False, False, False),
-    # 98: 'Die Katze wurde nicht gejagt.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
-    (98, 'verb-acc', 'verb-acc: jagd-katze', 'jagd', 'katze', 'jagd', True, False, False),
-    # 99: 'Der kleine Hund sah die Katze.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
-    (99, 'noun-dependent', 'noun-dependent: hund-klein', 'hund', 'klein', 'hund', False, False, False),
-    (99, 'verb-acc', 'verb-acc: sehen-katze', 'sehen', 'katze', 'sehen', False, False, False),
-    (99, 'verb-nom', 'verb-nom: sehen-hund', 'hund', 'sehen', 'sehen', False, False, False),
-    # 100: 'Die Wohnungsgesellschaft verkaufte das Haus.' — ref de templates de/language_specific_rules.py:1697-1960 + subword walk (head-subword variant per tests/de/test_phraselet_production_DE.py:112-135)
-    (100, 'intcompound', 'intcompound: gesellschaft-wohnung', 'gesellschaft', 'wohnung', 'gesellschaft', False, False, False),
-    (100, 'verb-acc', 'verb-acc: verkauf-haus', 'verkauf', 'haus', 'verkauf', False, False, False),
-    (100, 'verb-nom', 'verb-nom: verkauf-gesellschaft', 'gesellschaft', 'verkauf', 'verkauf', False, False, False),
-    (100, 'verb-nom', 'verb-nom: verkauf-wohnungsgesellschaft', 'wohnungsgesellschaft', 'verkauf', 'verkauf', False, False, False),
-    # 101: 'Das Kind öffnete die Tür.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
-    (101, 'verb-acc', 'verb-acc: öffnen-tür', 'öffnen', 'tür', 'öffnen', False, False, False),
-    (101, 'verb-nom', 'verb-nom: öffnen-kind', 'kind', 'öffnen', 'öffnen', False, False, False),
-    # 102: 'Der reiche Mann kaufte ein Auto.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
-    (102, 'noun-dependent', 'noun-dependent: mann-reich', 'mann', 'reich', 'mann', False, False, False),
-    (102, 'verb-acc', 'verb-acc: kauf-auto', 'kauf', 'auto', 'kauf', False, False, False),
-    (102, 'verb-nom', 'verb-nom: kauf-mann', 'mann', 'kauf', 'kauf', False, False, False),
-    # 103: 'Die Versicherungsgesellschaft informierte den Mann.' — ref de derivation.csv:201 (information,informieren)
-    (103, 'intcompound', 'intcompound: gesellschaft-versicherung', 'gesellschaft', 'versicherung', 'gesellschaft', False, False, False),
-    (103, 'verb-acc', 'verb-acc: information-mann', 'information', 'mann', 'information', False, False, False),
-    (103, 'verb-nom', 'verb-nom: information-gesellschaft', 'gesellschaft', 'information', 'information', False, False, False),
-    (103, 'verb-nom', 'verb-nom: information-versicherungsgesellschaft', 'versicherungsgesellschaft', 'information', 'information', False, False, False),
-    # 104: 'Der Mann sah den Hund im Garten.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
-    (104, 'prep-noun', 'prep-noun: im-garten', 'im', 'garten', 'im', False, False, False),
-    (104, 'prepgovernor-noun', 'prepgovernor-noun: hund-garten', 'hund', 'garten', 'hund', False, True, False),
-    (104, 'prepgovernor-noun', 'prepgovernor-noun: sehen-garten', 'sehen', 'garten', 'sehen', False, False, False),
-    (104, 'verb-acc', 'verb-acc: sehen-hund', 'sehen', 'hund', 'sehen', False, False, False),
-    (104, 'verb-nom', 'verb-nom: sehen-mann', 'mann', 'sehen', 'sehen', False, False, False),
-    # 105: 'Die Frau las ein Buch.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
-    (105, 'verb-acc', 'verb-acc: lesen-buch', 'lesen', 'buch', 'lesen', False, False, False),
-    (105, 'verb-nom', 'verb-nom: lesen-frau', 'frau', 'lesen', 'lesen', False, False, False),
-    # 106: 'Die Kinder spielten im Garten.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
-    (106, 'prep-noun', 'prep-noun: im-garten', 'im', 'garten', 'im', False, False, False),
-    (106, 'prepgovernor-noun', 'prepgovernor-noun: spiel-garten', 'spiel', 'garten', 'spiel', False, False, False),
-    (106, 'verb-nom', 'verb-nom: spiel-kind', 'kind', 'spiel', 'spiel', False, False, False),
-    # 107: 'Die Polizeiinformationsbroschüre ist interessant.' — 3-part
+    (92, 'verb-acc', 'verb-acc: jagd-katze', 'jagd', 'katze', 'jagd', False, False, False),
+    (92, 'verb-nom', 'verb-nom: jagd-hund', 'hund', 'jagd', 'jagd', False, False, False),
+    (93, 'intcompound', 'intcompound: information-polizei', 'information', 'polizei', 'information', False, False, False),
+    (93, 'prep-noun', 'prep-noun: über-kriminelle', 'über', 'kriminelle', 'über', False, False, False),
+    (93, 'prepgovernor-noun', 'prepgovernor-noun: information-kriminelle', 'information', 'kriminelle', 'information', False, False, False),
+    (93, 'prepgovernor-noun', 'prepgovernor-noun: polizeiinformation-kriminelle', 'polizeiinformation', 'kriminelle', 'polizeiinformation', False, False, False),
+    (94, 'noun-dependent', 'noun-dependent: mann-reich', 'mann', 'reich', 'mann', False, False, False),
+    (94, 'prep-noun', 'prep-noun: nach-haus', 'nach', 'haus', 'nach', False, False, False),
+    (94, 'prepgovernor-noun', 'prepgovernor-noun: kommen-haus', 'kommen', 'haus', 'kommen', False, False, False),
+    (94, 'verb-nom', 'verb-nom: kommen-mann', 'mann', 'kommen', 'kommen', False, False, False),
+    (95, 'prep-noun', 'prep-noun: vom-hund', 'vom', 'hund', 'vom', False, False, False),
+    (95, 'verb-acc', 'verb-acc: jagd-katze', 'jagd', 'katze', 'jagd', False, False, False),
+    (95, 'verb-nom', 'verb-nom: jagd-hund', 'hund', 'jagd', 'jagd', False, False, False),
+    (96, 'verb-acc', 'verb-acc: jagd-katze', 'jagd', 'katze', 'jagd', True, False, False),
+    (96, 'verb-nom', 'verb-nom: jagd-hund', 'hund', 'jagd', 'jagd', True, False, False),
+    # 97: 'Der Hund jagte die Katze und die Maus.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
+    (97, 'verb-acc', 'verb-acc: jagd-katze', 'jagd', 'katze', 'jagd', False, False, False),
+    (97, 'verb-acc', 'verb-acc: jagd-maus', 'jagd', 'maus', 'jagd', False, False, False),
+    (97, 'verb-nom', 'verb-nom: jagd-hund', 'hund', 'jagd', 'jagd', False, False, False),
+    # 98: 'Die Polizei jagte den Kriminellen.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
+    (98, 'verb-acc', 'verb-acc: jagd-kriminelle', 'jagd', 'kriminelle', 'jagd', False, False, False),
+    (98, 'verb-nom', 'verb-nom: jagd-polizei', 'polizei', 'jagd', 'jagd', False, False, False),
+    # 99: 'Die Katze wurde nicht gejagt.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
+    (99, 'verb-acc', 'verb-acc: jagd-katze', 'jagd', 'katze', 'jagd', True, False, False),
+    # 100: 'Der kleine Hund sah die Katze.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
+    (100, 'noun-dependent', 'noun-dependent: hund-klein', 'hund', 'klein', 'hund', False, False, False),
+    (100, 'verb-acc', 'verb-acc: sehen-katze', 'sehen', 'katze', 'sehen', False, False, False),
+    (100, 'verb-nom', 'verb-nom: sehen-hund', 'hund', 'sehen', 'sehen', False, False, False),
+    # 101: 'Die Wohnungsgesellschaft verkaufte das Haus.' — ref de templates de/language_specific_rules.py:1697-1960 + subword walk (head-subword variant per tests/de/test_phraselet_production_DE.py:112-135)
+    (101, 'intcompound', 'intcompound: gesellschaft-wohnung', 'gesellschaft', 'wohnung', 'gesellschaft', False, False, False),
+    (101, 'verb-acc', 'verb-acc: verkauf-haus', 'verkauf', 'haus', 'verkauf', False, False, False),
+    (101, 'verb-nom', 'verb-nom: verkauf-gesellschaft', 'gesellschaft', 'verkauf', 'verkauf', False, False, False),
+    (101, 'verb-nom', 'verb-nom: verkauf-wohnungsgesellschaft', 'wohnungsgesellschaft', 'verkauf', 'verkauf', False, False, False),
+    # 102: 'Das Kind öffnete die Tür.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
+    (102, 'verb-acc', 'verb-acc: öffnen-tür', 'öffnen', 'tür', 'öffnen', False, False, False),
+    (102, 'verb-nom', 'verb-nom: öffnen-kind', 'kind', 'öffnen', 'öffnen', False, False, False),
+    # 103: 'Der reiche Mann kaufte ein Auto.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
+    (103, 'noun-dependent', 'noun-dependent: mann-reich', 'mann', 'reich', 'mann', False, False, False),
+    (103, 'verb-acc', 'verb-acc: kauf-auto', 'kauf', 'auto', 'kauf', False, False, False),
+    (103, 'verb-nom', 'verb-nom: kauf-mann', 'mann', 'kauf', 'kauf', False, False, False),
+    # 104: 'Die Versicherungsgesellschaft informierte den Mann.' — ref de derivation.csv:201 (information,informieren)
+    (104, 'intcompound', 'intcompound: gesellschaft-versicherung', 'gesellschaft', 'versicherung', 'gesellschaft', False, False, False),
+    (104, 'verb-acc', 'verb-acc: information-mann', 'information', 'mann', 'information', False, False, False),
+    (104, 'verb-nom', 'verb-nom: information-gesellschaft', 'gesellschaft', 'information', 'information', False, False, False),
+    (104, 'verb-nom', 'verb-nom: information-versicherungsgesellschaft', 'versicherungsgesellschaft', 'information', 'information', False, False, False),
+    # 105: 'Der Mann sah den Hund im Garten.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
+    (105, 'prep-noun', 'prep-noun: im-garten', 'im', 'garten', 'im', False, False, False),
+    (105, 'prepgovernor-noun', 'prepgovernor-noun: hund-garten', 'hund', 'garten', 'hund', False, True, False),
+    (105, 'prepgovernor-noun', 'prepgovernor-noun: sehen-garten', 'sehen', 'garten', 'sehen', False, False, False),
+    (105, 'verb-acc', 'verb-acc: sehen-hund', 'sehen', 'hund', 'sehen', False, False, False),
+    (105, 'verb-nom', 'verb-nom: sehen-mann', 'mann', 'sehen', 'sehen', False, False, False),
+    # 106: 'Die Frau las ein Buch.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
+    (106, 'verb-acc', 'verb-acc: lesen-buch', 'lesen', 'buch', 'lesen', False, False, False),
+    (106, 'verb-nom', 'verb-nom: lesen-frau', 'frau', 'lesen', 'lesen', False, False, False),
+    # 107: 'Die Kinder spielten im Garten.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
+    (107, 'prep-noun', 'prep-noun: im-garten', 'im', 'garten', 'im', False, False, False),
+    (107, 'prepgovernor-noun', 'prepgovernor-noun: spiel-garten', 'spiel', 'garten', 'spiel', False, False, False),
+    (107, 'verb-nom', 'verb-nom: spiel-kind', 'kind', 'spiel', 'spiel', False, False, False),
+    # 108: 'Die Polizeiinformationsbroschüre ist interessant.' — 3-part
     # recursive compound split with penalty scoring (reference
     # de/language_specific_rules.py:364-530); adjacent parts chain via
     # intcompound (:740-746); predicative adjective → noun-dependent on
     # both the whole compound and its head subword
-    (107, 'noun-dependent', 'noun-dependent: polizeiinformationsbroschüre-interessant', 'polizeiinformationsbroschüre', 'interessant', 'polizeiinformationsbroschüre', False, False, False),
-    (107, 'noun-dependent', 'noun-dependent: broschüre-interessant', 'broschüre', 'interessant', 'broschüre', False, False, False),
-    (107, 'intcompound', 'intcompound: information-polizei', 'information', 'polizei', 'information', False, False, False),
-    (107, 'intcompound', 'intcompound: broschüre-information', 'broschüre', 'information', 'broschüre', False, False, False),
+    (108, 'noun-dependent', 'noun-dependent: polizeiinformationsbroschüre-interessant', 'polizeiinformationsbroschüre', 'interessant', 'polizeiinformationsbroschüre', False, False, False),
+    (108, 'noun-dependent', 'noun-dependent: broschüre-interessant', 'broschüre', 'interessant', 'broschüre', False, False, False),
+    (108, 'intcompound', 'intcompound: information-polizei', 'information', 'polizei', 'information', False, False, False),
+    (108, 'intcompound', 'intcompound: broschüre-information', 'broschüre', 'information', 'broschüre', False, False, False),
+    # 91: 'The big cat creature chased the kitten.' — ontology-defined
+    # multiword 'cat creature' indexed as one repr (reference
+    # word_matching/ontology.py:180-210 + test ontology; multiword
+    # substitution as in tests/en/test_phraselet_production_EN.py:160-163)
+    (91, 'governor-adjective', 'governor-adjective: cat creature-big', 'cat creature', 'big', 'cat creature', False, False, False),
+    (91, 'predicate-actor', 'predicate-actor: chase-cat creature', 'cat creature', 'chase', 'chase', False, False, False),
+    (91, 'predicate-patient', 'predicate-patient: chase-kitten', 'chase', 'kitten', 'chase', False, False, False),
 ]
 
 # (snip_id, word) — the reference's single-word phraselets
 GOLDEN_WORDS: list[tuple] = [
-    (107, 'polizeiinformationsbroschüre'),
+    (91, 'cat creature'),
+    (91, 'kitten'),
+    (108, 'polizeiinformationsbroschüre'),
     (21, 'sailor'),
     (27, 'man'),
     (0, 'cat'),
@@ -709,39 +719,39 @@ GOLDEN_WORDS: list[tuple] = [
     (89, 'john'),
     (90, 'girl'),
     (90, 'song'),
-    (91, 'hund'),
-    (91, 'katze'),
-    (92, 'kriminelle'),
-    (92, 'polizeiinformation'),
-    (93, 'haus'),
-    (93, 'mann'),
-    (94, 'hund'),
-    (94, 'katze'),
+    (92, 'hund'),
+    (92, 'katze'),
+    (93, 'kriminelle'),
+    (93, 'polizeiinformation'),
+    (94, 'haus'),
+    (94, 'mann'),
     (95, 'hund'),
     (95, 'katze'),
     (96, 'hund'),
     (96, 'katze'),
-    (96, 'maus'),
-    (97, 'kriminelle'),
-    (97, 'polizei'),
-    (98, 'katze'),
-    (99, 'hund'),
+    (97, 'hund'),
+    (97, 'katze'),
+    (97, 'maus'),
+    (98, 'kriminelle'),
+    (98, 'polizei'),
     (99, 'katze'),
-    (100, 'haus'),
-    (100, 'wohnungsgesellschaft'),
-    (101, 'kind'),
-    (101, 'tür'),
-    (102, 'auto'),
-    (102, 'mann'),
+    (100, 'hund'),
+    (100, 'katze'),
+    (101, 'haus'),
+    (101, 'wohnungsgesellschaft'),
+    (102, 'kind'),
+    (102, 'tür'),
+    (103, 'auto'),
     (103, 'mann'),
-    (103, 'versicherungsgesellschaft'),
-    (104, 'garten'),
-    (104, 'hund'),
     (104, 'mann'),
-    (105, 'buch'),
-    (105, 'frau'),
-    (106, 'garten'),
-    (106, 'kind'),
+    (104, 'versicherungsgesellschaft'),
+    (105, 'garten'),
+    (105, 'hund'),
+    (105, 'mann'),
+    (106, 'buch'),
+    (106, 'frau'),
+    (107, 'garten'),
+    (107, 'kind'),
 ]
 
 # per-snippet structural-match annotations (snip_id, negated, involves_coref);
@@ -749,7 +759,7 @@ GOLDEN_WORDS: list[tuple] = [
 # structural_matching.py:381-465)
 MATCH_DOG_CHASES_CAT: list[tuple] = [(0, 0, 0), (1, 0, 0), (2, 1, 0), (3, 1, 0), (4, 0, 1), (11, 0, 0), (12, 0, 0), (16, 0, 0), (30, 0, 0), (31, 1, 0), (32, 0, 0), (33, 0, 0), (46, 0, 1), (53, 0, 0)]
 
-MATCH_ANIMAL_CHASES_ANIMAL: list[tuple] = [(0, 0, 0), (1, 0, 0), (2, 1, 0), (3, 1, 0), (4, 0, 1), (11, 0, 0), (12, 0, 0), (16, 0, 0), (30, 0, 0), (31, 1, 0), (32, 0, 0), (33, 0, 0), (35, 0, 0), (46, 0, 1), (53, 0, 0), (91, 0, 0), (94, 0, 0), (95, 1, 0), (96, 0, 0)]
+MATCH_ANIMAL_CHASES_ANIMAL: list[tuple] = [(0, 0, 0), (1, 0, 0), (2, 1, 0), (3, 1, 0), (4, 0, 1), (11, 0, 0), (12, 0, 0), (16, 0, 0), (30, 0, 0), (31, 1, 0), (32, 0, 0), (33, 0, 0), (35, 0, 0), (46, 0, 1), (53, 0, 0), (91, 0, 0), (92, 0, 0), (95, 0, 0), (96, 1, 0), (97, 0, 0)]
 
 MATCH_PERSON_COMES_HOME: list[tuple] = [(5, 0, 0), (39, 0, 0), (89, 0, 0)]
 

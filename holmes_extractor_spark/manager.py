@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import PARSER_VERSION
+from . import PARSER_VERSION, errors
 from .pipeline.linking import ontology_closure_local
 from .pipeline.parse_stage import extract_edges, extract_words, parse_pages
 from .pipeline.postings import build_postings
@@ -54,10 +54,11 @@ class SparkHolmesManager:
         """Reference: manager.py:375-384."""
         label = label or f"doc{len(self._labels)}"
         if label in self._labels:
-            raise ValueError(f"duplicate document label {label!r}")
+            raise errors.DuplicateDocumentError(label)
         if len(document_text) > 1_000_000:
-            # reference DocumentTooBigError (parsing.py:953-963)
-            raise ValueError("document too big (>1,000,000 chars)")
+            # reference parsing.py:953-963
+            raise errors.DocumentTooBigError(
+                "document too big (>1,000,000 chars)")
         self._labels.add(label)
         self._pending.append((label, document_text, lang))
         # postings rebuild needed (reference
@@ -69,7 +70,7 @@ class SparkHolmesManager:
         manager.py:333-361). Version-guarded like the reference."""
         bad = docs.filter(F.col("parser_version") != PARSER_VERSION).count()
         if bad:
-            raise ValueError(
+            raise errors.WrongVersionDeserializationError(
                 f"{bad} documents parsed with a different parser version "
                 f"(expected {PARSER_VERSION})")
         self._docs = docs if self._docs is None else self._docs.unionByName(docs)
@@ -121,20 +122,30 @@ class SparkHolmesManager:
             self._postings = build_postings(self.docs()).cache()
         return self._postings
 
-    def match(self, search_phrase_text: str | None = None,
-              document_label_filter: str | None = None) -> list[dict]:
-        """Reference: manager.py:562-613. Returns reference-shaped
-        match dicts sorted like the reference (manager.py:607-613)."""
+    def match_df(self, search_phrase_text: str | None = None,
+                 document_label_filter: str | None = None) -> DataFrame:
+        """Distributed match result as a DataFrame — the scale path: no
+        driver collect, composable with further transformations or a
+        table write. ``match()`` below is the reference-API convenience
+        wrapper and collects; use match_df for large corpora."""
         sps = self._search_phrases
         if search_phrase_text is not None:
             sps = [structural.compile_search_phrase(search_phrase_text)]
         if not sps:
-            raise ValueError("no search phrases registered")
-        res = structural.match(self.spark, self.docs(), self.postings(),
-                               sps, self._closure_rows,
-                               vectors=self._vectors,
-                               embedding_threshold=self._embedding_threshold,
-                               document_label_filter=document_label_filter)
+            raise errors.NoSearchPhraseError("no search phrases registered")
+        return structural.match(self.spark, self.docs(), self.postings(),
+                                sps, self._closure_rows,
+                                vectors=self._vectors,
+                                embedding_threshold=self._embedding_threshold,
+                                document_label_filter=document_label_filter)
+
+    def match(self, search_phrase_text: str | None = None,
+              document_label_filter: str | None = None) -> list[dict]:
+        """Reference: manager.py:562-613. Returns reference-shaped
+        match dicts sorted like the reference (manager.py:607-613).
+        NOTE: collects to the driver for API parity — appropriate for
+        small result sets; use match_df() at corpus scale."""
+        res = self.match_df(search_phrase_text, document_label_filter)
         out = []
         for r in res.collect():
             out.append({

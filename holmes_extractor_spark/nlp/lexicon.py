@@ -213,6 +213,11 @@ COMPOUND_PARTS_DE = {
 # linking elements (Fugen) allowed between German compound parts
 FUGEN_DE = ("s", "es", "n", "en")
 
+# ontology-defined noun multiwords (the reference indexes multiword
+# ontology entries as single reprs, word_matching/ontology.py:180-210;
+# its test ontology defines 'cat creature' and 'school gear')
+ONTOLOGY_MULTIWORDS_EN = {"cat creature", "school gear"}
+
 # ------------------------------------------------- multi-language sets
 
 STOPWORDS_BY_LANG = {"en": STOPWORDS_EN, "de": STOPWORDS_DE}

@@ -798,6 +798,25 @@ def parse_document(text: str, lang: str) -> dict:
         if t.pos == "PROPN" and toks[t.head].pos == "PROPN":
             t.ent_type = toks[t.head].ent_type
 
+    # --- ontology-defined noun multiwords (reference
+    # word_matching/ontology.py:180-210 indexes multiword ontology
+    # entries, e.g. 'cat creature'): adjacent noun pairs whose lemma
+    # bigram is a known ontology multiword attach to the head (last)
+    # token like entity multiwords
+    if lang == "en":
+        for j in range(len(toks) - 1):
+            a, b = toks[j], toks[j + 1]
+            if a.pos == "NOUN" and b.pos == "NOUN" \
+                    and a.sent_idx == b.sent_idx:
+                bigram = f"{a.lemma} {b.lemma}"
+                if bigram in L.ONTOLOGY_MULTIWORDS_EN:
+                    b.multiwords.append({
+                        "text": f"{a.text.lower()} {b.text.lower()}",
+                        "lemma": bigram,
+                        "derived_lemma": f"{a.derived_lemma} {b.derived_lemma}",
+                        "token_indexes": [a.i, b.i],
+                    })
+
     # --- multiword spans: maximal PROPN runs (reference builds noun
     # multiwords at parsing.py:1534-1588; entity-defined multiwords in
     # word_matching/entity.py:80-114)

@@ -105,26 +105,24 @@ MAX_SHINGLE_DF = 1000
 
 def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.5,
                         max_shingle_df: int = MAX_SHINGLE_DF) -> DataFrame:
-    """Near-dup pairs with word-3-gram Jaccard ≥ threshold. Candidate
-    generation by shared-shingle equi-join (each shingle is a blocking
-    key, document-frequency-capped) — never a cross join."""
-    sh = _shingles(documents).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    rare = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    """Near-dup pairs with Jaccard ≥ threshold over the df-capped
+    word-3-gram shingle sets. Shared-shingle equi-join (each shingle a
+    blocking key) — never a cross join; hot (boilerplate) shingles are
+    excluded from BOTH the join and the similarity, which (a) caps the
+    candidate fan-out at max_shingle_df²/2 pairs per shingle and (b)
+    makes the measure boilerplate-discounted: two docs are near-dups
+    because they share RARE content, not a navbar."""
+    sh_all = _shingles(documents)
+    rare = (sh_all.groupBy("shingle").agg(F.count("*").alias("df"))
             .filter(F.col("df") <= max_shingle_df).select("shingle"))
-    shc = sh.join(rare, "shingle")  # candidate-generation view only
-    cand = (
-        shc.alias("x").join(shc.alias("y"),
-                            (F.col("x.shingle") == F.col("y.shingle"))
-                            & (F.col("x.doc_id") < F.col("y.doc_id")))
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    # exact intersection over ALL shingles of the candidate pairs
+    sh = sh_all.join(rare, "shingle").cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
-        cand.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-        .join(sh.withColumnRenamed("doc_id", "doc_b"), ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter"))
+        sh.alias("x").join(sh.alias("y"),
+                           (F.col("x.shingle") == F.col("y.shingle"))
+                           & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .groupBy(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
     )
     return (
         inter
@@ -141,22 +139,17 @@ def ngram_jaccard_sql(threshold: float = 0.5,
                       max_shingle_df: int = MAX_SHINGLE_DF) -> str:
     return f"""
 WITH {_shingles_cte()},
-sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
-rare AS (
-  SELECT shingle FROM shingles GROUP BY shingle
-  HAVING count(*) <= {max_shingle_df}
+rare_sh AS (
+  SELECT s.* FROM shingles s JOIN (
+    SELECT shingle FROM shingles GROUP BY shingle
+    HAVING count(*) <= {max_shingle_df}
+  ) r USING (shingle)
 ),
-cand AS (
-  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-  FROM (SELECT s.* FROM shingles s JOIN rare USING (shingle)) x
-  JOIN (SELECT s.* FROM shingles s JOIN rare USING (shingle)) y
-    ON x.shingle = y.shingle AND x.doc_id < y.doc_id
-),
+sizes AS (SELECT doc_id, count(*) AS n FROM rare_sh GROUP BY doc_id),
 inter AS (
-  SELECT c.doc_a, c.doc_b, count(*) AS inter
-  FROM cand c
-  JOIN shingles sa ON sa.doc_id = c.doc_a
-  JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+  FROM rare_sh x JOIN rare_sh y
+    ON x.shingle = y.shingle AND x.doc_id < y.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,

@@ -39,7 +39,34 @@ def cluster_edges_from(closure: DataFrame, deriv_pairs: DataFrame | None = None)
     return syn.distinct()
 
 
-def connected_components(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
+def _pair_graph_rounds(pair_rows: list[tuple[str, str]]) -> int:
+    """Pointer-doubling rounds sufficient for a KNOWN pair graph:
+    ceil(log2(diameter+1)) + 1. Used when the pair set is driver-sized
+    (ontology-derived synonym/derivation pairs — eagerly computed like
+    the reference's ontology closure), letting connected_components run
+    a fixed-depth LAZY plan with no per-round materialization."""
+    import math
+    from collections import deque
+    adj: dict[str, list[str]] = {}
+    for (a, b) in pair_rows:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    diameter = 0
+    for src in adj:
+        dist = {src: 0}
+        dq = deque([src])
+        while dq:
+            u = dq.popleft()
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    dq.append(v)
+        diameter = max(diameter, max(dist.values(), default=0))
+    return max(1, math.ceil(math.log2(diameter + 1))) + 1
+
+
+def connected_components(nodes: DataFrame, pairs: DataFrame,
+                         fixed_rounds: int | None = None) -> DataFrame:
     """nodes(word) + pairs(a, b) → (word, canonical) where canonical is
     the lexicographic min of the component (min-label propagation).
 
@@ -59,9 +86,40 @@ def connected_components(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
         .distinct().cache()
     )
     touched = adj.select(F.col("src").alias("word")).distinct()
-    # materialize the (small) iterated frames once; per-round
-    # localCheckpoint truncates lineage so Catalyst never sees an
-    # N-deep self-join plan (the standard iterative-algorithm pattern)
+
+    if fixed_rounds is not None:
+        # KNOWN round bound (driver-sized pair graph, _pair_graph_rounds):
+        # run exactly that many rounds with lineage truncation but NO
+        # convergence-check jobs (labels reference themselves 3× per
+        # round, so an unmaterialized plan would grow ~3^rounds)
+        adj = adj.localCheckpoint(eager=True)
+        labels = touched.select("word", F.col("word").alias("canonical")) \
+            .localCheckpoint(eager=True)
+        for _ in range(fixed_rounds):
+            cand = (
+                adj.join(labels.withColumnRenamed("word", "dst")
+                         .withColumnRenamed("canonical", "ncanon"), "dst")
+                .groupBy(F.col("src").alias("word"))
+                .agg(F.min("ncanon").alias("new_canonical"))
+            )
+            stepped = labels.join(cand, "word", "left").select(
+                "word",
+                F.least(F.col("canonical"),
+                        F.coalesce("new_canonical", "canonical")).alias("canonical"))
+            ptr = stepped.select(F.col("word").alias("canonical"),
+                                 F.col("canonical").alias("grand"))
+            labels = (stepped.join(ptr, "canonical", "left")
+                      .select("word",
+                              F.least(F.col("canonical"),
+                                      F.coalesce("grand", "canonical")).alias("canonical"))
+                      .localCheckpoint(eager=True))
+        untouched = nodes.join(touched, "word", "anti").select(
+            "word", F.col("word").alias("canonical"))
+        return labels.join(nodes, "word", "semi").unionByName(untouched)
+
+    # unknown diameter (corpus-sized pair graphs, e.g. LSH duplicate
+    # clusters): iterate with per-round materialization + convergence
+    # detection; the standard iterative-algorithm pattern
     adj = adj.localCheckpoint(eager=True)
     labels = touched.select("word", F.col("word").alias("canonical")) \
         .localCheckpoint(eager=True)
@@ -74,26 +132,29 @@ def connected_components(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
             .groupBy(F.col("src").alias("word"))
             .agg(F.min("ncanon").alias("new_canonical"))
         )
-        nxt = labels.join(cand, "word", "left").select(
-            "word",
+        stepped = labels.join(cand, "word", "left").select(
+            "word", F.col("canonical").alias("old_canonical"),
             F.least(F.col("canonical"),
                     F.coalesce("new_canonical", "canonical")).alias("canonical"))
         # pointer doubling (large-star shortcut): canonical ← its own
         # canonical, halving the remaining path each round so total
-        # rounds are O(log diameter), not O(diameter)
-        ptr = nxt.select(F.col("word").alias("canonical"),
-                         F.col("canonical").alias("grand"))
-        nxt = (nxt.join(ptr, "canonical", "left")
+        # rounds are O(log diameter), not O(diameter); the changed flag
+        # is carried through so ONE filter-count on the checkpointed
+        # frame decides convergence (labels shrink monotonically — no
+        # exceptAll anti-join needed)
+        ptr = stepped.select(F.col("word").alias("canonical"),
+                             F.col("canonical").alias("grand"))
+        nxt = (stepped.join(ptr, "canonical", "left")
                .select("word",
                        F.least(F.col("canonical"),
-                               F.coalesce("grand", "canonical")).alias("canonical")))
+                               F.coalesce("grand", "canonical")).alias("canonical"),
+                       "old_canonical"))
         nxt = nxt.localCheckpoint(eager=True)
-        # convergence check on the already-materialized frames (cheap)
-        if nxt.exceptAll(labels).isEmpty():
-            labels = nxt
+        n_changed = nxt.filter(F.col("canonical") != F.col("old_canonical")).count()
+        labels = nxt.select("word", "canonical")
+        if n_changed == 0:
             converged = True
             break
-        labels = nxt
     if not converged:
         # never silent: a split cluster silently mislabels keepers
         raise RuntimeError(
@@ -112,8 +173,14 @@ def build_entities(linked_edges: DataFrame, closure: DataFrame) -> DataFrame:
         .distinct()
     )
     pairs = cluster_edges_from(closure)
-    # restrict pairs to words present in the corpus + their partners
-    comp = connected_components(nodes, pairs)
+    # the pair graph is ontology-derived → driver-sized (the reference
+    # computes the whole closure eagerly on the driver, ontology.py:
+    # 91-125): bound the rounds up front and run a lazy fixed-depth
+    # plan. Restriction to corpus-present endpoints only SHRINKS
+    # components, so the bound stays valid.
+    pair_rows = [(r["a"], r["b"]) for r in pairs.collect()]
+    rounds = _pair_graph_rounds(pair_rows)
+    comp = connected_components(nodes, pairs, fixed_rounds=rounds)
     return (
         comp.groupBy("canonical")
         .agg(F.sort_array(F.collect_set("word")).alias("lemmas"),

@@ -28,6 +28,9 @@ ONTOLOGY_EDGES: list[tuple[str, str, str]] = [
     ("hound", "equivalentClass", "dog"),
     ("feline", "equivalentClass", "cat"),
     ("mammal", "subClassOf", "animal"),
+    # ontology-defined multiword (reference test ontology's
+    # 'cat creature'; indexed as a single repr)
+    ("cat creature", "equivalentClass", "cat"),
     ("fido", "type", "dog"),
     ("hund", "subClassOf", "tier"),
     ("katze", "subClassOf", "tier"),
@@ -98,6 +101,39 @@ def ontology_closure(spark: SparkSession, edges: DataFrame | None = None) -> Dat
         [tuple(r) for r in edges.collect()] if edges is not None else None)
     return spark.createDataFrame(
         rows, "query_word string, matched_word string, depth int, is_individual boolean")
+
+
+def hypernym_ancestors(edges: list[tuple[str, str, str]] | None = None) -> dict[str, str]:
+    """word → most general hypernym ancestor (reference
+    ontology.py get_most_general_hypernym_ancestor, used for
+    classification phraselet generalization, classification.py:384-397).
+    Synonyms share their class's ancestor; roots map to themselves."""
+    edges = edges if edges is not None else ONTOLOGY_EDGES
+    parent: dict[str, str] = {}
+    syn: dict[str, set[str]] = {}
+    for (s, r, o) in edges:
+        if r in ("subClassOf", "type"):
+            parent[s] = o
+        elif r == "equivalentClass":
+            syn.setdefault(s, set()).add(o)
+            syn.setdefault(o, set()).add(s)
+
+    def top(w: str) -> str:
+        seen = set()
+        cur = w
+        while cur not in seen:
+            seen.add(cur)
+            if cur in parent:
+                cur = parent[cur]
+                continue
+            nxt = next((x for x in sorted(syn.get(cur, ())) if x in parent), None)
+            if nxt is None:
+                return cur
+            cur = parent[nxt]
+        return cur
+
+    words = set(parent) | set(p for p in parent.values()) | set(syn)
+    return {w: top(w) for w in sorted(words)}
 
 
 def link_edges(cand_edges: DataFrame, closure: DataFrame) -> DataFrame:

@@ -32,23 +32,97 @@ from pyspark.sql import functions as F
 from ..pipeline.parse_stage import extract_edges, extract_words, parse_pages
 
 
-def phraselet_features(docs: DataFrame) -> DataFrame:
+def phraselet_features(docs: DataFrame,
+                       replace_with_hypernym_ancestors: bool = False,
+                       overlap_combined: bool = True) -> DataFrame:
     """(url, features: array<string>) — every relation + single-word
     phraselet label of the document (the reference's feature space,
-    classification.py:39-174)."""
-    e = extract_edges(docs).select("url", F.col("label").alias("f"))
-    w = extract_words(docs).select("url", F.col("label").alias("f"))
-    return (e.unionByName(w)
-            .groupBy("url").agg(F.collect_list("f").alias("features")))
+    classification.py:39-174).
+
+    ``replace_with_hypernym_ancestors`` generalizes each pole to its
+    most general ontology ancestor (the reference's training mode,
+    classification.py:384-397). ``overlap_combined`` adds combined
+    'a/b' labels when two relation matches share a document token
+    (classification.py:39-174 overlap_memory_size handling) — the
+    ≈3-word-n-gram features."""
+    e = extract_edges(docs)
+    w = extract_words(docs)
+    if replace_with_hypernym_ancestors:
+        from ..pipeline.linking import hypernym_ancestors
+        anc = hypernym_ancestors()
+        amap = F.create_map(*[F.lit(x) for kv in anc.items() for x in kv])
+        pred_g = F.coalesce(amap[F.col("pred")], F.col("pred"))
+        childv = F.when(F.col("template").isin("predicate-actor", "verb-nom"),
+                        F.col("subj")).otherwise(F.col("obj"))
+        child_g = F.coalesce(amap[childv], childv)
+        e = e.withColumn("label", F.concat(F.col("template"), F.lit(": "),
+                                           pred_g, F.lit("-"), child_g))
+        w = w.withColumn("label", F.concat(
+            F.lit("word: "), F.coalesce(amap[F.col("word")], F.col("word"))))
+    feats = (e.select("url", F.col("label").alias("f"))
+             .unionByName(w.select("url", F.col("label").alias("f"))))
+    if overlap_combined:
+        # relation pairs sharing a document token → combined label
+        # 'min/max' (order-normalized), one per distinct pair
+        pos = e.select(
+            "url", "label",
+            F.explode(F.array("parent_idx", "child_idx")).alias("pos")).distinct()
+        combined = (
+            pos.alias("x").join(pos.alias("y"),
+                                (F.col("x.url") == F.col("y.url"))
+                                & (F.col("x.pos") == F.col("y.pos"))
+                                & (F.col("x.label") < F.col("y.label")))
+            .select(F.col("x.url").alias("url"),
+                    F.concat(F.col("x.label"), F.lit("/"),
+                             F.col("y.label")).alias("f"))
+            .distinct()
+        )
+        feats = feats.unionByName(combined)
+    return feats.groupBy("url").agg(F.collect_list("f").alias("features"))
+
+
+def select_features(feats: DataFrame, min_occurrences: int = 2,
+                    cv_threshold: float = 1.0) -> DataFrame:
+    """Feature filter mirroring the reference (classification.py:
+    682-742): keep a phraselet label iff (a) it occurs ≥
+    ``min_occurrences`` times in at least one class and (b) the
+    coefficient of variation of its per-class counts ≥ ``cv_threshold``
+    (discriminative features only). Returns (f) keep-list."""
+    counts = (feats.select("classification", F.explode("features").alias("f"))
+              .groupBy("f", "classification").agg(F.count("*").alias("n")))
+    n_classes = feats.select("classification").distinct().count()
+    stats = (counts.groupBy("f")
+             .agg(F.max("n").alias("max_n"),
+                  (F.sum("n") / n_classes).alias("mean_n"),
+                  # population stddev over ALL classes incl. absent-class
+                  # zeros: E[x²] − mean²  with zeros contributing 0
+                  F.sqrt(F.sum(F.col("n") * F.col("n")) / n_classes
+                         - F.pow(F.sum("n") / n_classes, 2)).alias("std_n")))
+    return (stats.filter((F.col("max_n") >= min_occurrences)
+                         & (F.col("std_n") / F.col("mean_n") >= cv_threshold)
+                         | (F.lit(n_classes) == 1))
+            .select("f"))
 
 
 def train_classifier(pages: DataFrame, labels: DataFrame,
-                     min_occurrences: int = 2, seed: int = 42) -> PipelineModel:
+                     min_occurrences: int = 2, cv_threshold: float = 0.0,
+                     replace_with_hypernym_ancestors: bool = False,
+                     seed: int = 42) -> PipelineModel:
     """pages(url,text,lang) + labels(url, classification) → fitted
     PipelineModel. minDF mirrors the reference's minimum_occurrences
-    feature floor (classification.py:682-742)."""
+    feature floor; cv_threshold > 0 additionally applies the
+    coefficient-of-variation filter (classification.py:682-742)."""
     docs = parse_pages(pages)
-    feats = phraselet_features(docs).join(labels, "url")
+    feats = phraselet_features(
+        docs, replace_with_hypernym_ancestors=replace_with_hypernym_ancestors
+    ).join(labels, "url")
+    if cv_threshold > 0.0:
+        keep = select_features(feats, min_occurrences, cv_threshold)
+        keep_set = {r["f"] for r in keep.collect()}  # broadcast-sized
+        feats = feats.withColumn(
+            "features",
+            F.filter("features", lambda f: f.isin(*keep_set)
+                     if keep_set else F.lit(False)))
     pipeline = Pipeline(stages=[
         StringIndexer(inputCol="classification", outputCol="cls_idx",
                       stringOrderType="alphabetAsc"),

@@ -148,12 +148,33 @@ def compile_search_phrase(text: str, label: str | None = None,
                           lang: str = "en") -> dict:
     """Driver-side compile: parse the phrase with the shared parse
     layer, keep matchable tokens + the semantic dep pattern rooted at
-    the ROOT token. Validation mirrors reference errors.py:9-26
-    (no conjunction / no negation inside a search phrase)."""
+    the ROOT token. Validation raises the reference's typed errors
+    (errors.py:9-26, raised from search-phrase compilation,
+    reference parsing.py:2460-2632)."""
+    from .. import errors
+    from ..nlp.lexicon import (FEM_PRONOUNS_EN, MASC_PRONOUNS_EN,
+                               NEGATION_WORDS_DE, NEGATION_WORDS_EN,
+                               NEUTER_PRONOUNS_EN)
     parsed = parse_document(text, lang)
     toks = parsed["tokens"]
-    if any(t["text"].lower() in ("and", "or") for t in toks):
-        raise ValueError(f"search phrase may not contain conjunction: {text!r}")
+    words = [t["text"].lower() for t in toks]
+    if any(w in ("and", "or", "und", "oder") for w in words):
+        raise errors.SearchPhraseContainsConjunctionError(text)
+    neg = NEGATION_WORDS_DE if lang == "de" else NEGATION_WORDS_EN
+    if any(w in neg for w in words):
+        raise errors.SearchPhraseContainsNegationError(text)
+    coref_prons = (MASC_PRONOUNS_EN | FEM_PRONOUNS_EN | NEUTER_PRONOUNS_EN
+                   | {"er", "sie", "es"})
+    if any(t["pos"] == "PRON" and t["text"].lower() in coref_prons
+           for t in toks):
+        raise errors.SearchPhraseContainsCoreferringPronounError(text)
+    if max((t["sent_idx"] for t in toks), default=0) > 0:
+        raise errors.SearchPhraseContainsMultipleClausesError(text)
+    if not any(t["is_matchable"] and t["pos"] in
+               ("NOUN", "PROPN", "VERB", "ADJ", "ADV", "NUM")
+               for t in toks) \
+            and not any(_ENTITY_RE.match(t["text"]) for t in toks):
+        raise errors.SearchPhraseWithoutMatchableWordsError(text)
     root = next((t for t in toks if t["dep"] == "ROOT"), toks[0])
     pattern_deps = []
     matchable = set()

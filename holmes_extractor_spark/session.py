@@ -35,6 +35,11 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # coalesce small shuffle reads to the advisory size instead of
+        # keeping cores busy with near-empty tasks — cuts per-job
+        # latency on the many tiny iterative stages (CC rounds) and is
+        # the right setting on a big cluster too (no 1-row tasks)
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

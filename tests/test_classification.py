@@ -56,3 +56,50 @@ def test_training_fit(spark, model_and_data):
     acc = sum((r["url"].startswith("a")) == (r["predicted_classification"] == "animals")
               for r in preds) / len(preds)
     assert acc >= 0.9
+
+
+def test_cv_feature_filter(spark):
+    # discriminative features (all occurrences in one class) survive the
+    # coefficient-of-variation filter; features spread evenly across
+    # classes are dropped (reference classification.py:682-742)
+    from pyspark.sql import Row
+    from holmes_extractor_spark.query.classification import select_features
+    feats = spark.createDataFrame([
+        Row(url="a1", classification="A", features=["x", "shared"]),
+        Row(url="a2", classification="A", features=["x", "shared"]),
+        Row(url="b1", classification="B", features=["y", "shared"]),
+        Row(url="b2", classification="B", features=["y", "shared"]),
+    ])
+    keep = {r["f"] for r in select_features(feats, min_occurrences=2,
+                                            cv_threshold=1.0).collect()}
+    assert "x" in keep and "y" in keep
+    assert "shared" not in keep
+
+
+def test_overlap_combined_labels(spark):
+    # two relations sharing a document token produce a combined 'a/b'
+    # feature (reference classification.py:39-174)
+    from holmes_extractor_spark.pipeline.parse_stage import parse_pages
+    from holmes_extractor_spark.query.classification import phraselet_features
+    pages = spark.createDataFrame(
+        [("u1", "The dog chased the cat.", "en")],
+        "url string, text string, lang string")
+    feats = phraselet_features(parse_pages(pages)).collect()[0]["features"]
+    assert ("predicate-actor: chase-dog/predicate-patient: chase-cat"
+            in feats)
+
+
+def test_hypernym_ancestor_features(spark):
+    # training mode generalizes poles to their most general ontology
+    # ancestor (reference classification.py:384-397: 'A dog progresses'
+    # → predicate-actor: progress-animal)
+    from holmes_extractor_spark.pipeline.parse_stage import parse_pages
+    from holmes_extractor_spark.query.classification import phraselet_features
+    pages = spark.createDataFrame(
+        [("u1", "The dog chased the cat.", "en")],
+        "url string, text string, lang string")
+    feats = phraselet_features(parse_pages(pages),
+                               replace_with_hypernym_ancestors=True,
+                               overlap_combined=False).collect()[0]["features"]
+    assert "predicate-actor: chase-animal" in feats
+    assert "word: animal" in feats

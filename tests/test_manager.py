@@ -68,11 +68,13 @@ def test_remove_document(mgr):
 
 
 def test_duplicate_label_and_too_big(spark):
+    from holmes_extractor_spark.errors import (DocumentTooBigError,
+                                               DuplicateDocumentError)
     m = SparkHolmesManager(spark)
     m.parse_and_register_document("x.", "a")
-    with pytest.raises(ValueError):
+    with pytest.raises(DuplicateDocumentError):
         m.parse_and_register_document("y.", "a")
-    with pytest.raises(ValueError):
+    with pytest.raises(DocumentTooBigError):
         m.parse_and_register_document("z" * 1_000_001, "big")
 
 
@@ -141,3 +143,30 @@ def test_entitynoun_matching(spark):
     assert [r["document"] for r in res] == ["d1"]
     wm = res[0]["word_matches"]
     assert {w["doc_word"] for w in wm if w["match_type"] == "entity"} == {"dog", "cat"}
+
+
+def test_typed_errors(spark):
+    # reference errors.py:9-26 typed validation errors
+    from holmes_extractor_spark import errors
+    from holmes_extractor_spark.query.structural import compile_search_phrase
+    import pytest as _pytest
+    with _pytest.raises(errors.SearchPhraseContainsConjunctionError):
+        compile_search_phrase("A dog and a cat")
+    with _pytest.raises(errors.SearchPhraseContainsNegationError):
+        compile_search_phrase("A dog does not chase a cat")
+    with _pytest.raises(errors.SearchPhraseContainsCoreferringPronounError):
+        compile_search_phrase("He chases a cat")
+    with _pytest.raises(errors.SearchPhraseContainsMultipleClausesError):
+        compile_search_phrase("A dog chases a cat. A cat runs.")
+    with _pytest.raises(errors.SearchPhraseWithoutMatchableWordsError):
+        compile_search_phrase("the of")
+
+
+def test_match_df_is_distributed(spark):
+    from holmes_extractor_spark.manager import SparkHolmesManager
+    m = SparkHolmesManager(spark)
+    m.parse_and_register_document("The dog chased the cat.", "d1")
+    df = m.match_df("A dog chases a cat")
+    # a DataFrame, not a collected list — composable/writable
+    assert hasattr(df, "write")
+    assert df.count() == 1

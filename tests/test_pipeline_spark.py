@@ -109,7 +109,8 @@ def test_structural_match_negation_and_coref(spark, docs):
 
 
 def test_search_phrase_validation():
-    with pytest.raises(ValueError):
+    from holmes_extractor_spark.errors import SearchPhraseContainsConjunctionError
+    with pytest.raises(SearchPhraseContainsConjunctionError):
         compile_search_phrase("A dog and a cat")
 
 
