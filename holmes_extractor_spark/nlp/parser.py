@@ -872,26 +872,46 @@ def parse_document(text: str, lang: str) -> dict:
     for t in toks:
         t.is_negated = _negated(t.i)
 
-    # --- coreference: 3rd-person pronoun → head noun of the last
-    # compatible NP of the previous sentence (coreferee stand-in;
-    # reference consumes coreferee chains at parsing.py:1096-1137)
+    # --- coreference (coreferee stand-in; reference consumes chains at
+    # parsing.py:1096-1137 with the caps maximum_coreference_chain
+    # mentions=3 / word distance=300, en language_specific_rules.py:
+    # 92-96): a 3rd-person pronoun resolves to the nearest compatible
+    # nominal in a PRECEDING sentence within 300 words; a compatible
+    # pronoun already in a chain relays its antecedent, so chains span
+    # any number of sentences ("I saw a dog. It barked. It was hungry.")
+    MAX_COREF_DISTANCE = 300  # words (reference en rules :92-96)
+    MAX_COREF_MENTIONS = 3
     for si in range(1, len(sent_bounds)):
         s, e = sent_bounds[si]
-        ps, pe = sent_bounds[si - 1]
         for t in toks[s: e + 1]:
             w = t.text.lower()
             if t.pos != "PRON" or w not in (L.NEUTER_PRONOUNS_EN | L.MASC_PRONOUNS_EN | L.FEM_PRONOUNS_EN | {"es", "er", "sie"}):
                 continue
+            neuter = w in L.NEUTER_PRONOUNS_EN | {"es"}
             ante = None
-            for c in range(pe, ps - 1, -1):
+            mentions_crossed = 0
+            for c in range(s - 1, max(-1, t.i - MAX_COREF_DISTANCE) - 1, -1):
                 ct = toks[c]
+                cw = ct.text.lower()
+                if ct.pos == "PRON" and ct.most_specific_coref >= 0 \
+                        and cw in (L.NEUTER_PRONOUNS_EN | {"es"}
+                                   if neuter else
+                                   L.MASC_PRONOUNS_EN | L.FEM_PRONOUNS_EN | {"er", "sie"}):
+                    # chain relay through an already-resolved mention
+                    ante = ct.most_specific_coref
+                    break
+                if ct.pos == "PRON":
+                    mentions_crossed += 1
+                    if mentions_crossed >= MAX_COREF_MENTIONS:
+                        break  # reference chain-context cap
+                    continue
                 if ct.pos not in ("NOUN", "PROPN") or ct.dep == "compound":
                     continue
-                is_person = ct.ent_type == "PERSON" or ct.text.lower() in L.PERSON_NOUNS_EN
-                if w in L.NEUTER_PRONOUNS_EN | {"es"} and not is_person:
+                is_person = ct.ent_type == "PERSON" or cw in L.PERSON_NOUNS_EN
+                if neuter and not is_person:
                     ante = c
                     break
-                if w in (L.MASC_PRONOUNS_EN | L.FEM_PRONOUNS_EN | {"er", "sie"}) and is_person:
+                if not neuter and is_person:
                     ante = c
                     break
             if ante is None:
@@ -901,11 +921,17 @@ def parse_document(text: str, lang: str) -> dict:
             for idx in chain:
                 toks[idx].coref_chain = chain
             t.most_specific_coref = ante
-            # coreference-linked deps (reference parsing.py:1507-1532):
-            # deps pointing at the pronoun also point at the antecedent
+            # coreference-linked deps (reference parsing.py:1507-1532,
+            # coreference_linked_child/parent dependencies): deps
+            # pointing at OR out of the pronoun also attach to the
+            # antecedent ("It was hungry" → hungry modifies dog)
             for d in list(all_deps):
                 if d["child"] == t.i:
                     all_deps.append({"parent": d["parent"], "child": ante,
+                                     "label": d["label"], "uncertain": d["uncertain"],
+                                     "coref": True})
+                elif d["parent"] == t.i and d["child"] != ante:
+                    all_deps.append({"parent": ante, "child": d["child"],
                                      "label": d["label"], "uncertain": d["uncertain"],
                                      "coref": True})
 

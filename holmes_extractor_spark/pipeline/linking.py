@@ -52,28 +52,39 @@ def ontology_edges_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(ONTOLOGY_EDGES, "subject string, relation string, object string")
 
 
-def ontology_closure_local(edges: list[tuple[str, str, str]] | None = None) -> list[tuple[str, str, int, bool]]:
+def ontology_closure_local(edges: list[tuple[str, str, str]] | None = None,
+                           symmetric: bool = False) -> list[tuple[str, str, int, bool]]:
     """Eager driver-side closure (the reference computes the closure in
     memory at ontology load, ontology.py:91-125, README.md:2085 —
     ontologies are driver-sized by nature). BFS over the synonym/
     hyponym/instance graph; min depth kept per pair.
 
+    ``symmetric`` mirrors the reference's Ontology(symmetric_matching=
+    True): hypernyms also match, recorded with NEGATIVE depths (the
+    reference's convention; penalties use |depth|). Paths are monotone —
+    all-down or all-up plus synonyms — so 'cousins' never match
+    (reference ontology.py symmetric handling).
+
     Returns [(query_word, matched_word, depth, is_individual)].
     """
     edges = edges if edges is not None else ONTOLOGY_EDGES
-    step: dict[str, list[tuple[str, int, bool]]] = {}
+    down: dict[str, list[tuple[str, int, bool]]] = {}
+    up: dict[str, list[tuple[str, int, bool]]] = {}
     words = set()
     for (s, r, o) in edges:
         words |= {s, o}
         if r == "equivalentClass":
-            step.setdefault(s, []).append((o, 0, False))
-            step.setdefault(o, []).append((s, 0, False))
+            for m in (down, up):
+                m.setdefault(s, []).append((o, 0, False))
+                m.setdefault(o, []).append((s, 0, False))
         elif r == "subClassOf":
-            step.setdefault(o, []).append((s, 1, False))
+            down.setdefault(o, []).append((s, 1, False))
+            up.setdefault(s, []).append((o, 1, False))
         elif r == "type":
-            step.setdefault(o, []).append((s, 1, True))
-    out: dict[tuple[str, str], tuple[int, bool]] = {}
-    for q in sorted(words):
+            down.setdefault(o, []).append((s, 1, True))
+            up.setdefault(s, []).append((o, 1, True))
+
+    def bfs(q: str, step: dict) -> dict[str, tuple[int, bool]]:
         best: dict[str, tuple[int, bool]] = {q: (0, False)}
         frontier = [(q, 0, False)]
         for _ in range(MAX_DEPTH):
@@ -87,8 +98,19 @@ def ontology_closure_local(edges: list[tuple[str, str, str]] | None = None) -> l
             if not nxt:
                 break
             frontier = nxt
-        for w2, (d, ind) in best.items():
+        return best
+
+    out: dict[tuple[str, str], tuple[int, bool]] = {}
+    for q in sorted(words):
+        for w2, (d, ind) in bfs(q, down).items():
             out[(q, w2)] = (d, ind)
+        if symmetric:
+            for w2, (d, ind) in bfs(q, up).items():
+                # hypernym matches: negative depth; never overwrite an
+                # existing (closer or downward) entry
+                if (q, w2) not in out or abs(out[(q, w2)][0]) > d:
+                    if (q, w2) not in out:
+                        out[(q, w2)] = (-d, ind)
     return [(q, w, d, ind) for (q, w), (d, ind) in sorted(out.items())]
 
 

@@ -288,3 +288,42 @@ def test_entity_embedding_disabled_by_default():
     p = parse_document("Mary came home.", "en")
     roots = [t["i"] for t in p["tokens"] if t["lemma"] == "come"]
     assert _verify_doc(sp, p["tokens"], p["deps"], roots, {}) == []
+
+
+# ------------------------------------------------- coreference chains
+
+def test_multi_sentence_coref_chain():
+    # chains relay through resolved mentions (reference consumes
+    # coreferee chains, parsing.py:1096-1137, with 3-mention/300-word
+    # caps, en language_specific_rules.py:92-96); coref-linked deps
+    # exist for pronoun-as-child AND pronoun-as-parent (:1507-1532)
+    p = parse_document("I saw a dog. It barked. It was hungry.", "en")
+    es = {e["label"]: e for e in extract_candidate_edges(p, "en")}
+    assert es["predicate-actor: bark-dog"]["involves_coref"]
+    assert es["governor-adjective: dog-hunger"]["involves_coref"]
+
+
+def test_coref_gender_compatibility():
+    # gendered pronouns need person antecedents; neuter need non-person
+    p = parse_document("I saw a cat. He was chased by the dog.", "en")
+    es = [e["label"] for e in extract_candidate_edges(p, "en")]
+    assert "predicate-passivesubject: chase-cat" not in es  # 'He' ≠ cat
+    p2 = parse_document("I saw a cat. It was chased by the dog.", "en")
+    es2 = [e["label"] for e in extract_candidate_edges(p2, "en")]
+    assert "predicate-passivesubject: chase-cat" in es2
+
+
+# ------------------------------------------------- symmetric ontology
+
+def test_symmetric_ontology_closure():
+    # reference Ontology(symmetric_matching=True): hypernyms also match
+    # (negative depths), but cousins never do (tests/en/
+    # test_phraselet_production_EN.py symmetric_ontology cases)
+    from holmes_extractor_spark.pipeline.linking import ontology_closure_local
+    asym = {(q, w): d for (q, w, d, _) in ontology_closure_local()}
+    sym = {(q, w): d for (q, w, d, _) in ontology_closure_local(symmetric=True)}
+    assert ("animal", "dog") in asym and asym[("animal", "dog")] == 1
+    assert ("dog", "animal") not in asym
+    assert sym[("dog", "animal")] == -1          # hypernym, negative depth
+    assert ("dog", "cat") not in sym             # cousins do not match
+    assert sym[("puppy", "animal")] == -2
