@@ -128,26 +128,28 @@ POOL_EN: list[str] = [
     'The happy girl sang a song.',  # 90
     'The big cat creature chased the kitten.',  # 91
     'I saw a dog. It barked. It was hungry.',  # 92
+    'The tired dog slept.',  # 93
+    'The man whose dog chased the cat came home.',  # 94 (whose-relative)
 ]
 
 POOL_DE: list[str] = [
-    'Der Hund jagte die Katze.',  # 93
-    'Polizeiinformation über Kriminelle.',  # 94
-    'Der reiche Mann kam nach Hause.',  # 95
-    'Die Katze wurde vom Hund gejagt.',  # 96
-    'Der Hund jagte die Katze nicht.',  # 97
-    'Der Hund jagte die Katze und die Maus.',  # 98
-    'Die Polizei jagte den Kriminellen.',  # 99
-    'Die Katze wurde nicht gejagt.',  # 100
-    'Der kleine Hund sah die Katze.',  # 101
-    'Die Wohnungsgesellschaft verkaufte das Haus.',  # 102
-    'Das Kind öffnete die Tür.',  # 103
-    'Der reiche Mann kaufte ein Auto.',  # 104
-    'Die Versicherungsgesellschaft informierte den Mann.',  # 105
-    'Der Mann sah den Hund im Garten.',  # 106
-    'Die Frau las ein Buch.',  # 107
-    'Die Kinder spielten im Garten.',  # 108
-    'Die Polizeiinformationsbroschüre ist interessant.',  # 109
+    'Der Hund jagte die Katze.',  # 95
+    'Polizeiinformation über Kriminelle.',  # 96
+    'Der reiche Mann kam nach Hause.',  # 97
+    'Die Katze wurde vom Hund gejagt.',  # 98
+    'Der Hund jagte die Katze nicht.',  # 99
+    'Der Hund jagte die Katze und die Maus.',  # 100
+    'Die Polizei jagte den Kriminellen.',  # 101
+    'Die Katze wurde nicht gejagt.',  # 102
+    'Der kleine Hund sah die Katze.',  # 103
+    'Die Wohnungsgesellschaft verkaufte das Haus.',  # 104
+    'Das Kind öffnete die Tür.',  # 105
+    'Der reiche Mann kaufte ein Auto.',  # 106
+    'Die Versicherungsgesellschaft informierte den Mann.',  # 107
+    'Der Mann sah den Hund im Garten.',  # 108
+    'Die Frau las ein Buch.',  # 109
+    'Die Kinder spielten im Garten.',  # 110
+    'Die Polizeiinformationsbroschüre ist interessant.',  # 111
 ]
 
 # ------------------------------------------- golden per-snippet output
@@ -467,73 +469,73 @@ GOLDEN_EDGES: list[tuple] = [
     (90, 'governor-adjective', 'governor-adjective: girl-happy', 'girl', 'happy', 'girl', False, False, False),
     (90, 'predicate-actor', 'predicate-actor: sing-girl', 'girl', 'sing', 'sing', False, False, False),
     (90, 'predicate-patient', 'predicate-patient: sing-song', 'sing', 'song', 'sing', False, False, False),
-    (93, 'verb-acc', 'verb-acc: jagd-katze', 'jagd', 'katze', 'jagd', False, False, False),
-    (93, 'verb-nom', 'verb-nom: jagd-hund', 'hund', 'jagd', 'jagd', False, False, False),
-    (94, 'intcompound', 'intcompound: information-polizei', 'information', 'polizei', 'information', False, False, False),
-    (94, 'prep-noun', 'prep-noun: über-kriminelle', 'über', 'kriminelle', 'über', False, False, False),
-    (94, 'prepgovernor-noun', 'prepgovernor-noun: information-kriminelle', 'information', 'kriminelle', 'information', False, False, False),
-    (94, 'prepgovernor-noun', 'prepgovernor-noun: polizeiinformation-kriminelle', 'polizeiinformation', 'kriminelle', 'polizeiinformation', False, False, False),
-    (95, 'noun-dependent', 'noun-dependent: mann-reich', 'mann', 'reich', 'mann', False, False, False),
-    (95, 'prep-noun', 'prep-noun: nach-haus', 'nach', 'haus', 'nach', False, False, False),
-    (95, 'prepgovernor-noun', 'prepgovernor-noun: kommen-haus', 'kommen', 'haus', 'kommen', False, False, False),
-    (95, 'verb-nom', 'verb-nom: kommen-mann', 'mann', 'kommen', 'kommen', False, False, False),
-    (96, 'prep-noun', 'prep-noun: vom-hund', 'vom', 'hund', 'vom', False, False, False),
-    (96, 'verb-acc', 'verb-acc: jagd-katze', 'jagd', 'katze', 'jagd', False, False, False),
-    (96, 'verb-nom', 'verb-nom: jagd-hund', 'hund', 'jagd', 'jagd', False, False, False),
-    (97, 'verb-acc', 'verb-acc: jagd-katze', 'jagd', 'katze', 'jagd', True, False, False),
-    (97, 'verb-nom', 'verb-nom: jagd-hund', 'hund', 'jagd', 'jagd', True, False, False),
-    # 98: 'Der Hund jagte die Katze und die Maus.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
+    (95, 'verb-acc', 'verb-acc: jagd-katze', 'jagd', 'katze', 'jagd', False, False, False),
+    (95, 'verb-nom', 'verb-nom: jagd-hund', 'hund', 'jagd', 'jagd', False, False, False),
+    (96, 'intcompound', 'intcompound: information-polizei', 'information', 'polizei', 'information', False, False, False),
+    (96, 'prep-noun', 'prep-noun: über-kriminelle', 'über', 'kriminelle', 'über', False, False, False),
+    (96, 'prepgovernor-noun', 'prepgovernor-noun: information-kriminelle', 'information', 'kriminelle', 'information', False, False, False),
+    (96, 'prepgovernor-noun', 'prepgovernor-noun: polizeiinformation-kriminelle', 'polizeiinformation', 'kriminelle', 'polizeiinformation', False, False, False),
+    (97, 'noun-dependent', 'noun-dependent: mann-reich', 'mann', 'reich', 'mann', False, False, False),
+    (97, 'prep-noun', 'prep-noun: nach-haus', 'nach', 'haus', 'nach', False, False, False),
+    (97, 'prepgovernor-noun', 'prepgovernor-noun: kommen-haus', 'kommen', 'haus', 'kommen', False, False, False),
+    (97, 'verb-nom', 'verb-nom: kommen-mann', 'mann', 'kommen', 'kommen', False, False, False),
+    (98, 'prep-noun', 'prep-noun: vom-hund', 'vom', 'hund', 'vom', False, False, False),
     (98, 'verb-acc', 'verb-acc: jagd-katze', 'jagd', 'katze', 'jagd', False, False, False),
-    (98, 'verb-acc', 'verb-acc: jagd-maus', 'jagd', 'maus', 'jagd', False, False, False),
     (98, 'verb-nom', 'verb-nom: jagd-hund', 'hund', 'jagd', 'jagd', False, False, False),
-    # 99: 'Die Polizei jagte den Kriminellen.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
-    (99, 'verb-acc', 'verb-acc: jagd-kriminelle', 'jagd', 'kriminelle', 'jagd', False, False, False),
-    (99, 'verb-nom', 'verb-nom: jagd-polizei', 'polizei', 'jagd', 'jagd', False, False, False),
-    # 100: 'Die Katze wurde nicht gejagt.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
-    (100, 'verb-acc', 'verb-acc: jagd-katze', 'jagd', 'katze', 'jagd', True, False, False),
-    # 101: 'Der kleine Hund sah die Katze.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
-    (101, 'noun-dependent', 'noun-dependent: hund-klein', 'hund', 'klein', 'hund', False, False, False),
-    (101, 'verb-acc', 'verb-acc: sehen-katze', 'sehen', 'katze', 'sehen', False, False, False),
-    (101, 'verb-nom', 'verb-nom: sehen-hund', 'hund', 'sehen', 'sehen', False, False, False),
-    # 102: 'Die Wohnungsgesellschaft verkaufte das Haus.' — ref de templates de/language_specific_rules.py:1697-1960 + subword walk (head-subword variant per tests/de/test_phraselet_production_DE.py:112-135)
-    (102, 'intcompound', 'intcompound: gesellschaft-wohnung', 'gesellschaft', 'wohnung', 'gesellschaft', False, False, False),
-    (102, 'verb-acc', 'verb-acc: verkauf-haus', 'verkauf', 'haus', 'verkauf', False, False, False),
-    (102, 'verb-nom', 'verb-nom: verkauf-gesellschaft', 'gesellschaft', 'verkauf', 'verkauf', False, False, False),
-    (102, 'verb-nom', 'verb-nom: verkauf-wohnungsgesellschaft', 'wohnungsgesellschaft', 'verkauf', 'verkauf', False, False, False),
-    # 103: 'Das Kind öffnete die Tür.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
-    (103, 'verb-acc', 'verb-acc: öffnen-tür', 'öffnen', 'tür', 'öffnen', False, False, False),
-    (103, 'verb-nom', 'verb-nom: öffnen-kind', 'kind', 'öffnen', 'öffnen', False, False, False),
-    # 104: 'Der reiche Mann kaufte ein Auto.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
-    (104, 'noun-dependent', 'noun-dependent: mann-reich', 'mann', 'reich', 'mann', False, False, False),
-    (104, 'verb-acc', 'verb-acc: kauf-auto', 'kauf', 'auto', 'kauf', False, False, False),
-    (104, 'verb-nom', 'verb-nom: kauf-mann', 'mann', 'kauf', 'kauf', False, False, False),
-    # 105: 'Die Versicherungsgesellschaft informierte den Mann.' — ref de derivation.csv:201 (information,informieren)
-    (105, 'intcompound', 'intcompound: gesellschaft-versicherung', 'gesellschaft', 'versicherung', 'gesellschaft', False, False, False),
-    (105, 'verb-acc', 'verb-acc: information-mann', 'information', 'mann', 'information', False, False, False),
-    (105, 'verb-nom', 'verb-nom: information-gesellschaft', 'gesellschaft', 'information', 'information', False, False, False),
-    (105, 'verb-nom', 'verb-nom: information-versicherungsgesellschaft', 'versicherungsgesellschaft', 'information', 'information', False, False, False),
-    # 106: 'Der Mann sah den Hund im Garten.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
-    (106, 'prep-noun', 'prep-noun: im-garten', 'im', 'garten', 'im', False, False, False),
-    (106, 'prepgovernor-noun', 'prepgovernor-noun: hund-garten', 'hund', 'garten', 'hund', False, True, False),
-    (106, 'prepgovernor-noun', 'prepgovernor-noun: sehen-garten', 'sehen', 'garten', 'sehen', False, False, False),
-    (106, 'verb-acc', 'verb-acc: sehen-hund', 'sehen', 'hund', 'sehen', False, False, False),
-    (106, 'verb-nom', 'verb-nom: sehen-mann', 'mann', 'sehen', 'sehen', False, False, False),
-    # 107: 'Die Frau las ein Buch.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
-    (107, 'verb-acc', 'verb-acc: lesen-buch', 'lesen', 'buch', 'lesen', False, False, False),
-    (107, 'verb-nom', 'verb-nom: lesen-frau', 'frau', 'lesen', 'lesen', False, False, False),
-    # 108: 'Die Kinder spielten im Garten.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
+    (99, 'verb-acc', 'verb-acc: jagd-katze', 'jagd', 'katze', 'jagd', True, False, False),
+    (99, 'verb-nom', 'verb-nom: jagd-hund', 'hund', 'jagd', 'jagd', True, False, False),
+    # 100: 'Der Hund jagte die Katze und die Maus.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
+    (100, 'verb-acc', 'verb-acc: jagd-katze', 'jagd', 'katze', 'jagd', False, False, False),
+    (100, 'verb-acc', 'verb-acc: jagd-maus', 'jagd', 'maus', 'jagd', False, False, False),
+    (100, 'verb-nom', 'verb-nom: jagd-hund', 'hund', 'jagd', 'jagd', False, False, False),
+    # 101: 'Die Polizei jagte den Kriminellen.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
+    (101, 'verb-acc', 'verb-acc: jagd-kriminelle', 'jagd', 'kriminelle', 'jagd', False, False, False),
+    (101, 'verb-nom', 'verb-nom: jagd-polizei', 'polizei', 'jagd', 'jagd', False, False, False),
+    # 102: 'Die Katze wurde nicht gejagt.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
+    (102, 'verb-acc', 'verb-acc: jagd-katze', 'jagd', 'katze', 'jagd', True, False, False),
+    # 103: 'Der kleine Hund sah die Katze.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
+    (103, 'noun-dependent', 'noun-dependent: hund-klein', 'hund', 'klein', 'hund', False, False, False),
+    (103, 'verb-acc', 'verb-acc: sehen-katze', 'sehen', 'katze', 'sehen', False, False, False),
+    (103, 'verb-nom', 'verb-nom: sehen-hund', 'hund', 'sehen', 'sehen', False, False, False),
+    # 104: 'Die Wohnungsgesellschaft verkaufte das Haus.' — ref de templates de/language_specific_rules.py:1697-1960 + subword walk (head-subword variant per tests/de/test_phraselet_production_DE.py:112-135)
+    (104, 'intcompound', 'intcompound: gesellschaft-wohnung', 'gesellschaft', 'wohnung', 'gesellschaft', False, False, False),
+    (104, 'verb-acc', 'verb-acc: verkauf-haus', 'verkauf', 'haus', 'verkauf', False, False, False),
+    (104, 'verb-nom', 'verb-nom: verkauf-gesellschaft', 'gesellschaft', 'verkauf', 'verkauf', False, False, False),
+    (104, 'verb-nom', 'verb-nom: verkauf-wohnungsgesellschaft', 'wohnungsgesellschaft', 'verkauf', 'verkauf', False, False, False),
+    # 105: 'Das Kind öffnete die Tür.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
+    (105, 'verb-acc', 'verb-acc: öffnen-tür', 'öffnen', 'tür', 'öffnen', False, False, False),
+    (105, 'verb-nom', 'verb-nom: öffnen-kind', 'kind', 'öffnen', 'öffnen', False, False, False),
+    # 106: 'Der reiche Mann kaufte ein Auto.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
+    (106, 'noun-dependent', 'noun-dependent: mann-reich', 'mann', 'reich', 'mann', False, False, False),
+    (106, 'verb-acc', 'verb-acc: kauf-auto', 'kauf', 'auto', 'kauf', False, False, False),
+    (106, 'verb-nom', 'verb-nom: kauf-mann', 'mann', 'kauf', 'kauf', False, False, False),
+    # 107: 'Die Versicherungsgesellschaft informierte den Mann.' — ref de derivation.csv:201 (information,informieren)
+    (107, 'intcompound', 'intcompound: gesellschaft-versicherung', 'gesellschaft', 'versicherung', 'gesellschaft', False, False, False),
+    (107, 'verb-acc', 'verb-acc: information-mann', 'information', 'mann', 'information', False, False, False),
+    (107, 'verb-nom', 'verb-nom: information-gesellschaft', 'gesellschaft', 'information', 'information', False, False, False),
+    (107, 'verb-nom', 'verb-nom: information-versicherungsgesellschaft', 'versicherungsgesellschaft', 'information', 'information', False, False, False),
+    # 108: 'Der Mann sah den Hund im Garten.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
     (108, 'prep-noun', 'prep-noun: im-garten', 'im', 'garten', 'im', False, False, False),
-    (108, 'prepgovernor-noun', 'prepgovernor-noun: spiel-garten', 'spiel', 'garten', 'spiel', False, False, False),
-    (108, 'verb-nom', 'verb-nom: spiel-kind', 'kind', 'spiel', 'spiel', False, False, False),
-    # 109: 'Die Polizeiinformationsbroschüre ist interessant.' — 3-part
+    (108, 'prepgovernor-noun', 'prepgovernor-noun: hund-garten', 'hund', 'garten', 'hund', False, True, False),
+    (108, 'prepgovernor-noun', 'prepgovernor-noun: sehen-garten', 'sehen', 'garten', 'sehen', False, False, False),
+    (108, 'verb-acc', 'verb-acc: sehen-hund', 'sehen', 'hund', 'sehen', False, False, False),
+    (108, 'verb-nom', 'verb-nom: sehen-mann', 'mann', 'sehen', 'sehen', False, False, False),
+    # 109: 'Die Frau las ein Buch.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
+    (109, 'verb-acc', 'verb-acc: lesen-buch', 'lesen', 'buch', 'lesen', False, False, False),
+    (109, 'verb-nom', 'verb-nom: lesen-frau', 'frau', 'lesen', 'lesen', False, False, False),
+    # 110: 'Die Kinder spielten im Garten.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
+    (110, 'prep-noun', 'prep-noun: im-garten', 'im', 'garten', 'im', False, False, False),
+    (110, 'prepgovernor-noun', 'prepgovernor-noun: spiel-garten', 'spiel', 'garten', 'spiel', False, False, False),
+    (110, 'verb-nom', 'verb-nom: spiel-kind', 'kind', 'spiel', 'spiel', False, False, False),
+    # 111: 'Die Polizeiinformationsbroschüre ist interessant.' — 3-part
     # recursive compound split with penalty scoring (reference
     # de/language_specific_rules.py:364-530); adjacent parts chain via
     # intcompound (:740-746); predicative adjective → noun-dependent on
     # both the whole compound and its head subword
-    (109, 'noun-dependent', 'noun-dependent: polizeiinformationsbroschüre-interessant', 'polizeiinformationsbroschüre', 'interessant', 'polizeiinformationsbroschüre', False, False, False),
-    (109, 'noun-dependent', 'noun-dependent: broschüre-interessant', 'broschüre', 'interessant', 'broschüre', False, False, False),
-    (109, 'intcompound', 'intcompound: information-polizei', 'information', 'polizei', 'information', False, False, False),
-    (109, 'intcompound', 'intcompound: broschüre-information', 'broschüre', 'information', 'broschüre', False, False, False),
+    (111, 'noun-dependent', 'noun-dependent: polizeiinformationsbroschüre-interessant', 'polizeiinformationsbroschüre', 'interessant', 'polizeiinformationsbroschüre', False, False, False),
+    (111, 'noun-dependent', 'noun-dependent: broschüre-interessant', 'broschüre', 'interessant', 'broschüre', False, False, False),
+    (111, 'intcompound', 'intcompound: information-polizei', 'information', 'polizei', 'information', False, False, False),
+    (111, 'intcompound', 'intcompound: broschüre-information', 'broschüre', 'information', 'broschüre', False, False, False),
     # 91: 'The big cat creature chased the kitten.' — ontology-defined
     # multiword 'cat creature' indexed as one repr (reference
     # word_matching/ontology.py:180-210 + test ontology; multiword
@@ -549,14 +551,31 @@ GOLDEN_EDGES: list[tuple] = [
     (92, 'predicate-patient', 'predicate-patient: see-dog', 'see', 'dog', 'see', False, False, False),
     (92, 'predicate-actor', 'predicate-actor: bark-dog', 'dog', 'bark', 'bark', False, False, True),
     (92, 'governor-adjective', 'governor-adjective: dog-hunger', 'dog', 'hunger', 'dog', False, False, True),
+    # 93: 'The tired dog slept.' — adjective participle relemmatization
+    # (tired→tire, reference holmes_lemma ADJ path :487-492)
+    (93, 'governor-adjective', 'governor-adjective: dog-tire', 'dog', 'tire', 'dog', False, False, False),
+    (93, 'predicate-actor', 'predicate-actor: sleep-dog', 'dog', 'sleep', 'sleep', False, False, False),
+    # 94: 'The man whose dog chased the cat came home.' — whose-clause
+    # (reference relative constructions, en language_specific_rules.py:
+    # 287-476: the whose-NP is the clause subject and is possessed by
+    # the antecedent → word-ofword via poss)
+    (94, 'predicate-actor', 'predicate-actor: come-man', 'man', 'come', 'come', False, False, False),
+    (94, 'word-ofword', 'word-ofword: dog-man', 'dog', 'man', 'dog', False, False, False),
+    (94, 'predicate-actor', 'predicate-actor: chase-dog', 'dog', 'chase', 'chase', False, False, False),
+    (94, 'predicate-patient', 'predicate-patient: chase-cat', 'chase', 'cat', 'chase', False, False, False),
+    (94, 'governor-adjective', 'governor-adjective: come-home', 'come', 'home', 'come', False, False, False),
 ]
 
 # (snip_id, word) — the reference's single-word phraselets
 GOLDEN_WORDS: list[tuple] = [
+    (94, 'man'),
+    (94, 'dog'),
+    (94, 'cat'),
+    (93, 'dog'),
     (92, 'dog'),
     (91, 'cat creature'),
     (91, 'kitten'),
-    (109, 'polizeiinformationsbroschüre'),
+    (111, 'polizeiinformationsbroschüre'),
     (21, 'sailor'),
     (27, 'man'),
     (0, 'cat'),
@@ -729,47 +748,47 @@ GOLDEN_WORDS: list[tuple] = [
     (89, 'john'),
     (90, 'girl'),
     (90, 'song'),
-    (93, 'hund'),
-    (93, 'katze'),
-    (94, 'kriminelle'),
-    (94, 'polizeiinformation'),
-    (95, 'haus'),
-    (95, 'mann'),
-    (96, 'hund'),
-    (96, 'katze'),
-    (97, 'hund'),
-    (97, 'katze'),
+    (95, 'hund'),
+    (95, 'katze'),
+    (96, 'kriminelle'),
+    (96, 'polizeiinformation'),
+    (97, 'haus'),
+    (97, 'mann'),
     (98, 'hund'),
     (98, 'katze'),
-    (98, 'maus'),
-    (99, 'kriminelle'),
-    (99, 'polizei'),
+    (99, 'hund'),
+    (99, 'katze'),
+    (100, 'hund'),
     (100, 'katze'),
-    (101, 'hund'),
-    (101, 'katze'),
-    (102, 'haus'),
-    (102, 'wohnungsgesellschaft'),
-    (103, 'kind'),
-    (103, 'tür'),
-    (104, 'auto'),
-    (104, 'mann'),
-    (105, 'mann'),
-    (105, 'versicherungsgesellschaft'),
-    (106, 'garten'),
-    (106, 'hund'),
+    (100, 'maus'),
+    (101, 'kriminelle'),
+    (101, 'polizei'),
+    (102, 'katze'),
+    (103, 'hund'),
+    (103, 'katze'),
+    (104, 'haus'),
+    (104, 'wohnungsgesellschaft'),
+    (105, 'kind'),
+    (105, 'tür'),
+    (106, 'auto'),
     (106, 'mann'),
-    (107, 'buch'),
-    (107, 'frau'),
+    (107, 'mann'),
+    (107, 'versicherungsgesellschaft'),
     (108, 'garten'),
-    (108, 'kind'),
+    (108, 'hund'),
+    (108, 'mann'),
+    (109, 'buch'),
+    (109, 'frau'),
+    (110, 'garten'),
+    (110, 'kind'),
 ]
 
 # per-snippet structural-match annotations (snip_id, negated, involves_coref);
 # match-level negation ORs over matched doc tokens (reference
 # structural_matching.py:381-465)
-MATCH_DOG_CHASES_CAT: list[tuple] = [(0, 0, 0), (1, 0, 0), (2, 1, 0), (3, 1, 0), (4, 0, 1), (11, 0, 0), (12, 0, 0), (16, 0, 0), (30, 0, 0), (31, 1, 0), (32, 0, 0), (33, 0, 0), (46, 0, 1), (53, 0, 0)]
+MATCH_DOG_CHASES_CAT: list[tuple] = [(0, 0, 0), (1, 0, 0), (2, 1, 0), (3, 1, 0), (4, 0, 1), (11, 0, 0), (12, 0, 0), (16, 0, 0), (30, 0, 0), (31, 1, 0), (32, 0, 0), (33, 0, 0), (46, 0, 1), (53, 0, 0), (94, 0, 0)]
 
-MATCH_ANIMAL_CHASES_ANIMAL: list[tuple] = [(0, 0, 0), (1, 0, 0), (2, 1, 0), (3, 1, 0), (4, 0, 1), (11, 0, 0), (12, 0, 0), (16, 0, 0), (30, 0, 0), (31, 1, 0), (32, 0, 0), (33, 0, 0), (35, 0, 0), (46, 0, 1), (53, 0, 0), (91, 0, 0), (93, 0, 0), (96, 0, 0), (97, 1, 0), (98, 0, 0)]
+MATCH_ANIMAL_CHASES_ANIMAL: list[tuple] = [(0, 0, 0), (1, 0, 0), (2, 1, 0), (3, 1, 0), (4, 0, 1), (11, 0, 0), (12, 0, 0), (16, 0, 0), (30, 0, 0), (31, 1, 0), (32, 0, 0), (33, 0, 0), (35, 0, 0), (46, 0, 1), (53, 0, 0), (91, 0, 0), (94, 0, 0), (95, 0, 0), (98, 0, 0), (99, 1, 0), (100, 0, 0)]
 
 MATCH_PERSON_COMES_HOME: list[tuple] = [(5, 0, 0), (39, 0, 0), (89, 0, 0)]
 

@@ -248,7 +248,7 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
     #  en language_specific_rules.py:287-476)
     rel = None  # (rel_pron, rel_verb, main_predicate, antecedent_local)
     for rp, t in enumerate(toks):
-        if t.text.lower() in ("who", "which", "that") and rp > 0 \
+        if t.text.lower() in ("who", "which", "that", "whose") and rp > 0 \
                 and toks[rp - 1].pos in ("NOUN", "PROPN") and t.pos == "PRON":
             # 'to' infinitives are PART-tagged, so verbs here are finite;
             # an AUX directly after the pronoun heads a copular relative
@@ -416,7 +416,28 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
         subject_relative = all(
             toks[k].pos in ("VERB", "AUX", "PART", "ADV")
             for k in range(rp + 1, rel_verb))
-        if subject_relative:
+        if toks[rp].text.lower() == "whose":
+            # whose-clause (reference relative constructions,
+            # en language_specific_rules.py:287-476): "the man whose dog
+            # chased the cat" — the NP after 'whose' is the relative
+            # clause's subject AND is possessed by the antecedent
+            wnp = next(((ws, we, wh) for (ws, we, wh) in nps if ws == rp + 1), None)
+            if wnp is not None:
+                wht = toks[wnp[2]]
+                add(wht.i, st.i, "poss")
+                wht.head = rt.i
+                wht.dep = "nsubj"
+                add(rt.i, wht.i, "nsubj")
+                toks[rp].head = wht.i
+                toks[rp].dep = "relpron"
+                obj_nps = [(s2, e2, h2) for (s2, e2, h2) in rel_nps
+                           if s2 > wnp[1]]
+                if obj_nps:
+                    oh = toks[obj_nps[0][2]]
+                    oh.head = rt.i
+                    oh.dep = "dobj"
+                    add(rt.i, oh.i, "dobj")
+        elif subject_relative:
             add(rt.i, st.i, "nsubj")          # "the man who chased ..."
             if rel_v in aux_pos and rel_v not in verb_pos:
                 # copular relative ("the dog that was old chased …"):

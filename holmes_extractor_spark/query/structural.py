@@ -478,6 +478,7 @@ def match(spark: SparkSession, docs: DataFrame, postings: DataFrame,
     """
     closure_map = {(q, w): d for (q, w, d) in (closure_rows or [])}
     probe_rows = []
+    emb_probe_rows: list[tuple[int, str]] = []
     for pi, sp in enumerate(search_phrases):
         for (r, kind) in root_reprs(sp):
             probe_rows.append((pi, r, kind))
@@ -490,24 +491,45 @@ def match(spark: SparkSession, docs: DataFrame, postings: DataFrame,
                 if qw == q and mw != q:
                     probe_rows.append((pi, mw, "direct"))
         # embedding expansion: every vocabulary word similar enough to
-        # the root becomes a probe (driver-side — the vector table is
-        # broadcast-sized, like the reference's model vocabulary)
+        # the root becomes a probe. The reference scans its model
+        # vocabulary per root lemma (structural_matching.py:260-349);
+        # here the vocabulary side runs as a DISTRIBUTED scored scan
+        # (broadcast root vectors ⋈ vector table, JVM zip_with dot
+        # products) so a realistic embedding vocabulary never loops on
+        # the driver — only the (tiny) surviving probe set is collected.
         if vectors is not None and embedding_threshold < 1.0:
+            emb_probe_rows.extend(
+                (pi, q) for q in root_words if q in vectors)
+            # entity-embedding root candidates: entity labels whose
+            # prototype vector is close to the root word probe the
+            # entity postings (reference word_matching/
+            # entity_embedding.py root handling); the label-prototype
+            # map is constant-sized → driver-side
             protos = entity_label_vectors(vectors)
             for q in root_words:
                 qv = vectors.get(q)
                 if qv is None:
                     continue
-                for w, wv in vectors.items():
-                    if w != q and _cosine_py(qv, wv) > embedding_threshold:
-                        probe_rows.append((pi, w, "direct"))
-                # entity-embedding root candidates: entity labels whose
-                # prototype vector is close to the root word probe the
-                # entity postings (reference word_matching/
-                # entity_embedding.py root handling)
                 for label, pv in protos.items():
                     if _cosine_py(qv, pv) > embedding_threshold:
                         probe_rows.append((pi, f"ENTITY{label}", "entity"))
+    if emb_probe_rows:
+        vec_df = spark.createDataFrame(
+            [(w, v) for w, v in vectors.items()],
+            "w string, vec array<double>")
+        roots_df = spark.createDataFrame(
+            [(pi, q, vectors[q]) for (pi, q) in emb_probe_rows],
+            "phrase_idx int, q string, qvec array<double>")
+        dot = F.aggregate(F.zip_with("vec", "qvec", lambda a, b: a * b),
+                          F.lit(0.0), lambda acc, x: acc + x)
+        norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+            F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+        scored = (vec_df.join(F.broadcast(roots_df), F.col("w") != F.col("q"))
+                  .withColumn("cos", dot / (norm(F.col("vec")) * norm(F.col("qvec"))))
+                  .filter(F.col("cos") > embedding_threshold)
+                  .select("phrase_idx", "w"))
+        probe_rows.extend((int(r["phrase_idx"]), r["w"], "direct")
+                          for r in scored.collect())
     probes = spark.createDataFrame(probe_rows, "phrase_idx int, repr string, kind string").distinct()
 
     if document_label_filter:

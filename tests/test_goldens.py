@@ -41,3 +41,16 @@ def test_snippets_are_sentence_aligned():
     # goldens compose to per-page goldens
     for s in POOL:
         assert s.rstrip().endswith((".", "!", "?"))
+
+
+def test_every_snippet_is_sampled():
+    # the page synthesis picks snippets via (doc_id*31 + j*17) % len(pool);
+    # if len(POOL_EN) shares a factor with 31 the corpus silently skips
+    # most snippets (this happened at len=93 = 3*31)
+    from holmes_extractor_spark.fixtures import MAX_SNIPS, POOL_DE, POOL_EN
+    for pool in (POOL_EN, POOL_DE):
+        n = len(pool)
+        reachable = {(i * 31 + j * 17) % n
+                     for i in range(7 * n) for j in range(MAX_SNIPS)}
+        assert reachable == set(range(n)), \
+            f"pool of {n} snippets: only {len(reachable)} reachable"

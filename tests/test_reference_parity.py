@@ -327,3 +327,12 @@ def test_symmetric_ontology_closure():
     assert sym[("dog", "animal")] == -1          # hypernym, negative depth
     assert ("dog", "cat") not in sym             # cousins do not match
     assert sym[("puppy", "animal")] == -2
+
+
+def test_whose_relative_clause():
+    # reference relative constructions (en language_specific_rules.py:
+    # 287-476): whose-clauses produce a poss relation to the antecedent
+    got = labels("The man whose dog chased the cat came home.")
+    assert "word-ofword: dog-man" in got
+    assert "predicate-actor: chase-dog" in got
+    assert "predicate-actor: come-man" in got
