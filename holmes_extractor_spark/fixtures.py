@@ -150,6 +150,10 @@ POOL_DE: list[str] = [
     'Die Frau las ein Buch.',  # 109
     'Die Kinder spielten im Garten.',  # 110
     'Die Polizeiinformationsbroschüre ist interessant.',  # 111
+    'Die Frau gab dem Mann das Buch.',  # 112 (double object, verb-dat)
+    'Der Mann wurde vom Kriminellen gesehen.',  # 113 (de passive)
+    'Die kleine Katze schlief im Garten.',  # 114
+    'Der Lehrer baute ein Haus.',  # 115
 ]
 
 # ------------------------------------------- golden per-snippet output
@@ -564,10 +568,33 @@ GOLDEN_EDGES: list[tuple] = [
     (94, 'predicate-actor', 'predicate-actor: chase-dog', 'dog', 'chase', 'chase', False, False, False),
     (94, 'predicate-patient', 'predicate-patient: chase-cat', 'chase', 'cat', 'chase', False, False, False),
     (94, 'governor-adjective', 'governor-adjective: come-home', 'come', 'home', 'come', False, False, False),
+    # 112: 'Die Frau gab dem Mann das Buch.' — German double object:
+    # the reference's verb-dat pattern 'verb-dat: gabe-frau' for datives
+    # (tests/de/test_phraselet_production_DE.py:85-110; geben→gabe per
+    # de derivation.csv)
+    (112, 'verb-nom', 'verb-nom: gabe-frau', 'frau', 'gabe', 'gabe', False, False, False),
+    (112, 'verb-dat', 'verb-dat: gabe-mann', 'gabe', 'mann', 'gabe', False, False, False),
+    (112, 'verb-acc', 'verb-acc: gabe-buch', 'gabe', 'buch', 'gabe', False, False, False),
+    # 113: 'Der Mann wurde vom Kriminellen gesehen.' — de passive+agent
+    (113, 'verb-acc', 'verb-acc: sehen-mann', 'sehen', 'mann', 'sehen', False, False, False),
+    (113, 'verb-nom', 'verb-nom: sehen-kriminelle', 'kriminelle', 'sehen', 'sehen', False, False, False),
+    (113, 'prep-noun', 'prep-noun: vom-kriminelle', 'vom', 'kriminelle', 'vom', False, False, False),
+    # 114: 'Die kleine Katze schlief im Garten.' (schlafen→schlaf)
+    (114, 'noun-dependent', 'noun-dependent: katze-klein', 'katze', 'klein', 'katze', False, False, False),
+    (114, 'verb-nom', 'verb-nom: schlaf-katze', 'katze', 'schlaf', 'schlaf', False, False, False),
+    (114, 'prepgovernor-noun', 'prepgovernor-noun: schlaf-garten', 'schlaf', 'garten', 'schlaf', False, False, False),
+    (114, 'prep-noun', 'prep-noun: im-garten', 'im', 'garten', 'im', False, False, False),
+    # 115: 'Der Lehrer baute ein Haus.' (bauen→bau)
+    (115, 'verb-nom', 'verb-nom: bau-lehrer', 'lehrer', 'bau', 'bau', False, False, False),
+    (115, 'verb-acc', 'verb-acc: bau-haus', 'bau', 'haus', 'bau', False, False, False),
 ]
 
 # (snip_id, word) — the reference's single-word phraselets
 GOLDEN_WORDS: list[tuple] = [
+    (112, 'frau'), (112, 'mann'), (112, 'buch'),
+    (113, 'mann'), (113, 'kriminelle'),
+    (114, 'katze'), (114, 'garten'),
+    (115, 'lehrer'), (115, 'haus'),
     (94, 'man'),
     (94, 'dog'),
     (94, 'cat'),

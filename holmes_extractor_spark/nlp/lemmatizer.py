@@ -231,7 +231,10 @@ IRREGULAR_DE: dict[str, str] = {
     "schrieb": "schreiben", "geschrieben": "schreiben",
     "traf": "treffen", "getroffen": "treffen",
     "spielte": "spielen", "spielten": "spielen", "gespielt": "spielen",
-    "lasen": "lesen",
+    "lasen": "lesen", "schlief": "schlafen", "geschlafen": "schlafen",
+    "gab": "geben", "aß": "essen", "gegessen": "essen",
+    "baute": "bauen", "gebaut": "bauen", "kochte": "kochen",
+    "lehrte": "lehren", "fing": "fangen", "gefangen": "fangen",
     "mäuse": "maus", "türen": "tür", "autos": "auto",
     "ist": "sein", "war": "sein", "sind": "sein", "waren": "sein",
     "hat": "haben", "hatte": "haben",

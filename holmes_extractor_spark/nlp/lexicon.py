@@ -162,7 +162,7 @@ NEGATION_WORDS_DE = {"nicht", "kein", "keine", "keinen", "nie", "niemals",
                      "nichts", "niemand"}
 
 ADJECTIVES_DE = {"reich", "reiche", "reicher", "reichen", "arm", "arme",
-                 "interessant", "interessante",
+                 "interessant", "interessante", "müde", "schöne", "schön",
                  "armen", "groß", "große", "großen", "klein", "kleine",
                  "kleinen", "gut", "gute", "guten", "alt", "alte", "alten",
                  "jung", "junge", "jungen", "schnell", "schnelle", "langsam"}
@@ -172,6 +172,7 @@ ADVERBS_DE = {"schnell", "langsam", "heute", "gestern", "morgen", "hier",
 
 VERB_LEMMAS_DE = {
     "jagen", "sehen", "kommen", "wachsen", "geben", "öffnen", "kaufen",
+    "schlafen", "bauen", "kochen", "lehren", "fangen", "essen",
     "verkaufen", "essen", "fangen", "nehmen", "machen", "sagen", "gehen",
     "finden", "informieren", "singen", "fliegen", "fahren", "besuchen",
     "treffen", "zahlen", "spielen", "wohnen", "zeigen", "hören", "lieben",
@@ -180,6 +181,7 @@ VERB_LEMMAS_DE = {
 
 NOUN_LEXICON_DE = {
     "hund", "katze", "mann", "frau", "kind", "pflanze", "haus", "stadt",
+    "brief", "lehrer",
     "baum", "auto", "buch", "wasser", "information", "polizei",
     "kriminelle", "kriminellen", "maus", "vogel", "pferd", "löwe",
     "tier", "mensch", "schule", "tag", "nacht", "jahr", "zeit", "tür",

@@ -210,6 +210,10 @@ def _chunk_nps(toks: list[Tok]) -> list[tuple[int, int, int]]:
             start = j
             last_nominal = -1
             while j < n and toks[j].pos in ("DET", "ADJ", "NUM", "NOUN", "PROPN"):
+                # a determiner after a nominal starts a NEW phrase
+                # ("gab dem Mann das Buch" = two NPs, not one)
+                if toks[j].pos == "DET" and last_nominal >= 0:
+                    break
                 if toks[j].pos in ("NOUN", "PROPN"):
                     last_nominal = j
                 j += 1
@@ -598,6 +602,13 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
                 h.head = cur.i
                 h.dep = "attr"
                 add(cur.i, h.i, "attr")
+            elif lang == "de" and toks[np_here[0]].text.lower() in ("dem", "einem"):
+                # unambiguous dative determiner: German double-object
+                # ("gab DEM Mann das Buch") — 'da' dependency, reference
+                # de verb-dat template (de language_specific_rules.py)
+                h.head = cur.i
+                h.dep = "dative"
+                add(cur.i, h.i, "dative")
             elif not got_obj:
                 h.head = cur.i
                 h.dep = "dobj"

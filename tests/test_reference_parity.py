@@ -336,3 +336,11 @@ def test_whose_relative_clause():
     assert "word-ofword: dog-man" in got
     assert "predicate-actor: chase-dog" in got
     assert "predicate-actor: come-man" in got
+
+
+def test_de_double_object_dative():
+    # reference DE: 'verb-dat: gabe-frau' pattern for datives
+    # (tests/de/test_phraselet_production_DE.py:85-110)
+    got = labels("Die Frau gab dem Mann das Buch.", lang="de")
+    assert {"verb-nom: gabe-frau", "verb-dat: gabe-mann",
+            "verb-acc: gabe-buch"} <= got
