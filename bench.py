@@ -22,7 +22,18 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SCALING_PAGES = int(os.environ.get("BENCH_SCALING_PAGES", "320000"))
-SCALE_DATA = "/tmp/holmes_scale_pages"
+
+
+def _scale_data_path() -> str:
+    # fingerprint the fixture pool into the path so a pool change
+    # invalidates the cached scaling corpus
+    import hashlib
+    from holmes_extractor_spark.fixtures import POOL
+    fp = hashlib.sha256("\x00".join(POOL).encode()).hexdigest()[:12]
+    return f"/tmp/holmes_scale_pages_{SCALING_PAGES}_{fp}"
+
+
+SCALE_DATA = _scale_data_path()
 
 HEADLINE = [
     "kg_triples", "kg_entities", "structural_match", "ontology_match",
