@@ -167,6 +167,8 @@ class SparkHolmesManager:
         edges = extract_edges(docs)
         words = extract_words(docs)
         res = topic.topic_match(self.spark, edges, words, text_to_match,
+                                vectors=self._vectors,
+                                embedding_threshold=self._embedding_threshold,
                                 **params)
         res = topic.with_passage_text(res, docs)
         return [r.asDict() for r in res.collect()]

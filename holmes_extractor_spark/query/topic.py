@@ -36,6 +36,7 @@ from ..nlp.parser import parse_document
 from ..pipeline.phraselets import (ACTOR_TEMPLATES, REVERSE_ONLY_TEMPLATES,
                                    extract_candidate_edges,
                                    extract_word_phraselets)
+from .structural import _cosine_py as _cosine
 
 DEFAULTS = dict(
     maximum_activation_distance=75,
@@ -93,7 +94,9 @@ def query_phraselets(query_text: str, lang: str = "en",
 
 def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
                      rel_ph: list[dict], word_ph: list[dict],
-                     closure: DataFrame | None = None) -> DataFrame:
+                     closure: DataFrame | None = None,
+                     vectors: dict[str, list[float]] | None = None,
+                     embedding_threshold: float = 1.0) -> DataFrame:
     """Phraselet matches against the corpus:
     (url, phraselet_label, kind, position, base_score).
 
@@ -142,6 +145,33 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
             )
         else:
             q = q.withColumn("penalty", F.lit(1.0))
+        if vectors is not None and embedding_threshold < 1.0:
+            # pass-4 child-embedding retry (reference topic_matching.py:
+            # 301-319 + embedding_penalty, manager.py:683-701): expand
+            # the CHILD pole by vector similarity, penalty =
+            # embedding_penalty × cosine. Driver-side over the broadcast
+            # vector vocabulary (like the reference's model vocab scan).
+            emb_pen = DEFAULTS["embedding_penalty"]
+            extra = []
+            for (t, lbl, qp, qc, rev) in rel_rows:
+                qv = vectors.get(qc)
+                if qv is None:
+                    continue
+                for w, wv in vectors.items():
+                    if w == qc:
+                        continue
+                    sim = _cosine(qv, wv)
+                    if sim > embedding_threshold:
+                        extra.append((t, lbl, qp, w, rev,
+                                      round(emb_pen * sim, 8)))
+            if extra:
+                qe = spark.createDataFrame(
+                    extra, "template string, phraselet_label string, "
+                           "q_pred string, q_child string, "
+                           "q_reverse_only boolean, penalty double")
+                q = q.unionByName(qe).groupBy(
+                    "template", "phraselet_label", "q_reverse_only",
+                    "q_pred", "q_child").agg(F.max("penalty").alias("penalty"))
         child_col = F.when(F.col("template").isin(*ACTOR_TEMPLATES),
                            F.col("subj")).otherwise(F.col("obj"))
         rel_m = (
@@ -312,12 +342,16 @@ def topic_match(spark: SparkSession, edges: DataFrame, words: DataFrame,
                 query_text: str, lang: str = "en",
                 closure: DataFrame | None = None,
                 freq_factors: DataFrame | None = None,
+                vectors: dict[str, list[float]] | None = None,
+                embedding_threshold: float = 1.0,
                 **overrides) -> DataFrame:
     """Ranked passages for a query document. Returns
     (rank, url, start_idx, end_idx, score, n_matches, tied)."""
     params = {**DEFAULTS, **overrides}
     rel_ph, word_ph = query_phraselets(query_text, lang)
-    matches = match_phraselets(spark, edges, words, rel_ph, word_ph, closure)
+    matches = match_phraselets(spark, edges, words, rel_ph, word_ph, closure,
+                               vectors=vectors,
+                               embedding_threshold=embedding_threshold)
     if freq_factors is not None:
         # phraselet frequency factor (reference parsing.py:1852-1885):
         # gate/deflate matches on corpus-frequent words

@@ -119,6 +119,27 @@ def test_embedding_matching(spark):
     assert m2.match("A dog chases a cat") == []
 
 
+def test_topic_child_embedding_retry(spark):
+    # pass-4 child-embedding retry (reference topic_matching.py:301-319;
+    # embedding_penalty manager.py:683-701): the query relation chase-dog
+    # reaches "The wolf chased the kitten" through dog≈wolf / cat≈kitten
+    # vector similarity at embedding_penalty × cosine; a vector-less run
+    # finds nothing (no shared noun, single-word phraselets are
+    # noun-only per reference parsing.py:1955-2006).
+    from holmes_extractor_spark.fixtures import WORD_VECTORS
+    m_emb = SparkHolmesManager(spark, vectors=WORD_VECTORS,
+                               word_embedding_match_threshold=0.85)
+    m_emb.parse_and_register_document("The wolf chased the kitten.", "d_wolf")
+    res = m_emb.topic_match_documents_against("A dog chases a cat")
+    m_off = SparkHolmesManager(spark)
+    m_off.parse_and_register_document("The wolf chased the kitten.", "d_wolf")
+    res_off = m_off.topic_match_documents_against("A dog chases a cat")
+    assert res_off == []
+    assert res and res[0]["n_matches"] == 2  # both relations land
+    # penalised: below a full double-relation score, above the cutoff
+    assert 15.0 < res[0]["score"] < 300.0 * 1.5 * 2
+
+
 def test_document_label_filter(spark):
     m = SparkHolmesManager(spark)
     m.parse_and_register_document("The dog chased the cat.", "en/a1")
