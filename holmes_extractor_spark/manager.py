@@ -26,7 +26,8 @@ from pyspark.sql import functions as F
 from . import PARSER_VERSION, errors
 from .pipeline.linking import ontology_closure_local
 from .pipeline.parse_stage import extract_edges, extract_words, parse_pages
-from .pipeline.postings import build_postings
+from .pipeline.postings import (build_postings, corpus_frequencies,
+                                frequency_factor)
 from .query import structural, topic
 
 
@@ -161,12 +162,24 @@ class SparkHolmesManager:
         return out
 
     def topic_match_documents_against(self, text_to_match: str,
+                                      use_frequency_factor: bool = True,
                                       **params) -> list[dict]:
-        """Reference: manager.py:677-898."""
+        """Reference: manager.py:677-898 (use_frequency_factor default
+        True, manager.py:736 — corpus frequencies deflate phraselet
+        scores and gate the reverse/embedding retry planning)."""
         docs = self.docs()
         edges = extract_edges(docs)
         words = extract_words(docs)
+        closure = None
+        if self._closure_rows:
+            closure = self.spark.createDataFrame(
+                self._closure_rows,
+                "query_word string, matched_word string, depth int")
+        ff = None
+        if use_frequency_factor:
+            ff = frequency_factor(corpus_frequencies(self.postings()))
         res = topic.topic_match(self.spark, edges, words, text_to_match,
+                                closure=closure, freq_factors=ff,
                                 vectors=self._vectors,
                                 embedding_threshold=self._embedding_threshold,
                                 **params)

@@ -52,6 +52,14 @@ DEFAULTS = dict(
     different_match_cutoff_score=15.0,
     number_of_results=10,
     tied_result_quotient=0.9,
+    # selective retry planning (reference manager.py:695-696 +
+    # topic_matching.py:379-549): a relation phraselet whose parent is
+    # corpus-frequent (ff below the relation threshold) is only matched
+    # reverse (via the child); if the child is frequent too it is never
+    # relation-matched. Embedding retries require the opposite pole's
+    # ff to clear the embedding threshold.
+    relation_matching_frequency_threshold=0.25,
+    embedding_matching_frequency_threshold=0.5,
 )
 
 # question template → the corpus edge templates whose PARENT answers it
@@ -108,14 +116,18 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
     rel_rows = [(p["template"], p["label"], p["pred"],
                  p["obj"] if p["template"] not in ACTOR_TEMPLATES else p["subj"],
                  bool(p.get("reverse_only"))
-                 or p["template"] in REVERSE_ONLY_TEMPLATES)
+                 or p["template"] in REVERSE_ONLY_TEMPLATES,
+                 float(p.get("freq_factor", 1.0)))
                 for p in rel_ph if not p["template"].startswith("head-")]
-    q_rows = [(p["template"], p["label"], p["pred"])
+    emb_retry_ok = {p["label"]: bool(p.get("emb_retry", True))
+                    for p in rel_ph}
+    q_rows = [(p["template"], p["label"], p["pred"],
+               float(p.get("freq_factor", 1.0)))
               for p in rel_ph if p["template"].startswith("head-")]
     out = None
     if rel_rows:
         q = spark.createDataFrame(
-            rel_rows, "template string, phraselet_label string, q_pred string, q_child string, q_reverse_only boolean")
+            rel_rows, "template string, phraselet_label string, q_pred string, q_child string, q_reverse_only boolean, freq_factor double")
         if closure is not None:
             # ontology expansion carries the closure depth so the
             # activation penalty ontology_penalty^(depth+1) can be
@@ -134,13 +146,14 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
                       .withColumnRenamed("matched_word", "m_child")
                       .withColumnRenamed("depth", "d_child"), "q_child", "left")
                 .select("template", "phraselet_label", "q_reverse_only",
+                        "freq_factor",
                         F.coalesce("m_pred", "q_pred").alias("q_pred"),
                         F.coalesce("m_child", "q_child").alias("q_child"),
                         (pen(F.col("d_pred"), F.col("m_pred"), F.col("q_pred"))
                          * pen(F.col("d_child"), F.col("m_child"), F.col("q_child"))
                          ).alias("penalty"))
                 .groupBy("template", "phraselet_label", "q_reverse_only",
-                         "q_pred", "q_child")
+                         "freq_factor", "q_pred", "q_child")
                 .agg(F.max("penalty").alias("penalty"))
             )
         else:
@@ -153,7 +166,12 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
             # vector vocabulary (like the reference's model vocab scan).
             emb_pen = DEFAULTS["embedding_penalty"]
             extra = []
-            for (t, lbl, qp, qc, rev) in rel_rows:
+            for (t, lbl, qp, qc, rev, ff) in rel_rows:
+                if not emb_retry_ok.get(lbl, True):
+                    # selective retry planning: the parent pole's
+                    # frequency factor is below the embedding threshold
+                    # (reference topic_matching.py:429-434)
+                    continue
                 qv = vectors.get(qc)
                 if qv is None:
                     continue
@@ -162,16 +180,18 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
                         continue
                     sim = _cosine(qv, wv)
                     if sim > embedding_threshold:
-                        extra.append((t, lbl, qp, w, rev,
+                        extra.append((t, lbl, qp, w, rev, ff,
                                       round(emb_pen * sim, 8)))
             if extra:
                 qe = spark.createDataFrame(
                     extra, "template string, phraselet_label string, "
                            "q_pred string, q_child string, "
-                           "q_reverse_only boolean, penalty double")
+                           "q_reverse_only boolean, freq_factor double, "
+                           "penalty double")
                 q = q.unionByName(qe).groupBy(
                     "template", "phraselet_label", "q_reverse_only",
-                    "q_pred", "q_child").agg(F.max("penalty").alias("penalty"))
+                    "freq_factor", "q_pred", "q_child"
+                    ).agg(F.max("penalty").alias("penalty"))
         child_col = F.when(F.col("template").isin(*ACTOR_TEMPLATES),
                            F.col("subj")).otherwise(F.col("obj"))
         rel_m = (
@@ -182,52 +202,54 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
                     F.when(F.col("q_reverse_only"), F.lit("relation_reverse_only"))
                      .otherwise(F.lit("relation")).alias("kind"),
                     F.least("parent_idx", "child_idx").alias("position"),
-                    "penalty")
+                    "penalty", "freq_factor")
         )
         out = rel_m
     if q_rows:
         # question phraselets: the WH pole matches any answering word,
         # scored initial_question_word_answer_score (reference
         # manager.py:683-701 score 600)
-        expand = [(t, lbl, pred, m)
-                  for (t, lbl, pred) in q_rows
+        expand = [(t, lbl, pred, ff, m)
+                  for (t, lbl, pred, ff) in q_rows
                   for m in QUESTION_ANSWER_TEMPLATES.get(t, ())]
         if expand:
             qq = spark.createDataFrame(
-                expand, "wh string, phraselet_label string, q_pred string, template string")
+                expand, "wh string, phraselet_label string, q_pred string, "
+                        "freq_factor double, template string")
             q_m = (
                 edges.withColumnRenamed("pred", "q_pred")
                 .join(F.broadcast(qq), ["template", "q_pred"])
                 .select("url", "phraselet_label",
                         F.lit("question_answer").alias("kind"),
                         F.least("parent_idx", "child_idx").alias("position"),
-                        F.lit(1.0).alias("penalty"))
+                        F.lit(1.0).alias("penalty"), "freq_factor")
             )
             out = q_m if out is None else out.unionByName(q_m)
     if word_ph:
         qw = spark.createDataFrame(
-            [(p["word"], p["label"]) for p in word_ph],
-            "word string, phraselet_label string")
+            [(p["word"], p["label"], float(p.get("freq_factor", 1.0)))
+             for p in word_ph],
+            "word string, phraselet_label string, freq_factor double")
         if closure is not None:
             c = closure.select("query_word", "matched_word", "depth")
             qw = (qw.join(F.broadcast(c).withColumnRenamed("query_word", "word")
                           .withColumnRenamed("matched_word", "m_word")
                           .withColumnRenamed("depth", "d_word"), "word", "left")
                   .select(F.coalesce("m_word", "word").alias("word"),
-                          "phraselet_label",
+                          "phraselet_label", "freq_factor",
                           F.when(F.col("m_word").isNull()
                                  | (F.col("m_word") == F.col("word")),
                                  F.lit(1.0))
                           .otherwise(F.pow(F.lit(ontology_penalty),
                                            F.col("d_word") + 1)).alias("penalty"))
-                  .groupBy("word", "phraselet_label")
+                  .groupBy("word", "phraselet_label", "freq_factor")
                   .agg(F.max("penalty").alias("penalty")))
         else:
             qw = qw.withColumn("penalty", F.lit(1.0))
         word_m = (
             words.join(F.broadcast(qw), "word")
             .select("url", "phraselet_label", F.lit("single_word").alias("kind"),
-                    F.col("idx").alias("position"), "penalty")
+                    F.col("idx").alias("position"), "penalty", "freq_factor")
         )
         out = word_m if out is None else out.unionByName(word_m)
     if out is None:
@@ -338,6 +360,85 @@ def with_passage_text(topic_df: DataFrame, docs: DataFrame) -> DataFrame:
         .drop("tokens"))
 
 
+def plan_selective_retries(rel_ph: list[dict], word_ph: list[dict],
+                           freq_factors: DataFrame,
+                           closure: DataFrame | None,
+                           params: dict) -> tuple[list[dict], list[dict]]:
+    """The reference's selective retry planning (topic_matching.py:
+    379-549 + parsing.py:1852-1885): per-pole frequency factors decide
+    how far each relation phraselet is pursued.
+
+    - pole ff = min ff over the word and its ontology reprs (the
+      reference takes the max corpus frequency over the expanded word
+      set, parsing.py:1852-1877 — ff is monotone-decreasing in
+      frequency, so min-ff ≡ max-frequency);
+    - parent ff < relation_matching_frequency_threshold → the phraselet
+      is treated reverse-only during initial relation matching
+      (parsing.py:2308-2320); combined with a frequent child
+      (child ff < threshold) it is never relation-matched at all
+      (topic_matching.py:463-470 falls through to ``return``);
+    - child-embedding retries require parent ff ≥
+      embedding_matching_frequency_threshold (topic_matching.py:429);
+    - phraselet score deflation ff = parent ff × child ff
+      (parsing.py:1879-1885).
+
+    The lookups are a filtered collect on the freq_factors table —
+    a handful of query words pushed down as an IN-filter, so the
+    driver pulls O(|query| × closure fanout) rows regardless of
+    vocabulary size."""
+    rel_th = params["relation_matching_frequency_threshold"]
+    emb_th = params["embedding_matching_frequency_threshold"]
+    poles: set[str] = set()
+    for p in rel_ph:
+        poles.add(p["pred"])
+        if not p["template"].startswith("head-"):
+            poles.add(p["obj"] if p["template"] not in ACTOR_TEMPLATES
+                      else p["subj"])
+    poles |= {p["word"] for p in word_ph}
+    expanded: dict[str, set[str]] = {w: {w} for w in poles}
+    if closure is not None:
+        for r in closure.filter(F.col("query_word").isin(*poles)) \
+                .select("query_word", "matched_word").collect():
+            expanded[r["query_word"]].add(r["matched_word"])
+    all_words = set().union(*expanded.values()) if expanded else set()
+    ff_map = {}
+    if all_words:
+        ff_map = {r["repr"]: r["frequency_factor"]
+                  for r in freq_factors
+                  .filter(F.col("repr").isin(*all_words))
+                  .select("repr", "frequency_factor").collect()}
+
+    def pole_ff(w: str) -> float:
+        vals = [ff_map[x] for x in expanded.get(w, {w}) if x in ff_map]
+        return min(vals) if vals else 1.0
+
+    out_rel = []
+    for p in rel_ph:
+        p = dict(p)
+        parent_ff = pole_ff(p["pred"])
+        if p["template"].startswith("head-"):
+            p["freq_factor"] = parent_ff
+            out_rel.append(p)
+            continue
+        child = (p["obj"] if p["template"] not in ACTOR_TEMPLATES
+                 else p["subj"])
+        child_ff = pole_ff(child)
+        static_rev = (bool(p.get("reverse_only"))
+                      or p["template"] in REVERSE_ONLY_TEMPLATES)
+        treat_rev = parent_ff < rel_th
+        if (static_rev or treat_rev) and child_ff < rel_th:
+            continue  # never relation-matched
+        p["freq_factor"] = parent_ff * child_ff
+        p["emb_retry"] = parent_ff >= emb_th
+        out_rel.append(p)
+    out_word = []
+    for p in word_ph:
+        p = dict(p)
+        p["freq_factor"] = pole_ff(p["word"])
+        out_word.append(p)
+    return out_rel, out_word
+
+
 def topic_match(spark: SparkSession, edges: DataFrame, words: DataFrame,
                 query_text: str, lang: str = "en",
                 closure: DataFrame | None = None,
@@ -349,21 +450,12 @@ def topic_match(spark: SparkSession, edges: DataFrame, words: DataFrame,
     (rank, url, start_idx, end_idx, score, n_matches, tied)."""
     params = {**DEFAULTS, **overrides}
     rel_ph, word_ph = query_phraselets(query_text, lang)
+    if freq_factors is not None:
+        rel_ph, word_ph = plan_selective_retries(
+            rel_ph, word_ph, freq_factors, closure, params)
     matches = match_phraselets(spark, edges, words, rel_ph, word_ph, closure,
                                vectors=vectors,
                                embedding_threshold=embedding_threshold)
-    if freq_factors is not None:
-        # phraselet frequency factor (reference parsing.py:1852-1885):
-        # gate/deflate matches on corpus-frequent words
-        ff = F.broadcast(freq_factors.select(
-            F.col("repr").alias("_w"), F.col("frequency_factor")))
-        pole = F.element_at(F.split(F.element_at(F.split("phraselet_label", ": "), 2), "-"), 1)
-        matches = (matches.withColumn("_w", pole)
-                   .join(ff, "_w", "left")
-                   .withColumn("freq_factor", F.coalesce("frequency_factor", F.lit(1.0)))
-                   .drop("_w", "frequency_factor"))
-    else:
-        matches = matches.withColumn("freq_factor", F.lit(1.0))
     # one collect_list per url, then mapInPandas (one python call per
     # Arrow batch of MANY urls) — applyInPandas would pay per-group
     # invocation overhead across millions of documents

@@ -127,11 +127,13 @@ def test_topic_child_embedding_retry(spark):
     # finds nothing (no shared noun, single-word phraselets are
     # noun-only per reference parsing.py:1955-2006).
     from holmes_extractor_spark.fixtures import WORD_VECTORS
-    m_emb = SparkHolmesManager(spark, vectors=WORD_VECTORS,
+    # ontology=[] so the fixture ontology (cat→kitten) can't shadow the
+    # embedding path under test
+    m_emb = SparkHolmesManager(spark, ontology=[], vectors=WORD_VECTORS,
                                word_embedding_match_threshold=0.85)
     m_emb.parse_and_register_document("The wolf chased the kitten.", "d_wolf")
     res = m_emb.topic_match_documents_against("A dog chases a cat")
-    m_off = SparkHolmesManager(spark)
+    m_off = SparkHolmesManager(spark, ontology=[])
     m_off.parse_and_register_document("The wolf chased the kitten.", "d_wolf")
     res_off = m_off.topic_match_documents_against("A dog chases a cat")
     assert res_off == []

@@ -124,6 +124,43 @@ def test_topic_match_ranks(spark, docs):
     assert res[0]["n_matches"] >= 1
 
 
+def test_selective_retry_planning(spark):
+    # reference topic_matching.py:379-549 + parsing.py:2308-2320:
+    # frequent parent (ff < 0.25) → reverse-only during initial
+    # matching; frequent parent AND child → never relation-matched;
+    # embedding retry requires parent ff ≥ 0.5; score ff = parent×child
+    from holmes_extractor_spark.query.topic import (DEFAULTS,
+                                                    plan_selective_retries)
+    ff = spark.createDataFrame(
+        [("chase", 0.1), ("cat", 0.1), ("dog", 0.9), ("see", 0.4)],
+        "repr string, frequency_factor double")
+    rel_ph = [
+        {"template": "predicate-actor", "label": "predicate-actor: chase-dog",
+         "pred": "chase", "subj": "dog", "obj": None},
+        {"template": "predicate-patient", "label": "predicate-patient: chase-cat",
+         "pred": "chase", "subj": None, "obj": "cat"},
+        {"template": "predicate-actor", "label": "predicate-actor: see-dog",
+         "pred": "see", "subj": "dog", "obj": None},
+    ]
+    word_ph = [{"template": "word", "label": "word: cat", "word": "cat",
+                "idx": 0}]
+    rels, words_out = plan_selective_retries(rel_ph, word_ph, ff, None,
+                                             DEFAULTS)
+    by_label = {p["label"]: p for p in rels}
+    # chase-cat: both poles frequent → dropped entirely
+    assert "predicate-patient: chase-cat" not in by_label
+    # chase-dog: frequent parent, rare child → kept, no embedding retry
+    p = by_label["predicate-actor: chase-dog"]
+    assert p["emb_retry"] is False
+    assert abs(p["freq_factor"] - 0.09) < 1e-9
+    # see-dog: parent ff 0.4 ≥ 0.25 (kept) but < 0.5 (no emb retry)
+    p2 = by_label["predicate-actor: see-dog"]
+    assert p2["emb_retry"] is False
+    assert abs(p2["freq_factor"] - 0.36) < 1e-9
+    # single-word phraselet carries its own ff
+    assert abs(words_out[0]["freq_factor"] - 0.1) < 1e-9
+
+
 def test_checkpoint_resume(spark, sf_dir, tmp_path):
     wh = str(tmp_path / "wh")
     out1 = run_pipeline(spark, sf_dir, wh, run_id="r1", n_pages=40)
