@@ -12,23 +12,27 @@ thinc MLP (:239-287). Here:
                     extracts (relation edges + single words) — one
                     array<string> column per document;
 - vocabulary+vec  = Spark ML CountVectorizer (minDF = occurrence floor);
-- model           = Spark ML multinomial LogisticRegression (a linear
-                    softmax head — deterministic, distributed; the
-                    reference's MLP is a non-deterministic superset).
+- model           = Spark ML MultilayerPerceptronClassifier with the
+                    reference's topology (ReLU hidden layers + softmax
+                    head, classification.py:239-287) and the
+                    reference's default hidden-layer sizing — three
+                    layers interpolating feature-count → class-count
+                    (classification.py:609-621).
 
-Everything runs as one Pipeline; inference is a pure DataFrame
-transform.
+Inference is a pure DataFrame transform over the assembled
+PipelineModel.
 """
 
 from __future__ import annotations
 
-from pyspark.ml import Pipeline, PipelineModel
-from pyspark.ml.classification import LogisticRegression
+from pyspark.ml import PipelineModel
+from pyspark.ml.classification import MultilayerPerceptronClassifier
 from pyspark.ml.feature import CountVectorizer, IndexToString, StringIndexer
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..errors import FewerThanTwoClassificationsError
 from ..pipeline.parse_stage import extract_edges, extract_words, parse_pages
 
 
@@ -107,11 +111,17 @@ def select_features(feats: DataFrame, min_occurrences: int = 2,
 def train_classifier(pages: DataFrame, labels: DataFrame,
                      min_occurrences: int = 2, cv_threshold: float = 0.0,
                      replace_with_hypernym_ancestors: bool = False,
-                     seed: int = 42) -> PipelineModel:
+                     hidden_layer_sizes: list[int] | None = None,
+                     max_iter: int = 200, seed: int = 42) -> PipelineModel:
     """pages(url,text,lang) + labels(url, classification) → fitted
     PipelineModel. minDF mirrors the reference's minimum_occurrences
     feature floor; cv_threshold > 0 additionally applies the
-    coefficient-of-variation filter (classification.py:682-742)."""
+    coefficient-of-variation filter (classification.py:682-742).
+
+    ``hidden_layer_sizes`` defaults to the reference's topology
+    (classification.py:609-621): three hidden layers linearly
+    interpolating from the feature count down toward the class count.
+    """
     docs = parse_pages(pages)
     feats = phraselet_features(
         docs, replace_with_hypernym_ancestors=replace_with_hypernym_ancestors
@@ -123,21 +133,31 @@ def train_classifier(pages: DataFrame, labels: DataFrame,
             "features",
             F.filter("features", lambda f: f.isin(*keep_set)
                      if keep_set else F.lit(False)))
-    pipeline = Pipeline(stages=[
-        StringIndexer(inputCol="classification", outputCol="cls_idx",
-                      stringOrderType="alphabetAsc"),
-        CountVectorizer(inputCol="features", outputCol="fvec",
-                        minDF=float(min_occurrences)),
-        LogisticRegression(featuresCol="fvec", labelCol="cls_idx",
-                           maxIter=64, regParam=0.01, family="multinomial"),
-    ])
-    model = pipeline.fit(feats)
-    # attach an inverse label map for inference output
-    labels_arr = model.stages[0].labelsArray[0]
-    model.stages.append(IndexToString(inputCol="prediction",
-                                      outputCol="predicted_classification",
-                                      labels=list(labels_arr)))
-    return model
+    feats = feats.cache()
+    indexer = StringIndexer(inputCol="classification", outputCol="cls_idx",
+                            stringOrderType="alphabetAsc").fit(feats)
+    vectorizer = CountVectorizer(inputCol="features", outputCol="fvec",
+                                 minDF=float(min_occurrences)).fit(feats)
+    n_feat = len(vectorizer.vocabulary)
+    n_cls = len(indexer.labelsArray[0])
+    if n_cls < 2:
+        raise FewerThanTwoClassificationsError(
+            f"only {n_cls} classification(s) in the training data")
+    if not hidden_layer_sizes:
+        # reference classification.py:609-621
+        start = n_feat
+        step = (n_cls - n_feat) / 3
+        hidden_layer_sizes = [start, int(start + step), int(start + 2 * step)]
+    mlp = MultilayerPerceptronClassifier(
+        featuresCol="fvec", labelCol="cls_idx",
+        layers=[n_feat, *hidden_layer_sizes, n_cls],
+        maxIter=max_iter, seed=seed)
+    mlp_model = mlp.fit(vectorizer.transform(indexer.transform(feats)))
+    return PipelineModel(stages=[
+        indexer, vectorizer, mlp_model,
+        IndexToString(inputCol="prediction",
+                      outputCol="predicted_classification",
+                      labels=list(indexer.labelsArray[0]))])
 
 
 def classify(model: PipelineModel, pages: DataFrame) -> DataFrame:

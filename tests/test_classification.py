@@ -58,6 +58,18 @@ def test_training_fit(spark, model_and_data):
     assert acc >= 0.9
 
 
+def test_fewer_than_two_classifications(spark):
+    # reference errors.py FewerThanTwoClassificationsError
+    from holmes_extractor_spark.errors import FewerThanTwoClassificationsError
+    pages = spark.createDataFrame(
+        [("u1", "The dog chased the cat.", "en")],
+        "url string, text string, lang string")
+    labels = spark.createDataFrame([("u1", "animals")],
+                                   "url string, classification string")
+    with pytest.raises(FewerThanTwoClassificationsError):
+        train_classifier(pages, labels, min_occurrences=1)
+
+
 def test_cv_feature_filter(spark):
     # discriminative features (all occurrences in one class) survive the
     # coefficient-of-variation filter; features spread evenly across
