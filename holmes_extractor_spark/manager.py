@@ -184,4 +184,4 @@ class SparkHolmesManager:
                                 embedding_threshold=self._embedding_threshold,
                                 **params)
         res = topic.with_passage_text(res, docs)
-        return [r.asDict() for r in res.collect()]
+        return [r.asDict(recursive=True) for r in res.collect()]

@@ -84,6 +84,17 @@ TOPIC_MATCH = T.StructType([
     T.StructField("end_idx", T.IntegerType()),
     T.StructField("score", T.DoubleType()),
     T.StructField("n_matches", T.IntegerType()),
+    # per-word explanations + question answers (reference
+    # topic_matching.py:1288-1483 word_infos/answers) — token-indexed
+    # here, converted to passage-relative char spans by
+    # with_passage_text
+    T.StructField("word_infos", T.ArrayType(T.StructType([
+        T.StructField("token_idx", T.IntegerType()),
+        T.StructField("type", T.StringType()),
+        T.StructField("is_highest_activation", T.BooleanType()),
+        T.StructField("explanation", T.StringType()),
+    ]))),
+    T.StructField("answer_idxs", T.ArrayType(T.IntegerType())),
 ])
 
 
@@ -202,7 +213,7 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
                     F.when(F.col("q_reverse_only"), F.lit("relation_reverse_only"))
                      .otherwise(F.lit("relation")).alias("kind"),
                     F.least("parent_idx", "child_idx").alias("position"),
-                    "penalty", "freq_factor")
+                    "parent_idx", "child_idx", "penalty", "freq_factor")
         )
         out = rel_m
     if q_rows:
@@ -222,6 +233,7 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
                 .select("url", "phraselet_label",
                         F.lit("question_answer").alias("kind"),
                         F.least("parent_idx", "child_idx").alias("position"),
+                        "parent_idx", "child_idx",
                         F.lit(1.0).alias("penalty"), "freq_factor")
             )
             out = q_m if out is None else out.unionByName(q_m)
@@ -249,7 +261,10 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
         word_m = (
             words.join(F.broadcast(qw), "word")
             .select("url", "phraselet_label", F.lit("single_word").alias("kind"),
-                    F.col("idx").alias("position"), "penalty", "freq_factor")
+                    F.col("idx").alias("position"),
+                    F.col("idx").alias("parent_idx"),
+                    F.col("idx").alias("child_idx"),
+                    "penalty", "freq_factor")
         )
         out = word_m if out is None else out.unionByName(word_m)
     if out is None:
@@ -284,16 +299,22 @@ def _score_docs(params: dict):
             "single_word_any_tag": params["single_word_any_tag_score"],
             "question_answer": params["initial_question_word_answer_score"],
         }
+        pos_entries: dict[int, list[tuple]] = {}
         for r in ms:
             lbl, pos, kind = r["phraselet_label"], int(r["position"]), r["kind"]
             base = (base_scores[kind] * float(r.get("freq_factor", 1.0))
                     * float(r.get("penalty", 1.0)))
+            overlap = False
             if kind.startswith("relation"):
                 # overlapping relations on a shared position ×1.5
                 others = prev_by_pos.get(pos, set())
                 if any(o != lbl for o in others):
                     base *= params["overlapping_relation_multiplier"]
+                    overlap = True
                 prev_by_pos.setdefault(pos, set()).add(lbl)
+            pos_entries.setdefault(pos, []).append(
+                (lbl, kind, overlap,
+                 int(r.get("parent_idx", pos)), int(r.get("child_idx", pos))))
             # decay previous activation of this phraselet
             act = base
             if lbl in last_pos:
@@ -325,11 +346,13 @@ def _score_docs(params: dict):
         out = []
         cutoff = params["different_match_cutoff_score"]
         extent = params["sideways_match_extent"]
+        type_rank = {"single": 0, "relation": 1, "overlapping_relation": 2}
         for i in sorted(range(n_pts), key=lambda x: (-ss[x], ps[x])):
             if taken[i] or ss[i] < cutoff:
                 continue
             peak_pos, peak_score = ps[i], ss[i]
             start, end, n = peak_pos, peak_pos, 1
+            cluster = [peak_pos]
             for j in range(n_pts):
                 if j == i or taken[j]:
                     continue
@@ -337,27 +360,94 @@ def _score_docs(params: dict):
                     start, end = min(start, ps[j]), max(end, ps[j])
                     n += 1
                     taken[j] = True
+                    cluster.append(ps[j])
             taken[i] = True
+            # word infos + question answers (reference
+            # topic_matching.py:1288-1483): one entry per document
+            # token touched by a match in this passage, best type wins
+            # (overlapping_relation > relation > single); the tokens of
+            # the peak-position match are flagged is_highest_activation
+            infos: dict[int, list] = {}
+            answers: set[int] = set()
+            for p in cluster:
+                is_peak = p == peak_pos
+                for (lbl, kind, overlap, p_idx, c_idx) in pos_entries[p]:
+                    if kind == "single_word":
+                        word = lbl.split(": ", 1)[-1]
+                        ents = [(p_idx, "single",
+                                 f"Matches {word.upper()} individually.")]
+                    else:
+                        typ = "overlapping_relation" if overlap else "relation"
+                        expl = f"Matches the relation {lbl.split(': ', 1)[-1].upper()}."
+                        ents = [(p_idx, typ, expl), (c_idx, typ, expl)]
+                        if kind == "question_answer":
+                            answers.add(c_idx)
+                    for (ti, typ, expl) in ents:
+                        cur = infos.get(ti)
+                        if cur is None or type_rank[typ] > type_rank[cur[1]]:
+                            infos[ti] = [ti, typ,
+                                         is_peak or (cur is not None and cur[2]),
+                                         expl]
+                        elif is_peak:
+                            cur[2] = True
+            start = min(start, *infos) if infos else start
+            end = max(end, *infos) if infos else end
             out.append({"url": url, "start_idx": start, "end_idx": end,
-                        "score": peak_score, "n_matches": n})
+                        "score": peak_score, "n_matches": n,
+                        "word_infos": [
+                            {"token_idx": k, "type": v[1],
+                             "is_highest_activation": v[2],
+                             "explanation": v[3]}
+                            for k, v in sorted(infos.items())],
+                        "answer_idxs": sorted(answers)})
         return out
     return score_one
 
 
 def with_passage_text(topic_df: DataFrame, docs: DataFrame) -> DataFrame:
-    """Attach the passage's surface text (tokens start_idx..end_idx) —
-    the reference reports sentence-aligned passage text in its topic
-    match dicts (topic_matching.py:1226-1485). Pure column exprs."""
+    """Attach the passage's surface text (tokens start_idx..end_idx) and
+    convert the token-indexed word_infos/answer_idxs to passage-relative
+    character spans — the reference reports passage text, char-span
+    word_infos, and char-span answers in its topic match dicts
+    (topic_matching.py:1226-1485). Pure column exprs: the char offset of
+    token j inside the space-joined passage is Σ(len+1) over the
+    preceding passage tokens, a nested higher-order aggregate."""
     toks = docs.select("url", "tokens")
     joined = topic_df.join(toks, "url", "left")
     span = F.slice(
         F.col("tokens"),
         F.col("start_idx") + 1,
         F.col("end_idx") - F.col("start_idx") + 1)
-    return (joined.withColumn(
-        "passage_text",
-        F.concat_ws(" ", F.transform(span, lambda t: t["text"])))
-        .drop("tokens"))
+
+    def char_off(idx):
+        return F.aggregate(
+            F.slice(F.col("tokens"), F.col("start_idx") + 1,
+                    idx - F.col("start_idx")),
+            F.lit(0), lambda acc, t: acc + F.length(t["text"]) + 1)
+
+    def tok_text(idx):
+        return F.element_at(F.col("tokens"), idx + 1)["text"]
+
+    out = (
+        joined.withColumn(
+            "passage_text",
+            F.concat_ws(" ", F.transform(span, lambda t: t["text"])))
+        .withColumn("word_infos", F.transform(
+            "word_infos", lambda w: F.struct(
+                char_off(w["token_idx"]).alias("relative_start_index"),
+                (char_off(w["token_idx"]) + F.length(tok_text(w["token_idx"]))
+                 ).alias("relative_end_index"),
+                w["type"].alias("type"),
+                w["is_highest_activation"].alias("is_highest_activation"),
+                w["explanation"].alias("explanation"))))
+        .withColumn("answers", F.transform(
+            "answer_idxs", lambda i: F.struct(
+                char_off(i).alias("relative_start_index"),
+                (char_off(i) + F.length(tok_text(i))
+                 ).alias("relative_end_index"),
+                tok_text(i).alias("text"))))
+        .drop("tokens", "answer_idxs"))
+    return out
 
 
 def plan_selective_retries(rel_ph: list[dict], word_ph: list[dict],
@@ -445,11 +535,18 @@ def topic_match(spark: SparkSession, edges: DataFrame, words: DataFrame,
                 freq_factors: DataFrame | None = None,
                 vectors: dict[str, list[float]] | None = None,
                 embedding_threshold: float = 1.0,
+                initial_question_word_behaviour: str = "process",
                 **overrides) -> DataFrame:
     """Ranked passages for a query document. Returns
-    (rank, url, start_idx, end_idx, score, n_matches, tied)."""
+    (rank, url, start_idx, end_idx, score, n_matches, tied, word_infos,
+    answer_idxs). ``initial_question_word_behaviour`` mirrors the
+    reference (manager.py:727 default 'process'): 'process' compiles
+    initial interrogatives into question phraselets whose answers score
+    600; 'ignore' treats them as plain words."""
     params = {**DEFAULTS, **overrides}
-    rel_ph, word_ph = query_phraselets(query_text, lang)
+    rel_ph, word_ph = query_phraselets(
+        query_text, lang,
+        include_questions=initial_question_word_behaviour == "process")
     if freq_factors is not None:
         rel_ph, word_ph = plan_selective_retries(
             rel_ph, word_ph, freq_factors, closure, params)
@@ -461,6 +558,7 @@ def topic_match(spark: SparkSession, edges: DataFrame, words: DataFrame,
     # invocation overhead across millions of documents
     grouped = matches.groupBy("url").agg(
         F.collect_list(F.struct("phraselet_label", "kind", "position",
+                                "parent_idx", "child_idx",
                                 "freq_factor", "penalty")).alias("ms"))
     score_one = _score_docs(params)
 
@@ -484,4 +582,5 @@ def topic_match(spark: SparkSession, edges: DataFrame, words: DataFrame,
     top = top.withColumn(
         "tied", (F.lag("score").over(w).isNotNull()
                  & (F.col("score") / F.lag("score").over(w) > params["tied_result_quotient"])))
-    return top.select("rank", "url", "start_idx", "end_idx", "score", "n_matches", "tied")
+    return top.select("rank", "url", "start_idx", "end_idx", "score",
+                      "n_matches", "tied", "word_infos", "answer_idxs")

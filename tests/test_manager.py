@@ -156,6 +156,36 @@ def test_topic_passage_text(spark):
         "A plant grows. The dog chased the cat. Richard Paul Hudson came home.", "d1")
     res = m.topic_match_documents_against("A dog chases a cat")
     assert res[0]["passage_text"] == "dog chased the cat"
+    # word_infos: passage-relative char spans (reference
+    # topic_matching.py:1470-1482) — spans slice the passage text
+    wi = res[0]["word_infos"]
+    assert wi, "word_infos missing"
+    spans = {res[0]["passage_text"][w["relative_start_index"]:
+                                    w["relative_end_index"]] for w in wi}
+    assert {"dog", "chased", "cat"} <= spans
+    assert all(w["type"] in ("single", "relation", "overlapping_relation")
+               for w in wi)
+    assert sum(w["is_highest_activation"] for w in wi) >= 1
+
+
+def test_topic_question_answers(spark):
+    # reference topic_matching.py:1336-1360 + manager.py:727
+    # (initial_question_word_behaviour='process'): the answer span of a
+    # question phraselet is reported in `answers`
+    m = SparkHolmesManager(spark)
+    m.parse_and_register_document("Richard opened the door.", "dq")
+    res = m.topic_match_documents_against("Who opened the door?")
+    assert res and res[0]["answers"]
+    a = res[0]["answers"][0]
+    assert a["text"] == "Richard"
+    assert res[0]["passage_text"][a["relative_start_index"]:
+                                  a["relative_end_index"]] == "Richard"
+    # answers score initial_question_word_answer_score (600)
+    assert res[0]["score"] >= 600.0
+    # 'ignore' mode suppresses question phraselets
+    res2 = m.topic_match_documents_against(
+        "Who opened the door?", initial_question_word_behaviour="ignore")
+    assert not res2 or not res2[0]["answers"]
 
 
 def test_entitynoun_matching(spark):
