@@ -262,6 +262,26 @@ def q_topic_ontology_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("score"), "url").limit(50))
 
 
+def q_topic_embedding_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pass-4 child-embedding retry, decay-free (reference
+    topic_matching.py:301-319 + embedding_penalty manager.py:683-701):
+    relation phraselets from 'A dog chases a cat' also match corpus
+    relations whose child is vector-similar (cosine > 0.85), scored
+    300 × 0.6 × cosine; direct relations 300; words 50. The oracle
+    recomputes the cosines independently in DuckDB from the same
+    vector literals."""
+    from holmes_extractor_spark.fixtures import WORD_VECTORS
+    kg = _kg(spark, sf_dir)
+    rel_ph, word_ph = query_phraselets("A dog chases a cat")
+    m = match_phraselets(spark, kg["edges"], kg["words"], rel_ph, word_ph,
+                         vectors=WORD_VECTORS, embedding_threshold=0.85)
+    pts = (F.when(F.col("kind") == "single_word", F.lit(50.0))
+           .otherwise(F.lit(300.0))) * F.col("penalty")
+    return (m.withColumn("pts", pts)
+            .groupBy("url").agg(F.round(F.sum("pts"), 4).alias("score"))
+            .orderBy(F.desc("score"), "url").limit(50))
+
+
 def q_topic_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full activation-scored topic matching (decay, peaks, tie ranks) —
     non-SQL-expressible; rows-only check."""
@@ -379,6 +399,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "topic_scores": q_topic_scores,
         "topic_question": q_topic_question,
         "topic_ontology_scores": q_topic_ontology_scores,
+        "topic_embedding_scores": q_topic_embedding_scores,
         "topic_ranking": q_topic_ranking,
         "postings_direct": q_postings_direct,
         "freq_factors": q_freq_factors,
@@ -511,6 +532,53 @@ wrd AS (
 )
 SELECT url, sum(pts)::BIGINT AS score FROM (
   SELECT * FROM qa UNION ALL SELECT * FROM rel UNION ALL SELECT * FROM wrd
+) GROUP BY url ORDER BY score DESC, url LIMIT 50
+"""
+
+
+def _topic_embedding_oracle() -> str:
+    """Embedding-expanded decay-free scoring: DuckDB recomputes the
+    cosines from the same WORD_VECTORS literals (list_cosine_similarity
+    is bit-identical to the engine's float64 cosine at round-8)."""
+    from holmes_extractor_spark.fixtures import WORD_VECTORS
+    vec_vals = ",\n    ".join(
+        f"('{w}', {v}::DOUBLE[])" for w, v in WORD_VECTORS.items())
+    return pages_cte_sql() + f"""
+, vectors(word, v) AS (VALUES
+    {vec_vals}),
+q(template, q_pred, q_child, actor) AS (VALUES
+    ('predicate-actor', 'chase', 'dog', TRUE),
+    ('predicate-patient', 'chase', 'cat', FALSE)),
+cand AS (
+  SELECT template, q_pred, actor, q_child AS m_child, 1.0::DOUBLE AS penalty FROM q
+  UNION ALL
+  SELECT q.template, q.q_pred, q.actor, w.word,
+         round(0.6 * list_cosine_similarity(qv.v, w.v), 8)
+  FROM q
+  JOIN vectors qv ON qv.word = q.q_child
+  JOIN vectors w ON w.word <> q.q_child
+  WHERE list_cosine_similarity(qv.v, w.v) > 0.85
+),
+best AS (
+  SELECT template, q_pred, actor, m_child, max(penalty) AS penalty
+  FROM cand GROUP BY template, q_pred, actor, m_child
+),
+rel AS (
+  SELECT ps.url, sum(300.0::DOUBLE * b.penalty) AS pts
+  FROM page_snips ps JOIN golden_edges g USING (snip_id)
+  JOIN best b ON b.template = g.template AND b.q_pred = g.pred
+             AND b.m_child = CASE WHEN b.actor THEN g.subj ELSE g.obj END
+  GROUP BY ps.url
+),
+wrd AS (
+  SELECT url, count(*) * 50.0::DOUBLE AS pts FROM (
+    SELECT DISTINCT ps.url, g.word
+    FROM page_snips ps JOIN golden_words g USING (snip_id)
+    WHERE g.word IN ('dog', 'cat')
+  ) GROUP BY url
+)
+SELECT url, round(sum(pts), 4)::DOUBLE AS score FROM (
+  SELECT * FROM rel UNION ALL SELECT * FROM wrd
 ) GROUP BY url ORDER BY score DESC, url LIMIT 50
 """
 
@@ -700,6 +768,7 @@ SELECT DISTINCT ps.url, g.template, g.label
 FROM page_snips ps JOIN qp_golden g USING (snip_id)
 """,
         "topic_scores": _topic_scores_oracle(),
+        "topic_embedding_scores": _topic_embedding_oracle(),
         "topic_question": _topic_question_oracle(),
         "topic_ontology_scores": _topic_ontology_oracle(),
         "postings_direct": _postings_direct_oracle(),
