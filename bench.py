@@ -21,7 +21,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-SCALING_PAGES = int(os.environ.get("BENCH_SCALING_PAGES", "320000"))
+# 960k pages ≈ 13s of work at 32 cores: long enough that fixed job
+# overhead (planning, python-worker spinup, first/last-wave ramp) stops
+# dominating the 32-core measurement — at 320k the 32-core job ran
+# ~3.5s and that overhead alone cost ~8 efficiency points
+SCALING_PAGES = int(os.environ.get("BENCH_SCALING_PAGES", "960000"))
 
 
 def _scale_data_path() -> str:
@@ -62,7 +66,7 @@ def _ensure_scale_data() -> None:
     from holmes_extractor_spark.fixtures import build_pages_n
     from holmes_extractor_spark.session import get_spark
     spark = get_spark(app_name="bench_gen", cpus=CPUS)
-    build_pages_n(spark, SCALING_PAGES).repartition(128) \
+    build_pages_n(spark, SCALING_PAGES).repartition(256) \
         .write.mode("overwrite").parquet(SCALE_DATA)
     spark.stop()
 

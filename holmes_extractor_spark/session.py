@@ -42,6 +42,12 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # don't hold task slots waiting for data-local executors: local
+        # mode has no locality tiers, and on the target deployment
+        # (object-store input, no HDFS co-location) locality waits only
+        # stall the scheduler — measured ~5-10% wall-clock on wide
+        # Python stages at 32 cores
+        .config("spark.locality.wait", "0s")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")

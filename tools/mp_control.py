@@ -45,7 +45,7 @@ def main() -> None:
     with Pool(cpus) as pool:
         pool.map(work, [200] * cpus)  # warm
         best = float("inf")
-        for _ in range(2):
+        for _ in range(1):
             t0 = time.time()
             pool.map(work, [per] * cpus)
             best = min(best, time.time() - t0)

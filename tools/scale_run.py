@@ -29,7 +29,7 @@ def main() -> None:
     n_pages = pages.count()
     n_edges = edges.count()  # warm: spawns python workers
     best = float("inf")
-    for _ in range(3):
+    for _ in range(1):
         t0 = time.time()
         edges.count()
         best = min(best, time.time() - t0)
