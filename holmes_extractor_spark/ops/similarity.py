@@ -161,10 +161,28 @@ ORDER BY query_id, rank
 """
 
 
-def embedding_neardup(embeddings: DataFrame, threshold: float = 0.95, dim: int = 64) -> DataFrame:
+MAX_BUCKET_SIZE = 10_000
+
+
+def embedding_neardup(embeddings: DataFrame, threshold: float = 0.95,
+                      dim: int = 64,
+                      max_bucket_size: int = MAX_BUCKET_SIZE) -> DataFrame:
     """Near-duplicate vector pairs (cosine ≥ threshold), candidates
-    blocked by (table, bucket), deduped across tables."""
+    blocked by (table, bucket), deduped across tables.
+
+    Dense buckets are dropped before the self-join (the analogue of the
+    shingle document-frequency cap in ngram_jaccard_pairs): at corpus
+    scale one degenerate bucket — zero vectors, clusters of identical
+    boilerplate embeddings — would otherwise create O(n²) candidate
+    pairs in a single task. Bounds the join at max_bucket_size²/2 pairs
+    per bucket; a dropped bucket's members can still pair in their
+    other N_TABLES-1 buckets."""
     emb = with_lsh_bucket(embeddings, dim)
+    ok = (emb.groupBy("table", "bucket")
+          .agg(F.count("*").alias("n"))
+          .filter(F.col("n") <= max_bucket_size)
+          .select("table", "bucket"))
+    emb = emb.join(F.broadcast(ok), ["table", "bucket"])
     pairs = (
         emb.alias("x").join(emb.alias("y"),
                             (F.col("x.table") == F.col("y.table"))
@@ -177,13 +195,19 @@ def embedding_neardup(embeddings: DataFrame, threshold: float = 0.95, dim: int =
     return pairs.filter(F.col("cosine") >= threshold).select("vec_a", "vec_b", "cosine")
 
 
-def embedding_neardup_sql(threshold: float = 0.95, dim: int = 64) -> str:
+def embedding_neardup_sql(threshold: float = 0.95, dim: int = 64,
+                          max_bucket_size: int = MAX_BUCKET_SIZE) -> str:
     return f"""
-WITH {_be_cte(dim)}
+WITH {_be_cte(dim)},
+ok AS (
+  SELECT tbl, bucket FROM be GROUP BY tbl, bucket
+  HAVING count(*) <= {max_bucket_size}
+),
+bec AS (SELECT be.* FROM be JOIN ok USING (tbl, bucket))
 SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b,
        round(list_dot_product(x.v, y.v)
              / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6) AS cosine
-FROM be x JOIN be y ON y.tbl = x.tbl AND y.bucket = x.bucket AND x.vec_id < y.vec_id
+FROM bec x JOIN bec y ON y.tbl = x.tbl AND y.bucket = x.bucket AND x.vec_id < y.vec_id
 WHERE round(list_dot_product(x.v, y.v)
             / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6) >= {threshold}
 ORDER BY vec_a, vec_b

@@ -105,6 +105,27 @@ def test_lsh_recall_vs_brute_force(embeddings):
     assert len(ann & bf) / len(bf) >= 0.2
 
 
+def test_embedding_neardup_bucket_cap(spark):
+    # dense-bucket guard: identical vectors all share every table's
+    # bucket; with the cap below the group size the O(n²) candidate
+    # join is skipped entirely (mirrors the shingle df cap)
+    dim = 8
+    same = [1.0] * dim
+    rows = [(i, same) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    uncapped = similarity.embedding_neardup(df, 0.95, dim=dim).count()
+    capped = similarity.embedding_neardup(df, 0.95, dim=dim,
+                                          max_bucket_size=5).count()
+    assert uncapped == 15  # 6 choose 2
+    assert capped == 0
+
+
+def test_embedding_neardup_cap_sql_mirror(embeddings, ddb):
+    # both sides drop the same buckets, so parity holds under the cap
+    check(similarity.embedding_neardup(embeddings, 0.9, max_bucket_size=12),
+          ddb, similarity.embedding_neardup_sql(0.9, max_bucket_size=12))
+
+
 def test_blob_metadata(documents, ddb):
     blobs = multimodal.documents_as_blobs(documents)
     got = multimodal.blob_metadata(blobs).select("doc_id", "n_bytes", "magic")
