@@ -111,7 +111,7 @@ VERB_LEMMAS_EN = {
     "fail", "hope", "wish", "intend", "continue", "choose", "prefer",
     "pursue", "observe", "examine", "discover", "describe", "explain",
     "sail", "progress", "perform", "extract", "sink", "approach",
-    "repair", "paint", "steal", "borrow", "lend", "deliver",
+    "repair", "paint", "steal", "borrow", "lend", "deliver", "order",
 }
 
 # nouns that would otherwise look verbal (tagged NOUN after DET/ADJ)

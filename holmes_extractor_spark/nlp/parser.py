@@ -108,8 +108,9 @@ def _tag_en(toks: list[Tok], start_of_sent: int) -> None:
         elif w in L.BE_FORMS_EN or w in L.DO_FORMS_EN or w in L.HAVE_FORMS_EN or w in L.MODALS_EN:
             t.pos = "AUX"
         elif w == "to" and j + 1 < n and toks[j + 1].text[:1].islower() \
-                and lemma(toks[j + 1].text.lower(), "en") in L.VERB_LEMMAS_EN:
-            t.pos = "PART"  # infinitival 'to'
+                and (lemma(toks[j + 1].text.lower(), "en") in L.VERB_LEMMAS_EN
+                     or toks[j + 1].text.lower() in ("be", "being")):
+            t.pos = "PART"  # infinitival 'to' (incl. passive "to be V-ed")
         elif w in L.PARTICLES_EN and prev is not None and prev.pos in ("VERB", "AUX"):
             # particle vs preposition: preposition only if an NP follows
             # (lexical lookahead — the next token is not yet tagged)
@@ -217,6 +218,17 @@ def _chunk_nps(toks: list[Tok]) -> list[tuple[int, int, int]]:
                 if toks[j].pos in ("NOUN", "PROPN"):
                     last_nominal = j
                 j += 1
+                # conjoined attributive adjectives stay in ONE phrase
+                # ("The large and strong dog" — reference
+                # test_semantics_EN.py:53-57 gives dog amod to both);
+                # only before the head nominal, so "strong dog and
+                # fierce cat" still splits into two NPs
+                if (last_nominal < 0 and j + 1 < n
+                        and toks[j - 1].pos == "ADJ"
+                        and toks[j].pos == "CCONJ"
+                        and toks[j + 1].pos == "ADJ"):
+                    toks[j].dep = "cc"
+                    j += 1
             if last_nominal >= 0:
                 spans.append((start, j - 1, last_nominal))
             else:
@@ -261,8 +273,17 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
                             if v > rp and toks[v - 1].text.lower() != "to")
             if vafter:
                 rel_v = vafter[0]
+                # conjoined relative-clause verbs ("who chased and
+                # caught the cat") belong to the relative clause, not
+                # the main predicate (reference test_semantics_EN.py:
+                # 216-224 test_who_predicate_conjunction)
+                rel_end = rel_v
+                while rel_end + 2 < len(toks) \
+                        and toks[rel_end + 1].pos == "CCONJ" \
+                        and rel_end + 2 in set(verb_pos):
+                    rel_end += 2
                 # main predicate: next finite verb OR aux (copula) after
-                preds = sorted(v for v in verb_pos + aux_pos if v > rel_v)
+                preds = sorted(v for v in verb_pos + aux_pos if v > rel_end)
                 if preds:
                     rel = (rp, rel_v, preds[0], rp - 1)
                     break
@@ -311,16 +332,48 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
     conj_right: set[int] = set()
     head_list = [h for (_, _, h) in nps]
     for j, t in enumerate(toks):
-        if t.pos == "CCONJ" and 0 < j < n - 1:
+        if t.pos == "CCONJ" and 0 < j < n - 1 and t.dep != "cc":
+            # verb conjunction ("chased and caught"): conjoin the verbs
+            # directly; argument sharing happens in dep distribution
+            # (reference test_semantics_EN.py:216-224)
+            if toks[j - 1].pos == "VERB" and toks[j + 1].pos == "VERB":
+                lv, rv = j - 1, j + 1
+                toks[rv].head = toks[lv].i
+                toks[rv].dep = "conj"
+                toks[j].head = toks[lv].i
+                toks[j].dep = "cc"
+                if toks[rv].i not in toks[lv].righthand_siblings:
+                    toks[lv].righthand_siblings.append(toks[rv].i)
+                continue
             left = next((h for h in reversed(head_list) if h < j), None)
             right = next((h for h in head_list if h > j), None)
             if left is not None and right is not None and right not in conj_right:
-                toks[right].head = toks[left].i
-                toks[right].dep = "conj"
-                toks[j].head = toks[left].i
+                # extend leftwards through comma-separated conjuncts
+                # ("The dog, the wolf and the hound" — reference
+                # test_semantics_EN.py:27-34 anchors righthand_siblings
+                # [wolf, hound] on the FIRST conjunct)
+                chain = [left]
+                li = next(k for k, (_, _, h) in enumerate(nps) if h == left)
+                while li > 0:
+                    ps, pe, ph = nps[li - 1]
+                    cs = nps[li][0]
+                    between = toks[pe + 1:cs]
+                    if (len(between) == 1 and between[0].pos == "PUNCT"
+                            and between[0].text == ","
+                            and ph not in conj_right):
+                        chain.insert(0, ph)
+                        li -= 1
+                    else:
+                        break
+                first = chain[0]
+                for m in chain[1:] + [right]:
+                    toks[m].head = toks[first].i
+                    toks[m].dep = "conj"
+                    if toks[m].i not in toks[first].righthand_siblings:
+                        toks[first].righthand_siblings.append(toks[m].i)
+                    conj_right.add(m)
+                toks[j].head = toks[first].i
                 toks[j].dep = "cc"
-                toks[left].righthand_siblings.append(toks[right].i)
-                conj_right.add(right)
 
     # --- NP-internal deps
     np_heads = []
@@ -350,6 +403,8 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
                 add(toks[h].i, t.i, "compound")
             elif t.pos == "PROPN":
                 t.dep = "compound"
+            elif t.pos == "CCONJ":
+                t.dep = "cc"  # NP-internal adjective conjunction
             else:
                 t.dep = "dep"
 
@@ -453,11 +508,16 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
                         toks[k].head = st.i
                         toks[k].dep = "amod"
                         add(st.i, toks[k].i, "amod")
-            elif rel_nps:  # object inside the relative clause
+            elif rel_nps:  # object inside the relative clause — attaches
+                # to the LAST conjoined relative verb ("who chased and
+                # caught the cat" → caught-cat, test_semantics_EN.py:
+                # 216-224); the subject distributes to all conjuncts
+                obj_gov = (toks[rt.righthand_siblings[-1] - off]
+                           if rt.righthand_siblings else rt)
                 oh = toks[rel_nps[0][2]]
-                oh.head = rt.i
+                oh.head = obj_gov.i
                 oh.dep = "dobj"
-                add(rt.i, oh.i, "dobj")
+                add(obj_gov.i, oh.i, "dobj")
         else:
             add(rt.i, st.i, "relant")         # "the cat that the dog chased"
             pre_rel = [h for (s, e, h) in rel_nps if h < rel_verb]
@@ -507,12 +567,29 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
             j, scan_end = segments[seg_idx]
             continue
         t = toks[j]
-        if t.pos == "VERB" and j > 0 and toks[j - 1].text.lower() == "to" \
-                and toks[j - 1].pos == "PART":
+        xcomp_passive = False
+        is_xcomp_verb = (t.pos == "VERB" and j > 0
+                         and toks[j - 1].text.lower() == "to"
+                         and toks[j - 1].pos == "PART")
+        if (not is_xcomp_verb and t.pos == "VERB" and j > 1
+                and toks[j - 1].text.lower() in ("be", "being")
+                and toks[j - 2].text.lower() == "to"
+                and toks[j - 2].pos == "PART"
+                and _is_participle(t.text)):
+            # passive infinitival complement: "decided TO BE CHASED" —
+            # the controller is the xcomp verb's PASSIVE subject
+            # (reference test_semantics_EN.py:190-205
+            # test_complementizing_clause_*_child_clause_passive)
+            is_xcomp_verb = True
+            xcomp_passive = True
+            toks[j - 1].head = t.i
+            toks[j - 1].dep = "auxpass"
+        if is_xcomp_verb:
             t.head = cur.i
             t.dep = "xcomp"
-            toks[j - 1].head = t.i
-            toks[j - 1].dep = "aux"
+            off_to = 2 if xcomp_passive else 1
+            toks[j - off_to].head = t.i
+            toks[j - off_to].dep = "aux"
             # xcomp is a predicate-patient dependency in the reference
             # ("decide to open" → predicate-patient: decide-open,
             # language_specific_rules.py:1126-1136)
@@ -520,16 +597,23 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
             tough = copula and any(
                 tk.dep == "acomp" and tk.text.lower() in _TOUGH_ADJS
                 for tk in toks)
-            if subj_local is not None:
+            # object control: "ordered the dog to chase" — the matrix
+            # OBJECT is the infinitive's subject (reference
+            # test_semantics_EN.py:184-187); else subject control
+            controller = dobj_local if (got_obj and dobj_local is not None) \
+                else subj_local
+            if controller is not None:
                 if tough:
                     # tough movement: "a holiday is hard to book" — the
                     # matrix subject is the infinitive's OBJECT
                     # (reference 'arg', language_specific_rules.py:558-797)
-                    add(t.i, toks[subj_local].i, "arg", uncertain=True)
+                    add(t.i, toks[controller].i, "arg", uncertain=True)
                 else:
-                    # control: the matrix subject is also the xcomp
-                    # verb's subject, uncertain (reference :169-285)
-                    add(t.i, toks[subj_local].i, "nsubj", uncertain=True)
+                    # control: the controller is also the xcomp verb's
+                    # subject, uncertain (reference :169-285)
+                    add(t.i, toks[controller].i,
+                        "nsubjpass" if xcomp_passive else "nsubj",
+                        uncertain=True)
             cur = t
             got_obj = False
             dobj_local = None
@@ -632,28 +716,57 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
         j += 1
 
     # copula + predicative adjective → amod rewire
-    # ("the man was poor" ≈ "the poor man"; reference parsing.py:1318-1357)
+    # ("the man was poor" ≈ "the poor man"; reference parsing.py:1318-1357).
+    # Conjunct subjects each get their own CERTAIN amod (reference
+    # test_semantics_EN.py:88-95 test_predicative_adjective_with_
+    # conjunction: 'The dog and the cat were big' → cat 6:amod, no (U))
     if copula and subj_local is not None:
+        subj_and_sibs = [toks[subj_local].i] + toks[subj_local].righthand_siblings
         for d in list(deps):
             if d["label"] == "acomp" and d["parent"] == root.i:
-                add(toks[subj_local].i, d["child"], "amod", uncertain=False)
+                for s in subj_and_sibs:
+                    add(s, d["child"], "amod", uncertain=False)
 
     # --- conjunction dep distribution (reference copy_any_sibling_info,
-    # parsing.py:1225-1316): when a CHILD has righthand siblings, the
-    # parent gains deps to the siblings with the ORIGINAL uncertainty
-    # ("chased a cat and a cat" → both matches certain, reference
-    # tests/en/test_structural_matching_EN.py:423-455); when a PARENT
-    # has righthand siblings, the siblings gain deps to the child
-    # marked uncertain (mark_child_dependencies_copied_to_siblings_
-    # as_uncertain=True for EN, language_specific_rules.py:88-90)
+    # parsing.py:1225-1316). For each conjunct group [anchor, *siblings]:
+    # - a dep whose CHILD is the anchor copies to the other members with
+    #   the ORIGINAL certainty ("chased a cat and a cat" → both certain,
+    #   reference tests/en/test_structural_matching_EN.py:423-455); a dep
+    #   whose child is a NON-anchor member copies to the others marked
+    #   uncertain ("The lion, the tiger and the dog who chased the cat"
+    #   → 1:nsubj(U); 4:nsubj(U); 7:nsubj, test_semantics_EN.py:226-230);
+    # - a dep whose PARENT is in the group copies to the other members:
+    #   verb conjunctions share arguments with the original certainty
+    #   ("chased and caught the cat" → caught 1:nsubj; 7:dobj,
+    #   test_semantics_EN.py:219-224); nominal conjunctions copy
+    #   uncertain ('The large dog and cat' → cat 1:amod(U),
+    #   test_semantics_EN.py:66-72, EN mark_child_dependencies_copied_
+    #   to_siblings_as_uncertain, language_specific_rules.py:88-90).
+    def _dep_exists(p: int, c: int, lbl: str) -> bool:
+        return any(d["parent"] == p and d["child"] == c and d["label"] == lbl
+                   for d in deps)
+
     for t in toks:
-        for rs in t.righthand_siblings:
-            for d in list(deps):
-                if d["child"] == t.i:
-                    add(d["parent"], rs, d["label"], uncertain=d["uncertain"])
-                if d["parent"] == t.i and d["child"] != rs \
-                        and (rs < d["child"] or d["child"] < t.i):
-                    add(rs, d["child"], d["label"], uncertain=True)
+        if not t.righthand_siblings:
+            continue
+        group = [t.i] + t.righthand_siblings
+        gset = set(group)
+        verb_group = t.pos == "VERB"
+        for d in list(deps):
+            if d["child"] in gset and d["parent"] not in gset:
+                unc = d["uncertain"] if d["child"] == t.i else True
+                for m in group:
+                    if m != d["child"] and not _dep_exists(d["parent"], m, d["label"]):
+                        add(d["parent"], m, d["label"], uncertain=unc)
+            if d["parent"] == t.i and d["child"] not in gset:
+                # parent-side copies flow from the ANCHOR only: in
+                # "who chased and caught the cat" the object belongs to
+                # 'caught' alone and does not flow back to 'chased'
+                # (reference test_semantics_EN.py:216-224)
+                unc = d["uncertain"] if verb_group else True
+                for m in group[1:]:
+                    if not _dep_exists(m, d["child"], d["label"]):
+                        add(m, d["child"], d["label"], uncertain=unc)
 
     # --- sentence-initial interrogative hookup (reference initial
     # question words, parsing.py:1170-1207; head-WHadv template uses the

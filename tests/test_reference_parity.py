@@ -202,6 +202,84 @@ def test_tough_movement():
 
 # --------------------------------------------------- derivation parity
 
+# ---- transcribed EN semantic-dependency matrix -------------------------
+# (text, token_idx, expected children) where expected is the reference's
+# string_representation_of_children() with aux/auxpass/cc/conj/punct
+# entries dropped (our dependency list is semantic-only — auxiliaries
+# and conjunction scaffolding are normalized away at parse time; the
+# adaptation applies uniformly to every case).
+
+def children_repr(text, i, lang="en"):
+    p = parse_document(text, lang)
+    ds = sorted((d["child"], d["label"], d["uncertain"])
+                for d in p["deps"] if d["parent"] == i)
+    return "; ".join(f"{c}:{l}" + ("(U)" if u else "") for c, l, u in ds)
+
+
+SEMANTIC_CHILDREN_CASES = [
+    ("The dog chased the cat.", 2, "1:nsubj; 4:dobj",
+     "test_semantics_EN.py:11-17 test_initialize_semantic_dependencies"),
+    ("The dog and the hound chased the cat", 5, "1:nsubj; 4:nsubj; 7:dobj",
+     "test_semantics_EN.py:20-25 test_one_righthand_sibling_with_and_conjunction"),
+    ("The dog, the wolf and the hound chased the cat", 8,
+     "1:nsubj; 4:nsubj; 7:nsubj; 10:dobj",
+     "test_semantics_EN.py:27-34 test_many_righthand_siblings_with_and_conjunction"),
+    ("The large and strong dog came home", 4, "1:amod; 3:amod",
+     "test_semantics_EN.py:53-57 test_righthand_siblings_of_semantic_children_two"),
+    ("The large dog and cat", 4, "1:amod(U)",
+     "test_semantics_EN.py:66-72 test_semantic_children_of_righthand_siblings_two"),
+    ("The dog was big", 1, "3:amod",
+     "test_semantics_EN.py:82-87 test_predicative_adjective"),
+    ("The dog and the cat were big and strong", 1, "6:amod; 8:amod",
+     "test_semantics_EN.py:88-95 test_predicative_adjective_with_conjunction"),
+    ("The dog and the cat were big and strong", 4, "6:amod; 8:amod",
+     "test_semantics_EN.py:88-95 (second conjunct, certain per reference)"),
+    ("The dog was chased", 3, "1:nsubjpass",
+     "test_semantics_EN.py:137-140 test_passive"),
+    ("The dog decided to chase the cat", 4, "1:nsubj(U); 6:dobj",
+     "test_semantics_EN.py:172-175 test_complementizing_clause_active_child_clause_active"),
+    ("The dog was ordered to chase the cat", 5, "1:nsubj(U); 7:dobj",
+     "test_semantics_EN.py:177-180 test_complementizing_clause_passive_child_clause_active"),
+    ("The mouse ordered the dog to chase the cat", 6, "4:nsubj(U); 8:dobj",
+     "test_semantics_EN.py:182-185 test_complementizing_clause_object_child_clause_active"),
+    ("The dog decided to be chased", 5, "1:nsubjpass(U)",
+     "test_semantics_EN.py:187-190 test_complementizing_clause_active_child_clause_passive"),
+    ("The dog was ordered to be chased", 6, "1:nsubjpass(U)",
+     "test_semantics_EN.py:192-195 test_complementizing_clause_passive_child_clause_passive"),
+    ("The mouse ordered the dog to be chased", 7, "4:nsubjpass(U)",
+     "test_semantics_EN.py:197-200 test_complementizing_clause_object_child_clause_passive"),
+    ("The dog who chased the cat was tired", 3, "1:nsubj; 5:dobj",
+     "test_semantics_EN.py:209-214 test_who_one_antecedent"),
+    ("The dog who chased and caught the cat was tired", 3, "1:nsubj",
+     "test_semantics_EN.py:216-224 test_who_predicate_conjunction (chased: no dobj)"),
+    ("The dog who chased and caught the cat was tired", 5, "1:nsubj; 7:dobj",
+     "test_semantics_EN.py:216-224 test_who_predicate_conjunction (caught)"),
+    ("The lion, the tiger and the dog who chased the cat were tired", 9,
+     "1:nsubj(U); 4:nsubj(U); 7:nsubj; 11:dobj",
+     "test_semantics_EN.py:226-230 test_who_many_antecedents"),
+    ("The dog which chased the cat was tired", 3, "1:nsubj; 5:dobj",
+     "test_semantics_EN.py:232-237 test_which_one_antecedent"),
+    ("The dog chased the cat and the mouse", 2, "1:nsubj; 4:dobj; 7:dobj",
+     "test_structural_matching_EN.py:423-455 conjunction object distribution"),
+]
+
+
+@pytest.mark.parametrize("text,i,expected,ref", SEMANTIC_CHILDREN_CASES,
+                         ids=[c[3].split()[0] + f"@{c[1]}" for c in SEMANTIC_CHILDREN_CASES])
+def test_semantic_children(text, i, expected, ref):
+    assert children_repr(text, i) == expected, ref
+
+
+def test_righthand_siblings_anchoring():
+    # reference test_semantics_EN.py:27-34: siblings live on the FIRST
+    # conjunct; members carry empty lists
+    p = parse_document("The dog, the wolf and the hound chased the cat", "en")
+    toks = {t["i"]: t for t in p["tokens"]}
+    assert toks[1]["righthand_siblings"] == [4, 7]
+    assert toks[4]["righthand_siblings"] == []
+    assert toks[7]["righthand_siblings"] == []
+
+
 DERIVATION_CASES = [
     # (lemma, pos, expected) — reference lang/en/data/derivation.csv
     ("give", "VERB", "gift"),          # derivation.csv:207 'gift,give'
