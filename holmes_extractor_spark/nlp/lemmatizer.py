@@ -47,7 +47,7 @@ IRREGULAR_EN: dict[str, str] = {
     "broke": "break", "broken": "break", "threw": "throw", "thrown": "throw",
     "swam": "swim", "swum": "swim", "bit": "bite", "bitten": "bite",
     "fed": "feed", "stole": "steal", "stolen": "steal",
-    "sank": "sink", "sunk": "sink", "lent": "lend",
+    "sank": "sink", "sunk": "sink", "lent": "lend", "told": "tell",
     "men": "man", "women": "woman", "children": "child",
     "people": "person", "mice": "mouse", "feet": "foot", "teeth": "tooth",
     "chasing": "chase", "used": "use", "using": "use",

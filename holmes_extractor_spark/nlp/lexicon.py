@@ -112,6 +112,7 @@ VERB_LEMMAS_EN = {
     "pursue", "observe", "examine", "discover", "describe", "explain",
     "sail", "progress", "perform", "extract", "sink", "approach",
     "repair", "paint", "steal", "borrow", "lend", "deliver", "order",
+    "tell", "claim",
 }
 
 # nouns that would otherwise look verbal (tagged NOUN after DET/ADJ)

@@ -287,7 +287,17 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
                 if preds:
                     rel = (rp, rel_v, preds[0], rp - 1)
                     break
-    rel_region: set[int] = set(range(rel[0], rel[2])) if rel else set()
+                # sentence-FINAL relative clause ("chased the cat who
+                # told nobody"): the main predicate precedes the
+                # antecedent (reference test_semantics_EN.py:130-135 —
+                # child-clause negation must not leak to the parent)
+                if any(v < rp for v in verb_pos + aux_pos):
+                    rel = (rp, rel_v, None, rp - 1)
+                    break
+    rel_final = rel is not None and rel[2] is None
+    rel_region: set[int] = set()
+    if rel:
+        rel_region = set(range(rel[0], len(toks) if rel_final else rel[2]))
 
     root_local: int
     copula = False
@@ -298,7 +308,7 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
                     if not (v > 0 and toks[v - 1].text.lower() == "to"
                             and toks[v - 1].pos == "PART")]
     main_verbs = [v for v in finite_verbs if v not in rel_region]
-    if rel:
+    if rel and not rel_final:
         root_local = rel[2]
         if root_local in aux_pos and root_local not in verb_pos:
             copula = True  # "the cat that the dog chased WAS old"
@@ -454,24 +464,20 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
                 add(toks[left[2]].i, rh.i, label)
                 consumed_pp.add(right[2])
 
-    # --- subject: closest NP head strictly before the verb/aux chain
-    subj_local = None
-    if rel:
-        # main-clause subject = the relative clause's antecedent
+    # --- relative clause internals (reference relant handling,
+    # language_specific_rules.py:287-476); shared between mid-sentence
+    # relatives (antecedent = main subject) and sentence-final ones
+    # (antecedent = main object, applied after the post-verbal scan)
+    def _rel_internals() -> None:
         rp, rel_verb, _, ante = rel
-        subj_local = ante
+        rel_bound = len(toks) if rel_final else rel[2]
         st = toks[ante]
-        st.head = root.i
-        st.dep = "nsubjpass" if passive else "nsubj"
-        add(root.i, st.i, st.dep)
-        # relative clause internals (reference relant handling,
-        # language_specific_rules.py:287-476)
         rt = toks[rel_verb]
         rt.head = st.i
         rt.dep = "relcl"
         toks[rp].head = rt.i
         toks[rp].dep = "relpron"
-        rel_nps = [(s, e, h) for (s, e, h) in nps if rp < s < rel[2]]
+        rel_nps = [(s, e, h) for (s, e, h) in nps if rp < s < rel_bound]
         subject_relative = all(
             toks[k].pos in ("VERB", "AUX", "PART", "ADV")
             for k in range(rp + 1, rel_verb))
@@ -498,12 +504,12 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
                     add(rt.i, oh.i, "dobj")
         elif subject_relative:
             add(rt.i, st.i, "nsubj")          # "the man who chased ..."
-            if rel_v in aux_pos and rel_v not in verb_pos:
+            if rel_verb in aux_pos and rel_verb not in verb_pos:
                 # copular relative ("the dog that was old chased …"):
                 # the predicative ADJ rewires to amod on the antecedent
                 # (reference predicative-adjective handling,
                 # parsing.py:1318-1357)
-                for k in range(rel_v + 1, rel[2]):
+                for k in range(rel_verb + 1, rel_bound):
                     if toks[k].pos == "ADJ":
                         toks[k].head = st.i
                         toks[k].dep = "amod"
@@ -526,6 +532,17 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
                 sh.head = rt.i
                 sh.dep = "nsubj"
                 add(rt.i, sh.i, "nsubj")
+
+    # --- subject: closest NP head strictly before the verb/aux chain
+    subj_local = None
+    if rel and not rel_final:
+        # main-clause subject = the relative clause's antecedent
+        subj_local = rel[3]
+        st = toks[subj_local]
+        st.head = root.i
+        st.dep = "nsubjpass" if passive else "nsubj"
+        add(root.i, st.i, st.dep)
+        _rel_internals()
     elif first_v is not None:
         # sentence-initial interrogatives are not subject candidates;
         # in subject-aux inversion ("Where did somebody sing?") the
@@ -552,8 +569,9 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
     cur = root
     # scan segments: after the root verb, and — for verb-final clauses
     # (German passive "wurde vom Hund gejagt") — the mid-field between
-    # the finite aux and the clause-final participle
-    segments = [[root_local + 1, n]]
+    # the finite aux and the clause-final participle. A sentence-final
+    # relative clause is excluded (handled by _rel_internals below)
+    segments = [[root_local + 1, rel[0] if rel_final else n]]
     if first_v is not None and root_local > first_v + 1 \
             and root_local in set(verb_pos) and first_v in set(aux_pos):
         segments.append([first_v + 1, root_local])
@@ -714,6 +732,12 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
             t.head = cur.i
             t.dep = "dep"
         j += 1
+
+    # sentence-final relative clause: the antecedent received its main-
+    # clause role (usually dobj) in the scan above; now parse the
+    # relative clause itself ("chased the cat who told nobody")
+    if rel_final:
+        _rel_internals()
 
     # copula + predicative adjective → amod rewire
     # ("the man was poor" ≈ "the poor man"; reference parsing.py:1318-1357).

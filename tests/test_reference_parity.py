@@ -270,6 +270,33 @@ def test_semantic_children(text, i, expected, ref):
     assert children_repr(text, i) == expected, ref
 
 
+NEGATION_SCOPE_CASES = [
+    # (text, token_idx, expected is_negated, provenance)
+    ("It had not been claimed that the dog had chased the cat", 9, True,
+     "test_semantics_EN.py:119-122 test_negator_negation_within_parent_clause"),
+    ("Nobody said the dog had chased the cat", 5, True,
+     "test_semantics_EN.py:124-126 test_operator_negation_within_parent_clause"),
+    ("The dog chased the cat who was not happy", 2, False,
+     "test_semantics_EN.py:128-130 test_negator_negation_within_child_clause"),
+    ("The dog chased the cat who told nobody", 2, False,
+     "test_semantics_EN.py:132-134 test_operator_negation_within_child_clause"),
+]
+
+
+@pytest.mark.parametrize("text,i,expected,ref", NEGATION_SCOPE_CASES)
+def test_negation_scope_across_clauses(text, i, expected, ref):
+    p = parse_document(text, "en")
+    assert p["tokens"][i]["is_negated"] is expected, ref
+
+
+def test_sentence_final_relative_clause():
+    # "chased the cat who told nobody": antecedent is the main object;
+    # the relative verb takes it as subject (reference relative
+    # constructions, en language_specific_rules.py:287-476)
+    assert children_repr("The dog chased the cat who told nobody", 6) \
+        == "4:nsubj; 7:dobj"
+
+
 def test_righthand_siblings_anchoring():
     # reference test_semantics_EN.py:27-34: siblings live on the FIRST
     # conjunct; members carry empty lists
