@@ -294,6 +294,26 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
                 if any(v < rp for v in verb_pos + aux_pos):
                     rel = (rp, rel_v, None, rp - 1)
                     break
+    rel_bare = False
+    if rel is None and lang == "en":
+        # bare object relative ("The cat the dog chased was tired"):
+        # two directly-adjacent NPs, a finite verb, then the main
+        # predicate. The antecedent gets the reference's 'relant' label
+        # (en language_specific_rules.py:362-365 — only WITHOUT a
+        # complementizer; that/which keep the original label).
+        spans = _chunk_nps(toks)
+        vset = set(verb_pos)
+        for k in range(len(spans) - 1):
+            (s1, e1, h1), (s2, e2, h2) = spans[k], spans[k + 1]
+            v = e2 + 1
+            if (s2 == e1 + 1 and toks[s2].pos == "DET" and v < n
+                    and v in vset
+                    and toks[v - 1].text.lower() != "to"
+                    and any(p > v for p in verb_pos + aux_pos)):
+                preds = sorted(p for p in verb_pos + aux_pos if p > v)
+                rel = (e1, v, preds[0], h1)
+                rel_bare = True
+                break
     rel_final = rel is not None and rel[2] is None
     rel_region: set[int] = set()
     if rel:
@@ -475,8 +495,9 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
         rt = toks[rel_verb]
         rt.head = st.i
         rt.dep = "relcl"
-        toks[rp].head = rt.i
-        toks[rp].dep = "relpron"
+        if not rel_bare:
+            toks[rp].head = rt.i
+            toks[rp].dep = "relpron"
         rel_nps = [(s, e, h) for (s, e, h) in nps if rp < s < rel_bound]
         subject_relative = all(
             toks[k].pos in ("VERB", "AUX", "PART", "ADV")
@@ -525,7 +546,22 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
                 oh.dep = "dobj"
                 add(obj_gov.i, oh.i, "dobj")
         else:
-            add(rt.i, st.i, "relant")         # "the cat that the dog chased"
+            # object relative: a that/which/who complementizer keeps the
+            # ORIGINAL label (dobj), bare relatives get 'relant'
+            # (reference en language_specific_rules.py:357-365;
+            # test_semantics_EN.py:274-297). With conjoined antecedents
+            # the dep anchors on the FIRST conjunct — the later ones get
+            # uncertain copies ("The cat and the mouse that the dog
+            # chased" → 1:dobj; 4:dobj(U), test_semantics_EN.py:282-286)
+            tgt = st.i
+            anchor = next((t2 for t2 in toks
+                           if st.i in t2.righthand_siblings), None)
+            if anchor is not None:
+                tgt = anchor.i
+            lbl = "relant" if rel_bare else "dobj"
+            add(rt.i, tgt, lbl)
+            for sib in toks[tgt - off].righthand_siblings:
+                add(rt.i, sib, lbl, uncertain=True)
             pre_rel = [h for (s, e, h) in rel_nps if h < rel_verb]
             if pre_rel:
                 sh = toks[pre_rel[-1]]

@@ -27,7 +27,8 @@ from __future__ import annotations
 
 from pyspark.ml import PipelineModel
 from pyspark.ml.classification import MultilayerPerceptronClassifier
-from pyspark.ml.feature import CountVectorizer, IndexToString, StringIndexer
+from pyspark.ml.feature import (CountVectorizer, CountVectorizerModel,
+                                IndexToString, StringIndexer)
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -136,8 +137,13 @@ def train_classifier(pages: DataFrame, labels: DataFrame,
     feats = feats.cache()
     indexer = StringIndexer(inputCol="classification", outputCol="cls_idx",
                             stringOrderType="alphabetAsc").fit(feats)
-    vectorizer = CountVectorizer(inputCol="features", outputCol="fvec",
-                                 minDF=float(min_occurrences)).fit(feats)
+    # deterministic feature order: CountVectorizer breaks frequency
+    # ties arbitrarily (partition-order-dependent), which permutes the
+    # MLP's seeded init run-to-run; re-fix the vocabulary alphabetically
+    fitted = CountVectorizer(inputCol="features", outputCol="fvec",
+                             minDF=float(min_occurrences)).fit(feats)
+    vectorizer = CountVectorizerModel.from_vocabulary(
+        sorted(fitted.vocabulary), inputCol="features", outputCol="fvec")
     n_feat = len(vectorizer.vocabulary)
     n_cls = len(indexer.labelsArray[0])
     if n_cls < 2:
