@@ -130,30 +130,38 @@ POOL_EN: list[str] = [
     'I saw a dog. It barked. It was hungry.',  # 92
     'The tired dog slept.',  # 93
     'The man whose dog chased the cat came home.',  # 94 (whose-relative)
+    'The cat the dog chased was tired.',  # 95 (bare relative, relant)
+    'The dog chased the cat who told nobody.',  # 96 (final relative)
+    'The dog, the wolf and the hound chased the cat.',  # 97 (comma-conjunct chain)
+    'The mouse ordered the dog to chase the cat.',  # 98 (object control)
+    'The dog decided to be chased.',  # 99 (passive infinitival complement)
+    'The large and strong dog came home.',  # 100 (adjective conjunction)
+    'The dog who chased and caught the cat was tired.',  # 101 (relative verb conjunction)
+    'The cat and the mouse that the dog chased were tired.',  # 102 (conjoined antecedents)
 ]
 
 POOL_DE: list[str] = [
-    'Der Hund jagte die Katze.',  # 95
-    'Polizeiinformation über Kriminelle.',  # 96
-    'Der reiche Mann kam nach Hause.',  # 97
-    'Die Katze wurde vom Hund gejagt.',  # 98
-    'Der Hund jagte die Katze nicht.',  # 99
-    'Der Hund jagte die Katze und die Maus.',  # 100
-    'Die Polizei jagte den Kriminellen.',  # 101
-    'Die Katze wurde nicht gejagt.',  # 102
-    'Der kleine Hund sah die Katze.',  # 103
-    'Die Wohnungsgesellschaft verkaufte das Haus.',  # 104
-    'Das Kind öffnete die Tür.',  # 105
-    'Der reiche Mann kaufte ein Auto.',  # 106
-    'Die Versicherungsgesellschaft informierte den Mann.',  # 107
-    'Der Mann sah den Hund im Garten.',  # 108
-    'Die Frau las ein Buch.',  # 109
-    'Die Kinder spielten im Garten.',  # 110
-    'Die Polizeiinformationsbroschüre ist interessant.',  # 111
+    'Der Hund jagte die Katze.',  # 103
+    'Polizeiinformation über Kriminelle.',  # 104
+    'Der reiche Mann kam nach Hause.',  # 105
+    'Die Katze wurde vom Hund gejagt.',  # 106
+    'Der Hund jagte die Katze nicht.',  # 107
+    'Der Hund jagte die Katze und die Maus.',  # 108
+    'Die Polizei jagte den Kriminellen.',  # 109
+    'Die Katze wurde nicht gejagt.',  # 110
+    'Der kleine Hund sah die Katze.',  # 111
+    'Die Wohnungsgesellschaft verkaufte das Haus.',  # 112
+    'Das Kind öffnete die Tür.',  # 113
+    'Der reiche Mann kaufte ein Auto.',  # 114
+    'Die Versicherungsgesellschaft informierte den Mann.',  # 115
+    'Der Mann sah den Hund im Garten.',  # 116
+    'Die Frau las ein Buch.',  # 117
+    'Die Kinder spielten im Garten.',  # 118
+    'Die Polizeiinformationsbroschüre ist interessant.',  # 119
     'Die Frau gab dem Mann das Buch.',  # 112 (double object, verb-dat)
     'Der Mann wurde vom Kriminellen gesehen.',  # 113 (de passive)
-    'Die kleine Katze schlief im Garten.',  # 114
-    'Der Lehrer baute ein Haus.',  # 115
+    'Die kleine Katze schlief im Garten.',  # 122
+    'Der Lehrer baute ein Haus.',  # 123
 ]
 
 # ------------------------------------------- golden per-snippet output
@@ -473,73 +481,131 @@ GOLDEN_EDGES: list[tuple] = [
     (90, 'governor-adjective', 'governor-adjective: girl-happy', 'girl', 'happy', 'girl', False, False, False),
     (90, 'predicate-actor', 'predicate-actor: sing-girl', 'girl', 'sing', 'sing', False, False, False),
     (90, 'predicate-patient', 'predicate-patient: sing-song', 'sing', 'song', 'sing', False, False, False),
-    (95, 'verb-acc', 'verb-acc: jagd-katze', 'jagd', 'katze', 'jagd', False, False, False),
-    (95, 'verb-nom', 'verb-nom: jagd-hund', 'hund', 'jagd', 'jagd', False, False, False),
-    (96, 'intcompound', 'intcompound: information-polizei', 'information', 'polizei', 'information', False, False, False),
-    (96, 'prep-noun', 'prep-noun: über-kriminelle', 'über', 'kriminelle', 'über', False, False, False),
-    (96, 'prepgovernor-noun', 'prepgovernor-noun: information-kriminelle', 'information', 'kriminelle', 'information', False, False, False),
-    (96, 'prepgovernor-noun', 'prepgovernor-noun: polizeiinformation-kriminelle', 'polizeiinformation', 'kriminelle', 'polizeiinformation', False, False, False),
-    (97, 'noun-dependent', 'noun-dependent: mann-reich', 'mann', 'reich', 'mann', False, False, False),
-    (97, 'prep-noun', 'prep-noun: nach-haus', 'nach', 'haus', 'nach', False, False, False),
-    (97, 'prepgovernor-noun', 'prepgovernor-noun: kommen-haus', 'kommen', 'haus', 'kommen', False, False, False),
-    (97, 'verb-nom', 'verb-nom: kommen-mann', 'mann', 'kommen', 'kommen', False, False, False),
-    (98, 'prep-noun', 'prep-noun: vom-hund', 'vom', 'hund', 'vom', False, False, False),
-    (98, 'verb-acc', 'verb-acc: jagd-katze', 'jagd', 'katze', 'jagd', False, False, False),
-    (98, 'verb-nom', 'verb-nom: jagd-hund', 'hund', 'jagd', 'jagd', False, False, False),
-    (99, 'verb-acc', 'verb-acc: jagd-katze', 'jagd', 'katze', 'jagd', True, False, False),
-    (99, 'verb-nom', 'verb-nom: jagd-hund', 'hund', 'jagd', 'jagd', True, False, False),
-    # 100: 'Der Hund jagte die Katze und die Maus.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
-    (100, 'verb-acc', 'verb-acc: jagd-katze', 'jagd', 'katze', 'jagd', False, False, False),
-    (100, 'verb-acc', 'verb-acc: jagd-maus', 'jagd', 'maus', 'jagd', False, False, False),
-    (100, 'verb-nom', 'verb-nom: jagd-hund', 'hund', 'jagd', 'jagd', False, False, False),
-    # 101: 'Die Polizei jagte den Kriminellen.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
-    (101, 'verb-acc', 'verb-acc: jagd-kriminelle', 'jagd', 'kriminelle', 'jagd', False, False, False),
-    (101, 'verb-nom', 'verb-nom: jagd-polizei', 'polizei', 'jagd', 'jagd', False, False, False),
-    # 102: 'Die Katze wurde nicht gejagt.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
-    (102, 'verb-acc', 'verb-acc: jagd-katze', 'jagd', 'katze', 'jagd', True, False, False),
-    # 103: 'Der kleine Hund sah die Katze.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
-    (103, 'noun-dependent', 'noun-dependent: hund-klein', 'hund', 'klein', 'hund', False, False, False),
-    (103, 'verb-acc', 'verb-acc: sehen-katze', 'sehen', 'katze', 'sehen', False, False, False),
-    (103, 'verb-nom', 'verb-nom: sehen-hund', 'hund', 'sehen', 'sehen', False, False, False),
-    # 104: 'Die Wohnungsgesellschaft verkaufte das Haus.' — ref de templates de/language_specific_rules.py:1697-1960 + subword walk (head-subword variant per tests/de/test_phraselet_production_DE.py:112-135)
-    (104, 'intcompound', 'intcompound: gesellschaft-wohnung', 'gesellschaft', 'wohnung', 'gesellschaft', False, False, False),
-    (104, 'verb-acc', 'verb-acc: verkauf-haus', 'verkauf', 'haus', 'verkauf', False, False, False),
-    (104, 'verb-nom', 'verb-nom: verkauf-gesellschaft', 'gesellschaft', 'verkauf', 'verkauf', False, False, False),
-    (104, 'verb-nom', 'verb-nom: verkauf-wohnungsgesellschaft', 'wohnungsgesellschaft', 'verkauf', 'verkauf', False, False, False),
-    # 105: 'Das Kind öffnete die Tür.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
-    (105, 'verb-acc', 'verb-acc: öffnen-tür', 'öffnen', 'tür', 'öffnen', False, False, False),
-    (105, 'verb-nom', 'verb-nom: öffnen-kind', 'kind', 'öffnen', 'öffnen', False, False, False),
-    # 106: 'Der reiche Mann kaufte ein Auto.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
-    (106, 'noun-dependent', 'noun-dependent: mann-reich', 'mann', 'reich', 'mann', False, False, False),
-    (106, 'verb-acc', 'verb-acc: kauf-auto', 'kauf', 'auto', 'kauf', False, False, False),
-    (106, 'verb-nom', 'verb-nom: kauf-mann', 'mann', 'kauf', 'kauf', False, False, False),
-    # 107: 'Die Versicherungsgesellschaft informierte den Mann.' — ref de derivation.csv:201 (information,informieren)
-    (107, 'intcompound', 'intcompound: gesellschaft-versicherung', 'gesellschaft', 'versicherung', 'gesellschaft', False, False, False),
-    (107, 'verb-acc', 'verb-acc: information-mann', 'information', 'mann', 'information', False, False, False),
-    (107, 'verb-nom', 'verb-nom: information-gesellschaft', 'gesellschaft', 'information', 'information', False, False, False),
-    (107, 'verb-nom', 'verb-nom: information-versicherungsgesellschaft', 'versicherungsgesellschaft', 'information', 'information', False, False, False),
-    # 108: 'Der Mann sah den Hund im Garten.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
-    (108, 'prep-noun', 'prep-noun: im-garten', 'im', 'garten', 'im', False, False, False),
-    (108, 'prepgovernor-noun', 'prepgovernor-noun: hund-garten', 'hund', 'garten', 'hund', False, True, False),
-    (108, 'prepgovernor-noun', 'prepgovernor-noun: sehen-garten', 'sehen', 'garten', 'sehen', False, False, False),
-    (108, 'verb-acc', 'verb-acc: sehen-hund', 'sehen', 'hund', 'sehen', False, False, False),
-    (108, 'verb-nom', 'verb-nom: sehen-mann', 'mann', 'sehen', 'sehen', False, False, False),
-    # 109: 'Die Frau las ein Buch.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
-    (109, 'verb-acc', 'verb-acc: lesen-buch', 'lesen', 'buch', 'lesen', False, False, False),
-    (109, 'verb-nom', 'verb-nom: lesen-frau', 'frau', 'lesen', 'lesen', False, False, False),
-    # 110: 'Die Kinder spielten im Garten.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
-    (110, 'prep-noun', 'prep-noun: im-garten', 'im', 'garten', 'im', False, False, False),
-    (110, 'prepgovernor-noun', 'prepgovernor-noun: spiel-garten', 'spiel', 'garten', 'spiel', False, False, False),
-    (110, 'verb-nom', 'verb-nom: spiel-kind', 'kind', 'spiel', 'spiel', False, False, False),
-    # 111: 'Die Polizeiinformationsbroschüre ist interessant.' — 3-part
+    # 95: 'The cat the dog chased was tired.' — bare object relative:
+    # relant label (ref en language_specific_rules.py:362-365,
+    # tests/en/test_semantics_EN.py:288-291); relant ∈ predicate-patient
+    # template deps (:1114-1136); predicative 'tired' → amod antecedent
+    (95, 'predicate-patient', 'predicate-patient: chase-cat', 'chase', 'cat', 'chase', False, False, False),
+    (95, 'predicate-actor', 'predicate-actor: chase-dog', 'dog', 'chase', 'chase', False, False, False),
+    (95, 'governor-adjective', 'governor-adjective: cat-tire', 'cat', 'tire', 'cat', False, False, False),
+    # 96: 'The dog chased the cat who told nobody.' — sentence-final
+    # relative; operator negation stays in the child clause (ref
+    # tests/en/test_semantics_EN.py:132-134); 'nobody' is an unmatchable
+    # generic pronoun so tell has no patient edge (ref parsing.py:1436-1448)
+    (96, 'predicate-actor', 'predicate-actor: chase-dog', 'dog', 'chase', 'chase', False, False, False),
+    (96, 'predicate-patient', 'predicate-patient: chase-cat', 'chase', 'cat', 'chase', False, False, False),
+    (96, 'predicate-actor', 'predicate-actor: tell-cat', 'cat', 'tell', 'tell', True, False, False),
+    # 97: 'The dog, the wolf and the hound chased the cat.' — comma
+    # conjunct chain anchored on the first conjunct (ref
+    # tests/en/test_semantics_EN.py:27-34); all conjuncts certain actors
+    (97, 'predicate-actor', 'predicate-actor: chase-dog', 'dog', 'chase', 'chase', False, False, False),
+    (97, 'predicate-patient', 'predicate-patient: chase-cat', 'chase', 'cat', 'chase', False, False, False),
+    (97, 'predicate-actor', 'predicate-actor: chase-wolf', 'wolf', 'chase', 'chase', False, False, False),
+    (97, 'predicate-actor', 'predicate-actor: chase-hound', 'hound', 'chase', 'chase', False, False, False),
+    # 98: 'The mouse ordered the dog to chase the cat.' — object
+    # control: the matrix object is the infinitive's uncertain subject
+    # (ref tests/en/test_semantics_EN.py:182-185); xcomp →
+    # predicate-patient order-chase (ref :1126-1136)
+    (98, 'predicate-actor', 'predicate-actor: order-mouse', 'mouse', 'order', 'order', False, False, False),
+    (98, 'predicate-patient', 'predicate-patient: order-dog', 'order', 'dog', 'order', False, False, False),
+    (98, 'predicate-patient', 'predicate-patient: order-chase', 'order', 'chase', 'order', False, False, False),
+    (98, 'predicate-actor', 'predicate-actor: chase-dog', 'dog', 'chase', 'chase', False, True, False),
+    (98, 'predicate-patient', 'predicate-patient: chase-cat', 'chase', 'cat', 'chase', False, False, False),
+    # 99: 'The dog decided to be chased.' — passive infinitival
+    # complement: controller is the xcomp verb's uncertain passive
+    # subject (ref tests/en/test_semantics_EN.py:187-190)
+    (99, 'predicate-actor', 'predicate-actor: decide-dog', 'dog', 'decide', 'decide', False, False, False),
+    (99, 'predicate-patient', 'predicate-patient: decide-chase', 'decide', 'chase', 'decide', False, False, False),
+    (99, 'predicate-passivesubject', 'predicate-passivesubject: chase-dog', 'chase', 'dog', 'chase', False, True, False),
+    # 100: 'The large and strong dog came home.' — conjoined attributive
+    # adjectives both modify the head (ref tests/en/test_semantics_EN.py:53-57)
+    (100, 'governor-adjective', 'governor-adjective: dog-large', 'dog', 'large', 'dog', False, False, False),
+    (100, 'governor-adjective', 'governor-adjective: dog-strong', 'dog', 'strong', 'dog', False, False, False),
+    (100, 'predicate-actor', 'predicate-actor: come-dog', 'dog', 'come', 'come', False, False, False),
+    (100, 'governor-adjective', 'governor-adjective: come-home', 'come', 'home', 'come', False, False, False),
+    # 101: 'The dog who chased and caught the cat was tired.' — relative
+    # verb conjunction: the object belongs to the LAST conjunct only,
+    # the subject distributes certain (ref tests/en/test_semantics_EN.py:216-224)
+    (101, 'predicate-actor', 'predicate-actor: chase-dog', 'dog', 'chase', 'chase', False, False, False),
+    (101, 'predicate-patient', 'predicate-patient: catch-cat', 'catch', 'cat', 'catch', False, False, False),
+    (101, 'governor-adjective', 'governor-adjective: dog-tire', 'dog', 'tire', 'dog', False, False, False),
+    (101, 'predicate-actor', 'predicate-actor: catch-dog', 'dog', 'catch', 'catch', False, False, False),
+    # 102: 'The cat and the mouse that the dog chased were tired.' —
+    # conjoined antecedents: first certain, later uncertain (ref
+    # tests/en/test_semantics_EN.py:281-286); predicative amod reaches
+    # both conjuncts
+    (102, 'predicate-patient', 'predicate-patient: chase-cat', 'chase', 'cat', 'chase', False, False, False),
+    (102, 'predicate-patient', 'predicate-patient: chase-mouse', 'chase', 'mouse', 'chase', False, True, False),
+    (102, 'predicate-actor', 'predicate-actor: chase-dog', 'dog', 'chase', 'chase', False, False, False),
+    (102, 'governor-adjective', 'governor-adjective: cat-tire', 'cat', 'tire', 'cat', False, False, False),
+    (102, 'governor-adjective', 'governor-adjective: mouse-tire', 'mouse', 'tire', 'mouse', False, False, False),
+    (103, 'verb-acc', 'verb-acc: jagd-katze', 'jagd', 'katze', 'jagd', False, False, False),
+    (103, 'verb-nom', 'verb-nom: jagd-hund', 'hund', 'jagd', 'jagd', False, False, False),
+    (104, 'intcompound', 'intcompound: information-polizei', 'information', 'polizei', 'information', False, False, False),
+    (104, 'prep-noun', 'prep-noun: über-kriminelle', 'über', 'kriminelle', 'über', False, False, False),
+    (104, 'prepgovernor-noun', 'prepgovernor-noun: information-kriminelle', 'information', 'kriminelle', 'information', False, False, False),
+    (104, 'prepgovernor-noun', 'prepgovernor-noun: polizeiinformation-kriminelle', 'polizeiinformation', 'kriminelle', 'polizeiinformation', False, False, False),
+    (105, 'noun-dependent', 'noun-dependent: mann-reich', 'mann', 'reich', 'mann', False, False, False),
+    (105, 'prep-noun', 'prep-noun: nach-haus', 'nach', 'haus', 'nach', False, False, False),
+    (105, 'prepgovernor-noun', 'prepgovernor-noun: kommen-haus', 'kommen', 'haus', 'kommen', False, False, False),
+    (105, 'verb-nom', 'verb-nom: kommen-mann', 'mann', 'kommen', 'kommen', False, False, False),
+    (106, 'prep-noun', 'prep-noun: vom-hund', 'vom', 'hund', 'vom', False, False, False),
+    (106, 'verb-acc', 'verb-acc: jagd-katze', 'jagd', 'katze', 'jagd', False, False, False),
+    (106, 'verb-nom', 'verb-nom: jagd-hund', 'hund', 'jagd', 'jagd', False, False, False),
+    (107, 'verb-acc', 'verb-acc: jagd-katze', 'jagd', 'katze', 'jagd', True, False, False),
+    (107, 'verb-nom', 'verb-nom: jagd-hund', 'hund', 'jagd', 'jagd', True, False, False),
+    # 108: 'Der Hund jagte die Katze und die Maus.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
+    (108, 'verb-acc', 'verb-acc: jagd-katze', 'jagd', 'katze', 'jagd', False, False, False),
+    (108, 'verb-acc', 'verb-acc: jagd-maus', 'jagd', 'maus', 'jagd', False, False, False),
+    (108, 'verb-nom', 'verb-nom: jagd-hund', 'hund', 'jagd', 'jagd', False, False, False),
+    # 109: 'Die Polizei jagte den Kriminellen.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
+    (109, 'verb-acc', 'verb-acc: jagd-kriminelle', 'jagd', 'kriminelle', 'jagd', False, False, False),
+    (109, 'verb-nom', 'verb-nom: jagd-polizei', 'polizei', 'jagd', 'jagd', False, False, False),
+    # 110: 'Die Katze wurde nicht gejagt.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
+    (110, 'verb-acc', 'verb-acc: jagd-katze', 'jagd', 'katze', 'jagd', True, False, False),
+    # 111: 'Der kleine Hund sah die Katze.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
+    (111, 'noun-dependent', 'noun-dependent: hund-klein', 'hund', 'klein', 'hund', False, False, False),
+    (111, 'verb-acc', 'verb-acc: sehen-katze', 'sehen', 'katze', 'sehen', False, False, False),
+    (111, 'verb-nom', 'verb-nom: sehen-hund', 'hund', 'sehen', 'sehen', False, False, False),
+    # 112: 'Die Wohnungsgesellschaft verkaufte das Haus.' — ref de templates de/language_specific_rules.py:1697-1960 + subword walk (head-subword variant per tests/de/test_phraselet_production_DE.py:112-135)
+    (112, 'intcompound', 'intcompound: gesellschaft-wohnung', 'gesellschaft', 'wohnung', 'gesellschaft', False, False, False),
+    (112, 'verb-acc', 'verb-acc: verkauf-haus', 'verkauf', 'haus', 'verkauf', False, False, False),
+    (112, 'verb-nom', 'verb-nom: verkauf-gesellschaft', 'gesellschaft', 'verkauf', 'verkauf', False, False, False),
+    (112, 'verb-nom', 'verb-nom: verkauf-wohnungsgesellschaft', 'wohnungsgesellschaft', 'verkauf', 'verkauf', False, False, False),
+    # 113: 'Das Kind öffnete die Tür.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
+    (113, 'verb-acc', 'verb-acc: öffnen-tür', 'öffnen', 'tür', 'öffnen', False, False, False),
+    (113, 'verb-nom', 'verb-nom: öffnen-kind', 'kind', 'öffnen', 'öffnen', False, False, False),
+    # 114: 'Der reiche Mann kaufte ein Auto.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
+    (114, 'noun-dependent', 'noun-dependent: mann-reich', 'mann', 'reich', 'mann', False, False, False),
+    (114, 'verb-acc', 'verb-acc: kauf-auto', 'kauf', 'auto', 'kauf', False, False, False),
+    (114, 'verb-nom', 'verb-nom: kauf-mann', 'mann', 'kauf', 'kauf', False, False, False),
+    # 115: 'Die Versicherungsgesellschaft informierte den Mann.' — ref de derivation.csv:201 (information,informieren)
+    (115, 'intcompound', 'intcompound: gesellschaft-versicherung', 'gesellschaft', 'versicherung', 'gesellschaft', False, False, False),
+    (115, 'verb-acc', 'verb-acc: information-mann', 'information', 'mann', 'information', False, False, False),
+    (115, 'verb-nom', 'verb-nom: information-gesellschaft', 'gesellschaft', 'information', 'information', False, False, False),
+    (115, 'verb-nom', 'verb-nom: information-versicherungsgesellschaft', 'versicherungsgesellschaft', 'information', 'information', False, False, False),
+    # 116: 'Der Mann sah den Hund im Garten.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
+    (116, 'prep-noun', 'prep-noun: im-garten', 'im', 'garten', 'im', False, False, False),
+    (116, 'prepgovernor-noun', 'prepgovernor-noun: hund-garten', 'hund', 'garten', 'hund', False, True, False),
+    (116, 'prepgovernor-noun', 'prepgovernor-noun: sehen-garten', 'sehen', 'garten', 'sehen', False, False, False),
+    (116, 'verb-acc', 'verb-acc: sehen-hund', 'sehen', 'hund', 'sehen', False, False, False),
+    (116, 'verb-nom', 'verb-nom: sehen-mann', 'mann', 'sehen', 'sehen', False, False, False),
+    # 117: 'Die Frau las ein Buch.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
+    (117, 'verb-acc', 'verb-acc: lesen-buch', 'lesen', 'buch', 'lesen', False, False, False),
+    (117, 'verb-nom', 'verb-nom: lesen-frau', 'frau', 'lesen', 'lesen', False, False, False),
+    # 118: 'Die Kinder spielten im Garten.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
+    (118, 'prep-noun', 'prep-noun: im-garten', 'im', 'garten', 'im', False, False, False),
+    (118, 'prepgovernor-noun', 'prepgovernor-noun: spiel-garten', 'spiel', 'garten', 'spiel', False, False, False),
+    (118, 'verb-nom', 'verb-nom: spiel-kind', 'kind', 'spiel', 'spiel', False, False, False),
+    # 119: 'Die Polizeiinformationsbroschüre ist interessant.' — 3-part
     # recursive compound split with penalty scoring (reference
     # de/language_specific_rules.py:364-530); adjacent parts chain via
     # intcompound (:740-746); predicative adjective → noun-dependent on
     # both the whole compound and its head subword
-    (111, 'noun-dependent', 'noun-dependent: polizeiinformationsbroschüre-interessant', 'polizeiinformationsbroschüre', 'interessant', 'polizeiinformationsbroschüre', False, False, False),
-    (111, 'noun-dependent', 'noun-dependent: broschüre-interessant', 'broschüre', 'interessant', 'broschüre', False, False, False),
-    (111, 'intcompound', 'intcompound: information-polizei', 'information', 'polizei', 'information', False, False, False),
-    (111, 'intcompound', 'intcompound: broschüre-information', 'broschüre', 'information', 'broschüre', False, False, False),
+    (119, 'noun-dependent', 'noun-dependent: polizeiinformationsbroschüre-interessant', 'polizeiinformationsbroschüre', 'interessant', 'polizeiinformationsbroschüre', False, False, False),
+    (119, 'noun-dependent', 'noun-dependent: broschüre-interessant', 'broschüre', 'interessant', 'broschüre', False, False, False),
+    (119, 'intcompound', 'intcompound: information-polizei', 'information', 'polizei', 'information', False, False, False),
+    (119, 'intcompound', 'intcompound: broschüre-information', 'broschüre', 'information', 'broschüre', False, False, False),
     # 91: 'The big cat creature chased the kitten.' — ontology-defined
     # multiword 'cat creature' indexed as one repr (reference
     # word_matching/ontology.py:180-210 + test ontology; multiword
@@ -568,33 +634,33 @@ GOLDEN_EDGES: list[tuple] = [
     (94, 'predicate-actor', 'predicate-actor: chase-dog', 'dog', 'chase', 'chase', False, False, False),
     (94, 'predicate-patient', 'predicate-patient: chase-cat', 'chase', 'cat', 'chase', False, False, False),
     (94, 'governor-adjective', 'governor-adjective: come-home', 'come', 'home', 'come', False, False, False),
-    # 112: 'Die Frau gab dem Mann das Buch.' — German double object:
+    # 120: 'Die Frau gab dem Mann das Buch.' — German double object:
     # the reference's verb-dat pattern 'verb-dat: gabe-frau' for datives
     # (tests/de/test_phraselet_production_DE.py:85-110; geben→gabe per
     # de derivation.csv)
-    (112, 'verb-nom', 'verb-nom: gabe-frau', 'frau', 'gabe', 'gabe', False, False, False),
-    (112, 'verb-dat', 'verb-dat: gabe-mann', 'gabe', 'mann', 'gabe', False, False, False),
-    (112, 'verb-acc', 'verb-acc: gabe-buch', 'gabe', 'buch', 'gabe', False, False, False),
-    # 113: 'Der Mann wurde vom Kriminellen gesehen.' — de passive+agent
-    (113, 'verb-acc', 'verb-acc: sehen-mann', 'sehen', 'mann', 'sehen', False, False, False),
-    (113, 'verb-nom', 'verb-nom: sehen-kriminelle', 'kriminelle', 'sehen', 'sehen', False, False, False),
-    (113, 'prep-noun', 'prep-noun: vom-kriminelle', 'vom', 'kriminelle', 'vom', False, False, False),
-    # 114: 'Die kleine Katze schlief im Garten.' (schlafen→schlaf)
-    (114, 'noun-dependent', 'noun-dependent: katze-klein', 'katze', 'klein', 'katze', False, False, False),
-    (114, 'verb-nom', 'verb-nom: schlaf-katze', 'katze', 'schlaf', 'schlaf', False, False, False),
-    (114, 'prepgovernor-noun', 'prepgovernor-noun: schlaf-garten', 'schlaf', 'garten', 'schlaf', False, False, False),
-    (114, 'prep-noun', 'prep-noun: im-garten', 'im', 'garten', 'im', False, False, False),
-    # 115: 'Der Lehrer baute ein Haus.' (bauen→bau)
-    (115, 'verb-nom', 'verb-nom: bau-lehrer', 'lehrer', 'bau', 'bau', False, False, False),
-    (115, 'verb-acc', 'verb-acc: bau-haus', 'bau', 'haus', 'bau', False, False, False),
+    (120, 'verb-nom', 'verb-nom: gabe-frau', 'frau', 'gabe', 'gabe', False, False, False),
+    (120, 'verb-dat', 'verb-dat: gabe-mann', 'gabe', 'mann', 'gabe', False, False, False),
+    (120, 'verb-acc', 'verb-acc: gabe-buch', 'gabe', 'buch', 'gabe', False, False, False),
+    # 121: 'Der Mann wurde vom Kriminellen gesehen.' — de passive+agent
+    (121, 'verb-acc', 'verb-acc: sehen-mann', 'sehen', 'mann', 'sehen', False, False, False),
+    (121, 'verb-nom', 'verb-nom: sehen-kriminelle', 'kriminelle', 'sehen', 'sehen', False, False, False),
+    (121, 'prep-noun', 'prep-noun: vom-kriminelle', 'vom', 'kriminelle', 'vom', False, False, False),
+    # 122: 'Die kleine Katze schlief im Garten.' (schlafen→schlaf)
+    (122, 'noun-dependent', 'noun-dependent: katze-klein', 'katze', 'klein', 'katze', False, False, False),
+    (122, 'verb-nom', 'verb-nom: schlaf-katze', 'katze', 'schlaf', 'schlaf', False, False, False),
+    (122, 'prepgovernor-noun', 'prepgovernor-noun: schlaf-garten', 'schlaf', 'garten', 'schlaf', False, False, False),
+    (122, 'prep-noun', 'prep-noun: im-garten', 'im', 'garten', 'im', False, False, False),
+    # 123: 'Der Lehrer baute ein Haus.' (bauen→bau)
+    (123, 'verb-nom', 'verb-nom: bau-lehrer', 'lehrer', 'bau', 'bau', False, False, False),
+    (123, 'verb-acc', 'verb-acc: bau-haus', 'bau', 'haus', 'bau', False, False, False),
 ]
 
 # (snip_id, word) — the reference's single-word phraselets
 GOLDEN_WORDS: list[tuple] = [
-    (112, 'frau'), (112, 'mann'), (112, 'buch'),
-    (113, 'mann'), (113, 'kriminelle'),
-    (114, 'katze'), (114, 'garten'),
-    (115, 'lehrer'), (115, 'haus'),
+    (120, 'frau'), (120, 'mann'), (120, 'buch'),
+    (121, 'mann'), (121, 'kriminelle'),
+    (122, 'katze'), (122, 'garten'),
+    (123, 'lehrer'), (123, 'haus'),
     (94, 'man'),
     (94, 'dog'),
     (94, 'cat'),
@@ -602,7 +668,7 @@ GOLDEN_WORDS: list[tuple] = [
     (92, 'dog'),
     (91, 'cat creature'),
     (91, 'kitten'),
-    (111, 'polizeiinformationsbroschüre'),
+    (119, 'polizeiinformationsbroschüre'),
     (21, 'sailor'),
     (27, 'man'),
     (0, 'cat'),
@@ -775,47 +841,56 @@ GOLDEN_WORDS: list[tuple] = [
     (89, 'john'),
     (90, 'girl'),
     (90, 'song'),
-    (95, 'hund'),
-    (95, 'katze'),
-    (96, 'kriminelle'),
-    (96, 'polizeiinformation'),
-    (97, 'haus'),
-    (97, 'mann'),
-    (98, 'hund'),
-    (98, 'katze'),
-    (99, 'hund'),
-    (99, 'katze'),
-    (100, 'hund'),
-    (100, 'katze'),
-    (100, 'maus'),
-    (101, 'kriminelle'),
-    (101, 'polizei'),
-    (102, 'katze'),
+    # 95-102: new-construction snippets (see GOLDEN_EDGES provenance)
+    (95, 'cat'), (95, 'dog'),
+    (96, 'dog'), (96, 'cat'),
+    (97, 'dog'), (97, 'wolf'), (97, 'hound'), (97, 'cat'),
+    (98, 'mouse'), (98, 'dog'), (98, 'cat'),
+    (99, 'dog'),
+    (100, 'dog'),
+    (101, 'dog'), (101, 'cat'),
+    (102, 'cat'), (102, 'mouse'), (102, 'dog'),
     (103, 'hund'),
     (103, 'katze'),
-    (104, 'haus'),
-    (104, 'wohnungsgesellschaft'),
-    (105, 'kind'),
-    (105, 'tür'),
-    (106, 'auto'),
-    (106, 'mann'),
-    (107, 'mann'),
-    (107, 'versicherungsgesellschaft'),
-    (108, 'garten'),
+    (104, 'kriminelle'),
+    (104, 'polizeiinformation'),
+    (105, 'haus'),
+    (105, 'mann'),
+    (106, 'hund'),
+    (106, 'katze'),
+    (107, 'hund'),
+    (107, 'katze'),
     (108, 'hund'),
-    (108, 'mann'),
-    (109, 'buch'),
-    (109, 'frau'),
-    (110, 'garten'),
-    (110, 'kind'),
+    (108, 'katze'),
+    (108, 'maus'),
+    (109, 'kriminelle'),
+    (109, 'polizei'),
+    (110, 'katze'),
+    (111, 'hund'),
+    (111, 'katze'),
+    (112, 'haus'),
+    (112, 'wohnungsgesellschaft'),
+    (113, 'kind'),
+    (113, 'tür'),
+    (114, 'auto'),
+    (114, 'mann'),
+    (115, 'mann'),
+    (115, 'versicherungsgesellschaft'),
+    (116, 'garten'),
+    (116, 'hund'),
+    (116, 'mann'),
+    (117, 'buch'),
+    (117, 'frau'),
+    (118, 'garten'),
+    (118, 'kind'),
 ]
 
 # per-snippet structural-match annotations (snip_id, negated, involves_coref);
 # match-level negation ORs over matched doc tokens (reference
 # structural_matching.py:381-465)
-MATCH_DOG_CHASES_CAT: list[tuple] = [(0, 0, 0), (1, 0, 0), (2, 1, 0), (3, 1, 0), (4, 0, 1), (11, 0, 0), (12, 0, 0), (16, 0, 0), (30, 0, 0), (31, 1, 0), (32, 0, 0), (33, 0, 0), (46, 0, 1), (53, 0, 0), (94, 0, 0)]
+MATCH_DOG_CHASES_CAT: list[tuple] = [(0, 0, 0), (1, 0, 0), (2, 1, 0), (3, 1, 0), (4, 0, 1), (11, 0, 0), (12, 0, 0), (16, 0, 0), (30, 0, 0), (31, 1, 0), (32, 0, 0), (33, 0, 0), (46, 0, 1), (53, 0, 0), (94, 0, 0), (95, 0, 0), (96, 0, 0), (97, 0, 0), (98, 0, 0), (102, 0, 0)]
 
-MATCH_ANIMAL_CHASES_ANIMAL: list[tuple] = [(0, 0, 0), (1, 0, 0), (2, 1, 0), (3, 1, 0), (4, 0, 1), (11, 0, 0), (12, 0, 0), (16, 0, 0), (30, 0, 0), (31, 1, 0), (32, 0, 0), (33, 0, 0), (35, 0, 0), (46, 0, 1), (53, 0, 0), (91, 0, 0), (94, 0, 0), (95, 0, 0), (98, 0, 0), (99, 1, 0), (100, 0, 0)]
+MATCH_ANIMAL_CHASES_ANIMAL: list[tuple] = [(0, 0, 0), (1, 0, 0), (2, 1, 0), (3, 1, 0), (4, 0, 1), (11, 0, 0), (12, 0, 0), (16, 0, 0), (30, 0, 0), (31, 1, 0), (32, 0, 0), (33, 0, 0), (35, 0, 0), (46, 0, 1), (53, 0, 0), (91, 0, 0), (94, 0, 0), (95, 0, 0), (96, 0, 0), (97, 0, 0), (98, 0, 0), (102, 0, 0), (103, 0, 0), (106, 0, 0), (107, 1, 0), (108, 0, 0)]
 
 MATCH_PERSON_COMES_HOME: list[tuple] = [(5, 0, 0), (39, 0, 0), (89, 0, 0)]
 

@@ -781,7 +781,13 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
     # test_semantics_EN.py:88-95 test_predicative_adjective_with_
     # conjunction: 'The dog and the cat were big' → cat 6:amod, no (U))
     if copula and subj_local is not None:
-        subj_and_sibs = [toks[subj_local].i] + toks[subj_local].righthand_siblings
+        # use the full conjunct group even when the recorded subject is
+        # a non-anchor member ("The cat and the mouse … were tired" —
+        # both conjuncts get the certain amod)
+        base = next((t2 for t2 in toks
+                     if toks[subj_local].i in t2.righthand_siblings),
+                    toks[subj_local])
+        subj_and_sibs = [base.i] + base.righthand_siblings
         for d in list(deps):
             if d["label"] == "acomp" and d["parent"] == root.i:
                 for s in subj_and_sibs:

@@ -261,6 +261,18 @@ SEMANTIC_CHILDREN_CASES = [
      "test_semantics_EN.py:232-237 test_which_one_antecedent"),
     ("The dog chased the cat and the mouse", 2, "1:nsubj; 4:dobj; 7:dobj",
      "test_structural_matching_EN.py:423-455 conjunction object distribution"),
+    ("The cat that the dog chased was tired", 5, "1:dobj; 4:nsubj",
+     "test_semantics_EN.py:274-279 test_that_obj_one_antecedent (dobj, not relant)"),
+    ("The cat and the mouse that the dog chased were tired", 8,
+     "1:dobj; 4:dobj(U); 7:nsubj",
+     "test_semantics_EN.py:281-286 test_that_obj_many_antecedents"),
+    ("The cat the dog chased was tired", 4, "1:relant; 3:nsubj",
+     "test_semantics_EN.py:288-291 test_relant_one_antecedent (bare relative)"),
+    ("The dog and the tiger that chased the cat were tired", 6,
+     "1:nsubj(U); 4:nsubj; 8:dobj",
+     "test_semantics_EN.py:269-272 test_that_subj_many_antecedents"),
+    ("The dog that chased and caught the cat was tired", 5, "1:nsubj; 7:dobj",
+     "test_semantics_EN.py:259-267 test_that_predicate_conjunction"),
 ]
 
 
