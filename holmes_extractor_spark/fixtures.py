@@ -158,10 +158,12 @@ POOL_DE: list[str] = [
     'Die Frau las ein Buch.',  # 117
     'Die Kinder spielten im Garten.',  # 118
     'Die Polizeiinformationsbroschüre ist interessant.',  # 119
-    'Die Frau gab dem Mann das Buch.',  # 112 (double object, verb-dat)
-    'Der Mann wurde vom Kriminellen gesehen.',  # 113 (de passive)
+    'Die Frau gab dem Mann das Buch.',  # 120 (double object, verb-dat)
+    'Der Mann wurde vom Kriminellen gesehen.',  # 121 (de passive)
     'Die kleine Katze schlief im Garten.',  # 122
     'Der Lehrer baute ein Haus.',  # 123
+    'Der Hund und der Löwe jagten die Katze.',  # 124 (de conjunction)
+    'Der große und starke Hund kam heim.',  # 125 (de adjective conjunction)
 ]
 
 # ------------------------------------------- golden per-snippet output
@@ -653,6 +655,19 @@ GOLDEN_EDGES: list[tuple] = [
     # 123: 'Der Lehrer baute ein Haus.' (bauen→bau)
     (123, 'verb-nom', 'verb-nom: bau-lehrer', 'lehrer', 'bau', 'bau', False, False, False),
     (123, 'verb-acc', 'verb-acc: bau-haus', 'bau', 'haus', 'bau', False, False, False),
+    # 124: 'Der Hund und der Löwe jagten die Katze.' — German subject
+    # conjunction (ref tests/de/test_semantics_DE.py:25-30, plural
+    # finite verb); jagen→jagd per de derivation.csv
+    (124, 'verb-nom', 'verb-nom: jagd-hund', 'hund', 'jagd', 'jagd', False, False, False),
+    (124, 'verb-acc', 'verb-acc: jagd-katze', 'jagd', 'katze', 'jagd', False, False, False),
+    (124, 'verb-nom', 'verb-nom: jagd-löwe', 'löwe', 'jagd', 'jagd', False, False, False),
+    # 125: 'Der große und starke Hund kam heim.' — conjoined attributive
+    # adjectives (ref tests/de/test_semantics_DE.py:59-64); heim adverb →
+    # verb-adverb template (de language_specific_rules.py:1697-1960)
+    (125, 'noun-dependent', 'noun-dependent: hund-groß', 'hund', 'groß', 'hund', False, False, False),
+    (125, 'noun-dependent', 'noun-dependent: hund-stark', 'hund', 'stark', 'hund', False, False, False),
+    (125, 'verb-nom', 'verb-nom: kommen-hund', 'hund', 'kommen', 'kommen', False, False, False),
+    (125, 'verb-adverb', 'verb-adverb: kommen-heim', 'kommen', 'heim', 'kommen', False, False, False),
 ]
 
 # (snip_id, word) — the reference's single-word phraselets
@@ -661,6 +676,8 @@ GOLDEN_WORDS: list[tuple] = [
     (121, 'mann'), (121, 'kriminelle'),
     (122, 'katze'), (122, 'garten'),
     (123, 'lehrer'), (123, 'haus'),
+    (124, 'hund'), (124, 'löwe'), (124, 'katze'),
+    (125, 'hund'),
     (94, 'man'),
     (94, 'dog'),
     (94, 'cat'),
@@ -890,7 +907,7 @@ GOLDEN_WORDS: list[tuple] = [
 # structural_matching.py:381-465)
 MATCH_DOG_CHASES_CAT: list[tuple] = [(0, 0, 0), (1, 0, 0), (2, 1, 0), (3, 1, 0), (4, 0, 1), (11, 0, 0), (12, 0, 0), (16, 0, 0), (30, 0, 0), (31, 1, 0), (32, 0, 0), (33, 0, 0), (46, 0, 1), (53, 0, 0), (94, 0, 0), (95, 0, 0), (96, 0, 0), (97, 0, 0), (98, 0, 0), (102, 0, 0)]
 
-MATCH_ANIMAL_CHASES_ANIMAL: list[tuple] = [(0, 0, 0), (1, 0, 0), (2, 1, 0), (3, 1, 0), (4, 0, 1), (11, 0, 0), (12, 0, 0), (16, 0, 0), (30, 0, 0), (31, 1, 0), (32, 0, 0), (33, 0, 0), (35, 0, 0), (46, 0, 1), (53, 0, 0), (91, 0, 0), (94, 0, 0), (95, 0, 0), (96, 0, 0), (97, 0, 0), (98, 0, 0), (102, 0, 0), (103, 0, 0), (106, 0, 0), (107, 1, 0), (108, 0, 0)]
+MATCH_ANIMAL_CHASES_ANIMAL: list[tuple] = [(0, 0, 0), (1, 0, 0), (2, 1, 0), (3, 1, 0), (4, 0, 1), (11, 0, 0), (12, 0, 0), (16, 0, 0), (30, 0, 0), (31, 1, 0), (32, 0, 0), (33, 0, 0), (35, 0, 0), (46, 0, 1), (53, 0, 0), (91, 0, 0), (94, 0, 0), (95, 0, 0), (96, 0, 0), (97, 0, 0), (98, 0, 0), (102, 0, 0), (103, 0, 0), (124, 0, 0), (106, 0, 0), (107, 1, 0), (108, 0, 0)]
 
 MATCH_PERSON_COMES_HOME: list[tuple] = [(5, 0, 0), (39, 0, 0), (89, 0, 0)]
 

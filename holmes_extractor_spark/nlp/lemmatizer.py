@@ -235,6 +235,10 @@ IRREGULAR_DE: dict[str, str] = {
     "gab": "geben", "aß": "essen", "gegessen": "essen",
     "baute": "bauen", "gebaut": "bauen", "kochte": "kochen",
     "lehrte": "lehren", "fing": "fangen", "gefangen": "fangen",
+    "kamen": "kommen", "sahen": "sehen", "gaben": "geben",
+    "wuchsen": "wachsen", "trafen": "treffen", "aßen": "essen",
+    "schliefen": "schlafen", "fingen": "fangen",
+    "schrieben": "schreiben", "liefen": "laufen",
     "mäuse": "maus", "türen": "tür", "autos": "auto",
     "ist": "sein", "war": "sein", "sind": "sein", "waren": "sein",
     "hat": "haben", "hatte": "haben",
@@ -255,6 +259,20 @@ def lemma_de(word: str) -> str:
         return IRREGULAR_DE[w]
     if w.endswith("ungen"):
         return w[:-2]  # wohnungen -> wohnung
+    # regular conjugation → infinitive, gated on the verb lexicon so
+    # noun plurals in -en (Katzen) are never mangled
+    from .lexicon import ADJECTIVES_DE, VERB_LEMMAS_DE
+    for suf in ("ten", "test", "tet", "te", "est", "st", "et", "t", "e"):
+        if w.endswith(suf) and len(w) > len(suf) + 2:
+            cand = w[: -len(suf)] + "en"
+            if cand in VERB_LEMMAS_DE:
+                return cand
+    # adjective declension → base form (starke/starken/starker → stark)
+    for suf in ("en", "er", "es", "em", "e"):
+        if w.endswith(suf) and len(w) > len(suf) + 2:
+            cand = w[: -len(suf)]
+            if cand in ADJECTIVES_DE:
+                return cand
     return w
 
 

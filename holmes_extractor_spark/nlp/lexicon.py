@@ -166,10 +166,13 @@ ADJECTIVES_DE = {"reich", "reiche", "reicher", "reichen", "arm", "arme",
                  "interessant", "interessante", "müde", "schöne", "schön",
                  "armen", "groß", "große", "großen", "klein", "kleine",
                  "kleinen", "gut", "gute", "guten", "alt", "alte", "alten",
-                 "jung", "junge", "jungen", "schnell", "schnelle", "langsam"}
+                 "jung", "junge", "jungen", "schnell", "schnelle", "langsam",
+                 "stark", "starke", "starken", "krank", "kranke", "kranken",
+                 "hungrig", "hungrige", "glücklich", "glückliche"}
 
 ADVERBS_DE = {"schnell", "langsam", "heute", "gestern", "morgen", "hier",
-              "dort", "jetzt", "immer", "oft", "bald", "gern", "sehr"}
+              "dort", "jetzt", "immer", "oft", "bald", "gern", "sehr",
+              "heim"}
 
 VERB_LEMMAS_DE = {
     "jagen", "sehen", "kommen", "wachsen", "geben", "öffnen", "kaufen",

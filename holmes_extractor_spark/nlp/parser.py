@@ -177,6 +177,10 @@ def _tag_de(toks: list[Tok]) -> None:
             t.pos = "VERB"
         elif w in L.VERB_LEMMAS_DE:
             t.pos = "VERB"
+        elif not t.text[:1].isupper() and lemma(w, "de") in L.VERB_LEMMAS_DE:
+            # regular conjugation (jagten/spielt/kaufte → infinitive);
+            # German verbs are lowercase, nouns capitalized
+            t.pos = "VERB"
         elif w in L.ADJECTIVES_DE and not t.text[:1].isupper():
             t.pos = "ADJ"
         elif w in L.ADVERBS_DE and not t.text[:1].isupper():

@@ -309,6 +309,34 @@ def test_sentence_final_relative_clause():
         == "4:nsubj; 7:dobj"
 
 
+# ---- transcribed DE semantic-dependency matrix -------------------------
+# The reference uses TIGER labels (sb/oa/da); our parser normalizes to
+# the same label space as English (nsubj/dobj/dative), so expectations
+# are transcribed with sb→nsubj, oa→dobj, da→dative — a pure renaming.
+
+SEMANTIC_CHILDREN_CASES_DE = [
+    ("Der Hund jagte die Katze.", 2, "1:nsubj; 4:dobj",
+     "test_semantics_DE.py:14-22 test_initialize_semantic_dependencies (sb→nsubj, oa→dobj)"),
+    ("Der Hund und der Löwe jagten die Katze", 5, "1:nsubj; 4:nsubj; 7:dobj",
+     "test_semantics_DE.py:25-30 test_one_righthand_sibling_with_and_conjunction"),
+    ("Der Hund, der Hund und der Löwe jagten die Katze", 8,
+     "1:nsubj; 4:nsubj; 7:nsubj; 10:dobj",
+     "test_semantics_DE.py:32-40 test_many_righthand_siblings_with_and_conjunction"),
+    ("Der große und starke Hund kam heim", 4, "1:amod; 3:amod",
+     "test_semantics_DE.py:59-64 test_righthand_siblings_of_semantic_children_two"),
+    ("Die Katze wurde vom Hund gejagt.", 5, "1:nsubjpass; 3:prep; 4:pobjb",
+     "test_semantics_DE.py passive + agent (vom → pobjb actor)"),
+    ("Die Frau gab dem Mann das Buch.", 2, "1:nsubj; 4:dative; 6:dobj",
+     "test_semantics_DE.py double object (sb/da/oa)"),
+]
+
+
+@pytest.mark.parametrize("text,i,expected,ref", SEMANTIC_CHILDREN_CASES_DE,
+                         ids=[f"de@{c[1]}:{c[0][:24]}" for c in SEMANTIC_CHILDREN_CASES_DE])
+def test_semantic_children_de(text, i, expected, ref):
+    assert children_repr(text, i, lang="de") == expected, ref
+
+
 def test_righthand_siblings_anchoring():
     # reference test_semantics_EN.py:27-34: siblings live on the FIRST
     # conjunct; members carry empty lists
