@@ -607,6 +607,7 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
     got_obj = False
     dobj_local = None
     cur = root
+    elided_unc_verbs: set[int] = set()
     # scan segments: after the root verb, and — for verb-final clauses
     # (German passive "wurde vom Hund gejagt") — the mid-field between
     # the finite aux and the clause-final participle. A sentence-final
@@ -648,6 +649,29 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
             off_to = 2 if xcomp_passive else 1
             toks[j - off_to].head = t.i
             toks[j - off_to].dep = "aux"
+            if (cur.i == root.i and not passive and not got_obj
+                    and root.text.lower() in ("used", "going")):
+                # semantic auxiliaries "used to V" / "going to V"
+                # (reference test_semantics_EN.py:303-330): the matrix
+                # verb is elided — the infinitive takes over its deps;
+                # "WAS going to" makes them uncertain, "used to" and
+                # "is going to" keep certainty. With an intervening
+                # object ("used the mouse to chase") this is ordinary
+                # object control, not elision (test_used_to_negative_2)
+                unc = any(toks[a].text.lower() in ("was", "were")
+                          for a in aux_pos if a < root_local)
+                for d in deps:
+                    if d["parent"] == root.i:
+                        d["parent"] = t.i
+                        if unc:
+                            d["uncertain"] = True
+                if unc:
+                    elided_unc_verbs.add(t.i)
+                cur = t
+                got_obj = False
+                dobj_local = None
+                j += 1
+                continue
             # xcomp is a predicate-patient dependency in the reference
             # ("decide to open" → predicate-patient: decide-open,
             # language_specific_rules.py:1126-1136)
@@ -772,6 +796,14 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
             t.head = cur.i
             t.dep = "dep"
         j += 1
+
+    # prospective-past elision ("WAS going to chase the cat"): every
+    # dep of the taken-over infinitive is uncertain, including the
+    # object attached during the scan (reference test_semantics_EN.py:
+    # 324-330 test_was_going_to)
+    for d in deps:
+        if d["parent"] in elided_unc_verbs:
+            d["uncertain"] = True
 
     # sentence-final relative clause: the antecedent received its main-
     # clause role (usually dobj) in the scan above; now parse the

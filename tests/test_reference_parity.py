@@ -273,6 +273,16 @@ SEMANTIC_CHILDREN_CASES = [
      "test_semantics_EN.py:269-272 test_that_subj_many_antecedents"),
     ("The dog that chased and caught the cat was tired", 5, "1:nsubj; 7:dobj",
      "test_semantics_EN.py:259-267 test_that_predicate_conjunction"),
+    ("The dog always used to chase the cat", 5, "1:nsubj; 7:dobj",
+     "test_semantics_EN.py:303-308 test_used_to_positive (semantic aux elided)"),
+    ("The dog is going to chase the cat", 5, "1:nsubj; 7:dobj",
+     "test_semantics_EN.py:318-323 test_going_to"),
+    ("The dog was going to chase the cat", 5, "1:nsubj(U); 7:dobj(U)",
+     "test_semantics_EN.py:325-330 test_was_going_to (prospective past uncertain)"),
+    ("The dog was used to chase the cat", 5, "1:nsubj(U); 7:dobj",
+     "test_semantics_EN.py:310-313 test_used_to_negative_1 (ordinary control)"),
+    ("The dog used the mouse to chase the cat", 6, "4:nsubj(U); 8:dobj",
+     "test_semantics_EN.py:315-317 test_used_to_negative_2 (object control)"),
 ]
 
 
