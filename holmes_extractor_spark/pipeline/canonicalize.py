@@ -171,6 +171,10 @@ def build_entities(linked_edges: DataFrame, closure: DataFrame) -> DataFrame:
         linked_edges.select(F.col("subj").alias("word"))
         .unionByName(linked_edges.select(F.col("obj").alias("word")))
         .distinct()
+        # referenced 3× downstream (pair restriction, untouched anti-join,
+        # final semi-join) — materialize the distinct once instead of
+        # re-shuffling the full edge endpoint set per reference
+        .localCheckpoint(eager=True)
     )
     pairs = cluster_edges_from(closure)
     # the pair graph is ontology-derived → driver-sized (the reference
