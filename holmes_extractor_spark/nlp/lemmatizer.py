@@ -183,6 +183,17 @@ DERIVATION_EN.update({
 })
 
 
+# -ation nouns whose -ate verb the reference's vocab admits (stand-in
+# for the reference's OOV check, en language_specific_rules.py:513-518)
+_ATION_VERBS = {
+    "manipulate", "domesticate", "create", "relate", "operate",
+    "generate", "celebrate", "educate", "situate", "negotiate",
+    "decorate", "activate", "motivate", "indicate", "communicate",
+    "separate", "translate", "evaluate", "calculate", "demonstrate",
+    "participate", "concentrate", "investigate", "illustrate",
+}
+
+
 def derived_lemma_en(lemma: str, pos: str = "") -> str:
     """Derivationally canonical form (predicate canonicalization).
 
@@ -200,7 +211,21 @@ def derived_lemma_en(lemma: str, pos: str = "") -> str:
         if lemma.endswith("ization"):
             return lemma[:-5] + "e"
         if lemma.endswith("ication"):
-            return lemma[:-7] + "y"
+            # verification → verify; the reference vocab-checks the
+            # candidate (en language_specific_rules.py:507-509) — the
+            # -ify shape is the vocab-hit case (domestication → the
+            # OOV 'domesticy' falls through to the -ation rule below)
+            cand = lemma[:-7] + "y"
+            if cand.endswith("ify"):
+                return cand
+        if lemma.endswith("ation"):
+            # manipulation → manipulate (reference :513-518 with vocab
+            # check; gated here on the verb lexicon + -ate verbs the
+            # reference's vocab admits)
+            from .lexicon import VERB_LEMMAS_EN
+            cand = lemma[:-3] + "e"
+            if cand in VERB_LEMMAS_EN or cand in _ATION_VERBS:
+                return cand
     if pos in ("", "NOUN") and len(lemma) >= 7 and lemma.endswith("ness"):
         stem = lemma[:-4]
         return stem[:-1] + "y" if stem.endswith("i") else stem

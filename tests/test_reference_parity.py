@@ -368,6 +368,20 @@ DERIVATION_CASES = [
     ("happily", "ADV", "happy"),
     ("domestically", "ADV", "domestic"),
     ("regrettably", "ADV", "regrettable"),
+    # transcribed from tests/en/test_semantics_EN.py:872-939 (the
+    # reference's derived-lemma matrix; suffix rules rules.py:494-556)
+    ("imprisonment", "NOUN", "imprison"),
+    ("linearization", "NOUN", "linearize"),
+    ("linearisation", "NOUN", "linearise"),
+    ("economically", "ADV", "economic"),
+    ("horribly", "ADV", "horrible"),
+    ("laxness", "NOUN", "lax"),
+    ("bawdiness", "NOUN", "bawdy"),
+    ("verification", "NOUN", "verify"),
+    ("manipulation", "NOUN", "manipulate"),
+    ("domestication", "NOUN", "domesticate"),
+    ("vehicle", "NOUN", "vehicle"),
+    ("happiness", "NOUN", "happy"),
 ]
 
 
