@@ -1128,6 +1128,43 @@ def parse_document(text: str, lang: str) -> dict:
     # any number of sentences ("I saw a dog. It barked. It was hungry.")
     MAX_COREF_DISTANCE = 300  # words (reference en rules :92-96)
     MAX_COREF_MENTIONS = 3
+    # reflexive pronouns bind within their own sentence to the nearest
+    # compatible preceding nominal ("The man who knows himself",
+    # reference test_semantics_EN.py:742-747)
+    _REFLEXIVE = {"himself": False, "herself": False, "itself": True,
+                  "themselves": True, "myself": False, "ourselves": False,
+                  "yourself": False, "sich": None}
+    for (s, e) in sent_bounds:
+        for t in toks[s: e + 1]:
+            w = t.text.lower()
+            if t.pos != "PRON" or w not in _REFLEXIVE:
+                continue
+            neuter = _REFLEXIVE[w]
+            for c in range(t.i - 1, s - 1, -1):
+                ct = toks[c]
+                if ct.pos not in ("NOUN", "PROPN") or ct.dep == "compound":
+                    continue
+                is_person = (ct.ent_type == "PERSON"
+                             or ct.text.lower() in L.PERSON_NOUNS_EN)
+                if neuter is None or (neuter and not is_person) \
+                        or (neuter is False and is_person):
+                    chain = sorted({c, t.i} | set(ct.coref_chain)
+                                   | set(t.coref_chain))
+                    for idx in chain:
+                        toks[idx].coref_chain = chain
+                    t.most_specific_coref = c
+                    for d in list(all_deps):
+                        if d["child"] == t.i:
+                            all_deps.append({
+                                "parent": d["parent"], "child": c,
+                                "label": d["label"],
+                                "uncertain": d["uncertain"], "coref": True})
+                        elif d["parent"] == t.i and d["child"] != c:
+                            all_deps.append({
+                                "parent": c, "child": d["child"],
+                                "label": d["label"],
+                                "uncertain": d["uncertain"], "coref": True})
+                    break
     for si in range(1, len(sent_bounds)):
         s, e = sent_bounds[si]
         for t in toks[s: e + 1]:

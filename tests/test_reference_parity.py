@@ -347,6 +347,25 @@ def test_semantic_children_de(text, i, expected, ref):
     assert children_repr(text, i, lang="de") == expected, ref
 
 
+COREF_CHAIN_CASES = [
+    # (text, token_idx, expected chain member set, provenance)
+    ("The employee got home. He was surprised", 1, {1, 5},
+     "test_semantics_EN.py:709-716 test_coreference_between_sentences"),
+    ("The employee got home. He was surprised", 3, set(),
+     "test_semantics_EN.py:709-716 ('home' not in any chain)"),
+    ("Richard was at work. He went home. He was surprised", 0, {0, 5, 9},
+     "test_semantics_EN.py:718-728 test_coreference_three_items_in_chain"),
+    ("The man who knows himself has an advantage", 4, {1, 4},
+     "test_semantics_EN.py:742-747 test_coreference_within_relative_clause (reflexive)"),
+]
+
+
+@pytest.mark.parametrize("text,i,expected,ref", COREF_CHAIN_CASES)
+def test_coreference_chains(text, i, expected, ref):
+    p = parse_document(text, "en")
+    assert set(p["tokens"][i]["coref_chain"]) == expected, ref
+
+
 def test_righthand_siblings_anchoring():
     # reference test_semantics_EN.py:27-34: siblings live on the FIRST
     # conjunct; members carry empty lists
