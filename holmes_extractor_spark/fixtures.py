@@ -168,6 +168,9 @@ POOL_DE: list[str] = [
 
 # ------------------------------------------- golden per-snippet output
 # (snip_id, template, label, subj, obj, pred, negated, uncertain, coref)
+# NOTE: by/of/to prepositions are UNMATCHABLE in the reference (en
+# language_specific_rules.py:615-617) — they carry pobjb/pobjo/pobjt
+# deps instead — so no prep-noun phraselets exist for them.
 # Each snippet block cites its reference provenance: transcribed test
 # expectations where available, else the template rules that define it.
 POOL = POOL_EN + POOL_DE  # global snippet ids: EN then DE
@@ -177,7 +180,6 @@ GOLDEN_EDGES: list[tuple] = [
     (0, 'predicate-patient', 'predicate-patient: chase-cat', 'chase', 'cat', 'chase', False, False, False),
     (1, 'predicate-actor', 'predicate-actor: chase-dog', 'dog', 'chase', 'chase', False, False, False),
     (1, 'predicate-passivesubject', 'predicate-passivesubject: chase-cat', 'chase', 'cat', 'chase', False, False, False),
-    (1, 'prep-noun', 'prep-noun: by-dog', 'by', 'dog', 'by', False, False, False),
     (2, 'predicate-actor', 'predicate-actor: chase-dog', 'dog', 'chase', 'chase', True, False, False),
     (2, 'predicate-patient', 'predicate-patient: chase-cat', 'chase', 'cat', 'chase', True, False, False),
     (3, 'predicate-actor', 'predicate-actor: chase-dog', 'dog', 'chase', 'chase', True, False, False),
@@ -185,7 +187,6 @@ GOLDEN_EDGES: list[tuple] = [
     (4, 'predicate-actor', 'predicate-actor: chase-dog', 'dog', 'chase', 'chase', False, False, False),
     (4, 'predicate-passivesubject', 'predicate-passivesubject: chase-cat', 'chase', 'cat', 'chase', False, False, True),
     (4, 'predicate-patient', 'predicate-patient: see-cat', 'see', 'cat', 'see', False, False, False),
-    (4, 'prep-noun', 'prep-noun: by-dog', 'by', 'dog', 'by', False, False, False),
     (5, 'governor-adjective', 'governor-adjective: come-home', 'come', 'home', 'come', False, False, False),
     (5, 'predicate-actor', 'predicate-actor: come-richard paul hudson', 'richard paul hudson', 'come', 'come', False, False, False),
     (6, 'predicate-actor', 'predicate-actor: grow-plant', 'plant', 'grow', 'grow', False, False, False),
@@ -197,7 +198,6 @@ GOLDEN_EDGES: list[tuple] = [
     (9, 'predicate-actor', 'predicate-actor: come-man', 'man', 'come', 'come', False, False, False),
     (10, 'predicate-patient', 'predicate-patient: gift-file', 'gift', 'file', 'gift', False, False, False),
     (10, 'predicate-recipient', 'predicate-recipient: gift-employee', 'gift', 'employee', 'gift', False, False, False),
-    (10, 'prep-noun', 'prep-noun: to-employee', 'to', 'employee', 'to', False, False, False),
     (11, 'predicate-actor', 'predicate-actor: chase-dog', 'dog', 'chase', 'chase', False, False, False),
     (11, 'predicate-patient', 'predicate-patient: chase-cat', 'chase', 'cat', 'chase', False, False, False),
     (11, 'word-ofword', 'word-ofword: dog-man', 'dog', 'man', 'dog', False, False, False),
@@ -263,7 +263,6 @@ GOLDEN_EDGES: list[tuple] = [
     (27, 'prepgovernor-noun', 'prepgovernor-noun: need-year', 'need', 'year', 'need', False, False, False),
     # 28: 'Somebody gives something to a plant.' — ref tests/en/test_phraselet_production_EN.py:101-103
     (28, 'predicate-recipient', 'predicate-recipient: gift-plant', 'gift', 'plant', 'gift', False, False, False),
-    (28, 'prep-noun', 'prep-noun: to-plant', 'to', 'plant', 'to', False, False, False),
     # 29: 'Who opened the door?' — ref tests/en/test_phraselet_production_EN.py:303-312
     (29, 'predicate-patient', 'predicate-patient: open-door', 'open', 'door', 'open', False, False, False),
     # 30: 'The dog will chase the cat.' — ref tests/en/test_structural_matching_EN.py:505-516
@@ -305,7 +304,6 @@ GOLDEN_EDGES: list[tuple] = [
     # 41: 'The dog was chased by the lion.' — ref derived from the reference template rules (en language_specific_rules.py:1114-1325)
     (41, 'predicate-actor', 'predicate-actor: chase-lion', 'lion', 'chase', 'chase', False, False, False),
     (41, 'predicate-passivesubject', 'predicate-passivesubject: chase-dog', 'chase', 'dog', 'chase', False, False, False),
-    (41, 'prep-noun', 'prep-noun: by-lion', 'by', 'lion', 'by', False, False, False),
     # 42: 'Three lions chased two mice.' — ref derived from the reference template rules (en language_specific_rules.py:1114-1325)
     (42, 'number-noun', 'number-noun: lion-three', 'lion', 'three', 'lion', False, False, False),
     (42, 'number-noun', 'number-noun: mouse-two', 'mouse', 'two', 'mouse', False, False, False),
@@ -337,7 +335,6 @@ GOLDEN_EDGES: list[tuple] = [
     # 48: 'The account was opened by the manager.' — ref derived from the reference template rules (en language_specific_rules.py:1114-1325)
     (48, 'predicate-actor', 'predicate-actor: open-manager', 'manager', 'open', 'open', False, False, False),
     (48, 'predicate-passivesubject', 'predicate-passivesubject: open-account', 'open', 'account', 'open', False, False, False),
-    (48, 'prep-noun', 'prep-noun: by-manager', 'by', 'manager', 'by', False, False, False),
     # 49: 'The information was extracted.' — ref derived from the reference template rules (en language_specific_rules.py:1114-1325)
     (49, 'predicate-passivesubject', 'predicate-passivesubject: extract-inform', 'extract', 'inform', 'extract', False, False, False),
     # 50: 'Houses are built quickly.' — ref derived from the reference template rules (en language_specific_rules.py:1114-1325)
@@ -415,7 +412,6 @@ GOLDEN_EDGES: list[tuple] = [
     (72, 'predicate-actor', 'predicate-actor: deliver-manager', 'manager', 'deliver', 'deliver', False, False, False),
     (72, 'predicate-patient', 'predicate-patient: deliver-letter', 'deliver', 'letter', 'deliver', False, False, False),
     (72, 'predicate-recipient', 'predicate-recipient: deliver-employee', 'deliver', 'employee', 'deliver', False, False, False),
-    (72, 'prep-noun', 'prep-noun: to-employee', 'to', 'employee', 'to', False, False, False),
     # 73: 'The ship sank in the sea.' — ref derived from the reference template rules (en language_specific_rules.py:1114-1325)
     (73, 'predicate-actor', 'predicate-actor: sink-ship', 'ship', 'sink', 'sink', False, False, False),
     (73, 'prep-noun', 'prep-noun: in-sea', 'in', 'sea', 'in', False, False, False),

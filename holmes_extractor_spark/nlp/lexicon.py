@@ -44,7 +44,7 @@ BE_FORMS_EN = {"be", "am", "is", "are", "was", "were", "been", "being", "'s", "'
 DO_FORMS_EN = {"do", "does", "did", "done", "doing"}
 HAVE_FORMS_EN = {"have", "has", "had", "having", "'ve"}
 MODALS_EN = {"will", "would", "can", "could", "shall", "should", "may",
-             "might", "must", "'ll", "'d"}
+             "might", "must", "cannot", "'ll", "'d"}
 
 PREPOSITIONS_EN = {
     "in", "on", "at", "by", "to", "of", "with", "from", "for", "about",
@@ -60,7 +60,7 @@ PREPOSITIONS_EN = {
 PARTICLES_EN = {"up", "down", "out", "off", "away", "back", "over", "in", "on", "along"}
 
 NEGATION_WORDS_EN = {"no", "not", "never", "nothing", "nobody", "none",
-                     "nowhere", "neither", "nor", "n't"}
+                     "nowhere", "neither", "nor", "n't", "cannot"}
 
 CONJUNCTIONS_EN = {"and", "or", "but", "nor"}
 

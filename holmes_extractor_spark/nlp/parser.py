@@ -341,6 +341,11 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
     elif aux_pos:
         root_local = aux_pos[-1]
         copula = True
+        # 'do' as a MAIN verb ("He should do it", "He will have been
+        # doing it") is transitive, not copular (reference
+        # test_semantics_EN.py:438-459)
+        if toks[root_local].text.lower() in L.DO_FORMS_EN:
+            copula = False
     elif verb_pos:
         root_local = verb_pos[0]
     else:
@@ -732,26 +737,30 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
                 ph = toks[pp_np[2]]
                 ph.head = t.i
                 ph.dep = "pobj"
-                if t.dep == "agent":
-                    # passive agent = actor (reference pobjb,
-                    # language_specific_rules.py:558-797)
+                pw = t.text.lower()
+                # the reference assigns pobjb/pobjo/pobjt by preposition
+                # lemma unconditionally — deverbal-phrase matching
+                # ("Eating by employees" ≈ "employees eat",
+                # language_specific_rules.py:594-616)
+                if pw == "by" or t.dep == "agent":
                     add(cur.i, ph.i, "pobjb")
-                elif t.text.lower() in ("to", "für") and got_obj:
-                    # "gives a file TO an employee" — pobjt, mapped to
-                    # predicate-recipient like dative (reference template
-                    # deps ["dative", "pobjt"],
-                    # language_specific_rules.py:1186-1196)
+                elif pw in ("of", "von") and lang == "en":
+                    gov = toks[dobj_local].i if dobj_local is not None else cur.i
+                    add(gov, ph.i, "pobjo")
+                elif pw == "to" or (pw == "für" and got_obj):
+                    # dative context ("gives a file TO an employee") and
+                    # directional 'to' both map to predicate-recipient
+                    # deps (reference template deps ["dative", "pobjt"],
+                    # language_specific_rules.py:1186-1196 + :608-612)
                     add(cur.i, ph.i, "pobjt")
                 else:
                     # attach prep object to the prep's governor
                     # (reference prepgovernor-noun phraselet)
-                    gov = toks[dobj_local].i if (dobj_local is not None and t.text.lower() == "of") else cur.i
-                    add(gov, ph.i, "pobjp")
+                    add(cur.i, ph.i, "pobjp")
                     # alternative noun attachment, uncertain (reference
                     # prepposs deps, parsing.py:1359-1434): "saw the dog
                     # in the garden" → garden may modify dog
-                    if gov == cur.i and dobj_local is not None \
-                            and t.text.lower() != "of":
+                    if dobj_local is not None:
                         add(toks[dobj_local].i, ph.i, "pobjp", uncertain=True)
                 add(t.i, ph.i, "pobj", uncertain=False)
                 j = pp_np[1] + 1
@@ -804,6 +813,16 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
     for d in deps:
         if d["parent"] in elided_unc_verbs:
             d["uncertain"] = True
+
+    # modal verbs make the modified predicate's deps uncertain ("He
+    # should do it" → nsubj(U), dobj(U); 'will' futures stay certain —
+    # reference test_semantics_EN.py:438-459)
+    if lang == "en" and any(
+            a < root_local and toks[a].text.lower() in L.MODALS_EN
+            and toks[a].text.lower() != "will" for a in aux_pos):
+        for d in deps:
+            if d["parent"] == root.i and d["label"] != "xcomp":
+                d["uncertain"] = True
 
     # sentence-final relative clause: the antecedent received its main-
     # clause role (usually dobj) in the scan above; now parse the
@@ -1228,6 +1247,10 @@ def parse_document(text: str, lang: str) -> dict:
             t.pos in ("NOUN", "PROPN", "VERB", "ADJ", "ADV", "NUM", "ADP", "AUX")
             and w not in L.GENERIC_PRONOUNS_EN
             and w not in L.INTERROGATIVES_EN
+            # by/of/to carry pobjb/pobjo/pobjt deps instead and are
+            # unmatchable (reference language_specific_rules.py:615-617)
+            and not (t.pos == "ADP" and lang == "en"
+                     and w in ("by", "of", "to"))
         )
         if t.pos == "PRON" and w in L.INTERROGATIVES_EN and t.i == sent_bounds[t.sent_idx][0]:
             t.is_initial_question_word = True

@@ -283,7 +283,38 @@ SEMANTIC_CHILDREN_CASES = [
      "test_semantics_EN.py:310-313 test_used_to_negative_1 (ordinary control)"),
     ("The dog used the mouse to chase the cat", 6, "4:nsubj(U); 8:dobj",
      "test_semantics_EN.py:315-317 test_used_to_negative_2 (object control)"),
+    ("He should do it", 2, "0:nsubj(U); 3:dobj(U)",
+     "test_semantics_EN.py:438-441 test_positive_modal_verb"),
+    ("He cannot do it", 2, "0:nsubj(U); 3:dobj(U)",
+     "test_semantics_EN.py:443-448 test_negative_modal_verb"),
+    ("He will have been doing it", 4, "0:nsubj; 5:dobj",
+     "test_semantics_EN.py:455-458 test_phrasal_verb_2 ('will' futures certain)"),
+    ("Eating by employees", 0, "1:prep; 2:pobjb",
+     "test_semantics_EN.py:460-463 test_pobjb_1"),
+    ("Eating of icecream", 0, "1:prep; 2:pobjo",
+     "test_semantics_EN.py:465-468 test_pobjb_2"),
+    ("Travelling to Munich", 0, "1:prep; 2:pobjt",
+     "test_semantics_EN.py:470-473 test_pobjt"),
+    ("He gave it to the employee and the boss", 1,
+     "0:nsubj; 2:dobj; 3:prep; 5:pobjt; 8:pobjt",
+     "test_semantics_EN.py:481-486 test_dative_prepositional_phrase_with_conjunction"),
 ]
+
+
+def test_negative_modal_negates():
+    # reference test_semantics_EN.py:443-448: cannot → is_negated
+    p = parse_document("He cannot do it", "en")
+    assert p["tokens"][2]["is_negated"] is True
+
+
+def test_by_of_to_unmatchable():
+    # reference language_specific_rules.py:615-617
+    p = parse_document("The cat was chased by the dog", "en")
+    by = next(t for t in p["tokens"] if t["text"] == "by")
+    assert by["is_matchable"] is False
+    p2 = parse_document("The bird flew over the river", "en")
+    over = next(t for t in p2["tokens"] if t["text"] == "over")
+    assert over["is_matchable"] is True
 
 
 @pytest.mark.parametrize("text,i,expected,ref", SEMANTIC_CHILDREN_CASES,
