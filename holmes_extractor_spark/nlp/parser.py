@@ -613,6 +613,7 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
     dobj_local = None
     cur = root
     elided_unc_verbs: set[int] = set()
+    last_np = None  # (end_local, head_local) of the last consumed NP
     # scan segments: after the root verb, and — for verb-final clauses
     # (German passive "wurde vom Hund gejagt") — the mid-field between
     # the finite aux and the clause-final participle. A sentence-final
@@ -706,6 +707,26 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
             dobj_local = None
             j += 1
             continue
+        if (lang == "en" and t.pos == "VERB" and t.i != root.i
+                and not is_xcomp_verb and _is_participle(t.text)
+                and last_np is not None and last_np[0] == j - 1):
+            # reduced passive relative ("the cat chased by the dog"):
+            # the modified noun is the participle's OBJECT; a following
+            # 'by' phrase carries the actor (reference
+            # test_semantics_EN.py:487-496). Conjoined heads anchor on
+            # the first conjunct; dep distribution copies to siblings.
+            head_local = last_np[1]
+            anchor = next((t2 for t2 in toks
+                           if toks[head_local].i in t2.righthand_siblings),
+                          toks[head_local])
+            t.head = anchor.i
+            t.dep = "acl"
+            add(t.i, anchor.i, "dobj")
+            cur = t
+            got_obj = False
+            dobj_local = None
+            j += 1
+            continue
         if t.pos == "PUNCT":
             t.head = root.i
             t.dep = "punct"
@@ -763,12 +784,14 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
                     if dobj_local is not None:
                         add(toks[dobj_local].i, ph.i, "pobjp", uncertain=True)
                 add(t.i, ph.i, "pobj", uncertain=False)
+                last_np = (pp_np[1], pp_np[2])
                 j = pp_np[1] + 1
                 continue
             j += 1
             continue
         np_here = next(((s, e, h) for (s, e, h) in nps if s == j), None)
         if np_here is not None:
+            last_np = (np_here[1], np_here[2])
             if np_here[2] in conj_right or np_here[2] == subj_local:
                 j = np_here[1] + 1
                 continue

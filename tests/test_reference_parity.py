@@ -298,6 +298,12 @@ SEMANTIC_CHILDREN_CASES = [
     ("He gave it to the employee and the boss", 1,
      "0:nsubj; 2:dobj; 3:prep; 5:pobjt; 8:pobjt",
      "test_semantics_EN.py:481-486 test_dative_prepositional_phrase_with_conjunction"),
+    ("He talked about the cat chased by the dog", 5,
+     "4:dobj; 6:prep; 8:pobjb",
+     "test_semantics_EN.py:487-491 test_simple_participle_phrase (reduced relative)"),
+    ("He talked about the cat and the mouse chased by the dog", 8,
+     "4:dobj; 7:dobj; 9:prep; 11:pobjb",
+     "test_semantics_EN.py:492-496 test_participle_phrase_with_conjunction"),
 ]
 
 
