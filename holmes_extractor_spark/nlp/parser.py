@@ -286,8 +286,21 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
                         and toks[rel_end + 1].pos == "CCONJ" \
                         and rel_end + 2 in set(verb_pos):
                     rel_end += 2
-                # main predicate: next finite verb OR aux (copula) after
-                preds = sorted(v for v in verb_pos + aux_pos if v > rel_end)
+                # progressive relative clause ("who WAS THINKING about
+                # …"): the rel verb is the -ing content verb, not the
+                # aux (reference test_semantics_EN.py:529-534)
+                if rel_v in aux_pos and rel_v + 1 in set(verb_pos) \
+                        and toks[rel_v + 1].text.lower().endswith("ing"):
+                    rel_v += 1
+                    rel_end = max(rel_end, rel_v)
+                # main predicate: next FINITE verb OR aux (copula) after
+                # the rel verb group; verbs after ADP/'being'/'to' are
+                # non-finite complements inside the rel clause
+                preds = sorted(
+                    v for v in verb_pos + aux_pos if v > rel_end
+                    and not (v > 0 and (toks[v - 1].pos == "ADP"
+                                        or toks[v - 1].text.lower()
+                                        in ("to", "being"))))
                 if preds:
                     rel = (rp, rel_v, preds[0], rp - 1)
                     break
@@ -322,6 +335,14 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
     rel_region: set[int] = set()
     if rel:
         rel_region = set(range(rel[0], len(toks) if rel_final else rel[2]))
+    # non-copular subject-relative interiors are scanned as their own
+    # post-verbal segment (see the scan below)
+    rel_interior_scanned = bool(
+        rel and not rel_final and not rel_bare
+        and rel[1] in set(verb_pos)
+        and toks[rel[0]].text.lower() != "whose"
+        and all(toks[k].pos in ("VERB", "AUX", "PART", "ADV")
+                for k in range(rel[0] + 1, rel[1])))
 
     root_local: int
     copula = False
@@ -544,10 +565,12 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
                         toks[k].head = st.i
                         toks[k].dep = "amod"
                         add(st.i, toks[k].i, "amod")
-            elif rel_nps:  # object inside the relative clause — attaches
-                # to the LAST conjoined relative verb ("who chased and
-                # caught the cat" → caught-cat, test_semantics_EN.py:
-                # 216-224); the subject distributes to all conjuncts
+            elif rel_nps and not rel_interior_scanned:
+                # object inside the relative clause (only when the
+                # interior was not already scanned as a segment) —
+                # attaches to the LAST conjoined relative verb ("who
+                # chased and caught the cat" → caught-cat,
+                # test_semantics_EN.py:216-224)
                 obj_gov = (toks[rt.righthand_siblings[-1] - off]
                            if rt.righthand_siblings else rt)
                 oh = toks[rel_nps[0][2]]
@@ -614,22 +637,33 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
     cur = root
     elided_unc_verbs: set[int] = set()
     last_np = None  # (end_local, head_local) of the last consumed NP
-    # scan segments: after the root verb, and — for verb-final clauses
-    # (German passive "wurde vom Hund gejagt") — the mid-field between
-    # the finite aux and the clause-final participle. A sentence-final
-    # relative clause is excluded (handled by _rel_internals below)
-    segments = [[root_local + 1, rel[0] if rel_final else n]]
-    if first_v is not None and root_local > first_v + 1 \
+    # scan segments (start, end, governing-verb): after the root verb;
+    # for verb-final clauses (German passive "wurde vom Hund gejagt")
+    # the mid-field between the finite aux and the clause-final
+    # participle; and the interior of a non-copular subject-relative
+    # clause, governed by the relative verb ("who was thinking ABOUT
+    # CHASING A CAT came home"). A sentence-final relative clause is
+    # excluded from the main segment (handled by _rel_internals below)
+    segments = [[root_local + 1, rel[0] if rel_final else n, root_local]]
+    if lang == "de" and first_v is not None and root_local > first_v + 1 \
             and root_local in set(verb_pos) and first_v in set(aux_pos):
-        segments.append([first_v + 1, root_local])
+        segments.append([first_v + 1, root_local, root_local])
+    if rel_interior_scanned:
+        # subject-relative interior scanned like a clause of its own
+        segments.insert(0, [rel[1] + 1, rel[2], rel[1]])
     seg_idx = 0
-    j, scan_end = segments[0]
+    j, scan_end, _seg_cur = segments[0]
+    cur = toks[_seg_cur]
     while True:
         if j >= scan_end:
             seg_idx += 1
             if seg_idx >= len(segments):
                 break
-            j, scan_end = segments[seg_idx]
+            j, scan_end, _seg_cur = segments[seg_idx]
+            cur = toks[_seg_cur]
+            got_obj = False
+            dobj_local = None
+            last_np = None
             continue
         t = toks[j]
         xcomp_passive = False
@@ -707,6 +741,33 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
             dobj_local = None
             j += 1
             continue
+        if (lang == "en" and t.pos == "VERB" and j > 0
+                and not is_xcomp_verb
+                and (toks[j - 1].pos == "ADP"
+                     or (j > 1 and toks[j - 1].text.lower() == "being"
+                         and toks[j - 2].pos == "ADP"))
+                and (t.text.lower().endswith("ing") or _is_participle(t.text))):
+            # prepositional complement ("thinking ABOUT CHASING a cat",
+            # "thinking about BEING CHASED by a dog"): the matrix
+            # subject is the gerund's uncertain subject; the passive
+            # variant makes it nsubjpass (reference
+            # test_semantics_EN.py:518-601)
+            pcomp_passive = toks[j - 1].text.lower() == "being"
+            prep_tok = toks[j - 2] if pcomp_passive else toks[j - 1]
+            t.head = prep_tok.i
+            t.dep = "pcomp"
+            if pcomp_passive:
+                toks[j - 1].head = t.i
+                toks[j - 1].dep = "auxpass"
+            if subj_local is not None:
+                add(t.i, toks[subj_local].i,
+                    "nsubjpass" if pcomp_passive else "nsubj",
+                    uncertain=True)
+            cur = t
+            got_obj = False
+            dobj_local = None
+            j += 1
+            continue
         if (lang == "en" and t.pos == "VERB" and t.i != root.i
                 and not is_xcomp_verb and _is_participle(t.text)
                 and last_np is not None and last_np[0] == j - 1):
@@ -722,6 +783,16 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
             t.head = anchor.i
             t.dep = "acl"
             add(t.i, anchor.i, "dobj")
+            cur = t
+            got_obj = False
+            dobj_local = None
+            j += 1
+            continue
+        if t.pos == "VERB" and t.dep == "conj":
+            # conjoined predicate ("chased AND CAUGHT the cat"): later
+            # material attaches to the nearest conjunct; the shared
+            # subject flows via dep distribution (reference
+            # test_semantics_EN.py:216-224)
             cur = t
             got_obj = False
             dobj_local = None
@@ -796,7 +867,9 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
                 j = np_here[1] + 1
                 continue
             h = toks[np_here[2]]
-            if copula:
+            if copula and cur.i == root.i:
+                # attr only in the copular MAIN clause — a relative
+                # clause interior keeps ordinary object roles
                 h.head = cur.i
                 h.dep = "attr"
                 add(cur.i, h.i, "attr")

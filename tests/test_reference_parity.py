@@ -304,6 +304,17 @@ SEMANTIC_CHILDREN_CASES = [
     ("He talked about the cat and the mouse chased by the dog", 8,
      "4:dobj; 7:dobj; 9:prep; 11:pobjb",
      "test_semantics_EN.py:492-496 test_participle_phrase_with_conjunction"),
+    ("The dog was thinking about chasing a cat", 5, "1:nsubj(U); 7:dobj",
+     "test_semantics_EN.py:518-521 test_verb_prepositional_complement_simple_active"),
+    ("The dog and the lion were thinking about chasing a cat and a mouse", 8,
+     "1:nsubj(U); 4:nsubj(U); 10:dobj; 13:dobj",
+     "test_semantics_EN.py:523-527 test_verb_prepositional_complement_with_conjunction_active"),
+    ("The cat was thinking about being chased by a dog", 6,
+     "1:nsubjpass(U); 7:prep; 9:pobjb",
+     "test_semantics_EN.py:574-578 test_verb_prepositional_complement_simple_passive (agent→prep renaming)"),
+    ("The dog who was thinking about chasing a cat came home", 6,
+     "1:nsubj(U); 8:dobj",
+     "test_semantics_EN.py:529-534 test_verb_prepositional_complement_with_relative_clause_active"),
 ]
 
 
