@@ -138,32 +138,35 @@ POOL_EN: list[str] = [
     'The large and strong dog came home.',  # 100 (adjective conjunction)
     'The dog who chased and caught the cat was tired.',  # 101 (relative verb conjunction)
     'The cat and the mouse that the dog chased were tired.',  # 102 (conjoined antecedents)
+    'The dog was thinking about chasing a cat.',  # 103 (prepositional complement)
+    'Somebody talked about the cat chased by the dog.',  # 104 (reduced passive relative)
+    'The dog should chase the cat.',  # 105 (modal uncertainty)
 ]
 
 POOL_DE: list[str] = [
-    'Der Hund jagte die Katze.',  # 103
-    'Polizeiinformation über Kriminelle.',  # 104
-    'Der reiche Mann kam nach Hause.',  # 105
-    'Die Katze wurde vom Hund gejagt.',  # 106
-    'Der Hund jagte die Katze nicht.',  # 107
-    'Der Hund jagte die Katze und die Maus.',  # 108
-    'Die Polizei jagte den Kriminellen.',  # 109
-    'Die Katze wurde nicht gejagt.',  # 110
-    'Der kleine Hund sah die Katze.',  # 111
-    'Die Wohnungsgesellschaft verkaufte das Haus.',  # 112
-    'Das Kind öffnete die Tür.',  # 113
-    'Der reiche Mann kaufte ein Auto.',  # 114
-    'Die Versicherungsgesellschaft informierte den Mann.',  # 115
-    'Der Mann sah den Hund im Garten.',  # 116
-    'Die Frau las ein Buch.',  # 117
-    'Die Kinder spielten im Garten.',  # 118
-    'Die Polizeiinformationsbroschüre ist interessant.',  # 119
-    'Die Frau gab dem Mann das Buch.',  # 120 (double object, verb-dat)
-    'Der Mann wurde vom Kriminellen gesehen.',  # 121 (de passive)
-    'Die kleine Katze schlief im Garten.',  # 122
-    'Der Lehrer baute ein Haus.',  # 123
-    'Der Hund und der Löwe jagten die Katze.',  # 124 (de conjunction)
-    'Der große und starke Hund kam heim.',  # 125 (de adjective conjunction)
+    'Der Hund jagte die Katze.',  # 106
+    'Polizeiinformation über Kriminelle.',  # 107
+    'Der reiche Mann kam nach Hause.',  # 108
+    'Die Katze wurde vom Hund gejagt.',  # 109
+    'Der Hund jagte die Katze nicht.',  # 110
+    'Der Hund jagte die Katze und die Maus.',  # 111
+    'Die Polizei jagte den Kriminellen.',  # 112
+    'Die Katze wurde nicht gejagt.',  # 113
+    'Der kleine Hund sah die Katze.',  # 114
+    'Die Wohnungsgesellschaft verkaufte das Haus.',  # 115
+    'Das Kind öffnete die Tür.',  # 116
+    'Der reiche Mann kaufte ein Auto.',  # 117
+    'Die Versicherungsgesellschaft informierte den Mann.',  # 118
+    'Der Mann sah den Hund im Garten.',  # 119
+    'Die Frau las ein Buch.',  # 120
+    'Die Kinder spielten im Garten.',  # 121
+    'Die Polizeiinformationsbroschüre ist interessant.',  # 122
+    'Die Frau gab dem Mann das Buch.',  # 123 (double object, verb-dat)
+    'Der Mann wurde vom Kriminellen gesehen.',  # 124 (de passive)
+    'Die kleine Katze schlief im Garten.',  # 125
+    'Der Lehrer baute ein Haus.',  # 126
+    'Der Hund und der Löwe jagten die Katze.',  # 127 (de conjunction)
+    'Der große und starke Hund kam heim.',  # 128 (de adjective conjunction)
 ]
 
 # ------------------------------------------- golden per-snippet output
@@ -537,73 +540,90 @@ GOLDEN_EDGES: list[tuple] = [
     (102, 'predicate-actor', 'predicate-actor: chase-dog', 'dog', 'chase', 'chase', False, False, False),
     (102, 'governor-adjective', 'governor-adjective: cat-tire', 'cat', 'tire', 'cat', False, False, False),
     (102, 'governor-adjective', 'governor-adjective: mouse-tire', 'mouse', 'tire', 'mouse', False, False, False),
-    (103, 'verb-acc', 'verb-acc: jagd-katze', 'jagd', 'katze', 'jagd', False, False, False),
-    (103, 'verb-nom', 'verb-nom: jagd-hund', 'hund', 'jagd', 'jagd', False, False, False),
-    (104, 'intcompound', 'intcompound: information-polizei', 'information', 'polizei', 'information', False, False, False),
-    (104, 'prep-noun', 'prep-noun: über-kriminelle', 'über', 'kriminelle', 'über', False, False, False),
-    (104, 'prepgovernor-noun', 'prepgovernor-noun: information-kriminelle', 'information', 'kriminelle', 'information', False, False, False),
-    (104, 'prepgovernor-noun', 'prepgovernor-noun: polizeiinformation-kriminelle', 'polizeiinformation', 'kriminelle', 'polizeiinformation', False, False, False),
-    (105, 'noun-dependent', 'noun-dependent: mann-reich', 'mann', 'reich', 'mann', False, False, False),
-    (105, 'prep-noun', 'prep-noun: nach-haus', 'nach', 'haus', 'nach', False, False, False),
-    (105, 'prepgovernor-noun', 'prepgovernor-noun: kommen-haus', 'kommen', 'haus', 'kommen', False, False, False),
-    (105, 'verb-nom', 'verb-nom: kommen-mann', 'mann', 'kommen', 'kommen', False, False, False),
-    (106, 'prep-noun', 'prep-noun: vom-hund', 'vom', 'hund', 'vom', False, False, False),
+    # 103: 'The dog was thinking about chasing a cat.' — prepositional
+    # complement: the matrix subject is the gerund's uncertain subject
+    # (ref tests/en/test_semantics_EN.py:518-521)
+    (103, 'predicate-actor', 'predicate-actor: think-dog', 'dog', 'think', 'think', False, False, False),
+    (103, 'predicate-actor', 'predicate-actor: chase-dog', 'dog', 'chase', 'chase', False, True, False),
+    (103, 'predicate-patient', 'predicate-patient: chase-cat', 'chase', 'cat', 'chase', False, False, False),
+    # 104: 'Somebody talked about the cat chased by the dog.' — reduced
+    # passive relative: the modified noun is the participle's object,
+    # the by-phrase its actor (ref tests/en/test_semantics_EN.py:487-491)
+    (104, 'prepgovernor-noun', 'prepgovernor-noun: talk-cat', 'talk', 'cat', 'talk', False, False, False),
+    (104, 'prep-noun', 'prep-noun: about-cat', 'about', 'cat', 'about', False, False, False),
+    (104, 'predicate-patient', 'predicate-patient: chase-cat', 'chase', 'cat', 'chase', False, False, False),
+    (104, 'predicate-actor', 'predicate-actor: chase-dog', 'dog', 'chase', 'chase', False, False, False),
+    # 105: 'The dog should chase the cat.' — modal verbs make the
+    # predicate's deps uncertain (ref tests/en/test_semantics_EN.py:438-441)
+    (105, 'predicate-actor', 'predicate-actor: chase-dog', 'dog', 'chase', 'chase', False, True, False),
+    (105, 'predicate-patient', 'predicate-patient: chase-cat', 'chase', 'cat', 'chase', False, True, False),
     (106, 'verb-acc', 'verb-acc: jagd-katze', 'jagd', 'katze', 'jagd', False, False, False),
     (106, 'verb-nom', 'verb-nom: jagd-hund', 'hund', 'jagd', 'jagd', False, False, False),
-    (107, 'verb-acc', 'verb-acc: jagd-katze', 'jagd', 'katze', 'jagd', True, False, False),
-    (107, 'verb-nom', 'verb-nom: jagd-hund', 'hund', 'jagd', 'jagd', True, False, False),
-    # 108: 'Der Hund jagte die Katze und die Maus.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
-    (108, 'verb-acc', 'verb-acc: jagd-katze', 'jagd', 'katze', 'jagd', False, False, False),
-    (108, 'verb-acc', 'verb-acc: jagd-maus', 'jagd', 'maus', 'jagd', False, False, False),
-    (108, 'verb-nom', 'verb-nom: jagd-hund', 'hund', 'jagd', 'jagd', False, False, False),
-    # 109: 'Die Polizei jagte den Kriminellen.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
-    (109, 'verb-acc', 'verb-acc: jagd-kriminelle', 'jagd', 'kriminelle', 'jagd', False, False, False),
-    (109, 'verb-nom', 'verb-nom: jagd-polizei', 'polizei', 'jagd', 'jagd', False, False, False),
-    # 110: 'Die Katze wurde nicht gejagt.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
+    (107, 'intcompound', 'intcompound: information-polizei', 'information', 'polizei', 'information', False, False, False),
+    (107, 'prep-noun', 'prep-noun: über-kriminelle', 'über', 'kriminelle', 'über', False, False, False),
+    (107, 'prepgovernor-noun', 'prepgovernor-noun: information-kriminelle', 'information', 'kriminelle', 'information', False, False, False),
+    (107, 'prepgovernor-noun', 'prepgovernor-noun: polizeiinformation-kriminelle', 'polizeiinformation', 'kriminelle', 'polizeiinformation', False, False, False),
+    (108, 'noun-dependent', 'noun-dependent: mann-reich', 'mann', 'reich', 'mann', False, False, False),
+    (108, 'prep-noun', 'prep-noun: nach-haus', 'nach', 'haus', 'nach', False, False, False),
+    (108, 'prepgovernor-noun', 'prepgovernor-noun: kommen-haus', 'kommen', 'haus', 'kommen', False, False, False),
+    (108, 'verb-nom', 'verb-nom: kommen-mann', 'mann', 'kommen', 'kommen', False, False, False),
+    (109, 'prep-noun', 'prep-noun: vom-hund', 'vom', 'hund', 'vom', False, False, False),
+    (109, 'verb-acc', 'verb-acc: jagd-katze', 'jagd', 'katze', 'jagd', False, False, False),
+    (109, 'verb-nom', 'verb-nom: jagd-hund', 'hund', 'jagd', 'jagd', False, False, False),
     (110, 'verb-acc', 'verb-acc: jagd-katze', 'jagd', 'katze', 'jagd', True, False, False),
-    # 111: 'Der kleine Hund sah die Katze.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
-    (111, 'noun-dependent', 'noun-dependent: hund-klein', 'hund', 'klein', 'hund', False, False, False),
-    (111, 'verb-acc', 'verb-acc: sehen-katze', 'sehen', 'katze', 'sehen', False, False, False),
-    (111, 'verb-nom', 'verb-nom: sehen-hund', 'hund', 'sehen', 'sehen', False, False, False),
-    # 112: 'Die Wohnungsgesellschaft verkaufte das Haus.' — ref de templates de/language_specific_rules.py:1697-1960 + subword walk (head-subword variant per tests/de/test_phraselet_production_DE.py:112-135)
-    (112, 'intcompound', 'intcompound: gesellschaft-wohnung', 'gesellschaft', 'wohnung', 'gesellschaft', False, False, False),
-    (112, 'verb-acc', 'verb-acc: verkauf-haus', 'verkauf', 'haus', 'verkauf', False, False, False),
-    (112, 'verb-nom', 'verb-nom: verkauf-gesellschaft', 'gesellschaft', 'verkauf', 'verkauf', False, False, False),
-    (112, 'verb-nom', 'verb-nom: verkauf-wohnungsgesellschaft', 'wohnungsgesellschaft', 'verkauf', 'verkauf', False, False, False),
-    # 113: 'Das Kind öffnete die Tür.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
-    (113, 'verb-acc', 'verb-acc: öffnen-tür', 'öffnen', 'tür', 'öffnen', False, False, False),
-    (113, 'verb-nom', 'verb-nom: öffnen-kind', 'kind', 'öffnen', 'öffnen', False, False, False),
-    # 114: 'Der reiche Mann kaufte ein Auto.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
-    (114, 'noun-dependent', 'noun-dependent: mann-reich', 'mann', 'reich', 'mann', False, False, False),
-    (114, 'verb-acc', 'verb-acc: kauf-auto', 'kauf', 'auto', 'kauf', False, False, False),
-    (114, 'verb-nom', 'verb-nom: kauf-mann', 'mann', 'kauf', 'kauf', False, False, False),
-    # 115: 'Die Versicherungsgesellschaft informierte den Mann.' — ref de derivation.csv:201 (information,informieren)
-    (115, 'intcompound', 'intcompound: gesellschaft-versicherung', 'gesellschaft', 'versicherung', 'gesellschaft', False, False, False),
-    (115, 'verb-acc', 'verb-acc: information-mann', 'information', 'mann', 'information', False, False, False),
-    (115, 'verb-nom', 'verb-nom: information-gesellschaft', 'gesellschaft', 'information', 'information', False, False, False),
-    (115, 'verb-nom', 'verb-nom: information-versicherungsgesellschaft', 'versicherungsgesellschaft', 'information', 'information', False, False, False),
-    # 116: 'Der Mann sah den Hund im Garten.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
-    (116, 'prep-noun', 'prep-noun: im-garten', 'im', 'garten', 'im', False, False, False),
-    (116, 'prepgovernor-noun', 'prepgovernor-noun: hund-garten', 'hund', 'garten', 'hund', False, True, False),
-    (116, 'prepgovernor-noun', 'prepgovernor-noun: sehen-garten', 'sehen', 'garten', 'sehen', False, False, False),
-    (116, 'verb-acc', 'verb-acc: sehen-hund', 'sehen', 'hund', 'sehen', False, False, False),
-    (116, 'verb-nom', 'verb-nom: sehen-mann', 'mann', 'sehen', 'sehen', False, False, False),
-    # 117: 'Die Frau las ein Buch.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
-    (117, 'verb-acc', 'verb-acc: lesen-buch', 'lesen', 'buch', 'lesen', False, False, False),
-    (117, 'verb-nom', 'verb-nom: lesen-frau', 'frau', 'lesen', 'lesen', False, False, False),
-    # 118: 'Die Kinder spielten im Garten.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
-    (118, 'prep-noun', 'prep-noun: im-garten', 'im', 'garten', 'im', False, False, False),
-    (118, 'prepgovernor-noun', 'prepgovernor-noun: spiel-garten', 'spiel', 'garten', 'spiel', False, False, False),
-    (118, 'verb-nom', 'verb-nom: spiel-kind', 'kind', 'spiel', 'spiel', False, False, False),
-    # 119: 'Die Polizeiinformationsbroschüre ist interessant.' — 3-part
+    (110, 'verb-nom', 'verb-nom: jagd-hund', 'hund', 'jagd', 'jagd', True, False, False),
+    # 111: 'Der Hund jagte die Katze und die Maus.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
+    (111, 'verb-acc', 'verb-acc: jagd-katze', 'jagd', 'katze', 'jagd', False, False, False),
+    (111, 'verb-acc', 'verb-acc: jagd-maus', 'jagd', 'maus', 'jagd', False, False, False),
+    (111, 'verb-nom', 'verb-nom: jagd-hund', 'hund', 'jagd', 'jagd', False, False, False),
+    # 112: 'Die Polizei jagte den Kriminellen.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
+    (112, 'verb-acc', 'verb-acc: jagd-kriminelle', 'jagd', 'kriminelle', 'jagd', False, False, False),
+    (112, 'verb-nom', 'verb-nom: jagd-polizei', 'polizei', 'jagd', 'jagd', False, False, False),
+    # 113: 'Die Katze wurde nicht gejagt.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
+    (113, 'verb-acc', 'verb-acc: jagd-katze', 'jagd', 'katze', 'jagd', True, False, False),
+    # 114: 'Der kleine Hund sah die Katze.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
+    (114, 'noun-dependent', 'noun-dependent: hund-klein', 'hund', 'klein', 'hund', False, False, False),
+    (114, 'verb-acc', 'verb-acc: sehen-katze', 'sehen', 'katze', 'sehen', False, False, False),
+    (114, 'verb-nom', 'verb-nom: sehen-hund', 'hund', 'sehen', 'sehen', False, False, False),
+    # 115: 'Die Wohnungsgesellschaft verkaufte das Haus.' — ref de templates de/language_specific_rules.py:1697-1960 + subword walk (head-subword variant per tests/de/test_phraselet_production_DE.py:112-135)
+    (115, 'intcompound', 'intcompound: gesellschaft-wohnung', 'gesellschaft', 'wohnung', 'gesellschaft', False, False, False),
+    (115, 'verb-acc', 'verb-acc: verkauf-haus', 'verkauf', 'haus', 'verkauf', False, False, False),
+    (115, 'verb-nom', 'verb-nom: verkauf-gesellschaft', 'gesellschaft', 'verkauf', 'verkauf', False, False, False),
+    (115, 'verb-nom', 'verb-nom: verkauf-wohnungsgesellschaft', 'wohnungsgesellschaft', 'verkauf', 'verkauf', False, False, False),
+    # 116: 'Das Kind öffnete die Tür.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
+    (116, 'verb-acc', 'verb-acc: öffnen-tür', 'öffnen', 'tür', 'öffnen', False, False, False),
+    (116, 'verb-nom', 'verb-nom: öffnen-kind', 'kind', 'öffnen', 'öffnen', False, False, False),
+    # 117: 'Der reiche Mann kaufte ein Auto.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
+    (117, 'noun-dependent', 'noun-dependent: mann-reich', 'mann', 'reich', 'mann', False, False, False),
+    (117, 'verb-acc', 'verb-acc: kauf-auto', 'kauf', 'auto', 'kauf', False, False, False),
+    (117, 'verb-nom', 'verb-nom: kauf-mann', 'mann', 'kauf', 'kauf', False, False, False),
+    # 118: 'Die Versicherungsgesellschaft informierte den Mann.' — ref de derivation.csv:201 (information,informieren)
+    (118, 'intcompound', 'intcompound: gesellschaft-versicherung', 'gesellschaft', 'versicherung', 'gesellschaft', False, False, False),
+    (118, 'verb-acc', 'verb-acc: information-mann', 'information', 'mann', 'information', False, False, False),
+    (118, 'verb-nom', 'verb-nom: information-gesellschaft', 'gesellschaft', 'information', 'information', False, False, False),
+    (118, 'verb-nom', 'verb-nom: information-versicherungsgesellschaft', 'versicherungsgesellschaft', 'information', 'information', False, False, False),
+    # 119: 'Der Mann sah den Hund im Garten.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
+    (119, 'prep-noun', 'prep-noun: im-garten', 'im', 'garten', 'im', False, False, False),
+    (119, 'prepgovernor-noun', 'prepgovernor-noun: hund-garten', 'hund', 'garten', 'hund', False, True, False),
+    (119, 'prepgovernor-noun', 'prepgovernor-noun: sehen-garten', 'sehen', 'garten', 'sehen', False, False, False),
+    (119, 'verb-acc', 'verb-acc: sehen-hund', 'sehen', 'hund', 'sehen', False, False, False),
+    (119, 'verb-nom', 'verb-nom: sehen-mann', 'mann', 'sehen', 'sehen', False, False, False),
+    # 120: 'Die Frau las ein Buch.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
+    (120, 'verb-acc', 'verb-acc: lesen-buch', 'lesen', 'buch', 'lesen', False, False, False),
+    (120, 'verb-nom', 'verb-nom: lesen-frau', 'frau', 'lesen', 'lesen', False, False, False),
+    # 121: 'Die Kinder spielten im Garten.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
+    (121, 'prep-noun', 'prep-noun: im-garten', 'im', 'garten', 'im', False, False, False),
+    (121, 'prepgovernor-noun', 'prepgovernor-noun: spiel-garten', 'spiel', 'garten', 'spiel', False, False, False),
+    (121, 'verb-nom', 'verb-nom: spiel-kind', 'kind', 'spiel', 'spiel', False, False, False),
+    # 122: 'Die Polizeiinformationsbroschüre ist interessant.' — 3-part
     # recursive compound split with penalty scoring (reference
     # de/language_specific_rules.py:364-530); adjacent parts chain via
     # intcompound (:740-746); predicative adjective → noun-dependent on
     # both the whole compound and its head subword
-    (119, 'noun-dependent', 'noun-dependent: polizeiinformationsbroschüre-interessant', 'polizeiinformationsbroschüre', 'interessant', 'polizeiinformationsbroschüre', False, False, False),
-    (119, 'noun-dependent', 'noun-dependent: broschüre-interessant', 'broschüre', 'interessant', 'broschüre', False, False, False),
-    (119, 'intcompound', 'intcompound: information-polizei', 'information', 'polizei', 'information', False, False, False),
-    (119, 'intcompound', 'intcompound: broschüre-information', 'broschüre', 'information', 'broschüre', False, False, False),
+    (122, 'noun-dependent', 'noun-dependent: polizeiinformationsbroschüre-interessant', 'polizeiinformationsbroschüre', 'interessant', 'polizeiinformationsbroschüre', False, False, False),
+    (122, 'noun-dependent', 'noun-dependent: broschüre-interessant', 'broschüre', 'interessant', 'broschüre', False, False, False),
+    (122, 'intcompound', 'intcompound: information-polizei', 'information', 'polizei', 'information', False, False, False),
+    (122, 'intcompound', 'intcompound: broschüre-information', 'broschüre', 'information', 'broschüre', False, False, False),
     # 91: 'The big cat creature chased the kitten.' — ontology-defined
     # multiword 'cat creature' indexed as one repr (reference
     # word_matching/ontology.py:180-210 + test ontology; multiword
@@ -632,48 +652,48 @@ GOLDEN_EDGES: list[tuple] = [
     (94, 'predicate-actor', 'predicate-actor: chase-dog', 'dog', 'chase', 'chase', False, False, False),
     (94, 'predicate-patient', 'predicate-patient: chase-cat', 'chase', 'cat', 'chase', False, False, False),
     (94, 'governor-adjective', 'governor-adjective: come-home', 'come', 'home', 'come', False, False, False),
-    # 120: 'Die Frau gab dem Mann das Buch.' — German double object:
+    # 123: 'Die Frau gab dem Mann das Buch.' — German double object:
     # the reference's verb-dat pattern 'verb-dat: gabe-frau' for datives
     # (tests/de/test_phraselet_production_DE.py:85-110; geben→gabe per
     # de derivation.csv)
-    (120, 'verb-nom', 'verb-nom: gabe-frau', 'frau', 'gabe', 'gabe', False, False, False),
-    (120, 'verb-dat', 'verb-dat: gabe-mann', 'gabe', 'mann', 'gabe', False, False, False),
-    (120, 'verb-acc', 'verb-acc: gabe-buch', 'gabe', 'buch', 'gabe', False, False, False),
-    # 121: 'Der Mann wurde vom Kriminellen gesehen.' — de passive+agent
-    (121, 'verb-acc', 'verb-acc: sehen-mann', 'sehen', 'mann', 'sehen', False, False, False),
-    (121, 'verb-nom', 'verb-nom: sehen-kriminelle', 'kriminelle', 'sehen', 'sehen', False, False, False),
-    (121, 'prep-noun', 'prep-noun: vom-kriminelle', 'vom', 'kriminelle', 'vom', False, False, False),
-    # 122: 'Die kleine Katze schlief im Garten.' (schlafen→schlaf)
-    (122, 'noun-dependent', 'noun-dependent: katze-klein', 'katze', 'klein', 'katze', False, False, False),
-    (122, 'verb-nom', 'verb-nom: schlaf-katze', 'katze', 'schlaf', 'schlaf', False, False, False),
-    (122, 'prepgovernor-noun', 'prepgovernor-noun: schlaf-garten', 'schlaf', 'garten', 'schlaf', False, False, False),
-    (122, 'prep-noun', 'prep-noun: im-garten', 'im', 'garten', 'im', False, False, False),
-    # 123: 'Der Lehrer baute ein Haus.' (bauen→bau)
-    (123, 'verb-nom', 'verb-nom: bau-lehrer', 'lehrer', 'bau', 'bau', False, False, False),
-    (123, 'verb-acc', 'verb-acc: bau-haus', 'bau', 'haus', 'bau', False, False, False),
-    # 124: 'Der Hund und der Löwe jagten die Katze.' — German subject
+    (123, 'verb-nom', 'verb-nom: gabe-frau', 'frau', 'gabe', 'gabe', False, False, False),
+    (123, 'verb-dat', 'verb-dat: gabe-mann', 'gabe', 'mann', 'gabe', False, False, False),
+    (123, 'verb-acc', 'verb-acc: gabe-buch', 'gabe', 'buch', 'gabe', False, False, False),
+    # 124: 'Der Mann wurde vom Kriminellen gesehen.' — de passive+agent
+    (124, 'verb-acc', 'verb-acc: sehen-mann', 'sehen', 'mann', 'sehen', False, False, False),
+    (124, 'verb-nom', 'verb-nom: sehen-kriminelle', 'kriminelle', 'sehen', 'sehen', False, False, False),
+    (124, 'prep-noun', 'prep-noun: vom-kriminelle', 'vom', 'kriminelle', 'vom', False, False, False),
+    # 125: 'Die kleine Katze schlief im Garten.' (schlafen→schlaf)
+    (125, 'noun-dependent', 'noun-dependent: katze-klein', 'katze', 'klein', 'katze', False, False, False),
+    (125, 'verb-nom', 'verb-nom: schlaf-katze', 'katze', 'schlaf', 'schlaf', False, False, False),
+    (125, 'prepgovernor-noun', 'prepgovernor-noun: schlaf-garten', 'schlaf', 'garten', 'schlaf', False, False, False),
+    (125, 'prep-noun', 'prep-noun: im-garten', 'im', 'garten', 'im', False, False, False),
+    # 126: 'Der Lehrer baute ein Haus.' (bauen→bau)
+    (126, 'verb-nom', 'verb-nom: bau-lehrer', 'lehrer', 'bau', 'bau', False, False, False),
+    (126, 'verb-acc', 'verb-acc: bau-haus', 'bau', 'haus', 'bau', False, False, False),
+    # 127: 'Der Hund und der Löwe jagten die Katze.' — German subject
     # conjunction (ref tests/de/test_semantics_DE.py:25-30, plural
     # finite verb); jagen→jagd per de derivation.csv
-    (124, 'verb-nom', 'verb-nom: jagd-hund', 'hund', 'jagd', 'jagd', False, False, False),
-    (124, 'verb-acc', 'verb-acc: jagd-katze', 'jagd', 'katze', 'jagd', False, False, False),
-    (124, 'verb-nom', 'verb-nom: jagd-löwe', 'löwe', 'jagd', 'jagd', False, False, False),
-    # 125: 'Der große und starke Hund kam heim.' — conjoined attributive
+    (127, 'verb-nom', 'verb-nom: jagd-hund', 'hund', 'jagd', 'jagd', False, False, False),
+    (127, 'verb-acc', 'verb-acc: jagd-katze', 'jagd', 'katze', 'jagd', False, False, False),
+    (127, 'verb-nom', 'verb-nom: jagd-löwe', 'löwe', 'jagd', 'jagd', False, False, False),
+    # 128: 'Der große und starke Hund kam heim.' — conjoined attributive
     # adjectives (ref tests/de/test_semantics_DE.py:59-64); heim adverb →
     # verb-adverb template (de language_specific_rules.py:1697-1960)
-    (125, 'noun-dependent', 'noun-dependent: hund-groß', 'hund', 'groß', 'hund', False, False, False),
-    (125, 'noun-dependent', 'noun-dependent: hund-stark', 'hund', 'stark', 'hund', False, False, False),
-    (125, 'verb-nom', 'verb-nom: kommen-hund', 'hund', 'kommen', 'kommen', False, False, False),
-    (125, 'verb-adverb', 'verb-adverb: kommen-heim', 'kommen', 'heim', 'kommen', False, False, False),
+    (128, 'noun-dependent', 'noun-dependent: hund-groß', 'hund', 'groß', 'hund', False, False, False),
+    (128, 'noun-dependent', 'noun-dependent: hund-stark', 'hund', 'stark', 'hund', False, False, False),
+    (128, 'verb-nom', 'verb-nom: kommen-hund', 'hund', 'kommen', 'kommen', False, False, False),
+    (128, 'verb-adverb', 'verb-adverb: kommen-heim', 'kommen', 'heim', 'kommen', False, False, False),
 ]
 
 # (snip_id, word) — the reference's single-word phraselets
 GOLDEN_WORDS: list[tuple] = [
-    (120, 'frau'), (120, 'mann'), (120, 'buch'),
-    (121, 'mann'), (121, 'kriminelle'),
-    (122, 'katze'), (122, 'garten'),
-    (123, 'lehrer'), (123, 'haus'),
-    (124, 'hund'), (124, 'löwe'), (124, 'katze'),
-    (125, 'hund'),
+    (123, 'frau'), (123, 'mann'), (123, 'buch'),
+    (124, 'mann'), (124, 'kriminelle'),
+    (125, 'katze'), (125, 'garten'),
+    (126, 'lehrer'), (126, 'haus'),
+    (127, 'hund'), (127, 'löwe'), (127, 'katze'),
+    (128, 'hund'),
     (94, 'man'),
     (94, 'dog'),
     (94, 'cat'),
@@ -681,7 +701,7 @@ GOLDEN_WORDS: list[tuple] = [
     (92, 'dog'),
     (91, 'cat creature'),
     (91, 'kitten'),
-    (119, 'polizeiinformationsbroschüre'),
+    (122, 'polizeiinformationsbroschüre'),
     (21, 'sailor'),
     (27, 'man'),
     (0, 'cat'),
@@ -863,47 +883,50 @@ GOLDEN_WORDS: list[tuple] = [
     (100, 'dog'),
     (101, 'dog'), (101, 'cat'),
     (102, 'cat'), (102, 'mouse'), (102, 'dog'),
-    (103, 'hund'),
-    (103, 'katze'),
-    (104, 'kriminelle'),
-    (104, 'polizeiinformation'),
-    (105, 'haus'),
-    (105, 'mann'),
+    (103, 'dog'), (103, 'cat'),
+    (104, 'cat'), (104, 'dog'),
+    (105, 'dog'), (105, 'cat'),
     (106, 'hund'),
     (106, 'katze'),
-    (107, 'hund'),
-    (107, 'katze'),
-    (108, 'hund'),
-    (108, 'katze'),
-    (108, 'maus'),
-    (109, 'kriminelle'),
-    (109, 'polizei'),
+    (107, 'kriminelle'),
+    (107, 'polizeiinformation'),
+    (108, 'haus'),
+    (108, 'mann'),
+    (109, 'hund'),
+    (109, 'katze'),
+    (110, 'hund'),
     (110, 'katze'),
     (111, 'hund'),
     (111, 'katze'),
-    (112, 'haus'),
-    (112, 'wohnungsgesellschaft'),
-    (113, 'kind'),
-    (113, 'tür'),
-    (114, 'auto'),
-    (114, 'mann'),
-    (115, 'mann'),
-    (115, 'versicherungsgesellschaft'),
-    (116, 'garten'),
-    (116, 'hund'),
-    (116, 'mann'),
-    (117, 'buch'),
-    (117, 'frau'),
-    (118, 'garten'),
-    (118, 'kind'),
+    (111, 'maus'),
+    (112, 'kriminelle'),
+    (112, 'polizei'),
+    (113, 'katze'),
+    (114, 'hund'),
+    (114, 'katze'),
+    (115, 'haus'),
+    (115, 'wohnungsgesellschaft'),
+    (116, 'kind'),
+    (116, 'tür'),
+    (117, 'auto'),
+    (117, 'mann'),
+    (118, 'mann'),
+    (118, 'versicherungsgesellschaft'),
+    (119, 'garten'),
+    (119, 'hund'),
+    (119, 'mann'),
+    (120, 'buch'),
+    (120, 'frau'),
+    (121, 'garten'),
+    (121, 'kind'),
 ]
 
 # per-snippet structural-match annotations (snip_id, negated, involves_coref);
 # match-level negation ORs over matched doc tokens (reference
 # structural_matching.py:381-465)
-MATCH_DOG_CHASES_CAT: list[tuple] = [(0, 0, 0), (1, 0, 0), (2, 1, 0), (3, 1, 0), (4, 0, 1), (11, 0, 0), (12, 0, 0), (16, 0, 0), (30, 0, 0), (31, 1, 0), (32, 0, 0), (33, 0, 0), (46, 0, 1), (53, 0, 0), (94, 0, 0), (95, 0, 0), (96, 0, 0), (97, 0, 0), (98, 0, 0), (102, 0, 0)]
+MATCH_DOG_CHASES_CAT: list[tuple] = [(0, 0, 0), (1, 0, 0), (2, 1, 0), (3, 1, 0), (4, 0, 1), (11, 0, 0), (12, 0, 0), (16, 0, 0), (30, 0, 0), (31, 1, 0), (32, 0, 0), (33, 0, 0), (46, 0, 1), (53, 0, 0), (94, 0, 0), (95, 0, 0), (96, 0, 0), (97, 0, 0), (98, 0, 0), (102, 0, 0), (103, 0, 0), (104, 0, 0), (105, 0, 0)]
 
-MATCH_ANIMAL_CHASES_ANIMAL: list[tuple] = [(0, 0, 0), (1, 0, 0), (2, 1, 0), (3, 1, 0), (4, 0, 1), (11, 0, 0), (12, 0, 0), (16, 0, 0), (30, 0, 0), (31, 1, 0), (32, 0, 0), (33, 0, 0), (35, 0, 0), (46, 0, 1), (53, 0, 0), (91, 0, 0), (94, 0, 0), (95, 0, 0), (96, 0, 0), (97, 0, 0), (98, 0, 0), (102, 0, 0), (103, 0, 0), (124, 0, 0), (106, 0, 0), (107, 1, 0), (108, 0, 0)]
+MATCH_ANIMAL_CHASES_ANIMAL: list[tuple] = [(0, 0, 0), (1, 0, 0), (2, 1, 0), (3, 1, 0), (4, 0, 1), (11, 0, 0), (12, 0, 0), (16, 0, 0), (30, 0, 0), (31, 1, 0), (32, 0, 0), (33, 0, 0), (35, 0, 0), (46, 0, 1), (53, 0, 0), (91, 0, 0), (94, 0, 0), (95, 0, 0), (96, 0, 0), (97, 0, 0), (98, 0, 0), (102, 0, 0), (103, 0, 0), (104, 0, 0), (105, 0, 0), (106, 0, 0), (127, 0, 0), (109, 0, 0), (110, 1, 0), (111, 0, 0)]
 
 MATCH_PERSON_COMES_HOME: list[tuple] = [(5, 0, 0), (39, 0, 0), (89, 0, 0)]
 
