@@ -59,6 +59,18 @@ PREPOSITIONS_EN = {
 #  lemma, language_specific_rules.py:478-492)
 PARTICLES_EN = {"up", "down", "out", "off", "away", "back", "over", "in", "on", "along"}
 
+# verb+particle bigrams that stay phrasal even before a direct object
+# ("TOOK OUT insurance" — spaCy's prt reading, which the reference's
+# lemma conflation consumes; a deterministic tagger needs the list)
+PHRASAL_VERBS_EN = {
+    ("take", "out"), ("take", "off"), ("take", "up"), ("take", "over"),
+    ("put", "on"), ("put", "off"), ("put", "out"), ("put", "up"),
+    ("give", "up"), ("give", "away"), ("give", "back"),
+    ("pick", "up"), ("turn", "on"), ("turn", "off"), ("wake", "up"),
+    ("write", "down"), ("carry", "out"), ("find", "out"),
+    ("work", "out"), ("set", "up"), ("make", "up"), ("bring", "up"),
+}
+
 NEGATION_WORDS_EN = {"no", "not", "never", "nothing", "nobody", "none",
                      "nowhere", "neither", "nor", "n't", "cannot"}
 

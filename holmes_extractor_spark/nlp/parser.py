@@ -113,10 +113,15 @@ def _tag_en(toks: list[Tok], start_of_sent: int) -> None:
             t.pos = "PART"  # infinitival 'to' (incl. passive "to be V-ed")
         elif w in L.PARTICLES_EN and prev is not None and prev.pos in ("VERB", "AUX"):
             # particle vs preposition: preposition only if an NP follows
-            # (lexical lookahead — the next token is not yet tagged)
+            # (lexical lookahead — the next token is not yet tagged);
+            # known phrasal-verb bigrams stay particles even before a
+            # direct object ("took out insurance", reference lemma
+            # conflation language_specific_rules.py:478-492)
             nxt = toks[j + 1] if j + 1 < n else None
             nw = nxt.text.lower() if nxt is not None else ""
-            if nxt is not None and nxt.text not in PUNCT and (
+            if (lemma(prev.text.lower(), "en"), w) in L.PHRASAL_VERBS_EN:
+                t.pos = "PART"
+            elif nxt is not None and nxt.text not in PUNCT and (
                 nw in L.DETS_EN or nw in L.NOUN_LEXICON_EN
                 or (nxt.text[:1].isupper() and nw not in L.ADVERBS_EN)
             ) and not (nw in L.ADVERBS_EN or (nw.endswith("ly") and len(nw) > 4)):
@@ -854,6 +859,7 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
                     # in the garden" → garden may modify dog
                     if dobj_local is not None:
                         add(toks[dobj_local].i, ph.i, "pobjp", uncertain=True)
+                        add(toks[dobj_local].i, t.i, "prepposs", uncertain=True)
                 add(t.i, ph.i, "pobj", uncertain=False)
                 last_np = (pp_np[1], pp_np[2])
                 j = pp_np[1] + 1

@@ -315,7 +315,19 @@ SEMANTIC_CHILDREN_CASES = [
     ("The dog who was thinking about chasing a cat came home", 6,
      "1:nsubj(U); 8:dobj",
      "test_semantics_EN.py:529-534 test_verb_prepositional_complement_with_relative_clause_active"),
+    ("The employee needs insurance for the next five years", 3,
+     "4:prepposs(U); 8:pobjp(U)",
+     "test_semantics_EN.py:676-680 test_single_preposition_dependency_added_to_noun"),
+    ("He took out insurance", 1, "0:nsubj; 2:prt; 3:dobj",
+     "test_semantics_EN.py:428-432 test_phrasal_verb_1 (we keep the prt dep; the "
+     "reference removes it after conflating the lemma)"),
 ]
+
+
+def test_phrasal_verb_lemma():
+    # reference test_semantics_EN.py:428-432: took out → lemma 'take out'
+    p = parse_document("He took out insurance", "en")
+    assert p["tokens"][1]["lemma"] == "take out"
 
 
 def test_negative_modal_negates():
