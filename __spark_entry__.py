@@ -50,10 +50,23 @@ def _ensure_workers(spark: SparkSession) -> None:
     if key in _SHIPPED:
         return
     _SHIPPED.add(key)
+    import hashlib
     import shutil
     import tempfile
     here = os.path.dirname(os.path.abspath(__file__))
-    zip_base = os.path.join(tempfile.gettempdir(), "holmes_extractor_spark_pkg")
+    # content-addressed zip name: a stale archive would silently ship
+    # OLD code to the workers (addPyFile wins over PYTHONPATH there)
+    h = hashlib.sha256()
+    pkg = os.path.join(here, "holmes_extractor_spark")
+    for root, _dirs, files in sorted(os.walk(pkg)):
+        for fn in sorted(files):
+            if fn.endswith(".py"):
+                fp = os.path.join(root, fn)
+                h.update(fp.encode())
+                with open(fp, "rb") as f:
+                    h.update(f.read())
+    zip_base = os.path.join(tempfile.gettempdir(),
+                            f"holmes_extractor_spark_pkg_{h.hexdigest()[:12]}")
     zip_path = zip_base + ".zip"
     if not os.path.exists(zip_path):
         shutil.make_archive(zip_base, "zip", root_dir=here,
@@ -507,14 +520,27 @@ ORDER BY score DESC, url LIMIT 50
 
 
 def _topic_question_oracle() -> str:
-    """'Who opened the door?' — answers 600, open-door relations 300,
+    """'Who opened the door?' — answers 600 (the 'who' answer must be a
+    PERSON: lexicon person nouns or named entities, reference question
+    word matching en rules :1327-1365), open-door relations 300,
     word 'door' 50 (decay-free)."""
-    return pages_cte_sql() + """
+    from holmes_extractor_spark.nlp.lexicon import PERSON_NOUNS_EN
+    from holmes_extractor_spark.nlp.parser import _FIRST_NAMES
+    persons = ",".join(f"'{w}'" for w in sorted(PERSON_NOUNS_EN))
+    name_like = " OR ".join(
+        f"list_contains(string_split(answer, ' '), '{nm}')"
+        for nm in sorted(_FIRST_NAMES))
+    return pages_cte_sql() + f"""
 , qa AS (
   SELECT ps.url, count(*) * 600 AS pts
-  FROM page_snips ps JOIN golden_edges g USING (snip_id)
-  WHERE g.template IN ('predicate-actor', 'predicate-passivesubject')
-    AND g.pred = 'open'
+  FROM (
+    SELECT ps.url, ps.j, CASE WHEN g.template = 'predicate-actor'
+                              THEN g.subj ELSE g.obj END AS answer
+    FROM page_snips ps JOIN golden_edges g USING (snip_id)
+    WHERE g.template IN ('predicate-actor', 'predicate-passivesubject')
+      AND g.pred = 'open'
+  ) ps
+  WHERE answer IN ({persons}) OR {name_like}
   GROUP BY ps.url
 ),
 rel AS (

@@ -184,4 +184,8 @@ class SparkHolmesManager:
                                 embedding_threshold=self._embedding_threshold,
                                 **params)
         res = topic.with_passage_text(res, docs)
+        if params.get("initial_question_word_behaviour") == "exclusive":
+            # reference manager.py:727: 'exclusive' returns only
+            # passages that answer the question
+            res = res.filter(F.size("answers") > 0)
         return [r.asDict(recursive=True) for r in res.collect()]

@@ -150,6 +150,7 @@ PERSON_NOUNS_EN = {
     "man", "woman", "child", "person", "people", "employee", "friend",
     "mother", "father", "brother", "sister", "king", "queen", "student",
     "teacher", "doctor", "nurse", "boy", "girl", "somebody", "someone",
+    "manager", "author", "gardener", "sailor", "farmer", "criminal",
 }
 
 STOPWORDS_EN = DETS_EN | PRONOUNS_EN | PREPOSITIONS_EN | CONJUNCTIONS_EN | {
@@ -205,6 +206,13 @@ NOUN_LEXICON_DE = {
     "freund", "familie", "mutter", "vater", "bruder", "schwester",
     "könig", "königin", "student", "lehrer", "arzt", "versicherung",
     "gesellschaft", "wohnung", "extraktion", "interesse", "verkauf",
+}
+
+# nouns denoting persons (who/wer question gating, coref compatibility)
+PERSON_NOUNS_DE = {
+    "mann", "frau", "kind", "mensch", "lehrer", "arzt", "student",
+    "freund", "mutter", "vater", "bruder", "schwester", "könig",
+    "königin", "kriminelle", "kriminellen",
 }
 
 STOPWORDS_DE = DETS_DE | PRONOUNS_DE | PREPOSITIONS_DE | {

@@ -113,10 +113,9 @@ def _fused_edges_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
             for e in extract_candidate_edges(parsed, lang):
                 data["url"].append(url)
                 data["lang"].append(lang)
-                for k in ("template", "label", "pred", "subj", "obj",
-                          "parent_idx", "child_idx", "negated", "uncertain",
-                          "involves_coref", "reverse_only"):
-                    data[k].append(e[k])
+                for k in cols:
+                    if k not in ("url", "lang"):
+                        data[k].append(e[k])
         yield pd.DataFrame(data, columns=cols)
 
 

@@ -204,6 +204,11 @@ def extract_candidate_edges(parsed: dict, lang: str,
                 reprs.append(head["derived_lemma"])
         return reprs
 
+    def _is_person(tok: dict) -> bool:
+        from ..nlp.lexicon import PERSON_NOUNS_DE, PERSON_NOUNS_EN
+        nouns = PERSON_NOUNS_DE if lang == "de" else PERSON_NOUNS_EN
+        return bool(tok["ent_type"] == "PERSON" or tok["lemma"] in nouns)
+
     def emit(template: str, parent: dict, parent_repr: str,
              child_repr: str, child_idx: int,
              negated: bool, uncertain: bool, coref: bool,
@@ -223,6 +228,7 @@ def extract_candidate_edges(parsed: dict, lang: str,
             "parent_idx": parent["i"], "child_idx": child_idx,
             "negated": negated, "uncertain": uncertain,
             "involves_coref": coref, "reverse_only": reverse_only,
+            "child_is_person": _is_person(toks[child_idx]),
         })
 
     for d in parsed["deps"]:
@@ -283,6 +289,7 @@ def extract_candidate_edges(parsed: dict, lang: str,
                     "parent_idx": t["i"], "child_idx": t["i"],
                     "negated": t["is_negated"], "uncertain": False,
                     "involves_coref": False, "reverse_only": False,
+                    "child_is_person": False,
                 })
     return out
 

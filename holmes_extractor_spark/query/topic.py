@@ -132,7 +132,7 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
                 for p in rel_ph if not p["template"].startswith("head-")]
     emb_retry_ok = {p["label"]: bool(p.get("emb_retry", True))
                     for p in rel_ph}
-    q_rows = [(p["template"], p["label"], p["pred"],
+    q_rows = [(p["template"], p["label"], p["pred"], p["obj"],
                float(p.get("freq_factor", 1.0)))
               for p in rel_ph if p["template"].startswith("head-")]
     out = None
@@ -220,16 +220,24 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
         # question phraselets: the WH pole matches any answering word,
         # scored initial_question_word_answer_score (reference
         # manager.py:683-701 score 600)
-        expand = [(t, lbl, pred, ff, m)
-                  for (t, lbl, pred, ff) in q_rows
+        # the WH word gates the ANSWER's person-ness: who/wer requires a
+        # person, what/was a non-person (reference question word
+        # matching, en language_specific_rules.py:1327-1365)
+        _GATE = {"who": "person", "whom": "person", "wer": "person",
+                 "what": "thing", "was": "thing"}
+        expand = [(t, lbl, pred, _GATE.get(wh, "any"), ff, m)
+                  for (t, lbl, pred, wh, ff) in q_rows
                   for m in QUESTION_ANSWER_TEMPLATES.get(t, ())]
         if expand:
             qq = spark.createDataFrame(
                 expand, "wh string, phraselet_label string, q_pred string, "
-                        "freq_factor double, template string")
+                        "gate string, freq_factor double, template string")
             q_m = (
                 edges.withColumnRenamed("pred", "q_pred")
                 .join(F.broadcast(qq), ["template", "q_pred"])
+                .filter((F.col("gate") == "any")
+                        | ((F.col("gate") == "person") & F.col("child_is_person"))
+                        | ((F.col("gate") == "thing") & ~F.col("child_is_person")))
                 .select("url", "phraselet_label",
                         F.lit("question_answer").alias("kind"),
                         F.least("parent_idx", "child_idx").alias("position"),
@@ -420,9 +428,11 @@ def with_passage_text(topic_df: DataFrame, docs: DataFrame) -> DataFrame:
         F.col("end_idx") - F.col("start_idx") + 1)
 
     def char_off(idx):
+        # clamp: a multiword answer can start before the passage's first
+        # match position; its passage-relative offset floors at 0
         return F.aggregate(
             F.slice(F.col("tokens"), F.col("start_idx") + 1,
-                    idx - F.col("start_idx")),
+                    F.greatest(F.lit(0), idx - F.col("start_idx"))),
             F.lit(0), lambda acc, t: acc + F.length(t["text"]) + 1)
 
     def tok_text(idx):
@@ -442,12 +452,26 @@ def with_passage_text(topic_df: DataFrame, docs: DataFrame) -> DataFrame:
                 w["explanation"].alias("explanation"))))
         .withColumn("answers", F.transform(
             "answer_idxs", lambda i: F.struct(
-                char_off(i).alias("relative_start_index"),
+                char_off(_answer_start(i)).alias("relative_start_index"),
                 (char_off(i) + F.length(tok_text(i))
                  ).alias("relative_end_index"),
-                tok_text(i).alias("text"))))
+                F.concat_ws(" ", F.transform(
+                    F.slice(F.col("tokens"), _answer_start(i) + 1,
+                            i - _answer_start(i) + 1),
+                    lambda t: t["text"])).alias("text"))))
         .drop("tokens", "answer_idxs"))
     return out
+
+
+def _answer_start(idx):
+    """First token of the answer span: a multiword answer ("Richard
+    Hudson") covers the whole multiword, mirroring the reference's
+    subtree-based answer spans (topic_matching.py:1336-1360)."""
+    mws = F.element_at(F.col("tokens"), idx + 1)["multiwords"]
+    return F.when(
+        F.size(mws) > 0,
+        F.element_at(F.element_at(mws, 1)["token_indexes"], 1)
+    ).otherwise(idx)
 
 
 def plan_selective_retries(rel_ph: list[dict], word_ph: list[dict],
@@ -546,7 +570,8 @@ def topic_match(spark: SparkSession, edges: DataFrame, words: DataFrame,
     params = {**DEFAULTS, **overrides}
     rel_ph, word_ph = query_phraselets(
         query_text, lang,
-        include_questions=initial_question_word_behaviour == "process")
+        include_questions=initial_question_word_behaviour in ("process",
+                                                              "exclusive"))
     if freq_factors is not None:
         rel_ph, word_ph = plan_selective_retries(
             rel_ph, word_ph, freq_factors, closure, params)

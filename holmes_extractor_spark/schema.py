@@ -87,6 +87,9 @@ EDGES = T.StructType([
     # parsing.py:512-515 + reverse-only parent lemmas,
     # en language_specific_rules.py:834-845)
     T.StructField("reverse_only", T.BooleanType()),
+    # person-ness of the child pole: gates who/what question answers
+    # (reference question word matching, en rules :1327-1365)
+    T.StructField("child_is_person", T.BooleanType()),
 ])
 
 WORDS = T.StructType([

@@ -168,6 +168,28 @@ def test_topic_passage_text(spark):
     assert sum(w["is_highest_activation"] for w in wi) >= 1
 
 
+def test_topic_question_person_gating_and_multiword_answers(spark):
+    # reference tests/en/test_questions_EN.py:38-46 test_basic_matching:
+    # 'Who sings?' answers BOTH conjoined multiword names; a non-person
+    # subject ('A book sings') yields no answer. 'exclusive' behaviour
+    # keeps only answered documents (manager.py:727)
+    m = SparkHolmesManager(spark)
+    m.parse_and_register_document(
+        "Richard Hudson and Peter Hudson sang a duet.", "q")
+    m.parse_and_register_document("A book sings a song.", "n")
+    res = m.topic_match_documents_against("Who sings?")
+    by_url = {r["url"]: r for r in res}
+    assert [a["text"] for a in by_url["q"]["answers"]] == \
+        ["Richard Hudson", "Peter Hudson"]
+    assert by_url["n"]["answers"] == []
+    excl = m.topic_match_documents_against(
+        "Who sings?", initial_question_word_behaviour="exclusive")
+    assert [r["url"] for r in excl] == ["q"]
+    # 'what' answers things, not persons
+    what = m.topic_match_documents_against("What sings?")
+    assert [a["text"] for r in what for a in r["answers"]] == ["book"]
+
+
 def test_topic_question_answers(spark):
     # reference topic_matching.py:1336-1360 + manager.py:727
     # (initial_question_word_behaviour='process'): the answer span of a
