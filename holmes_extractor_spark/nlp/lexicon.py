@@ -88,7 +88,7 @@ ADJECTIVES_EN = {
     "poor", "rich", "old", "young", "big", "small", "large", "little",
     "quick", "slow", "happy", "sad", "good", "bad", "new", "long",
     "short", "high", "low", "hot", "cold", "easy", "hard", "fast",
-    "tired", "hungry", "angry", "gentle", "serious", "important",
+    "tired", "hungry", "angry", "gentle", "serious", "important", "glad",
     "interesting", "beautiful", "strong", "weak", "dark", "light",
     "clean", "dirty", "full", "empty", "nice", "fine", "red", "green",
     "blue", "black", "white", "brown", "healthy", "sick", "famous",
@@ -124,7 +124,7 @@ VERB_LEMMAS_EN = {
     "pursue", "observe", "examine", "discover", "describe", "explain",
     "sail", "progress", "perform", "extract", "sink", "approach",
     "repair", "paint", "steal", "borrow", "lend", "deliver", "order",
-    "tell", "claim",
+    "tell", "claim", "understand", "comprehend", "travel",
 }
 
 # nouns that would otherwise look verbal (tagged NOUN after DET/ADJ)

@@ -721,9 +721,12 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
             # ("decide to open" → predicate-patient: decide-open,
             # language_specific_rules.py:1126-1136)
             add(cur.i, t.i, "xcomp")
-            tough = copula and any(
-                tk.dep == "acomp" and tk.text.lower() in _TOUGH_ADJS
-                for tk in toks)
+            # ANY predicative adjective + infinitive gives the matrix
+            # subject an uncertain 'arg' dependency on the infinitive —
+            # both subjective ("glad to understand") and objective
+            # ("hard to reach") variants (reference
+            # test_semantics_EN.py:802-827 + 'arg' rules :558-797)
+            tough = copula and any(tk.dep == "acomp" for tk in toks)
             # object control: "ordered the dog to chase" — the matrix
             # OBJECT is the infinitive's subject (reference
             # test_semantics_EN.py:184-187); else subject control
@@ -1354,8 +1357,15 @@ def parse_document(text: str, lang: str) -> dict:
             and not (t.pos == "ADP" and lang == "en"
                      and w in ("by", "of", "to"))
         )
-        if t.pos == "PRON" and w in L.INTERROGATIVES_EN and t.i == sent_bounds[t.sent_idx][0]:
-            t.is_initial_question_word = True
+        if t.pos == "PRON" and w in (L.INTERROGATIVES_EN | {"wer", "was", "wo", "wann", "warum", "wie", "wem", "wen"}):
+            s0 = sent_bounds[t.sent_idx][0]
+            # initial, or fronted behind a preposition chain ("To whom
+            # did you talk?", "On the basis of what information…" —
+            # reference test_semantics_EN.py:962-977)
+            if t.i == s0 or all(
+                    toks[k].pos in ("ADP", "DET", "NOUN")
+                    for k in range(s0, t.i)):
+                t.is_initial_question_word = True
 
     # --- German compound subwords
     if lang == "de":

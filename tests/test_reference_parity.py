@@ -321,7 +321,33 @@ SEMANTIC_CHILDREN_CASES = [
     ("He took out insurance", 1, "0:nsubj; 2:prt; 3:dobj",
      "test_semantics_EN.py:428-432 test_phrasal_verb_1 (we keep the prt dep; the "
      "reference removes it after conflating the lemma)"),
+    ("Richard was glad to understand.", 4, "0:arg(U)",
+     "test_semantics_EN.py:802-805 test_adjective_verb_clause_subjective_simple"),
+    ("Richard was hard to reach.", 4, "0:arg(U)",
+     "test_semantics_EN.py:815-818 test_adjective_verb_clause_objective_simple"),
+    ("Houses in the village.", 0, "1:prep; 3:pobjp",
+     "test_semantics_EN.py:828-831 test_prepositional_phrase_dependent_on_noun_no_conjunction"),
+    ("Houses in the village and the town.", 0, "1:prep; 3:pobjp; 6:pobjp",
+     "test_semantics_EN.py:833-836 test_prepositional_phrase_dependent_on_noun_with_conjunction"),
 ]
+
+
+INITIAL_QUESTION_WORD_CASES = [
+    ("Whom did you talk to?", 0, True,
+     "test_semantics_EN.py:962-964 test_question_word_initial"),
+    ("To whom did you talk?", 1, True,
+     "test_semantics_EN.py:966-968 test_question_word_after_preposition"),
+    ("On the basis of what information did you come?", 4, True,
+     "test_semantics_EN.py:974-977 test_question_word_in_complex_phrase"),
+    ("You came because of whom?", 4, False,
+     "test_semantics_EN.py:983-984 test_question_word_control_2"),
+]
+
+
+@pytest.mark.parametrize("text,i,expected,ref", INITIAL_QUESTION_WORD_CASES)
+def test_initial_question_word_flag(text, i, expected, ref):
+    p = parse_document(text, "en")
+    assert p["tokens"][i]["is_initial_question_word"] is expected, ref
 
 
 def test_phrasal_verb_lemma():
