@@ -617,14 +617,24 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
         add(root.i, st.i, st.dep)
         _rel_internals()
     elif first_v is not None:
-        # sentence-initial interrogatives are not subject candidates;
+        # initial/fronted interrogatives are not subject candidates;
         # in subject-aux inversion ("Where did somebody sing?") the
         # subject sits between the aux and the verb
-        is_q0 = toks[0].pos == "PRON" and toks[0].text.lower() in (
-            L.INTERROGATIVES_EN | {"wer", "was", "wo", "wann", "warum", "wie"})
+        q_front = None
+        for qi2, qt2 in enumerate(toks):
+            if qt2.pos == "PRON" and qt2.text.lower() in (
+                    L.INTERROGATIVES_EN | {"wer", "was", "wo", "wann",
+                                           "warum", "wie", "wem", "wen"}):
+                if qi2 == 0 or (
+                        any(toks[k].pos == "ADP" for k in range(qi2))
+                        and all(toks[k].pos in ("ADP", "DET", "NOUN")
+                                for k in range(qi2))):
+                    q_front = qi2
+                break
+        is_q0 = q_front is not None
         pre = [h for h in np_heads
                if h < first_v and h not in conj_right and h not in consumed_pp
-               and not (is_q0 and h == 0)]
+               and not (is_q0 and h <= q_front)]
         if not pre and is_q0 and first_v in aux_pos:
             pre = [h for h in np_heads if first_v < h < root_local]
         if pre:
@@ -997,13 +1007,33 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
     # --- sentence-initial interrogative hookup (reference initial
     # question words, parsing.py:1170-1207; head-WHadv template uses the
     # assigned label wh_wildcard, language_specific_rules.py:1283-1296)
-    q0 = toks[0]
-    if q0.pos == "PRON" and q0.text.lower() in L.INTERROGATIVES_EN | {"wer", "was", "wo", "wann", "warum", "wie"}:
+    q0 = None
+    for qi, qt in enumerate(toks):
+        if qt.pos == "PRON" and qt.text.lower() in (
+                L.INTERROGATIVES_EN | {"wer", "was", "wo", "wann",
+                                       "warum", "wie", "wem", "wen"}):
+            # initial, or fronted behind a preposition chain ("To whom
+            # did you talk?" — reference test_semantics_EN.py:962-977)
+            if qi == 0 or all(toks[k].pos in ("ADP", "DET", "NOUN")
+                              for k in range(qi)):
+                q0 = qt
+            break
+    if q0 is not None:
         w0 = q0.text.lower()
+        prev_adps = [toks[k] for k in range(q0.i - off) if toks[k].pos == "ADP"]
         if w0 in ("where", "when", "why", "how", "wo", "wann", "warum", "wie"):
             q0.head = root.i
             q0.dep = "advmod"
             add(root.i, q0.i, "wh_wildcard")
+        elif prev_adps:
+            # fronted prepositional interrogative: the answer fills the
+            # preposition's object slot — 'to' maps to the recipient
+            # dep, other prepositions to pobjp (headprepto-WH /
+            # headprep-WH templates, en rules :1297-1325)
+            q0.head = prev_adps[-1].i
+            q0.dep = "pobj"
+            add(root.i, q0.i,
+                "pobjt" if prev_adps[-1].text.lower() in ("to", "zu") else "pobjp")
         elif not any(d["child"] == q0.i for d in deps):
             # WH-argument question: subject when the root still lacks
             # one ("Who came?"), else the fronted object
@@ -1359,12 +1389,14 @@ def parse_document(text: str, lang: str) -> dict:
         )
         if t.pos == "PRON" and w in (L.INTERROGATIVES_EN | {"wer", "was", "wo", "wann", "warum", "wie", "wem", "wen"}):
             s0 = sent_bounds[t.sent_idx][0]
-            # initial, or fronted behind a preposition chain ("To whom
+            # initial, or fronted behind a PREPOSITION chain ("To whom
             # did you talk?", "On the basis of what information…" —
-            # reference test_semantics_EN.py:962-977)
-            if t.i == s0 or all(
-                    toks[k].pos in ("ADP", "DET", "NOUN")
-                    for k in range(s0, t.i)):
+            # reference test_semantics_EN.py:962-977); a bare nominal
+            # prefix ("The man whose …") is a relative, not a question
+            if t.i == s0 or (
+                    any(toks[k].pos == "ADP" for k in range(s0, t.i))
+                    and all(toks[k].pos in ("ADP", "DET", "NOUN")
+                            for k in range(s0, t.i))):
                 t.is_initial_question_word = True
 
     # --- German compound subwords

@@ -129,12 +129,12 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
                  bool(p.get("reverse_only"))
                  or p["template"] in REVERSE_ONLY_TEMPLATES,
                  float(p.get("freq_factor", 1.0)))
-                for p in rel_ph if not p["template"].startswith("head-")]
+                for p in rel_ph if not p["template"].startswith("head")]
     emb_retry_ok = {p["label"]: bool(p.get("emb_retry", True))
                     for p in rel_ph}
     q_rows = [(p["template"], p["label"], p["pred"], p["obj"],
                float(p.get("freq_factor", 1.0)))
-              for p in rel_ph if p["template"].startswith("head-")]
+              for p in rel_ph if p["template"].startswith("head")]
     out = None
     if rel_rows:
         q = spark.createDataFrame(
@@ -530,7 +530,7 @@ def plan_selective_retries(rel_ph: list[dict], word_ph: list[dict],
     for p in rel_ph:
         p = dict(p)
         parent_ff = pole_ff(p["pred"])
-        if p["template"].startswith("head-"):
+        if p["template"].startswith("head"):
             p["freq_factor"] = parent_ff
             out_rel.append(p)
             continue

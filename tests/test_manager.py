@@ -192,6 +192,16 @@ def test_topic_question_person_gating_and_multiword_answers(spark):
     assert [a["text"] for r in what for a in r["answers"]] == ["book"]
 
 
+def test_topic_fronted_preposition_question(spark):
+    # reference test_semantics_EN.py:966-968 + headprepto-WH template:
+    # 'To whom did somebody give the book?' answers the recipient
+    m = SparkHolmesManager(spark)
+    m.parse_and_register_document("Somebody gives a file to an employee.", "d")
+    res = m.topic_match_documents_against("To whom does somebody give a file?")
+    assert res and res[0]["answers"]
+    assert res[0]["answers"][0]["text"] == "employee"
+
+
 def test_topic_question_answers(spark):
     # reference topic_matching.py:1336-1360 + manager.py:727
     # (initial_question_word_behaviour='process'): the answer span of a
