@@ -176,7 +176,8 @@ def q_question_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     word_matching/question.py; answers mirror Manager.match dicts)."""
     kg = _kg(spark, sf_dir)
     postings = build_postings(kg["docs"])
-    sp = compile_search_phrase("Who came?")
+    sp = compile_search_phrase("Who came?",
+                               process_initial_question_words=True)
     res = match(spark, kg["docs"], postings, [sp])
     ans = F.filter("word_matches", lambda w: w["match_type"] == F.lit("question"))
     return (res.select("url", F.element_at(ans, 1)["extracted_word"].alias("answer"))
@@ -192,7 +193,8 @@ def q_where_question(spark: SparkSession, sf_dir: str) -> DataFrame:
     preposition's object."""
     kg = _kg(spark, sf_dir)
     postings = build_postings(kg["docs"])
-    sp = compile_search_phrase("Where did somebody sing?")
+    sp = compile_search_phrase("Where did somebody sing?",
+                               process_initial_question_words=True)
     res = match(spark, kg["docs"], postings, [sp])
     ans = F.filter("word_matches", lambda w: w["match_type"] == F.lit("question"))
     return (res.select("url", F.element_at(ans, 1)["extracted_word"].alias("answer"))

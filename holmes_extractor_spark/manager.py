@@ -34,9 +34,13 @@ from .query import structural, topic
 class SparkHolmesManager:
     def __init__(self, spark: SparkSession, ontology: list[tuple] | None = None,
                  vectors: dict[str, list[float]] | None = None,
-                 word_embedding_match_threshold: float = 1.0):
+                 word_embedding_match_threshold: float = 1.0,
+                 ontology_symmetric: bool = False):
         """`word_embedding_match_threshold` < 1.0 enables embedding
-        matching (reference manager.py:115 — disabled by default)."""
+        matching (reference manager.py:115 — disabled by default).
+        ``ontology_symmetric`` mirrors the reference's
+        Ontology(symmetric_matching=True): hypernym matches are allowed
+        with negative depths (reference ontology.py:30-44)."""
         self.spark = spark
         self._pending: list[tuple[str, str, str]] = []  # (url/label, text, lang)
         self._labels: set[str] = set()
@@ -44,7 +48,13 @@ class SparkHolmesManager:
         self._docs: DataFrame | None = None
         self._postings: DataFrame | None = None
         self._closure_rows = [(q, m, d) for (q, m, d, _)
-                              in ontology_closure_local(ontology)]
+                              in ontology_closure_local(
+                                  ontology, symmetric=ontology_symmetric)]
+        # ontology-defined multiwords (space-separated entries) collapse
+        # adjacent search-phrase tokens into one matchable unit
+        # (reference parsing.py:2520-2542)
+        self._ontology_multiwords = {
+            w for pair in self._closure_rows for w in pair[:2] if " " in w}
         self._vectors = vectors
         self._embedding_threshold = word_embedding_match_threshold
 
@@ -101,7 +111,9 @@ class SparkHolmesManager:
                                lang: str = "en") -> None:
         """Reference: manager.py:480-519 (compile + scatter)."""
         self._search_phrases.append(
-            structural.compile_search_phrase(text, label, lang))
+            structural.compile_search_phrase(
+                text, label, lang,
+                ontology_multiwords=self._ontology_multiwords))
 
     def remove_all_search_phrases(self) -> None:
         self._search_phrases = []
@@ -124,14 +136,18 @@ class SparkHolmesManager:
         return self._postings
 
     def match_df(self, search_phrase_text: str | None = None,
-                 document_label_filter: str | None = None) -> DataFrame:
+                 document_label_filter: str | None = None,
+                 process_initial_question_words: bool = False) -> DataFrame:
         """Distributed match result as a DataFrame — the scale path: no
         driver collect, composable with further transformations or a
         table write. ``match()`` below is the reference-API convenience
         wrapper and collects; use match_df for large corpora."""
         sps = self._search_phrases
         if search_phrase_text is not None:
-            sps = [structural.compile_search_phrase(search_phrase_text)]
+            sps = [structural.compile_search_phrase(
+                search_phrase_text,
+                process_initial_question_words=process_initial_question_words,
+                ontology_multiwords=self._ontology_multiwords)]
         if not sps:
             raise errors.NoSearchPhraseError("no search phrases registered")
         return structural.match(self.spark, self.docs(), self.postings(),
@@ -141,12 +157,18 @@ class SparkHolmesManager:
                                 document_label_filter=document_label_filter)
 
     def match(self, search_phrase_text: str | None = None,
-              document_label_filter: str | None = None) -> list[dict]:
+              document_label_filter: str | None = None,
+              process_initial_question_words: bool = False) -> list[dict]:
         """Reference: manager.py:562-613. Returns reference-shaped
         match dicts sorted like the reference (manager.py:607-613).
+        Initial question words are IGNORED by default like the
+        reference's match() (manager.py:1182 passes False); pass
+        process_initial_question_words=True for question-gated
+        matching (the reference exposes that only via topic matching).
         NOTE: collects to the driver for API parity — appropriate for
         small result sets; use match_df() at corpus scale."""
-        res = self.match_df(search_phrase_text, document_label_filter)
+        res = self.match_df(search_phrase_text, document_label_filter,
+                            process_initial_question_words)
         out = []
         for r in res.collect():
             out.append({

@@ -82,6 +82,7 @@ ADVERBS_EN = {
     "again", "away", "together", "well", "too", "also", "just", "still",
     "already", "almost", "quite", "rather", "hard", "fast", "never",
     "abroad", "everywhere", "outside", "inside", "upstairs", "downstairs",
+    "ever", "nonetheless", "although", "though", "however",
 }
 
 ADJECTIVES_EN = {
@@ -93,7 +94,9 @@ ADJECTIVES_EN = {
     "clean", "dirty", "full", "empty", "nice", "fine", "red", "green",
     "blue", "black", "white", "brown", "healthy", "sick", "famous",
     "difficult", "expensive", "cheap", "loud", "quiet", "tough",
-    "impossible", "simple",
+    "impossible", "simple", "modest", "monthly", "excited", "scared",
+    "hyphenated", "unhyphenated", "neat", "musical", "adopted", "true",
+    "worried", "next", "new",
 }
 
 ADJ_SUFFIXES_EN = ("ful", "ous", "ive", "able", "ible", "al", "ic", "ish", "less")
@@ -125,6 +128,7 @@ VERB_LEMMAS_EN = {
     "sail", "progress", "perform", "extract", "sink", "approach",
     "repair", "paint", "steal", "borrow", "lend", "deliver", "order",
     "tell", "claim", "understand", "comprehend", "travel",
+    "adopt", "demand", "meow", "scare", "shout", "discuss", "excite",
 }
 
 # nouns that would otherwise look verbal (tagged NOUN after DET/ADJ)
@@ -142,7 +146,11 @@ NOUN_LEXICON_EN = {
     "farmer", "fox", "key", "ball", "lesson", "dish", "wolf", "kitten",
     "hound", "puppy", "boy", "girl", "letter", "song", "picture",
     "ship", "boat", "bridge", "castle", "village", "market", "shop",
-    "sailor",
+    "sailor", "beneficiary", "bone", "boss", "colleague", "computer",
+    "explanation", "gift", "invitation", "multiword", "music",
+    "neatness", "office", "pussy", "salesman", "sandwich",
+    "serendipity", "son", "wastage", "waste", "week", "topic", "thing",
+    "desk",
 }
 
 # nouns denoting persons (for coref gender/person compatibility)
@@ -151,6 +159,7 @@ PERSON_NOUNS_EN = {
     "mother", "father", "brother", "sister", "king", "queen", "student",
     "teacher", "doctor", "nurse", "boy", "girl", "somebody", "someone",
     "manager", "author", "gardener", "sailor", "farmer", "criminal",
+    "colleague", "boss", "salesman", "son", "beneficiary",
 }
 
 STOPWORDS_EN = DETS_EN | PRONOUNS_EN | PREPOSITIONS_EN | CONJUNCTIONS_EN | {
@@ -242,7 +251,9 @@ FUGEN_DE = ("s", "es", "n", "en")
 # ontology-defined noun multiwords (the reference indexes multiword
 # ontology entries as single reprs, word_matching/ontology.py:180-210;
 # its test ontology defines 'cat creature' and 'school gear')
-ONTOLOGY_MULTIWORDS_EN = {"cat creature", "school gear"}
+ONTOLOGY_MULTIWORDS_EN = {"cat creature", "school gear", "wastage horse",
+                          "waste horse", "gymnastics equipment",
+                          "german shepherd dog"}
 
 # ------------------------------------------------- multi-language sets
 

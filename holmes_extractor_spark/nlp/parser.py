@@ -20,7 +20,7 @@ from dataclasses import dataclass, field
 
 from . import lexicon as L
 from .lemmatizer import derived_lemma, lemma
-from .tokenizer import SENT_END, sentences, tokenize
+from .tokenizer import SENT_END, sentences, tokenize, tokenize_with_joins
 
 PUNCT = set('.,!?;:()"')
 
@@ -48,6 +48,12 @@ _PLACES = {"london", "berlin", "paris", "munich", "hamburg", "rome",
 _TOUGH_ADJS = {"hard", "easy", "difficult", "tough", "impossible",
                "simple", "tricky"}
 
+# verbs licensing the English double-object construction ("gave the
+# employee the file" → dative + dobj, reference 'dative' dep)
+_DATIVE_VERBS = {"give", "send", "tell", "show", "offer", "lend",
+                 "teach", "buy", "bring", "pay", "write", "promise",
+                 "sell", "hand", "pass", "read", "sing"}
+
 
 @dataclass
 class Tok:
@@ -69,6 +75,9 @@ class Tok:
     sent_idx: int = 0
     subwords: list[dict] = field(default_factory=list)
     multiwords: list[dict] = field(default_factory=list)
+    # True when this token was hyphen-joined to the previous one in the
+    # surface text ("cat-chasing" → chasing.hyph_prev)
+    hyph_prev: bool = False
 
 
 # sem dep: dict(parent, child, label, uncertain, coref)
@@ -130,10 +139,27 @@ def _tag_en(toks: list[Tok], start_of_sent: int) -> None:
                 t.pos = "PART"
         elif w in L.PREPOSITIONS_EN:
             t.pos = "ADP"
-        elif w in L.ADJECTIVES_EN and prev is not None and prev.pos == "AUX":
+        elif w in L.ADJECTIVES_EN and prev is not None and (
+                prev.pos == "AUX"
+                # intensifier chain: "was VERY hard", "is so very easy"
+                or (prev.pos == "ADV" and (lambda: next(
+                    (toks[k].pos for k in range(j - 1, -1, -1)
+                     if toks[k].pos != "ADV"), None))() == "AUX")):
             t.pos = "ADJ"  # predicative position: "is hard/easy/…"
         elif w in L.ADVERBS_EN or (w.endswith("ly") and len(w) > 4):
             t.pos = "ADV"
+        elif ((w.endswith("ing") and len(w) > 4) or _is_participle(w)) \
+                and lemma(w, "en") in L.VERB_LEMMAS_EN \
+                and prev is not None \
+                and (prev.pos in ("DET", "ADJ", "NUM")
+                     # hyphenated participle compound: "cat-chasing dog"
+                     or (t.hyph_prev and prev.pos in ("NOUN", "PROPN"))) \
+                and j + 1 < n and toks[j + 1].text.lower() in L.NOUN_LEXICON_EN:
+            # prenominal participle ("the running boy", "an adopted girl"):
+            # tagged ADJ so it attaches as amod with the verb lemma — the
+            # reference matches these against verbal deps via the
+            # amod reverse implications (en rules :880-1033)
+            t.pos = "ADJ"
         elif w in L.NOUN_LEXICON_EN and (prev is None or prev.pos in ("DET", "ADJ", "ADP", "NUM", "NOUN", "PROPN", "CCONJ") or prev.text in PUNCT):
             t.pos = "NOUN"
         elif w in L.ADJECTIVES_EN or (w.endswith(L.ADJ_SUFFIXES_EN) and len(w) > 5):
@@ -264,6 +290,37 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
             "uncertain": uncertain, "coref": coref,
         })
 
+    # --- complementizer clause split ("claimed THAT a dog chased a
+    # cat"): parse matrix and complement separately, link with ccomp —
+    # the reference keeps the spaCy ccomp structure and negation scope
+    # flows from the matrix into the complement (en language_specific_
+    # rules.py:134-167 walks ancestors' children)
+    if lang == "en":
+        for k in range(1, n - 1):
+            if toks[k].text.lower() == "that" and toks[k].pos != "PRON" \
+                    and toks[k - 1].pos in ("VERB",) \
+                    and any(t2.pos == "VERB" for t2 in toks[k + 1:]):
+                # the complement ends at the first comma (a following
+                # ", it was true" is a separate coordinate clause)
+                end = next((e for e in range(k + 1, n)
+                            if toks[e].text == ","), n)
+                main_deps = _parse_sentence(toks[:k], lang)
+                sub_deps = _parse_sentence(toks[k + 1:end], lang)
+                rest_deps = (_parse_sentence(toks[end + 1:], lang)
+                             if end + 1 < n else [])
+                main_root = next((t2 for t2 in toks[:k]
+                                  if t2.dep == "ROOT"), toks[0])
+                sub_root = next((t2 for t2 in toks[k + 1:end]
+                                 if t2.dep == "ROOT"), toks[k + 1])
+                sub_root.dep = "ccomp"
+                sub_root.head = main_root.i
+                toks[k].dep = "mark"
+                toks[k].head = sub_root.i
+                return main_deps + sub_deps + rest_deps + [{
+                    "parent": main_root.i, "child": sub_root.i,
+                    "label": "ccomp", "uncertain": False, "coref": False,
+                }]
+
     # --- verb chain & root
     verb_pos = [j for j, t in enumerate(toks) if t.pos == "VERB"]
     aux_pos = [j for j, t in enumerate(toks) if t.pos == "AUX"]
@@ -273,8 +330,14 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
     #  en language_specific_rules.py:287-476)
     rel = None  # (rel_pron, rel_verb, main_predicate, antecedent_local)
     for rp, t in enumerate(toks):
+        # non-restrictive relatives sit behind a comma ("his son, who
+        # was excited"): the antecedent is the nominal before it
+        ante_rp = rp - 1
+        if rp > 1 and toks[rp - 1].text == "," \
+                and toks[rp - 2].pos in ("NOUN", "PROPN"):
+            ante_rp = rp - 2
         if t.text.lower() in ("who", "which", "that", "whose") and rp > 0 \
-                and toks[rp - 1].pos in ("NOUN", "PROPN") and t.pos == "PRON":
+                and toks[ante_rp].pos in ("NOUN", "PROPN") and t.pos == "PRON":
             # 'to' infinitives are PART-tagged, so verbs here are finite;
             # an AUX directly after the pronoun heads a copular relative
             # clause ("the dog that was old …")
@@ -307,14 +370,14 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
                                         or toks[v - 1].text.lower()
                                         in ("to", "being"))))
                 if preds:
-                    rel = (rp, rel_v, preds[0], rp - 1)
+                    rel = (rp, rel_v, preds[0], ante_rp)
                     break
                 # sentence-FINAL relative clause ("chased the cat who
                 # told nobody"): the main predicate precedes the
                 # antecedent (reference test_semantics_EN.py:130-135 —
                 # child-clause negation must not leak to the parent)
                 if any(v < rp for v in verb_pos + aux_pos):
-                    rel = (rp, rel_v, None, rp - 1)
+                    rel = (rp, rel_v, None, ante_rp)
                     break
     rel_bare = False
     if rel is None and lang == "en":
@@ -395,6 +458,7 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
     # conjunct takes the grammatical role; Y hangs off X as conj and
     # inherits X's deps (uncertain) afterwards
     conj_right: set[int] = set()
+    or_members: set[int] = set()
     head_list = [h for (_, _, h) in nps]
     for j, t in enumerate(toks):
         if t.pos == "CCONJ" and 0 < j < n - 1 and t.dep != "cc":
@@ -409,6 +473,8 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
                 toks[j].dep = "cc"
                 if toks[rv].i not in toks[lv].righthand_siblings:
                     toks[lv].righthand_siblings.append(toks[rv].i)
+                if t.text.lower() in ("or", "oder"):
+                    or_members.update({toks[lv].i, toks[rv].i})
                 continue
             left = next((h for h in reversed(head_list) if h < j), None)
             right = next((h for h in head_list if h > j), None)
@@ -439,6 +505,12 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
                     conj_right.add(m)
                 toks[j].head = toks[first].i
                 toks[j].dep = "cc"
+                if t.text.lower() in ("or", "oder"):
+                    # disjunction: every dep touching any member is
+                    # uncertain (reference: 'The dog or the dog chased
+                    # …' → all matches uncertain,
+                    # test_structural_matching_EN.py:150-168)
+                    or_members.update(toks[m].i for m in chain + [right])
 
     # --- NP-internal deps
     np_heads = []
@@ -463,6 +535,26 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
             elif t.pos == "NUM":
                 t.dep = "nummod"
                 add(toks[h].i, t.i, "nummod")
+            elif t.pos in ("NOUN",) and j + 1 <= e \
+                    and toks[j + 1].hyph_prev and toks[j + 1].pos == "ADJ" \
+                    and lemma(toks[j + 1].text.lower(), "en") in L.VERB_LEMMAS_EN:
+                # hyphenated participial compound (reference en
+                # language_specific_rules.py advmodobj/advmodsubj
+                # adverbial-phrase deps, tests test_objective/
+                # subjective_modifying_adverbial_phrase): the internal
+                # noun is the participle's argument, not the head's
+                # compound — "cat-chasing dog" → advmodobj(chase, cat);
+                # "dog-chased cat" → advmodsubj(chase, dog)
+                part = toks[j + 1]
+                is_ing = part.text.lower().endswith("ing")
+                t.dep = "advmodobj" if is_ing else "advmodsubj"
+                t.head = part.i
+                add(part.i, t.i, t.dep)
+                # the head noun takes the complementary role, certain
+                # on the anchor (ref :694-703: conjunct copies get
+                # uncertain=True via noun.i != token.head.i)
+                add(part.i, toks[h].i,
+                    "advmodsubj" if is_ing else "advmodobj")
             elif t.pos in ("NOUN",):
                 t.dep = "compound"
                 add(toks[h].i, t.i, "compound")
@@ -718,6 +810,10 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
                 for d in deps:
                     if d["parent"] == root.i:
                         d["parent"] = t.i
+                        if xcomp_passive and d["label"] == "nsubj":
+                            # passive infinitive ("used to BE CHASED"):
+                            # the subject is the patient
+                            d["label"] = "nsubjpass"
                         if unc:
                             d["uncertain"] = True
                 if unc:
@@ -905,6 +1001,22 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
                 add(cur.i, h.i, "dobj")
                 got_obj = True
                 dobj_local = np_here[2]
+            elif lang == "en" and dobj_local is not None \
+                    and lemma(cur.text.lower(), "en") in _DATIVE_VERBS:
+                # English double object ("gave the employee the file"):
+                # the FIRST bare NP is the recipient (dative), the
+                # second the direct object (reference 'dative' dep,
+                # en language_specific_rules.py:608-611)
+                prev_obj = toks[dobj_local]
+                prev_obj.dep = "dative"
+                for d in deps:
+                    if d["parent"] == cur.i and d["child"] == prev_obj.i \
+                            and d["label"] == "dobj":
+                        d["label"] = "dative"
+                h.head = cur.i
+                h.dep = "dobj"
+                add(cur.i, h.i, "dobj")
+                dobj_local = np_here[2]
             else:
                 h.head = cur.i
                 h.dep = "dep"
@@ -950,17 +1062,26 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
     # Conjunct subjects each get their own CERTAIN amod (reference
     # test_semantics_EN.py:88-95 test_predicative_adjective_with_
     # conjunction: 'The dog and the cat were big' → cat 6:amod, no (U))
-    if copula and subj_local is not None:
-        # use the full conjunct group even when the recorded subject is
-        # a non-anchor member ("The cat and the mouse … were tired" —
-        # both conjuncts get the certain amod)
-        base = next((t2 for t2 in toks
-                     if toks[subj_local].i in t2.righthand_siblings),
-                    toks[subj_local])
-        subj_and_sibs = [base.i] + base.righthand_siblings
+    if copula:
+        # the subject comes from the copula's nsubj dep rather than the
+        # NP-scan position (covers WH subjects: "Who is sad?" → who
+        # amod sad — reference adjectival_predicate_subject_pos
+        # includes PRON, parsing.py:1333-1343); use the full conjunct
+        # group even when the recorded subject is a non-anchor member
+        # ("The cat and the mouse … were tired" — both conjuncts get
+        # the certain amod)
+        subj_is = {d["child"] for d in deps
+                   if d["parent"] == root.i and d["label"] == "nsubj"}
+        subj_group: set[int] = set()
+        for si in subj_is:
+            base = next((t2 for t2 in toks
+                         if si in t2.righthand_siblings),
+                        next(t2 for t2 in toks if t2.i == si))
+            subj_group.add(base.i)
+            subj_group |= set(base.righthand_siblings)
         for d in list(deps):
             if d["label"] == "acomp" and d["parent"] == root.i:
-                for s in subj_and_sibs:
+                for s in sorted(subj_group):
                     add(s, d["child"], "amod", uncertain=False)
 
     # --- conjunction dep distribution (reference copy_any_sibling_info,
@@ -991,6 +1112,11 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
         for d in list(deps):
             if d["child"] in gset and d["parent"] not in gset:
                 unc = d["uncertain"] if d["child"] == t.i else True
+                if d["label"] in ("advmodsubj", "advmodobj"):
+                    # participial-compound noun deps: conjunct copies
+                    # are always uncertain (ref en rules :694-703,
+                    # noun.i != token.head.i)
+                    unc = True
                 for m in group:
                     if m != d["child"] and not _dep_exists(d["parent"], m, d["label"]):
                         add(d["parent"], m, d["label"], uncertain=unc)
@@ -1003,6 +1129,11 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
                 for m in group[1:]:
                     if not _dep_exists(m, d["child"], d["label"]):
                         add(m, d["child"], d["label"], uncertain=unc)
+
+    if or_members:
+        for d in deps:
+            if d["parent"] in or_members or d["child"] in or_members:
+                d["uncertain"] = True
 
     # --- sentence-initial interrogative hookup (reference initial
     # question words, parsing.py:1170-1207; head-WHadv template uses the
@@ -1044,6 +1175,13 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
                            for d in deps)
             q0.dep = "dobj" if has_subj else "nsubj"
             add(root.i, q0.i, q0.dep)
+            if copula and q0.dep == "nsubj":
+                # late copular rewire for WH subjects ("Who is sad?" →
+                # who amod sad, reference adjectival_predicate_subject_
+                # pos includes PRON, parsing.py:1333-1343)
+                for d in list(deps):
+                    if d["label"] == "acomp" and d["parent"] == root.i:
+                        add(q0.i, d["child"], "amod")
 
     # leftover heads
     for t in toks:
@@ -1145,14 +1283,15 @@ def parse_document(text: str, lang: str) -> dict:
     Returns ``{"tokens": [token dicts], "deps": [semantic dep dicts]}``
     matching the `docs` schema of FIXTURES.md §5a.
     """
-    words = tokenize(text)
+    words, joins = tokenize_with_joins(text)
     sents = sentences(words)
     toks: list[Tok] = []
     all_deps: list[dict] = []
     gi = 0
     sent_bounds: list[tuple[int, int]] = []
     for si, sw in enumerate(sents):
-        stoks = [Tok(i=gi + j, text=w) for j, w in enumerate(sw)]
+        stoks = [Tok(i=gi + j, text=w, hyph_prev=joins[gi + j])
+                 for j, w in enumerate(sw)]
         for t in stoks:
             t.sent_idx = si
         if lang == "de":
@@ -1182,7 +1321,17 @@ def parse_document(text: str, lang: str) -> dict:
         # derived lemma is POS-gated like the reference's rules
         # (noun suffixes vs RB-tagged -ly adverbs,
         # language_specific_rules.py:494-556)
-        t.derived_lemma = derived_lemma(t.lemma, lang, t.pos)
+        if lang == "en" and t.pos == "NOUN" \
+                and base.lower().endswith("ing") \
+                and t.lemma != base.lower() and t.lemma in L.VERB_LEMMAS_EN:
+            # NN gerund ("the EATING of a bone"): the lemma is the
+            # surface noun, the verb is its DERIVED lemma — matches
+            # against the verb are derivation matches (reference
+            # en rules :552-556 'singing → sing')
+            t.derived_lemma = t.lemma
+            t.lemma = base.lower()
+        else:
+            t.derived_lemma = derived_lemma(t.lemma, lang, t.pos)
 
     # --- entity typing (gazetteer NER stand-in)
     for t in toks:

@@ -111,6 +111,20 @@ def ontology_closure_local(edges: list[tuple[str, str, str]] | None = None,
                 if (q, w2) not in out or abs(out[(q, w2)][0]) > d:
                     if (q, w2) not in out:
                         out[(q, w2)] = (-d, ind)
+    # derivation-aware matched side (reference's ontology word matching
+    # consults derived lemmas via ontology_reverse_derived_dict,
+    # word_matching/ontology.py + parsing.py:981): each matched word
+    # also matches its derived form, so search 'modest' (≡ monthly)
+    # matches document 'month'
+    from ..nlp.lemmatizer import derived_lemma_en
+    extra: dict[tuple[str, str], tuple[int, bool]] = {}
+    for (q, w), (d, ind) in out.items():
+        dw = " ".join(derived_lemma_en(p, None) for p in w.split(" "))
+        dq = " ".join(derived_lemma_en(p, None) for p in q.split(" "))
+        for key in ((q, dw), (dq, w), (dq, dw)):
+            if key != (q, w) and key not in out:
+                extra[key] = (d, ind)
+    out.update(extra)
     return [(q, w, d, ind) for (q, w), (d, ind) in sorted(out.items())]
 
 

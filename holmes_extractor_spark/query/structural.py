@@ -145,7 +145,9 @@ MATCH_ROW = T.StructType([
 
 
 def compile_search_phrase(text: str, label: str | None = None,
-                          lang: str = "en") -> dict:
+                          lang: str = "en",
+                          process_initial_question_words: bool = False,
+                          ontology_multiwords: set[str] | None = None) -> dict:
     """Driver-side compile: parse the phrase with the shared parse
     layer, keep matchable tokens + the semantic dep pattern rooted at
     the ROOT token. Validation raises the reference's typed errors
@@ -175,26 +177,117 @@ def compile_search_phrase(text: str, label: str | None = None,
                for t in toks) \
             and not any(_ENTITY_RE.match(t["text"]) for t in toks):
         raise errors.SearchPhraseWithoutMatchableWordsError(text)
-    root = next((t for t in toks if t["dep"] == "ROOT"), toks[0])
-    pattern_deps = []
-    matchable = set()
+    deps = [dict(d) for d in parsed["deps"]]
+    ignored: set[int] = set()
+
+    # --- ontology-defined multiword collapse (reference
+    # create_search_phrase, parsing.py:2520-2542: the head token takes
+    # the multiword's reprs, the other members are unmatchable)
+    if ontology_multiwords:
+        nlen = len(toks)
+        i = 0
+        while i < nlen:
+            for span in (3, 2):
+                if i + span > nlen:
+                    continue
+                run = toks[i:i + span]
+                if not all(t["pos"] in ("NOUN", "PROPN", "ADJ")
+                           for t in run):
+                    continue
+                mw_lemma = " ".join(t["lemma"] for t in run)
+                mw_derived = " ".join(t["derived_lemma"] for t in run)
+                if mw_lemma in ontology_multiwords \
+                        or mw_derived in ontology_multiwords:
+                    head = toks[i + span - 1]
+                    head["direct_reprs"] = [mw_lemma]
+                    head["derivation_reprs"] = (
+                        [mw_derived] if mw_derived != mw_lemma else [])
+                    head["derived_lemma"] = mw_derived
+                    for t in run[:-1]:
+                        ignored.add(t["i"])
+                    i += span - 1
+                    break
+            i += 1
+        if ignored:
+            deps = [d for d in deps if d["parent"] not in ignored
+                    and d["child"] not in ignored]
+
+    # --- copula children replacement (reference predicative-adjective
+    # normalization, parsing.py:1318-1357: after the amod rewire the
+    # copula's children are replaced by a pointer to the subject)
+    cop_ptr: dict[int, int] = {}
+    for t in toks:
+        if t["pos"] != "AUX" or t["lemma"] != "be":
+            continue
+        i = t["i"]
+        acomps = [d["child"] for d in deps
+                  if d["parent"] == i and d["label"] == "acomp"]
+        nsubjs = [d["child"] for d in deps
+                  if d["parent"] == i and d["label"] == "nsubj"]
+        if acomps and nsubjs and any(
+                d["label"] == "amod" and d["parent"] in nsubjs
+                and d["child"] in acomps for d in deps):
+            cop_ptr[i] = nsubjs[0]
+    if cop_ptr:
+        deps = [d for d in deps if d["parent"] not in cop_ptr]
 
     def _is_q(t: dict) -> bool:
         # initial interrogatives become question placeholders
-        # (reference word_matching/question.py:8-146)
-        return t["is_initial_question_word"]
+        # (reference word_matching/question.py:8-146); ignored unless
+        # process_initial_question_words (reference manager.py:1182
+        # passes False for structural match())
+        return process_initial_question_words \
+            and t["is_initial_question_word"]
 
-    def walk(i: int) -> None:
-        matchable.add(i)
-        for d in parsed["deps"]:
-            child = toks[d["child"]]
-            if d["parent"] == i and (child["is_matchable"] or _is_q(child)) \
-                    and d["label"] in LABEL_IMPLICATIONS:
-                pattern_deps.append((i, d["child"], d["label"]))
-                walk(d["child"])
+    def _is_node(t: dict) -> bool:
+        return (t["i"] not in ignored
+                and (t["is_matchable"] or _is_q(t)
+                     or _ENTITY_RE.match(t["text"]) is not None))
 
-    # a generic-pronoun/ENTITY root still anchors the pattern
-    walk(root["i"])
+    # --- root: syntactic root → predicative pointer → first matchable
+    # descendant (reference replace_grammatical_root_token_recursively,
+    # parsing.py:2475-2494)
+    root = next((t for t in toks if t["dep"] == "ROOT"), toks[0])
+    root_i = cop_ptr.get(root["i"], root["i"])
+    seen_roots = set()
+    while not toks[root_i]["is_matchable"] and root_i not in seen_roots:
+        seen_roots.add(root_i)
+        for d in sorted((d for d in deps if d["parent"] == root_i),
+                        key=lambda d: d["child"]):
+            if toks[d["child"]]["is_matchable"]:
+                root_i = d["child"]
+                break
+
+    # --- spanning tree over the UNDIRECTED semantic dep graph from the
+    # (possibly re-rooted) root; each traversed edge records its
+    # original orientation so verification can walk doc deps in either
+    # polarity (reference match_recursively explores the search-phrase
+    # tree from root_token, structural_matching.py:486-819)
+    pattern_deps: list[tuple] = []   # (anchor, other, label, fwd, sp_unc)
+    matchable = {root_i}
+    frontier = [root_i]
+    while frontier:
+        nxt: list[int] = []
+        for i in frontier:
+            for d in deps:
+                if d["label"] not in LABEL_IMPLICATIONS:
+                    continue
+                if d["parent"] == i and d["child"] not in matchable \
+                        and _is_node(toks[d["child"]]):
+                    pattern_deps.append(
+                        (i, d["child"], d["label"], True,
+                         bool(d["uncertain"])))
+                    matchable.add(d["child"])
+                    nxt.append(d["child"])
+                elif d["child"] == i and d["parent"] not in matchable \
+                        and _is_node(toks[d["parent"]]):
+                    pattern_deps.append(
+                        (i, d["parent"], d["label"], False,
+                         bool(d["uncertain"])))
+                    matchable.add(d["parent"])
+                    nxt.append(d["parent"])
+        frontier = nxt
+
     sp_tokens = {}
     for i in matchable:
         t = toks[i]
@@ -202,30 +295,17 @@ def compile_search_phrase(text: str, label: str | None = None,
         sp_tokens[i] = {
             "i": i,
             "text": t["text"],
-            "direct_reprs": t["direct_reprs"],
-            "derivation_reprs": t["derivation_reprs"] or [t["derived_lemma"]],
+            "direct_reprs": [] if m else t["direct_reprs"],
+            "derivation_reprs": [] if m else (
+                t["derivation_reprs"] or [t["derived_lemma"]]),
             "ent_spec": m.group(1) if m else None,
             "q_spec": t["text"].lower() if _is_q(t) else None,
             "derived_lemma": t["derived_lemma"],
         }
-    # ENTITY placeholders and generic pronouns at non-root positions
-    for d in parsed["deps"]:
-        if d["parent"] in matchable and d["label"] in LABEL_IMPLICATIONS:
-            c = toks[d["child"]]
-            if _ENTITY_RE.match(c["text"]) and d["child"] not in matchable:
-                matchable.add(d["child"])
-                pattern_deps.append((d["parent"], d["child"], d["label"]))
-                sp_tokens[d["child"]] = {
-                    "i": d["child"], "text": c["text"],
-                    "direct_reprs": [], "derivation_reprs": [],
-                    "ent_spec": _ENTITY_RE.match(c["text"]).group(1),
-                    "q_spec": None,
-                    "derived_lemma": c["derived_lemma"],
-                }
     return {
         "label": label or text,
         "lang": lang,
-        "root": root["i"],
+        "root": root_i,
         "tokens": sp_tokens,
         "pattern_deps": pattern_deps,
     }
@@ -392,31 +472,49 @@ def _verify_doc(sp: dict, tokens: list[dict], deps: list[dict],
             "_uncertain": False,
         }
         solutions: list[list[dict]] = [[base_wm]]
-        for (p, c, lbl) in sp["pattern_deps"]:
-            if p != sp_i:
+        for (anchor, other, lbl, fwd, sp_unc) in sp["pattern_deps"]:
+            if anchor != sp_i:
                 continue
             allowed = LABEL_IMPLICATIONS[lbl]
             rev_allowed = REVERSE_IMPLICATIONS.get(lbl, set())
-            # candidate (doc_child, dep) pairs: same-direction children
-            # plus reverse-polarity parents (reference
-            # structural_matching.py:486-819 expands both directions per
-            # the implication table's reverse_document_dependencies)
-            cand_pairs = [(dd["child"], dd) for dd in by_parent.get(d_i, [])
-                          if dd["label"] in allowed]
-            cand_pairs += [(dd["parent"], dd) for dd in by_child.get(d_i, [])
-                           if dd["label"] in rev_allowed]
+            # candidate (doc_token, doc_dep, inverse_polarity) triples.
+            # A forward pattern edge (sp parent→child) matches doc
+            # children in normal polarity or doc parents in inverse
+            # polarity; an edge traversed child→parent (re-rooted
+            # pattern) mirrors that (reference match_recursively,
+            # structural_matching.py:595-731 — inverse polarity per the
+            # implication table's reverse_document_dependencies)
+            if fwd:
+                cand_pairs = [(dd["child"], dd, False)
+                              for dd in by_parent.get(d_i, [])
+                              if dd["label"] in allowed]
+                cand_pairs += [(dd["parent"], dd, True)
+                               for dd in by_child.get(d_i, [])
+                               if dd["label"] in rev_allowed]
+            else:
+                cand_pairs = [(dd["parent"], dd, False)
+                              for dd in by_child.get(d_i, [])
+                              if dd["label"] in allowed]
+                cand_pairs += [(dd["child"], dd, True)
+                               for dd in by_parent.get(d_i, [])
+                               if dd["label"] in rev_allowed]
             new_solutions: list[list[dict]] = []
-            for (cand_i, dd) in cand_pairs:
+            for (cand_i, dd, inv) in cand_pairs:
                 if cand_i == d_i:
                     continue
                 if cand_i in used:
                     continue
-                sub = rec(c, cand_i, used | {d_i, cand_i})
+                sub = rec(other, cand_i, used | {d_i, cand_i})
                 if sub:
+                    # uncertainty per the reference (structural_
+                    # matching.py:700-706): doc-dep uncertainty counts
+                    # only when the sp dep itself is certain; inverse
+                    # polarity is always uncertain
+                    unc = (dd["uncertain"] and not sp_unc) or inv
                     for s in sub:
                         for sol in solutions:
                             merged = sol + [
-                                {**w, "_uncertain": w["_uncertain"] or dd["uncertain"],
+                                {**w, "_uncertain": w["_uncertain"] or unc,
                                  "_coref": w["_coref"] or dd["coref"]}
                                 for w in s
                             ]
@@ -431,30 +529,36 @@ def _verify_doc(sp: dict, tokens: list[dict], deps: list[dict],
             solutions = new_solutions
         return solutions
 
+    seen_assignments: set[frozenset] = set()
     for rp in sorted(set(root_candidates)):
         sols = rec(sp["root"], rp, {rp})
         if not sols:
             continue
-        # keep the first solution per root position (deterministic:
-        # solutions are generated in sorted doc order)
-        wm = sols[0]
-        # geometric-mean overall similarity, 8 dp (reference
-        # structural_matching.py:458-463)
-        prod = 1.0
-        for w in wm:
-            prod *= w["similarity"]
-        out.append({
-            "phrase_label": sp["label"],
-            "index_within_document": rp,
-            "negated": any(w["_negated"] for w in wm),
-            "uncertain": any(w["_uncertain"] for w in wm),
-            "involves_coreference": any(w["_coref"] for w in wm),
-            "overall_similarity": round(prod ** (1.0 / len(wm)), 8),
-            "word_matches": [
-                {k: v for k, v in w.items() if not k.startswith("_")}
-                for w in sorted(wm, key=lambda w: w["sp_index"])
-            ],
-        })
+        # every distinct doc-token assignment is its own match
+        # (reference: conjunction expansion produces one match per
+        # combination, tests/en/test_structural_matching_EN.py:142-168)
+        for wm in sols:
+            key = frozenset((w["sp_index"], w["doc_index"]) for w in wm)
+            if key in seen_assignments:
+                continue
+            seen_assignments.add(key)
+            # geometric-mean overall similarity, 8 dp (reference
+            # structural_matching.py:458-463)
+            prod = 1.0
+            for w in wm:
+                prod *= w["similarity"]
+            out.append({
+                "phrase_label": sp["label"],
+                "index_within_document": rp,
+                "negated": any(w["_negated"] for w in wm),
+                "uncertain": any(w["_uncertain"] for w in wm),
+                "involves_coreference": any(w["_coref"] for w in wm),
+                "overall_similarity": round(prod ** (1.0 / len(wm)), 8),
+                "word_matches": [
+                    {k: v for k, v in w.items() if not k.startswith("_")}
+                    for w in sorted(wm, key=lambda w: w["sp_index"])
+                ],
+            })
     return out
 
 
@@ -530,14 +634,21 @@ def match(spark: SparkSession, docs: DataFrame, postings: DataFrame,
                   .select("phrase_idx", "w"))
         probe_rows.extend((int(r["phrase_idx"]), r["w"], "direct")
                           for r in scored.collect())
-    probes = spark.createDataFrame(probe_rows, "phrase_idx int, repr string, kind string").distinct()
+    # the probe joins on repr ALONE: a derivation-side probe must hit a
+    # direct posting entry and vice versa (reference: search "neatness"
+    # matches document "neat" as a derivation match — the reverse dict
+    # holds every matching repr under one key space); the entry kind
+    # only informs match typing, which _token_matches re-derives
+    probes = spark.createDataFrame(
+        [(pi, r) for (pi, r, _k) in probe_rows],
+        "phrase_idx int, repr string").distinct()
 
     if document_label_filter:
         postings = postings.filter(F.col("url").startswith(document_label_filter))
         docs = docs.filter(F.col("url").startswith(document_label_filter))
 
     cands = (
-        postings.join(F.broadcast(probes), ["repr", "kind"])
+        postings.join(F.broadcast(probes), ["repr"])
         .select("url", "phrase_idx", "token_index")
         .groupBy("url")
         .agg(F.collect_set(F.struct("phrase_idx", "token_index")).alias("cands"))

@@ -40,7 +40,7 @@ def test_registered_phrases_and_labels(mgr):
 
 
 def test_entity_and_question_matching(mgr):
-    who = mgr.match("Who came?")
+    who = mgr.match("Who came?", process_initial_question_words=True)
     assert [m["document"] for m in who] == ["d_person"]
     q_wm = [w for w in who[0]["word_matches"] if w["match_type"] == "question"]
     assert q_wm and q_wm[0]["extracted_word"] == "richard paul hudson"
