@@ -35,4 +35,4 @@ __version__ = "0.1.0"
 # reference-faithful templates, negation scoping, coref chains) —
 # the serialized-docs version guard rejects older corpora, like the
 # reference's SERIALIZED_DOCUMENT_VERSION (parsing.py:25)
-PARSER_VERSION = "hse-2.0"
+PARSER_VERSION = "hse-2.1"

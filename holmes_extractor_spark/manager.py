@@ -35,7 +35,8 @@ class SparkHolmesManager:
     def __init__(self, spark: SparkSession, ontology: list[tuple] | None = None,
                  vectors: dict[str, list[float]] | None = None,
                  word_embedding_match_threshold: float = 1.0,
-                 ontology_symmetric: bool = False):
+                 ontology_symmetric: bool = False,
+                 perform_coreference_resolution: bool = True):
         """`word_embedding_match_threshold` < 1.0 enables embedding
         matching (reference manager.py:115 — disabled by default).
         ``ontology_symmetric`` mirrors the reference's
@@ -55,6 +56,9 @@ class SparkHolmesManager:
         # (reference parsing.py:2520-2542)
         self._ontology_multiwords = {
             w for pair in self._closure_rows for w in pair[:2] if " " in w}
+        # reference Manager(perform_coreference_resolution=False):
+        # coreference-linked deps are dropped from the parsed corpus
+        self._coref = perform_coreference_resolution
         self._vectors = vectors
         self._embedding_threshold = word_embedding_match_threshold
 
@@ -126,6 +130,9 @@ class SparkHolmesManager:
                 pending, "url string, text string, lang string")
             par = self.spark.sparkContext.defaultParallelism
             parsed = parse_pages(df.repartition(par, "url"))
+            if not self._coref:
+                parsed = parsed.withColumn(
+                    "deps", F.filter("deps", lambda d: ~d["coref"]))
             self._docs = (parsed if self._docs is None
                           else self._docs.unionByName(parsed)).cache()
         return self._docs

@@ -129,6 +129,7 @@ VERB_LEMMAS_EN = {
     "repair", "paint", "steal", "borrow", "lend", "deliver", "order",
     "tell", "claim", "understand", "comprehend", "travel",
     "adopt", "demand", "meow", "scare", "shout", "discuss", "excite",
+    "attend",
 }
 
 # nouns that would otherwise look verbal (tagged NOUN after DET/ADJ)
@@ -150,7 +151,8 @@ NOUN_LEXICON_EN = {
     "explanation", "gift", "invitation", "multiword", "music",
     "neatness", "office", "pussy", "salesman", "sandwich",
     "serendipity", "son", "wastage", "waste", "week", "topic", "thing",
-    "desk",
+    "desk", "university", "loss", "rat", "panther", "leopard", "policy",
+    "donkey", "elephant", "roll", "entity", "month",
 }
 
 # nouns denoting persons (for coref gender/person compatibility)

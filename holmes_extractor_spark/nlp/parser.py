@@ -34,11 +34,17 @@ _IRREG_PARTICIPLES = {
     "swum", "bitten", "fed", "put", "let", "done", "gone", "come",
 }
 
-_FIRST_NAMES = {
-    "richard", "paul", "peter", "hans", "maria", "anna", "john", "mary",
-    "james", "sarah", "michael", "laura", "thomas", "julia", "david",
-    "emma", "robert", "sophie", "hudson", "smith", "jones", "miller",
+_MALE_NAMES = {"richard", "paul", "peter", "hans", "john", "james",
+               "michael", "thomas", "david", "robert"}
+_FEMALE_NAMES = {"maria", "anna", "mary", "sarah", "laura", "julia",
+                 "emma", "sophie", "jane", "hermione"}
+_FIRST_NAMES = _MALE_NAMES | _FEMALE_NAMES | {
+    "hudson", "smith", "jones", "miller",
 }
+
+# subordinating conjunctions open a fresh clause ("…, while they were
+# chasing a cat")
+_SCONJ_EN = {"while", "because", "since", "unless", "until", "whereas"}
 
 _PLACES = {"london", "berlin", "paris", "munich", "hamburg", "rome",
            "madrid", "vienna", "york", "england", "germany", "france"}
@@ -146,6 +152,8 @@ def _tag_en(toks: list[Tok], start_of_sent: int) -> None:
                     (toks[k].pos for k in range(j - 1, -1, -1)
                      if toks[k].pos != "ADV"), None))() == "AUX")):
             t.pos = "ADJ"  # predicative position: "is hard/easy/…"
+        elif w in _SCONJ_EN:
+            t.pos = "SCONJ"
         elif w in L.ADVERBS_EN or (w.endswith("ly") and len(w) > 4):
             t.pos = "ADV"
         elif ((w.endswith("ing") and len(w) > 4) or _is_participle(w)) \
@@ -321,6 +329,45 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
                     "label": "ccomp", "uncertain": False, "coref": False,
                 }]
 
+    # --- coordinate-clause split ("I saw a dog and IT WAS CHASING a
+    # cat"): a conjunction followed by a nominative pronoun + predicate
+    # opens a new clause, not an NP conjunct — parse both clauses
+    # separately (reference keeps spaCy's clausal conj structure)
+    if lang == "en":
+        for k in range(1, n - 2):
+            nom_pron = (toks[k + 1].pos == "PRON"
+                        and toks[k + 1].text.lower() in (
+                            "he", "she", "it", "they", "we", "i", "you"))
+            # full-NP second clause ("saw a big horse and THE HORSE WAS
+            # chasing"): the NP right after the conjunction is followed
+            # directly by a predicate — NP conjuncts are not ("the dog
+            # and the dog chased" has no verb before the conjunction)
+            j2 = k + 1
+            while j2 < n and toks[j2].pos in ("DET", "ADJ", "NUM",
+                                              "NOUN", "PROPN"):
+                j2 += 1
+            # AUX-headed only: "the horse WAS chasing" is a clause, but
+            # "the mouse chased by the dog" is a reduced relative over
+            # an NP conjunct (test_participle_phrase_with_conjunction)
+            np_clause = (j2 > k + 1 and j2 < n and toks[j2].pos == "AUX")
+            is_clause_cconj = (
+                toks[k].pos == "CCONJ"
+                and (nom_pron or np_clause)
+                and any(t2.pos in ("VERB", "AUX") for t2 in toks[k + 2:])
+                and any(t2.pos in ("VERB", "AUX") for t2 in toks[:k]))
+            is_sconj = (
+                toks[k].pos == "SCONJ"
+                and any(t2.pos in ("VERB", "AUX") for t2 in toks[k + 1:])
+                and any(t2.pos in ("VERB", "AUX") for t2 in toks[:k]))
+            if is_clause_cconj or is_sconj:
+                left = _parse_sentence(toks[:k], lang)
+                right = _parse_sentence(toks[k + 1:], lang)
+                left_root = next((t2 for t2 in toks[:k]
+                                  if t2.dep == "ROOT"), toks[0])
+                toks[k].dep = "cc" if is_clause_cconj else "mark"
+                toks[k].head = left_root.i
+                return left + right
+
     # --- verb chain & root
     verb_pos = [j for j, t in enumerate(toks) if t.pos == "VERB"]
     aux_pos = [j for j, t in enumerate(toks) if t.pos == "AUX"]
@@ -355,11 +402,16 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
                         and rel_end + 2 in set(verb_pos):
                     rel_end += 2
                 # progressive relative clause ("who WAS THINKING about
-                # …"): the rel verb is the -ing content verb, not the
-                # aux (reference test_semantics_EN.py:529-534)
-                if rel_v in aux_pos and rel_v + 1 in set(verb_pos) \
-                        and toks[rel_v + 1].text.lower().endswith("ing"):
-                    rel_v += 1
+                # …", "that HAD BEEN CHASING it"): the rel verb is the
+                # -ing content verb behind the aux chain, not the aux
+                # (reference test_semantics_EN.py:529-534)
+                probe = rel_v
+                while probe in aux_pos and probe + 1 < len(toks) \
+                        and toks[probe + 1].pos == "AUX":
+                    probe += 1
+                if probe in aux_pos and probe + 1 in set(verb_pos) \
+                        and toks[probe + 1].text.lower().endswith("ing"):
+                    rel_v = probe + 1
                     rel_end = max(rel_end, rel_v)
                 # main predicate: next FINITE verb OR aux (copula) after
                 # the rel verb group; verbs after ADP/'being'/'to' are
@@ -1311,7 +1363,7 @@ def parse_document(text: str, lang: str) -> dict:
         base = t.text
         if base.lower().endswith(("'s", "’s")):
             base = base[:-2]  # possessive clitic stripped for lemma
-        t.lemma = lemma(base, lang)
+        t.lemma = base.lower() if t.pos == "PROPN" else lemma(base, lang)
         if t.pos == "VERB":
             for d in dep_by_parent.get(t.i, []):
                 if d["label"] == "prt":
@@ -1451,24 +1503,43 @@ def parse_document(text: str, lang: str) -> dict:
                              or ct.text.lower() in L.PERSON_NOUNS_EN)
                 if neuter is None or (neuter and not is_person) \
                         or (neuter is False and is_person):
-                    chain = sorted({c, t.i} | set(ct.coref_chain)
+                    # plural reflexives bind the whole conjunct group
+                    # ("The panther and the panther chased THEMSELVES")
+                    antes = [c]
+                    if w in ("themselves", "ourselves"):
+                        anchor = next(
+                            (t2 for t2 in toks
+                             if t2.righthand_siblings
+                             and (t2.i == c
+                                  or c in t2.righthand_siblings)),
+                            None)
+                        if anchor is not None:
+                            antes = [anchor.i] + list(
+                                anchor.righthand_siblings)
+                    chain = sorted(set(antes) | {t.i}
+                                   | set(ct.coref_chain)
                                    | set(t.coref_chain))
                     for idx in chain:
                         toks[idx].coref_chain = chain
-                    t.most_specific_coref = c
-                    for d in list(all_deps):
-                        if d["child"] == t.i:
-                            all_deps.append({
-                                "parent": d["parent"], "child": c,
-                                "label": d["label"],
-                                "uncertain": d["uncertain"], "coref": True})
-                        elif d["parent"] == t.i and d["child"] != c:
-                            all_deps.append({
-                                "parent": c, "child": d["child"],
-                                "label": d["label"],
-                                "uncertain": d["uncertain"], "coref": True})
+                    t.most_specific_coref = antes[0]
+                    for a in antes:
+                        for d in list(all_deps):
+                            if d.get("coref"):
+                                continue
+                            if d["child"] == t.i:
+                                all_deps.append({
+                                    "parent": d["parent"], "child": a,
+                                    "label": d["label"],
+                                    "uncertain": d["uncertain"],
+                                    "coref": True})
+                            elif d["parent"] == t.i and d["child"] != a:
+                                all_deps.append({
+                                    "parent": a, "child": d["child"],
+                                    "label": d["label"],
+                                    "uncertain": d["uncertain"],
+                                    "coref": True})
                     break
-    for si in range(1, len(sent_bounds)):
+    for si in range(len(sent_bounds)):
         s, e = sent_bounds[si]
         for t in toks[s: e + 1]:
             w = t.text.lower()
@@ -1477,14 +1548,44 @@ def parse_document(text: str, lang: str) -> dict:
             neuter = w in L.NEUTER_PRONOUNS_EN | {"es"}
             ante = None
             mentions_crossed = 0
-            for c in range(s - 1, max(-1, t.i - MAX_COREF_DISTANCE) - 1, -1):
+            # subject preference (centering): a compatible resolved
+            # pronoun SUBJECT of the previous sentence relays its chain
+            # before recency kicks in ("I saw a horse. It was chasing a
+            # cat. IT was big." → horse, not cat)
+            if si > 0:
+                ps, pe = sent_bounds[si - 1]
+                for c in range(ps, pe + 1):
+                    ct = toks[c]
+                    if ct.pos == "PRON" and ct.dep in ("nsubj", "nsubjpass") \
+                            and ct.most_specific_coref >= 0 \
+                            and ct.text.lower() in (
+                                L.NEUTER_PRONOUNS_EN | {"es"} if neuter
+                                else L.MASC_PRONOUNS_EN | {"er"}
+                                if w in L.MASC_PRONOUNS_EN | {"er"}
+                                else L.FEM_PRONOUNS_EN | {"sie"}):
+                        ante = ct.most_specific_coref
+                        break
+            for c in (() if ante is not None else
+                      range(t.i - 1, max(0, t.i - MAX_COREF_DISTANCE) - 1, -1)):
+                if c >= s and not any(
+                        toks[x].pos in ("CCONJ", "SCONJ")
+                        or toks[x].text == ","
+                        for x in range(c + 1, t.i)):
+                    # same-sentence antecedents need a clause boundary
+                    # between them and the pronoun ("I saw a dog AND it
+                    # was chasing a cat" — a clause-mate object can't
+                    # bind its own subject)
+                    continue
                 ct = toks[c]
                 cw = ct.text.lower()
+                relay_set = (L.NEUTER_PRONOUNS_EN | {"es"} if neuter
+                             else L.MASC_PRONOUNS_EN | {"er"}
+                             if w in L.MASC_PRONOUNS_EN | {"er"}
+                             else L.FEM_PRONOUNS_EN | {"sie"})
                 if ct.pos == "PRON" and ct.most_specific_coref >= 0 \
-                        and cw in (L.NEUTER_PRONOUNS_EN | {"es"}
-                                   if neuter else
-                                   L.MASC_PRONOUNS_EN | L.FEM_PRONOUNS_EN | {"er", "sie"}):
-                    # chain relay through an already-resolved mention
+                        and cw in relay_set:
+                    # chain relay through an already-resolved mention of
+                    # the SAME gender ('she' must not relay through 'he')
                     ante = ct.most_specific_coref
                     break
                 if ct.pos == "PRON":
@@ -1499,28 +1600,119 @@ def parse_document(text: str, lang: str) -> dict:
                     ante = c
                     break
                 if not neuter and is_person:
+                    # given-name gender gate ("she" skips Peter Jones):
+                    # unknown names are compatible with either gender
+                    given = cw
+                    if ct.multiwords:
+                        given = ct.multiwords[0]["text"].split(" ")[0]
+                    masc_pron = w in L.MASC_PRONOUNS_EN | {"er"}
+                    if (masc_pron and given in _FEMALE_NAMES) or \
+                            (not masc_pron and given in _MALE_NAMES):
+                        continue
                     ante = c
                     break
             if ante is None:
                 continue
-            at = toks[ante]
-            chain = sorted({ante, t.i} | set(at.coref_chain) | set(t.coref_chain))
+            # plural pronouns pick up a whole conjunct group ("I saw a
+            # dog and a horse. THEY were chasing a cat" — reference:
+            # coreferee resolves plural mentions to every conjunct)
+            antes = [ante]
+            if w in ("they", "them"):
+                anchor = next(
+                    (t2 for t2 in toks
+                     if t2.righthand_siblings
+                     and (t2.i == ante or ante in t2.righthand_siblings)),
+                    None)
+                if anchor is not None:
+                    antes = [anchor.i] + list(anchor.righthand_siblings)
+            chain = sorted(set(antes) | {t.i}
+                           | set(toks[antes[0]].coref_chain)
+                           | set(t.coref_chain))
             for idx in chain:
                 toks[idx].coref_chain = chain
-            t.most_specific_coref = ante
+            t.most_specific_coref = antes[0]
             # coreference-linked deps (reference parsing.py:1507-1532,
             # coreference_linked_child/parent dependencies): deps
             # pointing at OR out of the pronoun also attach to the
             # antecedent ("It was hungry" → hungry modifies dog)
-            for d in list(all_deps):
-                if d["child"] == t.i:
-                    all_deps.append({"parent": d["parent"], "child": ante,
-                                     "label": d["label"], "uncertain": d["uncertain"],
-                                     "coref": True})
-                elif d["parent"] == t.i and d["child"] != ante:
-                    all_deps.append({"parent": ante, "child": d["child"],
-                                     "label": d["label"], "uncertain": d["uncertain"],
-                                     "coref": True})
+            for a in antes:
+                for d in list(all_deps):
+                    if d.get("coref"):
+                        continue
+                    if d["child"] == t.i:
+                        all_deps.append({"parent": d["parent"], "child": a,
+                                         "label": d["label"], "uncertain": d["uncertain"],
+                                         "coref": True})
+                    elif d["parent"] == t.i and d["child"] != a:
+                        all_deps.append({"parent": a, "child": d["child"],
+                                         "label": d["label"], "uncertain": d["uncertain"],
+                                         "coref": True})
+
+    # --- noun-mention chains ("I saw a big horse. THE HORSE was …"):
+    # a definite repeated noun corefers with its earlier mention
+    # (coreferee links nominal mentions; reference consumes them at
+    # parsing.py:1096-1137 like pronominal ones). The mention pair
+    # exchanges child deps so modifiers of one mention are visible on
+    # the other (reference word matching walks all mentions).
+    for si in range(len(sent_bounds)):
+        s, e = sent_bounds[si]
+        for t in toks[s: e + 1]:
+            if t.pos != "NOUN" or t.dep == "compound":
+                continue
+            has_the = any(
+                toks[k].text.lower() == "the" and toks[k].head == t.i
+                for k in range(s, t.i))
+            if not has_the:
+                continue
+            # the chain-opening mention is INDEFINITE and at most one
+            # sentence back ("We saw A BIG DOG. The dog was chasing…")
+            # — a definite antecedent is itself anaphoric, and longer
+            # gaps aren't attested in the reference's test corpus
+            prev_start = sent_bounds[si - 1][0] if si > 0 else s
+
+            def _indefinite(c: int) -> bool:
+                cs = next(b for (b, e2) in sent_bounds if b <= c
+                          and e2 >= c)
+                return not any(
+                    toks[k].text.lower() == "the" and toks[k].head == c
+                    for k in range(cs, c))
+
+            ante = next(
+                (c for c in range(t.i - 1, prev_start - 1, -1)
+                 if toks[c].pos == "NOUN" and toks[c].dep != "compound"
+                 and toks[c].derived_lemma == t.derived_lemma
+                 and _indefinite(c)
+                 # same-sentence mentions need a clause boundary
+                 # ("a big horse AND the horse was chasing")
+                 and (c < s or any(
+                     toks[x].pos in ("CCONJ", "SCONJ")
+                     or toks[x].text == ","
+                     for x in range(c + 1, t.i)))), None)
+            if ante is None:
+                continue
+            at = toks[ante]
+            chain = sorted({ante, t.i} | set(at.coref_chain)
+                           | set(t.coref_chain))
+            for idx in chain:
+                toks[idx].coref_chain = chain
+            t.most_specific_coref = ante
+            for (a, b) in ((ante, t.i), (t.i, ante)):
+                for d in list(all_deps):
+                    if d.get("coref"):
+                        continue
+                    if d["child"] == a and d["label"] != "det":
+                        all_deps.append({
+                            "parent": d["parent"], "child": b,
+                            "label": d["label"],
+                            "uncertain": d["uncertain"], "coref": True,
+                            "mention": True})
+                    elif d["parent"] == a and d["child"] != b \
+                            and d["label"] != "det":
+                        all_deps.append({
+                            "parent": b, "child": d["child"],
+                            "label": d["label"],
+                            "uncertain": d["uncertain"], "coref": True,
+                            "mention": True})
 
     # --- matchability (reference parsing.py:1436-1448: matchable_pos
     # includes ADP and AUX, en language_specific_rules.py:25-36 — the
@@ -1573,4 +1765,6 @@ def parse_document(text: str, lang: str) -> dict:
             "subwords": t.subwords,
             "multiwords": t.multiwords,
         })
+    for d in all_deps:
+        d.setdefault("mention", False)
     return {"tokens": token_dicts, "deps": all_deps}

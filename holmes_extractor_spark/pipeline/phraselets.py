@@ -232,6 +232,11 @@ def extract_candidate_edges(parsed: dict, lang: str,
         })
 
     for d in parsed["deps"]:
+        if d.get("mention"):
+            # noun-mention exchange deps serve matching only — the
+            # reference's phraselet walk visits each token once and
+            # expands mentions at match time (parsing.py:2106-2243)
+            continue
         p, c = toks[d["parent"]], toks[d["child"]]
         if p["i"] in mw_ignore or c["i"] in mw_ignore:
             continue

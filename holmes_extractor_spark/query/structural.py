@@ -378,14 +378,16 @@ def _token_matches(sp_tok: dict, dt: dict, closure_map: dict,
                 return ("question", 0, dt["text"].lower(), 1.0)
         return None
     if sp_tok["ent_spec"]:
+        ent_word = (dt["multiwords"][0]["text"] if dt["multiwords"]
+                    else dt["text"].lower())
         if sp_tok["ent_spec"] == "NOUN":
             # ENTITYNOUN matches any non-compound noun (reference
             # structural_matching.py:209-230)
             if dt["pos"] in ("NOUN", "PROPN") and dt["dep"] != "compound":
-                return ("entity", 0, dt["text"].lower(), 1.0)
+                return ("entity", 0, ent_word, 1.0)
             return None
         if dt["ent_type"] == sp_tok["ent_spec"] and dt["dep"] != "compound":
-            return ("entity", 0, dt["text"].lower(), 1.0)
+            return ("entity", 0, ent_word, 1.0)
         return None
     doc_direct = set(dt["direct_reprs"])
     doc_deriv = set(dt["derivation_reprs"])
@@ -394,8 +396,17 @@ def _token_matches(sp_tok: dict, dt: dict, closure_map: dict,
         doc_deriv |= {mw["derived_lemma"]}
     sp_direct = set(sp_tok["direct_reprs"])
     sp_deriv = set(sp_tok["derivation_reprs"])
-    if sp_direct & doc_direct:
-        return ("direct", 0, dt["lemma"], 1.0)
+    inter = sp_direct & doc_direct
+    if inter:
+        # report the matched representation, text-form preferred — the
+        # reference's document_word is the matched repr and its reprs
+        # lead with token.text (parsing.py:338-347), so "A tired dog"
+        # matching document 'tired' extracts 'tired', not 'tire'
+        text_l = dt["text"].lower()
+        matched = (text_l if text_l in inter
+                   else dt["lemma"] if dt["lemma"] in inter
+                   else min(inter))
+        return ("direct", 0, matched, 1.0)
     if (sp_deriv & (doc_direct | doc_deriv)) or (sp_direct & doc_deriv):
         return ("derivation", 0, dt["derived_lemma"], 1.0)
     for q in sp_direct | sp_deriv:
@@ -441,13 +452,13 @@ def _verify_doc(sp: dict, tokens: list[dict], deps: list[dict],
     toks = {t["i"]: t for t in tokens}
     out = []
 
-    def rec(sp_i: int, d_i: int, used: set[int]) -> list[list[dict]] | None:
+    def rec(sp_i: int, d_i: int) -> list[list[dict]] | None:
         wm_type = _token_matches(sp["tokens"][sp_i], toks[d_i], closure_map,
                                  vectors, embedding_threshold)
         if wm_type is None:
             return None
         dt = toks[d_i]
-        extracted = dt["derived_lemma"]
+        extracted = wm_type[2]
         if wm_type[0] == "question" and dt["pos"] == "ADP":
             # the answer to a WH-adverb question matched at a
             # preposition is its object's content word (the reference
@@ -458,9 +469,14 @@ def _verify_doc(sp: dict, tokens: list[dict], deps: list[dict],
                     extracted = toks[dd["child"]]["derived_lemma"]
                     break
         elif dt["most_specific_coref"] >= 0:
-            extracted = toks[dt["most_specific_coref"]]["derived_lemma"]
+            # most specific term in the coreference chain, multiword
+            # text preferred (reference get_extracted_word_for_token,
+            # word_matching/general.py:82-100)
+            mst = toks[dt["most_specific_coref"]]
+            extracted = (mst["multiwords"][0]["text"] if mst["multiwords"]
+                         else mst["text"].lower())
         elif len(dt["multiwords"]) > 0:
-            extracted = dt["multiwords"][0]["derived_lemma"]
+            extracted = dt["multiwords"][0]["text"]
         base_wm = {
             "sp_index": sp_i, "sp_word": sp["tokens"][sp_i]["derived_lemma"],
             "doc_index": d_i, "doc_word": dt["derived_lemma"],
@@ -468,7 +484,11 @@ def _verify_doc(sp: dict, tokens: list[dict], deps: list[dict],
             "extracted_word": extracted,
             "similarity": wm_type[3],
             "_negated": bool(dt["is_negated"]),
-            "_coref": len(dt["coref_chain"]) > 0,
+            # set when the match TRAVERSES a coreference dep (reference:
+            # involves_coreference ⇔ matched token differs from the
+            # structurally matched token) — chain membership alone does
+            # not make a match coreferential
+            "_coref": False,
             "_uncertain": False,
         }
         solutions: list[list[dict]] = [[base_wm]]
@@ -499,12 +519,27 @@ def _verify_doc(sp: dict, tokens: list[dict], deps: list[dict],
                                for dd in by_parent.get(d_i, [])
                                if dd["label"] in rev_allowed]
             new_solutions: list[list[dict]] = []
+            # coreference-chain variants collapse to the first matching
+            # mention (reference mention loop breaks after the first
+            # match within a mention cluster, structural_matching.py:
+            # 719-720) — conjunct variants stay separate matches
+            cand_pairs.sort(key=lambda p: bool(p[1]["coref"]))
+            matched_cands: list[int] = []
             for (cand_i, dd, inv) in cand_pairs:
                 if cand_i == d_i:
                     continue
-                if cand_i in used:
+                if dd["coref"] and any(
+                        cand_i in toks[mc]["coref_chain"]
+                        # conjunct mates form ONE mention — both match
+                        # ("them" → a cat AND a cat, ref :208-218)
+                        and cand_i not in toks[mc].get(
+                            "righthand_siblings", []) and mc not in
+                        toks[cand_i].get("righthand_siblings", [])
+                        for mc in matched_cands):
                     continue
-                sub = rec(other, cand_i, used | {d_i, cand_i})
+                sub = rec(other, cand_i)
+                if sub:
+                    matched_cands.append(cand_i)
                 if sub:
                     # uncertainty per the reference (structural_
                     # matching.py:700-706): doc-dep uncertainty counts
@@ -513,17 +548,16 @@ def _verify_doc(sp: dict, tokens: list[dict], deps: list[dict],
                     unc = (dd["uncertain"] and not sp_unc) or inv
                     for s in sub:
                         for sol in solutions:
-                            merged = sol + [
+                            # the same document token may serve several
+                            # search-phrase tokens (reflexives: 'The
+                            # panther chased itself' matches 'A panther
+                            # chases a panther' with one doc panther,
+                            # reference coref tests :656-662)
+                            new_solutions.append(sol + [
                                 {**w, "_uncertain": w["_uncertain"] or unc,
                                  "_coref": w["_coref"] or dd["coref"]}
                                 for w in s
-                            ]
-                            # conflict rejection: one doc token per sp token
-                            # (reference merge_word_match_dicts,
-                            #  structural_matching.py:805-819)
-                            seen_doc = [w["doc_index"] for w in merged]
-                            if len(set(seen_doc)) == len(seen_doc):
-                                new_solutions.append(merged)
+                            ])
             if not new_solutions:
                 return None
             solutions = new_solutions
@@ -531,7 +565,7 @@ def _verify_doc(sp: dict, tokens: list[dict], deps: list[dict],
 
     seen_assignments: set[frozenset] = set()
     for rp in sorted(set(root_candidates)):
-        sols = rec(sp["root"], rp, {rp})
+        sols = rec(sp["root"], rp)
         if not sols:
             continue
         # every distinct doc-token assignment is its own match
@@ -658,7 +692,7 @@ def match(spark: SparkSession, docs: DataFrame, postings: DataFrame,
     verify_fields = ("i", "text", "lemma", "derived_lemma", "pos", "dep",
                      "ent_type", "direct_reprs", "derivation_reprs",
                      "is_negated", "coref_chain", "most_specific_coref",
-                     "multiwords")
+                     "multiwords", "righthand_siblings")
     docs = docs.withColumn(
         "tokens",
         F.transform("tokens", lambda t: F.struct(*[t[f].alias(f) for f in verify_fields])))

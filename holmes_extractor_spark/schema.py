@@ -59,6 +59,11 @@ SEM_DEP = T.StructType([
     T.StructField("label", T.StringType()),
     T.StructField("uncertain", T.BooleanType()),
     T.StructField("coref", T.BooleanType()),
+    # True for deps exchanged between NOUN mentions of one coreference
+    # chain ("a big horse … the horse"): used by matching, but not a
+    # separate KG triple — the reference extracts phraselets per token
+    # and walks mentions only at match time (parsing.py:2106-2243)
+    T.StructField("mention", T.BooleanType()),
 ])
 
 DOCS = T.StructType([
