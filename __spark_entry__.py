@@ -114,12 +114,14 @@ def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_kg_words(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = _kg(spark, sf_dir)["words"]
+    # tag-checked words only: the any-tag rows exist for topic matching
+    # (single_word_any_tag) and are excluded from the KG word list
+    w = _kg(spark, sf_dir)["words"].filter(~F.col("any_tag"))
     return w.select("url", "word").distinct()
 
 
 def q_kg_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = _kg(spark, sf_dir)["words"]
+    w = _kg(spark, sf_dir)["words"].filter(~F.col("any_tag"))
     return (w.select("url", "word").distinct()
             .groupBy("word").agg(F.count("*").alias("n_docs")))
 
@@ -238,6 +240,7 @@ def q_topic_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = match_phraselets(spark, kg["edges"], kg["words"], rel_ph, word_ph)
     scored = (
         m.withColumn("pts", F.when(F.col("kind") == "single_word", F.lit(50))
+                     .when(F.col("kind") == "single_word_any_tag", F.lit(20))
                      .otherwise(F.lit(300)))
         .groupBy("url").agg(F.sum("pts").cast("long").alias("score"))
     )
@@ -255,6 +258,7 @@ def q_topic_question(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = match_phraselets(spark, kg["edges"], kg["words"], rel_ph, word_ph)
     pts = (F.when(F.col("kind") == "question_answer", F.lit(600))
            .when(F.col("kind") == "single_word", F.lit(50))
+           .when(F.col("kind") == "single_word_any_tag", F.lit(20))
            .otherwise(F.lit(300)))
     return (m.withColumn("pts", pts)
             .groupBy("url").agg(F.sum("pts").cast("long").alias("score"))
@@ -271,6 +275,7 @@ def q_topic_ontology_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = match_phraselets(spark, kg["edges"], kg["words"], rel_ph, word_ph,
                          closure=closure)
     pts = (F.when(F.col("kind") == "single_word", F.lit(50.0))
+           .when(F.col("kind") == "single_word_any_tag", F.lit(20.0))
            .otherwise(F.lit(300.0))) * F.col("penalty")
     return (m.withColumn("pts", pts)
             .groupBy("url").agg(F.round(F.sum("pts"), 4).alias("score"))
@@ -291,6 +296,7 @@ def q_topic_embedding_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = match_phraselets(spark, kg["edges"], kg["words"], rel_ph, word_ph,
                          vectors=WORD_VECTORS, embedding_threshold=0.85)
     pts = (F.when(F.col("kind") == "single_word", F.lit(50.0))
+           .when(F.col("kind") == "single_word_any_tag", F.lit(20.0))
            .otherwise(F.lit(300.0))) * F.col("penalty")
     return (m.withColumn("pts", pts)
             .groupBy("url").agg(F.round(F.sum("pts"), 4).alias("score"))
@@ -511,10 +517,18 @@ wrd AS (
     WHERE g.word IN ('dog', 'cat')
   ) GROUP BY url
 ),
+wrd_any AS (
+  SELECT url, count(*) * 20 AS pts FROM (
+    SELECT DISTINCT ps.url, g.word
+    FROM page_snips ps JOIN golden_any_words g USING (snip_id)
+    WHERE g.word IN ('chase')
+  ) GROUP BY url
+),
 scores AS (
-  SELECT coalesce(r.url, w.url) AS url,
-         coalesce(r.pts, 0) + coalesce(w.pts, 0) AS score
-  FROM rel r FULL OUTER JOIN wrd w ON r.url = w.url
+  SELECT url, sum(pts) AS score FROM (
+    SELECT * FROM rel UNION ALL SELECT * FROM wrd
+    UNION ALL SELECT * FROM wrd_any
+  ) GROUP BY url
 )
 SELECT url, score::BIGINT AS score FROM scores
 ORDER BY score DESC, url LIMIT 50
@@ -557,9 +571,17 @@ wrd AS (
     FROM page_snips ps JOIN golden_words g USING (snip_id)
     WHERE g.word = 'door'
   ) GROUP BY url
+),
+wrd_any AS (
+  SELECT url, count(*) * 20 AS pts FROM (
+    SELECT DISTINCT ps.url, g.word
+    FROM page_snips ps JOIN golden_any_words g USING (snip_id)
+    WHERE g.word = 'open'
+  ) GROUP BY url
 )
 SELECT url, sum(pts)::BIGINT AS score FROM (
   SELECT * FROM qa UNION ALL SELECT * FROM rel UNION ALL SELECT * FROM wrd
+  UNION ALL SELECT * FROM wrd_any
 ) GROUP BY url ORDER BY score DESC, url LIMIT 50
 """
 
@@ -604,9 +626,17 @@ wrd AS (
     FROM page_snips ps JOIN golden_words g USING (snip_id)
     WHERE g.word IN ('dog', 'cat')
   ) GROUP BY url
+),
+wrd_any AS (
+  SELECT url, count(*) * 20.0::DOUBLE AS pts FROM (
+    SELECT DISTINCT ps.url, g.word
+    FROM page_snips ps JOIN golden_any_words g USING (snip_id)
+    WHERE g.word IN ('chase')
+  ) GROUP BY url
 )
 SELECT url, round(sum(pts), 4)::DOUBLE AS score FROM (
   SELECT * FROM rel UNION ALL SELECT * FROM wrd
+  UNION ALL SELECT * FROM wrd_any
 ) GROUP BY url ORDER BY score DESC, url LIMIT 50
 """
 
@@ -658,9 +688,17 @@ wrd AS (
     FROM page_snips ps JOIN golden_words g USING (snip_id)
     JOIN pen pw ON pw.q = 'animal' AND pw.w = g.word
   ) GROUP BY url
+),
+wrd_any AS (
+  SELECT url, sum(20.0 * p) AS pts FROM (
+    SELECT DISTINCT ps.url, g.word, pw.p
+    FROM page_snips ps JOIN golden_any_words g USING (snip_id)
+    JOIN pen pw ON pw.q = 'chase' AND pw.w = g.word
+  ) GROUP BY url
 )
 SELECT url, round(sum(pts), 4) AS score FROM (
   SELECT * FROM rel UNION ALL SELECT * FROM wrd
+  UNION ALL SELECT * FROM wrd_any
 ) GROUP BY url ORDER BY score DESC, url LIMIT 50
 """
 
@@ -700,7 +738,8 @@ freqs AS (
 mx AS (SELECT max(freq) AS maxf FROM freqs)
 SELECT repr, freq,
        round(CASE WHEN mx.maxf <= 1 THEN 1.0
-                  ELSE 1.0 - ln(greatest(freq, 1)::DOUBLE) / ln(mx.maxf::DOUBLE)
+                  WHEN freq - 1 <= 0 THEN 1.0
+                  ELSE 1.0 - ln((freq - 1)::DOUBLE) / ln(mx.maxf::DOUBLE)
              END, 4) AS frequency_factor
 FROM freqs, mx
 ORDER BY freq DESC, repr LIMIT 100

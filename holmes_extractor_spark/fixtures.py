@@ -687,6 +687,144 @@ GOLDEN_EDGES: list[tuple] = [
 ]
 
 # (snip_id, word) — the reference's single-word phraselets
+GOLDEN_WORDS_ANY: list[tuple] = [
+    (0, 'chase'),
+    (1, 'be'), (1, 'chase'),
+    (2, 'do'), (2, 'chase'),
+    (3, 'chase'),
+    (4, 'see'), (4, 'be'), (4, 'chase'),
+    (5, 'come'), (5, 'home'),
+    (6, 'grow'),
+    (7, 'grow up'), (7, 'quick'),
+    (8, 'be'), (8, 'poor'),
+    (9, 'rich'), (9, 'come'), (9, 'home'),
+    (10, 'gift'),
+    (11, 'chase'),
+    (12, 'three'), (12, 'chase'),
+    (13, 'sing'), (13, 'in'),
+    (14, 'come'),
+    (15, 'chase'), (15, 'come'), (15, 'home'),
+    (16, 'chase'), (16, 'be'), (16, 'old'),
+    (17, 'decide'), (17, 'open'),
+    (18, 'see'), (18, 'in'),
+    (19, 'be'), (19, 'hard'), (19, 'book'),
+    (20, 'be'), (20, 'grow'),
+    (21, 'sail'), (21, 'rapid'),
+    (22, 'grow'),
+    (23, 'grow'),
+    (24, 'healthy'), (24, 'grow'), (24, 'in'),
+    (25, 'healthy'), (25, 'grow'),
+    (26, 'progress'), (26, 'with'),
+    (27, 'need'), (27, 'for'), (27, 'five'),
+    (28, 'gift'),
+    (29, 'open'),
+    (30, 'will'), (30, 'chase'),
+    (31, 'never'), (31, 'chase'),
+    (32, 'chase'),
+    (33, 'chase'),
+    (34, 'chase'),
+    (35, 'chase'),
+    (36, 'open'),
+    (37, 'need'),
+    (38, 'open'),
+    (39, 'come'), (39, 'home'),
+    (40, 'old'), (40, 'come'), (40, 'home'),
+    (41, 'be'), (41, 'chase'),
+    (42, 'three'), (42, 'chase'), (42, 'two'),
+    (43, 'decide'), (43, 'buy'),
+    (44, 'try'), (44, 'open'),
+    (45, 'see'), (45, 'in'),
+    (46, 'see'), (46, 'be'), (46, 'chase'),
+    (47, 'be'), (47, 'ease'), (47, 'book'),
+    (48, 'be'), (48, 'open'),
+    (49, 'be'), (49, 'extract'),
+    (50, 'be'), (50, 'build'), (50, 'quick'),
+    (51, 'find'), (51, 'in'),
+    (52, 'write'),
+    (53, 'chase'),
+    (54, 'plant'),
+    (55, 'eat'),
+    (56, 'read'),
+    (57, 'help'),
+    (58, 'buy'),
+    (59, 'watch'),
+    (60, 'catch'),
+    (61, 'break'),
+    (62, 'sell'),
+    (63, 'explain'),
+    (64, 'throw'),
+    (65, 'eat'),
+    (66, 'rich'), (66, 'sing'), (66, 'quick'),
+    (67, 'sick'), (67, 'sleep'),
+    (68, 'famous'), (68, 'visit'),
+    (69, 'repair'),
+    (70, 'paint'),
+    (71, 'steal'),
+    (72, 'deliver'),
+    (73, 'sink'), (73, 'in'),
+    (74, 'approach'),
+    (75, 'buy'),
+    (76, 'wash'),
+    (77, 'sing'), (77, 'in'),
+    (78, 'visit'), (78, 'sick'),
+    (79, 'gentle'), (79, 'help'),
+    (80, 'open'),
+    (81, 'do'), (81, 'break'),
+    (82, 'never'), (82, 'visit'),
+    (83, 'old'), (83, 'feed'),
+    (84, 'strong'), (84, 'carry'),
+    (85, 'small'), (85, 'bark'),
+    (86, 'tire'), (86, 'sleep'), (86, 'in'),
+    (87, 'open'),
+    (88, 'two'), (88, 'fly'), (88, 'over'),
+    (89, 'come'), (89, 'home'),
+    (90, 'happy'), (90, 'sing'),
+    (91, 'big'), (91, 'chase'),
+    (92, 'see'), (92, 'bark'), (92, 'be'), (92, 'hunger'),
+    (93, 'tire'), (93, 'sleep'),
+    (94, 'chase'), (94, 'come'), (94, 'home'),
+    (95, 'chase'), (95, 'be'), (95, 'tire'),
+    (96, 'chase'), (96, 'tell'),
+    (97, 'chase'),
+    (98, 'order'), (98, 'chase'),
+    (99, 'decide'), (99, 'be'), (99, 'chase'),
+    (100, 'large'), (100, 'strong'), (100, 'come'), (100, 'home'),
+    (101, 'chase'), (101, 'catch'), (101, 'be'), (101, 'tire'),
+    (102, 'chase'), (102, 'be'), (102, 'tire'),
+    (103, 'be'), (103, 'think'), (103, 'about'), (103, 'chase'),
+    (104, 'talk'), (104, 'about'), (104, 'chase'),
+    (105, 'should'), (105, 'chase'),
+    (106, 'jagd'),
+    (107, 'polizei'), (107, 'information'), (107, 'über'),
+    (108, 'reich'), (108, 'kommen'), (108, 'nach'),
+    (109, 'werden'), (109, 'vom'), (109, 'jagd'),
+    (110, 'jagd'),
+    (111, 'jagd'),
+    (112, 'jagd'),
+    (113, 'werden'), (113, 'jagd'),
+    (114, 'klein'), (114, 'sehen'),
+    (115, 'wohnung'), (115, 'gesellschaft'), (115, 'verkauf'),
+    (116, 'öffnen'),
+    (117, 'reich'), (117, 'kauf'),
+    (118, 'versicherung'), (118, 'gesellschaft'), (118, 'information'),
+    (119, 'sehen'), (119, 'im'),
+    (120, 'lesen'),
+    (121, 'spiel'), (121, 'im'),
+    (122, 'polizei'), (122, 'information'), (122, 'broschüre'), (122, 'sein'), (122, 'interessant'),
+    (123, 'gabe'),
+    (124, 'werden'), (124, 'vom'), (124, 'sehen'),
+    (125, 'klein'), (125, 'schlaf'), (125, 'im'),
+    (126, 'bau'),
+    (127, 'jagd'),
+    (128, 'groß'), (128, 'stark'), (128, 'kommen'), (128, 'heim'),
+]
+
+# Any-tag single-word phraselets per snippet: matchable non-noun tokens
+# admitted by the reference's all-words production pass
+# (parsing.py:2442-2457 match_all_words=True; matchable_pos incl. VERB/
+# ADJ/ADV/ADP, en language_specific_rules.py:25-36; stop lemmas
+# then/therefore/so and PRP tags excluded, :830/:847). Derived lemmas
+# follow the transcribed derivation rules.
 GOLDEN_WORDS: list[tuple] = [
     (123, 'frau'), (123, 'mann'), (123, 'buch'),
     (124, 'mann'), (124, 'kriminelle'),
@@ -1013,6 +1151,8 @@ def pages_cte_sql() -> str:
         for (sid, t, lbl, s, o, p, n, u, c) in GOLDEN_EDGES
     )
     words_vals = ",\n    ".join(f"({sid}, '{w}')" for (sid, w) in GOLDEN_WORDS)
+    any_words_vals = ",\n    ".join(
+        f"({sid}, '{w}')" for (sid, w) in GOLDEN_WORDS_ANY)
     snips_vals = ",\n    ".join(
         f"({i}, '{s.replace(chr(39), chr(39)*2)}')" for i, s in enumerate(POOL)
     )
@@ -1040,5 +1180,8 @@ golden_edges(snip_id, template, label, subj, obj, pred, negated, uncertain, invo
 ),
 golden_words(snip_id, word) AS (VALUES
     {words_vals}
+),
+golden_any_words(snip_id, word) AS (VALUES
+    {any_words_vals}
 )
 """

@@ -129,7 +129,7 @@ VERB_LEMMAS_EN = {
     "repair", "paint", "steal", "borrow", "lend", "deliver", "order",
     "tell", "claim", "understand", "comprehend", "travel",
     "adopt", "demand", "meow", "scare", "shout", "discuss", "excite",
-    "attend",
+    "attend", "lie", "bark", "perform",
 }
 
 # nouns that would otherwise look verbal (tagged NOUN after DET/ADJ)
@@ -152,7 +152,8 @@ NOUN_LEXICON_EN = {
     "neatness", "office", "pussy", "salesman", "sandwich",
     "serendipity", "son", "wastage", "waste", "week", "topic", "thing",
     "desk", "university", "loss", "rat", "panther", "leopard", "policy",
-    "donkey", "elephant", "roll", "entity", "month",
+    "donkey", "elephant", "roll", "entity", "month", "politician",
+    "performance", "duet",
 }
 
 # nouns denoting persons (for coref gender/person compatibility)

@@ -118,6 +118,15 @@ def _tag_en(toks: list[Tok], start_of_sent: int) -> None:
             t.pos = "PRON"  # relative 'that'
         elif w == "that":
             t.pos = "DET"
+        elif w in ("which", "what") \
+                and (prev is None or prev.pos not in ("NOUN", "PROPN")) \
+                and j + 1 < n and (
+                    toks[j + 1].text.lower() in L.NOUN_LEXICON_EN
+                    or toks[j + 1].text.lower() in L.ADJECTIVES_EN):
+            # governed interrogative ("WHICH politician lied?", "In
+            # WHICH house?"): determiner of the answer noun (reference
+            # governed question words, tests/en/test_questions_EN.py)
+            t.pos = "DET"
         elif w in L.PRONOUNS_EN:
             t.pos = "PRON"
         elif w in L.BE_FORMS_EN or w in L.DO_FORMS_EN or w in L.HAVE_FORMS_EN or w in L.MODALS_EN:
@@ -1596,6 +1605,10 @@ def parse_document(text: str, lang: str) -> dict:
                 if ct.pos not in ("NOUN", "PROPN") or ct.dep == "compound":
                     continue
                 is_person = ct.ent_type == "PERSON" or cw in L.PERSON_NOUNS_EN
+                if w in ("they", "them"):
+                    # 'they' is person- and gender-agnostic
+                    ante = c
+                    break
                 if neuter and not is_person:
                     ante = c
                     break
@@ -1728,7 +1741,7 @@ def parse_document(text: str, lang: str) -> dict:
             and not (t.pos == "ADP" and lang == "en"
                      and w in ("by", "of", "to"))
         )
-        if t.pos == "PRON" and w in (L.INTERROGATIVES_EN | {"wer", "was", "wo", "wann", "warum", "wie", "wem", "wen"}):
+        if t.pos in ("PRON", "DET") and w in (L.INTERROGATIVES_EN | {"wer", "was", "wo", "wann", "warum", "wie", "wem", "wen"}):
             s0 = sent_bounds[t.sent_idx][0]
             # initial, or fronted behind a PREPOSITION chain ("To whom
             # did you talk?", "On the basis of what information…" —

@@ -135,10 +135,12 @@ def _words_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for url, lang, toks, deps in zip(pdf["url"], pdf["lang"],
                                          pdf["tokens"], pdf["deps"]):
             parsed = _docs_to_parsed(toks, deps)
-            for w in extract_word_phraselets(parsed, lang):
+            for w in extract_word_phraselets(parsed, lang,
+                                             match_all_words=True):
                 rows.append({"url": url, "lang": lang, "word": w["word"],
                              "label": w["label"], "idx": w["idx"],
-                             "negated": w["negated"]})
+                             "negated": w["negated"],
+                             "any_tag": w["any_tag"]})
         yield pd.DataFrame(rows, columns=cols)
 
 

@@ -65,7 +65,7 @@ QUESTION_TEMPLATES_EN: list[tuple[str, frozenset, frozenset, frozenset]] = [
     ("head-WHsubj", frozenset({"nsubj", "nsubjpass", "pobjb"}),
      frozenset({"VERB"}), _WP),
     ("head-WHobj", frozenset({"dobj", "pobjo"}), frozenset({"VERB"}), _WP),
-    ("head-WHadv", frozenset({"advmod"}), _NV, _WRB),
+    ("head-WHadv", frozenset({"advmod", "wh_wildcard"}), _NV, _WRB),
     ("headprep-WH", frozenset({"pobjp"}), _NV, _WP),
     ("headprepto-WH", frozenset({"pobjt"}), _NV, _WP),
 ]
@@ -314,23 +314,36 @@ def extract_word_phraselets(parsed: dict, lang: str,
     toks = parsed["tokens"]
     mw_ignore = _multiword_member_indexes(toks)
     out = []
-    seen = set()
+    seen: dict[str, dict] = {}
     for t in toks:
         if t["i"] in mw_ignore:
             continue
         if (t["pos"] in WORD_TEMPLATE_POS or match_all_words) and t["is_matchable"]:
             r = _repr_of(t)
-            if r not in seen and r not in STOP_LEMMAS:
-                seen.add(r)
-                out.append({"template": "word", "label": f"word: {r}",
-                            "word": r, "idx": t["i"],
-                            "negated": t["is_negated"]})
+            if r not in STOP_LEMMAS:
+                # any_tag marks words admitted only by the all-words
+                # pass (reference: phraselets 'created without matching
+                # tags' score single_word_any_tag_score,
+                # parsing.py:2442-2457 + topic_matching scoring); a
+                # tag-checked occurrence anywhere upgrades the entry
+                prev = seen.get(r)
+                if prev is None:
+                    entry = {"template": "word", "label": f"word: {r}",
+                             "word": r, "idx": t["i"],
+                             "negated": t["is_negated"],
+                             "any_tag": t["pos"] not in WORD_TEMPLATE_POS}
+                    seen[r] = entry
+                    out.append(entry)
+                elif prev["any_tag"] and t["pos"] in WORD_TEMPLATE_POS:
+                    prev["any_tag"] = False
         if match_all_words:
             for sw in t["subwords"]:
                 r = sw["derived_lemma"]
                 if r not in seen:
-                    seen.add(r)
-                    out.append({"template": "word", "label": f"word: {r}",
-                                "word": r, "idx": t["i"],
-                                "negated": t["is_negated"]})
+                    entry = {"template": "word", "label": f"word: {r}",
+                             "word": r, "idx": t["i"],
+                             "negated": t["is_negated"],
+                             "any_tag": True}
+                    seen[r] = entry
+                    out.append(entry)
     return out

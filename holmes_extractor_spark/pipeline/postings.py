@@ -79,15 +79,16 @@ def corpus_frequencies(postings: DataFrame) -> DataFrame:
 
 
 def frequency_factor(freq_df: DataFrame) -> DataFrame:
-    """1 - log(freq)/log(max_freq) — the reference's frequency factor
-    (reference parsing.py:1852-1885), used to gate reverse matching.
-    Computed with a scalar broadcast of the max (no shuffle on the big
-    side)."""
+    """1 - log(freq - 1)/log(max_freq) — the reference's frequency
+    factor (parsing.py:1870-1877: the word frequency is ADJUSTED down
+    by one before the log, so words seen once or twice keep factor
+    1.0), used to deflate scores and gate reverse matching. Computed
+    with a scalar broadcast of the max (no shuffle on the big side)."""
     max_freq = freq_df.agg(F.max("freq")).collect()[0][0] or 1
+    adj = F.col("freq").cast("double") - 1.0
     return freq_df.withColumn(
         "frequency_factor",
-        F.when(F.lit(max_freq) <= 1, F.lit(1.0)).otherwise(
-            1.0 - F.log(F.greatest(F.col("freq").cast("double"), F.lit(1.0)))
-            / F.log(F.lit(float(max_freq)))
-        ),
+        F.when(F.lit(max_freq) <= 1, F.lit(1.0))
+        .when(adj <= 0.0, F.lit(1.0))
+        .otherwise(1.0 - F.log(adj) / F.log(F.lit(float(max_freq)))),
     )

@@ -107,7 +107,32 @@ def query_phraselets(query_text: str, lang: str = "en",
     parsed = parse_document(query_text, lang)
     rels = extract_candidate_edges(parsed, lang,
                                    include_questions=include_questions)
-    words = extract_word_phraselets(parsed, lang)
+    # two-pass single-word production (reference parsing.py:2418-2458):
+    # tag-checked words score single_word_score, the all-words pass
+    # admits the rest as any-tag phraselets (single_word_any_tag_score)
+    words = extract_word_phraselets(parsed, lang, match_all_words=True)
+    if include_questions:
+        # governed interrogatives ("WHICH politician lied?"): a pole
+        # whose noun is determined by which/what makes every match of
+        # that phraselet an answer (reference governed question words,
+        # tests/en/test_questions_EN.py:60-170)
+        toks = parsed["tokens"]
+
+        def _wh_governed(i: int) -> bool:
+            k = i - 1
+            while k >= 0 and toks[k]["pos"] in ("ADJ", "NUM"):
+                k -= 1
+            return (k >= 0 and toks[k]["pos"] == "DET"
+                    and toks[k]["text"].lower() in ("which", "what"))
+
+        for p in rels:
+            if _wh_governed(p["child_idx"]):
+                p["wh_governed"] = "child"
+            elif _wh_governed(p["parent_idx"]):
+                p["wh_governed"] = "parent"
+        for w in words:
+            if _wh_governed(w["idx"]):
+                w["wh_governed"] = True
     return rels, words
 
 
@@ -216,6 +241,31 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
                     "parent_idx", "child_idx", "penalty", "freq_factor")
         )
         out = rel_m
+        # entity-label prototype matching for the 'person' lexeme: a
+        # query child pole 'person' matches any person-entity child —
+        # the reference's entity-embedding word match with the PERSON
+        # label prototype, which IS the 'person' lexeme
+        # (cosine = 1.0; ENTITY_LABEL_LEXEMES, en rules :100-121)
+        person_rows = [(r[0], r[1], r[2], r[4], r[5]) for r in rel_rows
+                       if r[3] == "person"]
+        if person_rows:
+            qp = spark.createDataFrame(
+                person_rows,
+                "template string, phraselet_label string, q_pred string, "
+                "q_reverse_only boolean, freq_factor double")
+            per_m = (
+                edges.filter(F.col("child_is_person"))
+                .withColumnRenamed("pred", "q_pred")
+                .join(F.broadcast(qp), ["template", "q_pred"])
+                .select("url", "phraselet_label",
+                        F.when(F.col("q_reverse_only"),
+                               F.lit("relation_reverse_only"))
+                         .otherwise(F.lit("relation")).alias("kind"),
+                        F.least("parent_idx", "child_idx").alias("position"),
+                        "parent_idx", "child_idx",
+                        F.lit(1.0).alias("penalty"), "freq_factor")
+            )
+            out = out.unionByName(per_m)
     if q_rows:
         # question phraselets: the WH pole matches any answering word,
         # scored initial_question_word_answer_score (reference
@@ -247,28 +297,34 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
             out = q_m if out is None else out.unionByName(q_m)
     if word_ph:
         qw = spark.createDataFrame(
-            [(p["word"], p["label"], float(p.get("freq_factor", 1.0)))
+            [(p["word"], p["label"], float(p.get("freq_factor", 1.0)),
+              bool(p.get("any_tag", False)))
              for p in word_ph],
-            "word string, phraselet_label string, freq_factor double")
+            "word string, phraselet_label string, freq_factor double, "
+            "q_any_tag boolean")
         if closure is not None:
             c = closure.select("query_word", "matched_word", "depth")
             qw = (qw.join(F.broadcast(c).withColumnRenamed("query_word", "word")
                           .withColumnRenamed("matched_word", "m_word")
                           .withColumnRenamed("depth", "d_word"), "word", "left")
                   .select(F.coalesce("m_word", "word").alias("word"),
-                          "phraselet_label", "freq_factor",
+                          "phraselet_label", "freq_factor", "q_any_tag",
                           F.when(F.col("m_word").isNull()
                                  | (F.col("m_word") == F.col("word")),
                                  F.lit(1.0))
                           .otherwise(F.pow(F.lit(ontology_penalty),
                                            F.col("d_word") + 1)).alias("penalty"))
-                  .groupBy("word", "phraselet_label", "freq_factor")
+                  .groupBy("word", "phraselet_label", "freq_factor",
+                           "q_any_tag")
                   .agg(F.max("penalty").alias("penalty")))
         else:
             qw = qw.withColumn("penalty", F.lit(1.0))
         word_m = (
             words.join(F.broadcast(qw), "word")
-            .select("url", "phraselet_label", F.lit("single_word").alias("kind"),
+            .select("url", "phraselet_label",
+                    F.when(F.col("q_any_tag"),
+                           F.lit("single_word_any_tag"))
+                     .otherwise(F.lit("single_word")).alias("kind"),
                     F.col("idx").alias("position"),
                     F.col("idx").alias("parent_idx"),
                     F.col("idx").alias("child_idx"),
@@ -277,14 +333,47 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
         out = word_m if out is None else out.unionByName(word_m)
     if out is None:
         raise ValueError("query produced no phraselets")
+    # governed interrogatives: matches of a which/what-governed
+    # phraselet ALSO emit an answer row at the governed pole — scored
+    # initial_question_word_answer_score for relations, answer-only for
+    # single words (reference tests/en/test_questions_EN.py:60-170:
+    # 'Which politician lied?' scores above its non-question control,
+    # 'Which man?' equals it but carries the answer span)
+    gov_rel = {p["label"]: p["wh_governed"] for p in rel_ph
+               if p.get("wh_governed")}
+    gov_word = [w["label"] for w in word_ph if w.get("wh_governed")]
+    extras = []
+    if gov_rel:
+        parent_labels = [lbl for (lbl, pole) in gov_rel.items()
+                         if pole == "parent"]
+        child_labels = [lbl for (lbl, pole) in gov_rel.items()
+                        if pole == "child"]
+        g = out.filter(F.col("phraselet_label").isin(
+            parent_labels + child_labels))
+        extras.append(g.select(
+            "url", "phraselet_label", F.lit("question_answer").alias("kind"),
+            "position", "parent_idx",
+            F.when(F.col("phraselet_label").isin(parent_labels),
+                   F.col("parent_idx")).otherwise(F.col("child_idx"))
+            .alias("child_idx"),
+            "penalty", "freq_factor"))
+    if gov_word:
+        g = out.filter(F.col("phraselet_label").isin(gov_word))
+        extras.append(g.select(
+            "url", "phraselet_label",
+            F.lit("question_answer_word").alias("kind"),
+            "position", "parent_idx", "child_idx", "penalty",
+            "freq_factor"))
+    for e in extras:
+        out = out.unionByName(e)
     # superfluous-match / duplicate hygiene (reference
     # topic_matching.py:606-847): one surviving match per
     # (document, phraselet, position), keeping the least-penalized
     # alternative — exact-join duplicates arise from ontology expansion
     # mapping several query words onto the same corpus word, and from
     # the same relation being reachable in both directions
-    w = Window.partitionBy("url", "phraselet_label", "position") \
-        .orderBy(F.desc("penalty"), "kind")
+    w = Window.partitionBy("url", "phraselet_label", "position", "kind") \
+        .orderBy(F.desc("penalty"))
     return (out.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1).drop("_rn"))
 
@@ -306,6 +395,8 @@ def _score_docs(params: dict):
             "single_word": params["single_word_score"],
             "single_word_any_tag": params["single_word_any_tag_score"],
             "question_answer": params["initial_question_word_answer_score"],
+            # governed single-word answers carry the span, not a score
+            "question_answer_word": 0.0,
         }
         pos_entries: dict[int, list[tuple]] = {}
         for r in ms:
@@ -323,12 +414,15 @@ def _score_docs(params: dict):
             pos_entries.setdefault(pos, []).append(
                 (lbl, kind, overlap,
                  int(r.get("parent_idx", pos)), int(r.get("child_idx", pos))))
-            # decay previous activation of this phraselet
+            # decay previous activation of this phraselet; a repeat
+            # match RESETS to its own score if higher, else keeps the
+            # decayed activation (reference topic_matching.py:1021-1028
+            # — NOT additive)
             act = base
             if lbl in last_pos:
                 dist = pos - last_pos[lbl]
                 decayed = last_act[lbl] * max(0.0, 1.0 - dist / max_d)
-                act = max(base, decayed + base)
+                act = max(base, decayed)
             last_pos[lbl], last_act[lbl] = pos, act
             total = act
             for other, opos in last_pos.items():
@@ -380,7 +474,11 @@ def _score_docs(params: dict):
             for p in cluster:
                 is_peak = p == peak_pos
                 for (lbl, kind, overlap, p_idx, c_idx) in pos_entries[p]:
-                    if kind == "single_word":
+                    if kind == "question_answer_word":
+                        # governed single-word answer: span only
+                        answers.add(c_idx)
+                        continue
+                    if kind.startswith("single_word"):
                         word = lbl.split(": ", 1)[-1]
                         ents = [(p_idx, "single",
                                  f"Matches {word.upper()} individually.")]

@@ -104,4 +104,7 @@ WORDS = T.StructType([
     T.StructField("label", T.StringType()),
     T.StructField("idx", T.IntegerType()),
     T.StructField("negated", T.BooleanType()),
+    # True for words admitted only by the all-words pass (non-noun
+    # tags) — the reference's 'created without matching tags'
+    T.StructField("any_tag", T.BooleanType()),
 ])
