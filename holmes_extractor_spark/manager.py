@@ -142,6 +142,15 @@ class SparkHolmesManager:
             self._postings = build_postings(self.docs()).cache()
         return self._postings
 
+    def get_corpus_frequency_information(self) -> tuple[dict, int]:
+        """(repr → corpus frequency, maximum) — reference
+        manager.py:615-675 / tests/en/test_structural_matching_EN.py:
+        1033-1070. Collects to the driver (vocabulary-sized); the
+        distributed path is ``corpus_frequencies(self.postings())``."""
+        rows = corpus_frequencies(self.postings()).collect()
+        d = {r["repr"]: r["freq"] for r in rows}
+        return d, max(d.values(), default=0)
+
     def match_df(self, search_phrase_text: str | None = None,
                  document_label_filter: str | None = None,
                  process_initial_question_words: bool = False) -> DataFrame:

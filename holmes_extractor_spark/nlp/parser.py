@@ -127,6 +127,12 @@ def _tag_en(toks: list[Tok], start_of_sent: int) -> None:
             # WHICH house?"): determiner of the answer noun (reference
             # governed question words, tests/en/test_questions_EN.py)
             t.pos = "DET"
+        elif w in ("my", "your", "its", "our", "their") or (
+                w in ("his", "her") and j + 1 < n
+                and (toks[j + 1].text.lower() in L.NOUN_LEXICON_EN
+                     or toks[j + 1].text.lower() in L.ADJECTIVES_EN)):
+            # possessive determiners ("his son", "your roll")
+            t.pos = "DET"
         elif w in L.PRONOUNS_EN:
             t.pos = "PRON"
         elif w in L.BE_FORMS_EN or w in L.DO_FORMS_EN or w in L.HAVE_FORMS_EN or w in L.MODALS_EN:
@@ -427,7 +433,12 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
                 # non-finite complements inside the rel clause
                 preds = sorted(
                     v for v in verb_pos + aux_pos if v > rel_end
-                    and not (v > 0 and (toks[v - 1].pos == "ADP"
+                    # only a content VERB after an ADP is a non-finite
+                    # complement ("thinking ABOUT CHASING"); an AUX
+                    # after a dangling displaced preposition IS the
+                    # main predicate ("…you ate your roll at WAS new")
+                    and not (v > 0 and ((toks[v - 1].pos == "ADP"
+                                         and v in set(verb_pos))
                                         or toks[v - 1].text.lower()
                                         in ("to", "being"))))
                 if preds:
@@ -452,7 +463,7 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
         for k in range(len(spans) - 1):
             (s1, e1, h1), (s2, e2, h2) = spans[k], spans[k + 1]
             v = e2 + 1
-            if (s2 == e1 + 1 and toks[s2].pos == "DET" and v < n
+            if (s2 == e1 + 1 and toks[s2].pos in ("DET", "PRON") and v < n
                     and v in vset
                     and toks[v - 1].text.lower() != "to"
                     and any(p > v for p in verb_pos + aux_pos)):
@@ -818,6 +829,13 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
         segments.append([first_v + 1, root_local, root_local])
     if rel_interior_scanned:
         # subject-relative interior scanned like a clause of its own
+        segments.insert(0, [rel[1] + 1, rel[2], rel[1]])
+    elif rel and not rel_final and rel[2] is not None \
+            and rel[1] + 1 < rel[2] and toks[rel[2] - 1].pos == "ADP":
+        # object-relative interior ending in a displaced preposition
+        # ("you ate YOUR ROLL AT was new"): scan the inner objects so
+        # the dangling preposition can take the antecedent (reference
+        # displaced-preposition handling, en rules :395-420)
         segments.insert(0, [rel[1] + 1, rel[2], rel[1]])
     seg_idx = 0
     j, scan_end, _seg_cur = segments[0]
@@ -1190,6 +1208,24 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
                 for m in group[1:]:
                     if not _dep_exists(m, d["child"], d["label"]):
                         add(m, d["child"], d["label"], uncertain=unc)
+
+    # displaced preposition in a relative clause ("The office you ate
+    # your roll at was new"): the clause-final bare preposition takes
+    # the ANTECEDENT as its object (reference displaced-preposition
+    # handling, en language_specific_rules.py:395-420)
+    if rel is not None and not rel_final:
+        ante = toks[rel[3]]
+        anchor = next((t2 for t2 in toks
+                       if ante.i in t2.righthand_siblings), ante)
+        ante_group = [anchor.i] + list(anchor.righthand_siblings)
+        for k in range(rel[0], min(rel[2], n)):
+            t2 = toks[k]
+            if t2.pos == "ADP" and not any(
+                    d["parent"] == t2.i and d["label"] == "pobj"
+                    for d in deps):
+                for a in ante_group:
+                    add(t2.i, a, "pobj")
+                    add(toks[rel[1]].i, a, "pobjp")
 
     if or_members:
         for d in deps:

@@ -145,6 +145,9 @@ DOCS = {
     "advphr_subj": "The dog-chased cat and cat came home",
     "advphr_subj_inv": "The cat-chased dog and dog came home",
     "very_sad": "The man was very sad.",
+    "displaced_prep": "The office you ate your roll at was new",
+    "displaced_prep_conj": ("The office and the office that you ate "
+                            "your roll at were new"),
     "needs_insurance": "An employee needs insurance for the next five years",
     "dative_conj": "The file was given to the boss and the boss",
     "double_obj": "Somebody gave the employee the file",
@@ -503,6 +506,14 @@ def test_dative_noun_phrase_in_document_dative_prepositional_phrase_in_search_ph
 
 def test_matching_single_word(by_doc):  # ref :594
     assert len(by_doc["serendipity"]) == 1
+
+
+def test_matching_displaced_preposition_simple(by_doc):  # ref :598
+    assert len(by_doc["displaced_prep"]) == 1
+
+
+def test_matching_displaced_preposition_with_conjunction(by_doc):  # ref :604
+    assert len(by_doc["displaced_prep_conj"]) == 2
 
 
 # -------------------------------------------------- tough-movement (arg)
