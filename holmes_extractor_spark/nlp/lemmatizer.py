@@ -13,6 +13,8 @@ verify lemma-level aggregations value-for-value.
 
 from __future__ import annotations
 
+from functools import lru_cache as _lru_cache
+
 # irregular surface form -> lemma (English)
 IRREGULAR_EN: dict[str, str] = {
     "was": "be", "were": "be", "is": "be", "are": "be", "am": "be",
@@ -89,8 +91,10 @@ def _strip_ed_ing(w: str) -> str:
     return stem
 
 
+@_lru_cache(maxsize=65536)
 def lemma_en(word: str) -> str:
-    """Lowercased lemma of one English surface token (deterministic)."""
+    """Lowercased lemma of one English surface token (deterministic,
+    pure — memoized; web corpora are zipfian so the hit rate is high)."""
     w = word.lower()
     if w in IRREGULAR_EN:
         return IRREGULAR_EN[w]
@@ -194,6 +198,7 @@ _ATION_VERBS = {
 }
 
 
+@_lru_cache(maxsize=65536)
 def derived_lemma_en(lemma: str, pos: str = "") -> str:
     """Derivationally canonical form (predicate canonicalization).
 
@@ -278,6 +283,7 @@ IRREGULAR_DE: dict[str, str] = {
 }
 
 
+@_lru_cache(maxsize=65536)
 def lemma_de(word: str) -> str:
     w = word.lower()
     if w in IRREGULAR_DE:
