@@ -198,7 +198,13 @@ def _tag_en(toks: list[Tok], start_of_sent: int) -> None:
             t.pos = "VERB"
         elif t.text[:1].isupper() and j + start_of_sent > start_of_sent and j > 0:
             t.pos = "PROPN"
-        elif t.text[:1].isupper() and j == 0 and w in _FIRST_NAMES:
+        elif t.text[:1].isupper() and j == 0 and (
+                w in _FIRST_NAMES
+                # sentence-initial name SEQUENCE ("Mimi Momo progresses"):
+                # a following capitalized non-lexicon word marks a name
+                or (j + 1 < n and toks[j + 1].text[:1].isupper()
+                    and toks[j + 1].text.lower() not in L.NOUN_LEXICON_EN
+                    and toks[j + 1].text.lower() not in L.VERB_LEMMAS_EN)):
             t.pos = "PROPN"
         elif w in L.NOUN_LEXICON_EN:
             t.pos = "NOUN"

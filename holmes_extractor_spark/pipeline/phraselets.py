@@ -347,3 +347,28 @@ def extract_word_phraselets(parsed: dict, lang: str,
                     seen[r] = entry
                     out.append(entry)
     return out
+
+
+def replace_with_hypernym_ancestors(
+        rels: list[dict], words: list[dict],
+        ancestors: dict[str, str]) -> tuple[list[dict], list[dict]]:
+    """Replace each phraselet pole with its most-general hypernym
+    ancestor and re-deduplicate by label (the reference's
+    replace_with_hypernym_ancestors mode, parsing.py:2427-2440 +
+    classification phraselet generalization, classification.py:384-397:
+    'A dog progresses' → predicate-actor: progress-animal)."""
+    out_r: dict[str, dict] = {}
+    for p in rels:
+        pred = ancestors.get(p["pred"], p["pred"])
+        subj = ancestors.get(p["subj"], p["subj"])
+        obj = ancestors.get(p["obj"], p["obj"])
+        child = subj if p["template"] in ACTOR_TEMPLATES else obj
+        label = f"{p['template']}: {pred}-{child}"
+        q = {**p, "pred": pred, "subj": subj, "obj": obj, "label": label}
+        out_r.setdefault(label, q)
+    out_w: dict[str, dict] = {}
+    for w in words:
+        word = ancestors.get(w["word"], w["word"])
+        label = f"word: {word}"
+        out_w.setdefault(label, {**w, "word": word, "label": label})
+    return list(out_r.values()), list(out_w.values())
