@@ -193,14 +193,17 @@ ADJECTIVES_DE = {"reich", "reiche", "reicher", "reichen", "arm", "arme",
                  "kleinen", "gut", "gute", "guten", "alt", "alte", "alten",
                  "jung", "junge", "jungen", "schnell", "schnelle", "langsam",
                  "stark", "starke", "starken", "krank", "kranke", "kranken",
-                 "hungrig", "hungrige", "glücklich", "glückliche"}
+                 "hungrig", "hungrige", "glücklich", "glückliche",
+                 "schlau", "schlaue", "schlauen", "traurig", "traurige",
+                 "schwer", "schwere", "neu", "neue", "neuen"}
 
 ADVERBS_DE = {"schnell", "langsam", "heute", "gestern", "morgen", "hier",
               "dort", "jetzt", "immer", "oft", "bald", "gern", "sehr",
-              "heim"}
+              "heim", "nie", "niemals"}
 
 VERB_LEMMAS_DE = {
     "jagen", "sehen", "kommen", "wachsen", "geben", "öffnen", "kaufen",
+    "behaupten", "fressen", "buchen", "wandern",
     "schlafen", "bauen", "kochen", "lehren", "fangen", "essen",
     "verkaufen", "essen", "fangen", "nehmen", "machen", "sagen", "gehen",
     "finden", "informieren", "singen", "fliegen", "fahren", "besuchen",

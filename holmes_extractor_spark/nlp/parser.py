@@ -227,6 +227,8 @@ def _tag_de(toks: list[Tok]) -> None:
             t.pos = "CCONJ"
         elif w == "nicht":
             t.pos = "PART"
+        elif w in ("dass", "weil", "ob", "obwohl"):
+            t.pos = "SCONJ"
         elif w in L.PRONOUNS_DE:
             t.pos = "PRON"
         elif w in ("ist", "war", "sind", "waren", "wird", "wurde", "wurden", "hat", "hatte", "haben"):
@@ -346,6 +348,30 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
                 toks[k].dep = "mark"
                 toks[k].head = sub_root.i
                 return main_deps + sub_deps + rest_deps + [{
+                    "parent": main_root.i, "child": sub_root.i,
+                    "label": "ccomp", "uncertain": False, "coref": False,
+                }]
+
+    # --- German subordinate clause ("…, dass ein Hund eine Katze
+    # gejagt hatte"): verb-final complement linked with ccomp; the
+    # negation pass then scopes main-clause negation into it (the DE
+    # structural suite's subordinate-negation cases)
+    if lang == "de":
+        for k in range(1, n - 1):
+            if toks[k].pos == "SCONJ" \
+                    and any(t2.pos == "VERB" for t2 in toks[k + 1:]) \
+                    and any(t2.pos in ("VERB", "AUX") for t2 in toks[:k]):
+                main_deps = _parse_sentence(toks[:k], lang)
+                sub_deps = _parse_sentence(toks[k + 1:], lang)
+                main_root = next((t2 for t2 in toks[:k]
+                                  if t2.dep == "ROOT"), toks[0])
+                sub_root = next((t2 for t2 in toks[k + 1:]
+                                 if t2.dep == "ROOT"), toks[k + 1])
+                sub_root.dep = "ccomp"
+                sub_root.head = main_root.i
+                toks[k].dep = "mark"
+                toks[k].head = sub_root.i
+                return main_deps + sub_deps + [{
                     "parent": main_root.i, "child": sub_root.i,
                     "label": "ccomp", "uncertain": False, "coref": False,
                 }]
@@ -808,11 +834,32 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
         if not pre and is_q0 and first_v in aux_pos:
             pre = [h for h in np_heads if first_v < h < root_local]
         if pre:
-            subj_local = pre[-1]
-            st = toks[subj_local]
-            st.head = root.i
-            st.dep = "nsubjpass" if passive else "nsubj"
-            add(root.i, st.i, st.dep)
+            if lang == "de" and len(pre) >= 2 \
+                    and all(h < root_local for h in np_heads):
+                # verb-final subordinate order ("dass EIN HUND EINE
+                # KATZE gejagt hatte"): first NP is the subject, the
+                # rest are objects — dative when the determiner is
+                # unambiguous (dem/einem), else accusative
+                subj_local = pre[0]
+                st = toks[subj_local]
+                st.head = root.i
+                st.dep = "nsubjpass" if passive else "nsubj"
+                add(root.i, st.i, st.dep)
+                for h in pre[1:]:
+                    span = next(((s, e) for (s, e, hh) in nps if hh == h),
+                                None)
+                    det_w = (toks[span[0]].text.lower()
+                             if span is not None else "")
+                    lbl = "dative" if det_w in ("dem", "einem") else "dobj"
+                    toks[h].head = root.i
+                    toks[h].dep = lbl
+                    add(root.i, toks[h].i, lbl)
+            else:
+                subj_local = pre[-1]
+                st = toks[subj_local]
+                st.head = root.i
+                st.dep = "nsubjpass" if passive else "nsubj"
+                add(root.i, st.i, st.dep)
 
     # --- post-verbal material; `cur` tracks the governing verb and
     # switches to the xcomp verb across infinitival 'to' (control

@@ -217,7 +217,7 @@ def compile_search_phrase(text: str, label: str | None = None,
     # copula's children are replaced by a pointer to the subject)
     cop_ptr: dict[int, int] = {}
     for t in toks:
-        if t["pos"] != "AUX" or t["lemma"] != "be":
+        if t["pos"] != "AUX" or t["lemma"] not in ("be", "sein"):
             continue
         i = t["i"]
         acomps = [d["child"] for d in deps
