@@ -1259,6 +1259,15 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
                 # (reference test_semantics_EN.py:216-224)
                 unc = d["uncertain"] if verb_group else True
                 for m in group[1:]:
+                    if d["label"] == "amod" and not verb_group and any(
+                            t2.head == m and t2.pos == "DET"
+                            for t2 in toks):
+                        # adjectives distribute only within a SHARED
+                        # determiner phrase ("The large dog and cat" →
+                        # cat amod(U) large) — a conjunct with its own
+                        # determiner keeps its own modifiers ("a big
+                        # horse and a little horse")
+                        continue
                     if not _dep_exists(m, d["child"], d["label"]):
                         add(m, d["child"], d["label"], uncertain=unc)
 

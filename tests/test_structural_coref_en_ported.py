@@ -22,6 +22,7 @@ from tests.test_structural_matching_en_ported import REF_ONTOLOGY
 SEARCH_PHRASES = [
     "A dog chases a cat",
     "A big horse chases a cat",
+    "Somebody writes a book about an animal",
     "A tiger chases a little cat",
     "A big lion chases a cat",
     "An ENTITYPERSON needs insurance",
@@ -78,6 +79,19 @@ DOCS = {
     "repeated_noun": "We saw a big dog. The dog was chasing a cat.",
     "repeated_noun_both": "We saw a tired dog. The dog was chasing a donkey.",
     "rel_clause": "I saw a cat. The dog that had been chasing it was tired",
+    "dep_conj_both": ("I saw a big horse and a big horse. They were "
+                      "chasing a cat."),
+    "dep_conj_left": ("I saw a big horse and a little horse. They were "
+                      "chasing a cat."),
+    "dep_conj_right": ("I saw a little horse and a big horse. They were "
+                       "chasing a cat."),
+    "pron_conj_mixed": "I saw a big horse. It and a big lion were chasing a cat.",
+    "tough_coref": "We discussed holidays. They were very hard to find.",
+    "tough_coref_neg": "We discussed a holiday. It was found",
+    "prep_phrase": ("We discussed dogs. My friend decided to write a "
+                    "book about them."),
+    "prep_phrase_conj": ("We discussed the dog and the cat. My friend "
+                         "decided to write a book about them."),
     "involves_true": "I saw a cat. A dog was chasing it.",
     "involves_false": "A dog was chasing a cat.",
 }
@@ -311,6 +325,57 @@ def test_relative_clause(by_doc):  # ref :733
     ms = by_doc["rel_clause"]
     assert len(ms) == 2
     assert (3, "cat") in ext_words(ms, "A dog chases a cat")
+
+
+def test_pronoun_coreferents_with_dependency_conjunction_diff_sentence_both_match(by_doc):  # ref :445
+    ms = [m for m in by_doc["dep_conj_both"]
+          if m["search_phrase_label"] == "A big horse chases a cat"]
+    assert len(ms) == 2
+    assert {(3, "big"), (4, "horse"), (7, "big"), (8, "horse")} <= ext_words(ms)
+
+
+def test_pronoun_coreferents_with_dependency_conjunction_diff_sentence_left_matches(by_doc):  # ref :460
+    ms = [m for m in by_doc["dep_conj_left"]
+          if m["search_phrase_label"] == "A big horse chases a cat"]
+    assert len(ms) == 1
+    assert {(3, "big"), (4, "horse")} <= ext_words(ms)
+
+
+def test_pronoun_coreferents_with_dependency_conjunction_diff_sentence_right_matches(by_doc):  # ref :472
+    ms = [m for m in by_doc["dep_conj_right"]
+          if m["search_phrase_label"] == "A big horse chases a cat"]
+    assert len(ms) == 1
+    assert {(7, "big"), (8, "horse")} <= ext_words(ms)
+
+
+def test_pronoun_coreferents_with_pronoun_conjunction_diff_sentence(by_doc):  # ref :484
+    ms = [m for m in by_doc["pron_conj_mixed"]
+          if m["search_phrase_label"] == "A big horse chases a cat"]
+    assert len(ms) == 1
+    assert {(3, "big"), (4, "horse")} <= ext_words(ms)
+
+
+def test_adjective_verb_phrase_as_search_phrase_matches_simple(by_doc):  # ref :832
+    ms = [m for m in by_doc["tough_coref"]
+          if m["search_phrase_label"] == "A holiday is hard to find"]
+    assert len(ms) == 1 and not ms[0]["uncertain"]
+
+
+def test_adjective_verb_phrase_no_match_with_normal_phrase(by_doc):  # ref :841
+    assert [m for m in by_doc["tough_coref_neg"]
+            if m["search_phrase_label"] == "A holiday is hard to find"] == []
+
+
+def test_prepositional_phrase_no_conjunction(by_doc):  # ref :901
+    ms = [m for m in by_doc["prep_phrase"]
+          if m["search_phrase_label"] == "Somebody writes a book about an animal"]
+    assert len(ms) == 1 and not ms[0]["uncertain"]
+
+
+def test_prepositional_phrase_with_conjunction(by_doc):  # ref :911
+    ms = [m for m in by_doc["prep_phrase_conj"]
+          if m["search_phrase_label"] == "Somebody writes a book about an animal"]
+    assert len(ms) == 2 and all(not m["uncertain"] for m in ms)
 
 
 # ------------------------------------------------------------ flag tests
