@@ -216,10 +216,18 @@ class SparkHolmesManager:
         ff = None
         if use_frequency_factor:
             ff = frequency_factor(corpus_frequencies(self.postings()))
+        # token-entity table for ENTITY-placeholder topic poles
+        ents = docs.select(
+            "url", F.explode("tokens").alias("t")).select(
+            "url", F.col("t.i").alias("idx"),
+            F.col("t.ent_type").alias("ent_type"),
+            (F.col("t.pos").isin("NOUN", "PROPN")
+             & (F.col("t.dep") != "compound")).alias("is_noun"))
         res = topic.topic_match(self.spark, edges, words, text_to_match,
                                 closure=closure, freq_factors=ff,
                                 vectors=self._vectors,
                                 embedding_threshold=self._embedding_threshold,
+                                ents=ents,
                                 **params)
         res = topic.with_passage_text(res, docs)
         if params.get("initial_question_word_behaviour") == "exclusive":

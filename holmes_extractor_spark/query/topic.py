@@ -136,25 +136,41 @@ def query_phraselets(query_text: str, lang: str = "en",
     return rels, words
 
 
+import re as _re
+
+_ENT_CHILD_RE = _re.compile(r"^entity([a-z]+)$")
+
+
 def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
                      rel_ph: list[dict], word_ph: list[dict],
                      closure: DataFrame | None = None,
                      vectors: dict[str, list[float]] | None = None,
-                     embedding_threshold: float = 1.0) -> DataFrame:
+                     embedding_threshold: float = 1.0,
+                     ents: DataFrame | None = None) -> DataFrame:
     """Phraselet matches against the corpus:
     (url, phraselet_label, kind, position, base_score).
 
     Relation phraselets join the edges table on (template, pred-pole,
     child-pole) with ontology expansion of each pole via the broadcast
     closure; word phraselets join the words table. Both joins broadcast
-    the (tiny) query side."""
+    the (tiny) query side. ``ents`` (url, idx, ent_type, is_noun)
+    enables ENTITY-placeholder poles (reference entity word matching in
+    topic phraselets, tests/en/test_topic_matching_EN.py:93-116)."""
     ontology_penalty = DEFAULTS["ontology_penalty"]
+    all_rel = [p for p in rel_ph if not p["template"].startswith("head")]
+    ent_rel = [p for p in all_rel
+               if _ENT_CHILD_RE.match(
+                   p["obj"] if p["template"] not in ACTOR_TEMPLATES
+                   else p["subj"])]
+    rel_ph_plain = [p for p in all_rel if p not in ent_rel]
+    word_ph = [w for w in word_ph
+               if not _ENT_CHILD_RE.match(w["word"])]
     rel_rows = [(p["template"], p["label"], p["pred"],
                  p["obj"] if p["template"] not in ACTOR_TEMPLATES else p["subj"],
                  bool(p.get("reverse_only"))
                  or p["template"] in REVERSE_ONLY_TEMPLATES,
                  float(p.get("freq_factor", 1.0)))
-                for p in rel_ph if not p["template"].startswith("head")]
+                for p in rel_ph_plain]
     emb_retry_ok = {p["label"]: bool(p.get("emb_retry", True))
                     for p in rel_ph}
     q_rows = [(p["template"], p["label"], p["pred"], p["obj"],
@@ -173,7 +189,7 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
             c = closure.select("query_word", "matched_word", "depth")
             pen = lambda depth_col, m_col, q_col: F.when(  # noqa: E731
                 m_col.isNull() | (m_col == q_col), F.lit(1.0)).otherwise(
-                F.pow(F.lit(ontology_penalty), depth_col + 1))
+                F.pow(F.lit(ontology_penalty), F.abs(depth_col) + 1))
             q = (
                 q.join(F.broadcast(c).withColumnRenamed("query_word", "q_pred")
                        .withColumnRenamed("matched_word", "m_pred")
@@ -266,6 +282,29 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
                         F.lit(1.0).alias("penalty"), "freq_factor")
             )
             out = out.unionByName(per_m)
+    if ent_rel and ents is not None:
+        er = [(p["template"], p["label"], p["pred"],
+               _ENT_CHILD_RE.match(
+                   p["obj"] if p["template"] not in ACTOR_TEMPLATES
+                   else p["subj"]).group(1).upper(),
+               float(p.get("freq_factor", 1.0))) for p in ent_rel]
+        qe = spark.createDataFrame(
+            er, "template string, phraselet_label string, q_pred string, "
+                "ent_spec string, freq_factor double")
+        e2 = ents.select(F.col("url"), F.col("idx").alias("child_idx"),
+                         "ent_type", "is_noun")
+        ent_m = (
+            edges.withColumnRenamed("pred", "q_pred")
+            .join(F.broadcast(qe), ["template", "q_pred"])
+            .join(e2, ["url", "child_idx"])
+            .filter(((F.col("ent_spec") == "NOUN") & F.col("is_noun"))
+                    | (F.col("ent_spec") == F.col("ent_type")))
+            .select("url", "phraselet_label", F.lit("relation").alias("kind"),
+                    F.least("parent_idx", "child_idx").alias("position"),
+                    "parent_idx", "child_idx",
+                    F.lit(1.0).alias("penalty"), "freq_factor")
+        )
+        out = ent_m if out is None else out.unionByName(ent_m)
     if q_rows:
         # question phraselets: the WH pole matches any answering word,
         # scored initial_question_word_answer_score (reference
@@ -313,7 +352,7 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
                                  | (F.col("m_word") == F.col("word")),
                                  F.lit(1.0))
                           .otherwise(F.pow(F.lit(ontology_penalty),
-                                           F.col("d_word") + 1)).alias("penalty"))
+                                           F.abs(F.col("d_word")) + 1)).alias("penalty"))
                   .groupBy("word", "phraselet_label", "freq_factor",
                            "q_any_tag")
                   .agg(F.max("penalty").alias("penalty")))
@@ -332,7 +371,12 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
         )
         out = word_m if out is None else out.unionByName(word_m)
     if out is None:
-        raise ValueError("query produced no phraselets")
+        # no phraselets (e.g. only stop lemmas) → no matches, like the
+        # reference's early return (manager.py:844-845)
+        return spark.createDataFrame(
+            [], "url string, phraselet_label string, kind string, "
+                "position int, parent_idx int, child_idx int, "
+                "penalty double, freq_factor double")
     # governed interrogatives: matches of a which/what-governed
     # phraselet ALSO emit an answer row at the governed pole — scored
     # initial_question_word_answer_score for relations, answer-only for
@@ -449,9 +493,16 @@ def _score_docs(params: dict):
         cutoff = params["different_match_cutoff_score"]
         extent = params["sideways_match_extent"]
         type_rank = {"single": 0, "relation": 1, "overlapping_relation": 2}
+        first_peak = True
         for i in sorted(range(n_pts), key=lambda x: (-ss[x], ps[x])):
-            if taken[i] or ss[i] < cutoff:
+            # the cutoff gates ADDITIONAL peaks only — a document whose
+            # best match scores below it still yields its top passage
+            # (reference: 'I saw an animal' vs 'Somebody chased a cat'
+            # returns score 8 under cutoff 10,
+            # tests/en/test_topic_matching_EN.py:188-191)
+            if taken[i] or (ss[i] < cutoff and not first_peak):
                 continue
+            first_peak = False
             peak_pos, peak_score = ps[i], ss[i]
             start, end, n = peak_pos, peak_pos, 1
             cluster = [peak_pos]
@@ -658,6 +709,7 @@ def topic_match(spark: SparkSession, edges: DataFrame, words: DataFrame,
                 vectors: dict[str, list[float]] | None = None,
                 embedding_threshold: float = 1.0,
                 initial_question_word_behaviour: str = "process",
+                ents: DataFrame | None = None,
                 **overrides) -> DataFrame:
     """Ranked passages for a query document. Returns
     (rank, url, start_idx, end_idx, score, n_matches, tied, word_infos,
@@ -675,7 +727,8 @@ def topic_match(spark: SparkSession, edges: DataFrame, words: DataFrame,
             rel_ph, word_ph, freq_factors, closure, params)
     matches = match_phraselets(spark, edges, words, rel_ph, word_ph, closure,
                                vectors=vectors,
-                               embedding_threshold=embedding_threshold)
+                               embedding_threshold=embedding_threshold,
+                               ents=ents)
     # one collect_list per url, then mapInPandas (one python call per
     # Arrow batch of MANY urls) — applyInPandas would pay per-group
     # invocation overhead across millions of documents
