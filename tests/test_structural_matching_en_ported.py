@@ -140,6 +140,8 @@ DOCS = {
     "modal": "The dog could chase the cat",
     "active_participle": "The dog chasing the cat was a problem",
     "gerund_of": "The dog's chasing of the cat was a problem",
+    "gerund_by": "The cat's being chased by the dog was a problem",
+    "entity_literal": "We discussed an entity and a second ENTITY.",
     "advphr_obj": "The cat-chasing dog and dog came home",
     "advphr_obj_inv": "The dog-chasing cat and cat came home",
     "advphr_subj": "The dog-chased cat and cat came home",
@@ -387,6 +389,20 @@ def test_active_participle(by_doc):  # ref :331
 def test_gerund_with_of(by_doc):  # ref :345
     ms = by_doc["gerund_of"]
     assert len(ms) == 1 and not ms[0]["uncertain"]
+
+
+def test_gerund_with_by(by_doc):  # ref :352
+    ms = by_doc["gerund_by"]
+    assert len(ms) == 1 and not ms[0]["uncertain"]
+
+
+def test_capital_entity_is_not_analysed_as_entity_search_phrase_token(spark):  # ref :617
+    m = SparkHolmesManager(spark)
+    m.register_search_phrase("ENTITY")
+    m.parse_and_register_document("Richard Hudson", "d1")
+    m.parse_and_register_document("We discussed an entity and a second ENTITY.", "d2")
+    ms = m.match()
+    assert [x["document"] for x in ms] == ["d2", "d2"]
 
 
 def test_objective_modifying_adverbial_phrase(by_doc):  # ref :359
