@@ -305,11 +305,18 @@ def q_topic_embedding_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_topic_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full activation-scored topic matching (decay, peaks, tie ranks) —
-    non-SQL-expressible; rows-only check."""
+    non-SQL-expressible; rows-only check.
+
+    The rich array<struct> columns (word_infos, answer_idxs) are
+    serialized to JSON here because the driver's rows-only canonicalizer
+    sorts column values and cannot hash Python lists; the structured
+    columns remain available through `topic_match` itself."""
     kg = _kg(spark, sf_dir)
     closure = ontology_closure(spark)
-    return topic_match(spark, kg["edges"], kg["words"],
-                       "A dog chases a cat", closure=closure)
+    tm = topic_match(spark, kg["edges"], kg["words"],
+                     "A dog chases a cat", closure=closure)
+    return (tm.withColumn("word_infos", F.to_json("word_infos"))
+              .withColumn("answer_idxs", F.to_json("answer_idxs")))
 
 
 def q_postings_direct(spark: SparkSession, sf_dir: str) -> DataFrame:

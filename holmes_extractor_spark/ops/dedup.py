@@ -182,12 +182,21 @@ def minhash_signatures(documents: DataFrame) -> DataFrame:
             .select("doc_id", F.array(*[F.col(f"m{i}") for i in range(N_PERM)]).alias("sig")))
 
 
-def minhash_lsh_pairs(documents: DataFrame, min_agree: float = 0.5) -> DataFrame:
+MAX_BAND_BUCKET = 10_000
+
+
+def minhash_lsh_pairs(documents: DataFrame, min_agree: float = 0.5,
+                      max_bucket_size: int = MAX_BAND_BUCKET) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any LSH band bucket,
     scored by signature agreement fraction ≥ min_agree.
 
     At 100 TB the band join is the only shuffle and its key space
-    (band, bucket-hash) is uniform by construction — no skew."""
+    (band, bucket-hash) is uniform by construction for distinct
+    content — but mass-duplicated boilerplate all shares a band
+    signature, making one degenerate bucket O(n²) pairs in a single
+    task. Buckets larger than max_bucket_size are dropped before the
+    self-join (the same cap as `embedding_neardup`); members of a
+    dropped bucket still pair through their other BANDS-1 buckets."""
     sig = minhash_signatures(documents).cache()
     rows_per_band = N_PERM // BANDS
     bands = sig.select(
@@ -197,6 +206,14 @@ def minhash_lsh_pairs(documents: DataFrame, min_agree: float = 0.5) -> DataFrame
                      F.concat_ws("_", *[F.col("sig")[b * rows_per_band + r].cast("string")
                                         for r in range(rows_per_band)]).alias("bucket"))
             for b in range(BANDS)])).alias("bb"))
+    ok = (bands.groupBy(F.col("bb.band").alias("okband"),
+                        F.col("bb.bucket").alias("okbucket"))
+          .agg(F.count("*").alias("n"))
+          .filter(F.col("n") <= max_bucket_size)
+          .select("okband", "okbucket"))
+    bands = bands.join(F.broadcast(ok),
+                       (F.col("bb.band") == F.col("okband"))
+                       & (F.col("bb.bucket") == F.col("okbucket"))).drop("okband", "okbucket")
     cand = (
         bands.alias("x").join(
             bands.alias("y"),
@@ -237,7 +254,8 @@ def duplicate_clusters(documents: DataFrame, min_agree: float = 0.5) -> DataFram
                     F.col("size").cast("long").alias("size")))
 
 
-def duplicate_clusters_sql(min_agree: float = 0.5) -> str:
+def duplicate_clusters_sql(min_agree: float = 0.5,
+                           max_bucket_size: int = MAX_BAND_BUCKET) -> str:
     """Recursive-CTE mirror: min-label connected components over the
     same pair graph."""
     rows_per_band = N_PERM // BANDS
@@ -260,7 +278,12 @@ sig AS (
          {mins}
   FROM shingles GROUP BY doc_id
 ),
-bands AS ({band_rows}),
+bands0 AS ({band_rows}),
+okb AS (
+  SELECT band, bucket FROM bands0 GROUP BY band, bucket
+  HAVING count(*) <= {max_bucket_size}
+),
+bands AS (SELECT bands0.* FROM bands0 JOIN okb USING (band, bucket)),
 cand AS (
   SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
   FROM bands x JOIN bands y
@@ -288,7 +311,8 @@ ORDER BY cluster_id
 """
 
 
-def minhash_lsh_sql(min_agree: float = 0.5) -> str:
+def minhash_lsh_sql(min_agree: float = 0.5,
+                    max_bucket_size: int = MAX_BAND_BUCKET) -> str:
     rows_per_band = N_PERM // BANDS
     mins = ",\n         ".join(
         f"min((shingle * {_AS[i]} + {_BS[i]}) % {P_MOD}) AS m{i}"
@@ -309,7 +333,12 @@ sig AS (
          {mins}
   FROM shingles GROUP BY doc_id
 ),
-bands AS ({band_rows}),
+bands0 AS ({band_rows}),
+okb AS (
+  SELECT band, bucket FROM bands0 GROUP BY band, bucket
+  HAVING count(*) <= {max_bucket_size}
+),
+bands AS (SELECT bands0.* FROM bands0 JOIN okb USING (band, bucket)),
 cand AS (
   SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
   FROM bands x JOIN bands y

@@ -35,20 +35,33 @@ def _cosine(a: Column, b: Column) -> Column:
     return F.round(_dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b))), 6)
 
 
+def _cosine_normed(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """Cosine with precomputed per-vector norms. Value-identical to
+    `_cosine` (same sqrt(dot(v,v)) arithmetic, evaluated once per
+    vector instead of once per candidate pair) — the DuckDB oracles
+    keep the inline form and still hash-match."""
+    return F.round(_dot(a, b) / (na * nb), 6)
+
+
 def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
 def brute_force_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 5) -> DataFrame:
     """Exact top-k neighbors by cosine for the first `n_queries`
-    vectors. (query_id, neighbor_id, cosine, rank)."""
-    emb = embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    vectors. (query_id, neighbor_id, cosine, rank). Norms are a
+    per-vector column computed before the join — the pair expression is
+    one dot product, not three."""
+    emb = embeddings.select("vec_id", _as_double("embedding").alias("v")) \
+        .withColumn("n", F.sqrt(_dot(F.col("v"), F.col("v"))))
     q = emb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("n").alias("qn"))
     pairs = emb.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("query_id"))
     scored = pairs.select(
         "query_id", F.col("vec_id").alias("neighbor_id"),
-        _cosine(F.col("qv"), F.col("v")).alias("cosine"))
+        _cosine_normed(F.col("qv"), F.col("v"),
+                       F.col("qn"), F.col("n")).alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
@@ -91,13 +104,14 @@ def with_lsh_bucket(embeddings: DataFrame, dim: int = 64) -> DataFrame:
     """One row per (vec, table): (vec_id, v, table, bucket). Multi-table
     LSH — candidates are unioned across tables, the standard recall
     lever for random-hyperplane LSH."""
-    emb = embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    emb = embeddings.select("vec_id", _as_double("embedding").alias("v")) \
+        .withColumn("n", F.sqrt(_dot(F.col("v"), F.col("v"))))
     tables = F.explode(F.array(*[
         F.struct(F.lit(t).alias("table"),
                  _bucket(F.col("v"), t, dim).alias("bucket"))
         for t in range(N_TABLES)])).alias("tb")
-    return emb.select("vec_id", "v", tables).select(
-        "vec_id", "v", F.col("tb.table").alias("table"),
+    return emb.select("vec_id", "v", "n", tables).select(
+        "vec_id", "v", "n", F.col("tb.table").alias("table"),
         F.col("tb.bucket").alias("bucket"))
 
 
@@ -108,12 +122,13 @@ def lsh_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 5, dim: int = 6
     emb = with_lsh_bucket(embeddings, dim)
     q = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
-        "table", "bucket")
+        F.col("n").alias("qn"), "table", "bucket")
     pairs = (emb.join(F.broadcast(q), ["table", "bucket"])
              .filter(F.col("vec_id") != F.col("query_id")))
     scored = pairs.select(
         "query_id", F.col("vec_id").alias("neighbor_id"),
-        _cosine(F.col("qv"), F.col("v")).alias("cosine")
+        _cosine_normed(F.col("qv"), F.col("v"),
+                       F.col("qn"), F.col("n")).alias("cosine")
     ).dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -189,7 +204,8 @@ def embedding_neardup(embeddings: DataFrame, threshold: float = 0.95,
                             & (F.col("x.bucket") == F.col("y.bucket"))
                             & (F.col("x.vec_id") < F.col("y.vec_id")))
         .select(F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b"),
-                _cosine(F.col("x.v"), F.col("y.v")).alias("cosine"))
+                _cosine_normed(F.col("x.v"), F.col("y.v"),
+                               F.col("x.n"), F.col("y.n")).alias("cosine"))
         .dropDuplicates(["vec_a", "vec_b"])
     )
     return pairs.filter(F.col("cosine") >= threshold).select("vec_a", "vec_b", "cosine")

@@ -159,25 +159,31 @@ _MULT = 40503  # 16-bit Knuth multiplicative constant
 def simhash(documents: DataFrame) -> DataFrame:
     """16-bit SimHash over token hashes: bit b is 1 iff the sum of
     (+1/-1) votes from each token's hash bit b is positive. Near-dup
-    docs differ in few bits (Hamming distance)."""
+    docs differ in few bits (Hamming distance).
+
+    Doc-local plan: the token-hash array is materialized once per row,
+    then each bit's vote tally is an `aggregate` fold over that array
+    (bit index unrolled at plan time). Zero shuffle, zero row blowup —
+    the whole signature stays inside one whole-stage-codegen project,
+    so the operator scales as a narrow map over the corpus."""
     toks = tokenize_spark(F.lower(F.col("text")))
-    th = documents.select(
-        "doc_id", F.explode(toks).alias("t")
-    ).select("doc_id", ((_token_val(F.col("t")).cast("long") * _MULT)
-                        % (2 ** SIMHASH_BITS)).alias("h"))
-    bits = th.select(
-        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b"), "h"
-    ).select(
-        "doc_id", "b",
-        F.when(F.expr("shiftright(h, b) & 1") == 1,
-               F.lit(1)).otherwise(F.lit(-1)).alias("vote"),
-    )
-    return (
-        bits.groupBy("doc_id", "b").agg(F.sum("vote").alias("v"))
-        .withColumn("bit", F.when(F.col("v") > 0, F.lit(1)).otherwise(F.lit(0)))
-        .groupBy("doc_id")
-        .agg(F.sum(F.expr("shiftleft(cast(bit as bigint), b)")).alias("simhash"))
-    )
+    hs = F.transform(
+        toks, lambda t: (_token_val(t).cast("long") * _MULT) % (2 ** SIMHASH_BITS))
+    # zero-token docs have no votes and are absent from the signature
+    # table (mirrors the oracle's unnest semantics)
+    with_h = documents.select("doc_id", hs.alias("hs")).filter(F.size("hs") > 0)
+
+    def vote(b: int):
+        # +1 when hash bit b is set, −1 otherwise, folded over all tokens
+        return F.aggregate(
+            F.col("hs"), F.lit(0).cast("long"),
+            lambda acc, h: acc + F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1)
+
+    sig = None
+    for b in range(SIMHASH_BITS):
+        bit = F.when(vote(b) > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = bit if sig is None else sig + bit
+    return with_h.select("doc_id", sig.alias("simhash"))
 
 
 def simhash_sql() -> str:

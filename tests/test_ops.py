@@ -80,6 +80,23 @@ def test_minhash(documents, ddb):
     check(dedup.minhash_lsh_pairs(documents, 0.5), ddb, dedup.minhash_lsh_sql(0.5))
 
 
+def test_minhash_band_bucket_capped(spark):
+    # degenerate-bucket guard: mass-duplicated docs share every band
+    # bucket; with the cap below the group size the O(n²) band join is
+    # skipped (mirrors embedding_neardup's MAX_BUCKET_SIZE)
+    rows = [(i, "a b c d e f g h") for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = dedup.minhash_lsh_pairs(df, 0.5).count()
+    capped = dedup.minhash_lsh_pairs(df, 0.5, max_bucket_size=7).count()
+    assert uncapped == 28  # 8 choose 2
+    assert capped == 0
+
+
+def test_minhash_cap_sql_mirror(documents, ddb):
+    check(dedup.minhash_lsh_pairs(documents, 0.5, max_bucket_size=3),
+          ddb, dedup.minhash_lsh_sql(0.5, max_bucket_size=3))
+
+
 def test_minhash_identical_docs_agree(spark):
     rows = [(1, "a b c d e f g h"), (2, "a b c d e f g h"), (3, "z y x w v u t s")]
     df = spark.createDataFrame(rows, "doc_id long, text string")
