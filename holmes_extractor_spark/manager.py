@@ -35,13 +35,21 @@ class SparkHolmesManager:
     def __init__(self, spark: SparkSession, ontology: list[tuple] | None = None,
                  vectors: dict[str, list[float]] | None = None,
                  word_embedding_match_threshold: float = 1.0,
+                 overall_similarity_threshold: float | None = None,
+                 embedding_based_matching_on_root_words: bool = False,
                  ontology_symmetric: bool = False,
                  perform_coreference_resolution: bool = True):
-        """`word_embedding_match_threshold` < 1.0 enables embedding
-        matching (reference manager.py:115 — disabled by default).
-        ``ontology_symmetric`` mirrors the reference's
-        Ontology(symmetric_matching=True): hypernym matches are allowed
-        with negative depths (reference ontology.py:30-44)."""
+        """`overall_similarity_threshold` < 1.0 enables embedding
+        matching for structural match() (reference manager.py:115 —
+        disabled by default); the per-token gate is
+        overall ** n_matchable_non_entity_tokens (reference
+        word_matching/embedding.py:105-108). When only
+        `word_embedding_match_threshold` is given (the topic-matching
+        knob, reference manager.py:735), the structural overall
+        threshold is derived as its square root (reference
+        manager.py:776-779). ``ontology_symmetric`` mirrors the
+        reference's Ontology(symmetric_matching=True): hypernym matches
+        are allowed with negative depths (reference ontology.py:30-44)."""
         self.spark = spark
         self._pending: list[tuple[str, str, str]] = []  # (url/label, text, lang)
         self._labels: set[str] = set()
@@ -61,6 +69,16 @@ class SparkHolmesManager:
         self._coref = perform_coreference_resolution
         self._vectors = vectors
         self._embedding_threshold = word_embedding_match_threshold
+        if overall_similarity_threshold is not None:
+            self._overall_threshold = overall_similarity_threshold
+        else:
+            self._overall_threshold = word_embedding_match_threshold ** 0.5
+        if self._overall_threshold == 1.0 and embedding_based_matching_on_root_words:
+            # reference manager.py:137-143
+            raise ValueError(
+                "overall_similarity_threshold is 1.0; "
+                "embedding_based_matching_on_root_words must be False")
+        self._embedding_root_words = embedding_based_matching_on_root_words
 
     # ------------------------------------------------- corpus lifecycle
 
@@ -169,7 +187,9 @@ class SparkHolmesManager:
         return structural.match(self.spark, self.docs(), self.postings(),
                                 sps, self._closure_rows,
                                 vectors=self._vectors,
-                                embedding_threshold=self._embedding_threshold,
+                                overall_similarity_threshold=self._overall_threshold,
+                                embedding_based_matching_on_root_words=(
+                                    self._embedding_root_words),
                                 document_label_filter=document_label_filter)
 
     def match(self, search_phrase_text: str | None = None,
@@ -187,6 +207,13 @@ class SparkHolmesManager:
                             process_initial_question_words)
         out = []
         for r in res.collect():
+            wms = []
+            for w in r["word_matches"]:
+                d = w.asDict()
+                d["explanation"] = _explanation(
+                    d["match_type"], d.get("depth") or 0,
+                    d["sp_word"], d.get("similarity") or 1.0)
+                wms.append(d)
             out.append({
                 "search_phrase_label": r["phrase_label"],
                 "document": r["url"],
@@ -195,7 +222,7 @@ class SparkHolmesManager:
                 "uncertain": r["uncertain"],
                 "involves_coreference": r["involves_coreference"],
                 "overall_similarity_measure": r["overall_similarity"],
-                "word_matches": [w.asDict() for w in r["word_matches"]],
+                "word_matches": wms,
             })
         return out
 
@@ -235,3 +262,36 @@ class SparkHolmesManager:
             # passages that answer the question
             res = res.filter(F.size("answers") > 0)
         return [r.asDict(recursive=True) for r in res.collect()]
+
+# reference explanation strings, byte-identical (word_matching/
+# direct.py:17-18, derivation.py:12-15, entity.py:12-15,
+# ontology.py:23-46, embedding.py:12-22, entity_embedding.py:13-23,
+# question.py:13-16)
+_ONTOLOGY_DEPTHS_TO_NAMES = {
+    -4: "an ancestor", -3: "a great-grandparent", -2: "a grandparent",
+    -1: "a parent", 0: "a synonym", 1: "a child", 2: "a grandchild",
+    3: "a great-grandchild", 4: "a descendant",
+}
+
+
+def _explanation(match_type: str, depth: int, sp_word: str,
+                 similarity: float) -> str:
+    w = sp_word.upper()
+    if match_type == "direct":
+        return f"Matches {w} directly."
+    if match_type == "derivation":
+        return f"Has a common stem with {w}."
+    if match_type == "entity":
+        return f"Has an entity label matching {w}."
+    if match_type == "ontology":
+        name = _ONTOLOGY_DEPTHS_TO_NAMES[max(-4, min(4, depth))]
+        return f"Is {name} of {w} in the ontology."
+    if match_type == "embedding":
+        return (f"Has a word embedding that is {int(similarity * 100)}% "
+                f"similar to {w}.")
+    if match_type == "entity_embedding":
+        return (f"Has an entity label that is {int(similarity * 100)}% "
+                f"similar to the word embedding corresponding to {w}.")
+    if match_type == "question":
+        return f"Matches the question word {w}."
+    return ""

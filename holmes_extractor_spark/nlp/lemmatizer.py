@@ -23,7 +23,7 @@ IRREGULAR_EN: dict[str, str] = {
     "has": "have", "had": "have", "having": "have",
     "saw": "see", "seen": "see",
     "came": "come", "come": "come", "coming": "come",
-    "went": "go", "gone": "go", "going": "go",
+    "went": "go", "gone": "go", "going": "go", "goes": "go",
     "gave": "give", "given": "give", "giving": "give",
     "took": "take", "taken": "take", "taking": "take",
     "made": "make", "making": "make",

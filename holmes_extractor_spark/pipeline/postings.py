@@ -58,6 +58,16 @@ def build_postings(docs: DataFrame) -> DataFrame:
                F.array(e(F.lit("ENTITYNOUN"), "entity"))
                ).otherwise(F.array().cast(f"array<struct<{entry_t}>>")),
         F.transform(t["subwords"], lambda s: e(s["lemma"], "subword", s["idx"])),
+        # 'multiword': doc-side multiword reprs posted at the head
+        # token, so a search phrase ROOTED at a multiword (entity- or
+        # ontology-defined, e.g. 'Mimi Momo') can probe the index
+        # (reference adds multiword reprs to the reverse dict,
+        # word_matching/ontology.py:180-210, entity-defined multiwords
+        # in direct.py:120-143)
+        F.flatten(F.transform(t["multiwords"], lambda m: F.array(
+            e(F.lower(m["text"]), "multiword"),
+            e(m["lemma"], "multiword"),
+            e(m["derived_lemma"], "multiword")))),
     )
     return (base.select("url", t["i"].alias("token_index"),
                         F.explode(entries).alias("en"))

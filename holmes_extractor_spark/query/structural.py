@@ -308,6 +308,13 @@ def compile_search_phrase(text: str, label: str | None = None,
         "root": root_i,
         "tokens": sp_tokens,
         "pattern_deps": pattern_deps,
+        # count of matchable non-entity tokens — the exponent for the
+        # per-token embedding gate (reference parsing.py:2562-2594
+        # builds matchable_non_entity_tokens_to_vectors over matchable
+        # tokens without an entity placeholder, question placeholders
+        # included with a None vector; word_matching/embedding.py:105-108
+        # raises overall_similarity_threshold to this count)
+        "n_emb": sum(1 for t in sp_tokens.values() if not t["ent_spec"]),
     }
 
 
@@ -331,17 +338,20 @@ def _cosine_py(a: list[float], b: list[float]) -> float:
 
 def _token_matches(sp_tok: dict, dt: dict, closure_map: dict,
                    vectors: dict | None = None,
-                   embedding_threshold: float = 1.0) -> tuple | None:
+                   single_token_threshold: float = 1.0) -> tuple | None:
     """First-match-wins strategy chain (reference manager.py:163-214
     order: direct → derivation → entity → ontology → embedding).
     Returns (match_type, depth, matched_doc_word, similarity) or None.
 
     Embedding matching mirrors the reference's
     word_matching/embedding.py:7-136: cosine(sp vector, doc vector) >
-    threshold, gated to nouns/verbs/adjs; vectors come from a broadcast
-    word→vector table (the reference reads them off the spaCy model).
-    Disabled by default (threshold 1.0), like the reference
-    (manager.py:115)."""
+    single_token_threshold, gated to nouns/verbs/adjs; vectors come
+    from a broadcast word→vector table (the reference reads them off
+    the spaCy model). `single_token_threshold` is the already-derived
+    per-token gate overall_similarity_threshold ** n_emb (reference
+    word_matching/embedding.py:105-108 — the caller computes it once
+    per search phrase). Disabled by default (threshold 1.0), like the
+    reference (manager.py:115)."""
     if sp_tok.get("q_spec"):
         # question-word ↔ answering-token rules transcribed from the
         # reference (en language_specific_rules.py:1327-1469,
@@ -414,23 +424,24 @@ def _token_matches(sp_tok: dict, dt: dict, closure_map: dict,
             d = closure_map.get((q, w))
             if d is not None:
                 return ("ontology", d, w, 1.0)
-    if vectors is not None and embedding_threshold < 1.0 \
+    if vectors is not None and single_token_threshold < 1.0 \
             and dt["pos"] in ("NOUN", "PROPN", "VERB", "ADJ"):
         sp_vec = vectors.get(sp_tok["derived_lemma"])
         doc_vec = vectors.get(dt["derived_lemma"])
         if sp_vec is not None and doc_vec is not None:
             sim = _cosine_py(sp_vec, doc_vec)
-            if sim > embedding_threshold:
+            if sim > single_token_threshold:
                 return ("embedding", 0, dt["derived_lemma"], round(sim, 8))
         # entity-embedding: the doc token's entity label's prototype
         # vector vs the search word vector (reference
-        # word_matching/entity_embedding.py:8-174; prototypes from the
+        # word_matching/entity_embedding.py:8-174, same
+        # single-token threshold :141-143; prototypes from the
         # label→lexeme map, en language_specific_rules.py:100-121)
         if sp_vec is not None and dt["ent_type"] and dt["dep"] != "compound":
             proto = vectors.get(ENTITY_LABEL_LEXEMES.get(dt["ent_type"], ""))
             if proto is not None:
                 sim = _cosine_py(sp_vec, proto)
-                if sim > embedding_threshold:
+                if sim > single_token_threshold:
                     return ("entity_embedding", 0, dt["text"].lower(),
                             round(sim, 8))
     return None
@@ -439,11 +450,19 @@ def _token_matches(sp_tok: dict, dt: dict, closure_map: dict,
 def _verify_doc(sp: dict, tokens: list[dict], deps: list[dict],
                 root_candidates: list[int], closure_map: dict,
                 vectors: dict | None = None,
-                embedding_threshold: float = 1.0) -> list[dict]:
+                overall_similarity_threshold: float = 1.0) -> list[dict]:
     """Recursive subgraph verification for one document (reference:
     structural_matching.py:486-819 — depth-first expansion with
     visited-table loop guard; coref chains are already materialized as
-    coref-linked deps by the parse stage)."""
+    coref-linked deps by the parse stage).
+
+    The per-token embedding gate is
+    overall_similarity_threshold ** n_emb (reference
+    word_matching/embedding.py:105-108): a 3-content-word phrase at
+    overall 0.82 admits per-token cosines down to 0.55, so long as the
+    geometric mean across the phrase stays at 0.82."""
+    single_token_threshold = (
+        overall_similarity_threshold ** sp.get("n_emb", 1))
     by_parent: dict[int, list[dict]] = {}
     by_child: dict[int, list[dict]] = {}
     for d in deps:
@@ -454,7 +473,7 @@ def _verify_doc(sp: dict, tokens: list[dict], deps: list[dict],
 
     def rec(sp_i: int, d_i: int) -> list[list[dict]] | None:
         wm_type = _token_matches(sp["tokens"][sp_i], toks[d_i], closure_map,
-                                 vectors, embedding_threshold)
+                                 vectors, single_token_threshold)
         if wm_type is None:
             return None
         dt = toks[d_i]
@@ -479,7 +498,12 @@ def _verify_doc(sp: dict, tokens: list[dict], deps: list[dict],
             extracted = dt["multiwords"][0]["text"]
         base_wm = {
             "sp_index": sp_i, "sp_word": sp["tokens"][sp_i]["derived_lemma"],
-            "doc_index": d_i, "doc_word": dt["derived_lemma"],
+            # the matched representation, not the head lemma — an
+            # ontology match against doc multiword 'Mimi Momo' reports
+            # 'mimi momo' (reference WordMatch.document_word is the
+            # matched repr, word_matching/direct.py:76-79,
+            # ontology.py match_multiwords)
+            "doc_index": d_i, "doc_word": wm_type[2],
             "match_type": wm_type[0], "depth": wm_type[1],
             "extracted_word": extracted,
             "similarity": wm_type[3],
@@ -599,18 +623,23 @@ def _verify_doc(sp: dict, tokens: list[dict], deps: list[dict],
 def match(spark: SparkSession, docs: DataFrame, postings: DataFrame,
           search_phrases: list[dict], closure_rows: list[tuple] | None = None,
           vectors: dict[str, list[float]] | None = None,
-          embedding_threshold: float = 1.0,
+          overall_similarity_threshold: float = 1.0,
+          embedding_based_matching_on_root_words: bool = False,
           document_label_filter: str | None = None) -> DataFrame:
     """Distributed structural match.
 
     - `closure_rows`: collected ontology closure [(query_word,
       matched_word, depth)], broadcast into the verify UDF (reference
       precomputes the closure eagerly, ontology.py:91-125).
-    - `vectors` + `embedding_threshold`: word-embedding matching
-      (reference word_matching/embedding.py; root-word candidates come
-      from a driver-side scan of the vector vocabulary, mirroring the
-      reference's embedding root scan, structural_matching.py:260-349).
-      Threshold 1.0 = disabled (the reference's default).
+    - `vectors` + `overall_similarity_threshold`: word-embedding
+      matching (reference word_matching/embedding.py; root-word
+      candidates come from a distributed scan of the vector
+      vocabulary, mirroring the reference's embedding root scan,
+      structural_matching.py:260-349). The per-token gate is
+      overall_similarity_threshold ** n_emb for each phrase (reference
+      word_matching/embedding.py:105-108, root scan >= at
+      structural_matching.py:336-345). Threshold 1.0 = disabled (the
+      reference's default).
     - `document_label_filter`: url prefix filter, pushed down to the
       postings/docs scans (reference structural_matching.py:350-358).
     """
@@ -635,7 +664,13 @@ def match(spark: SparkSession, docs: DataFrame, postings: DataFrame,
         # (broadcast root vectors ⋈ vector table, JVM zip_with dot
         # products) so a realistic embedding vocabulary never loops on
         # the driver — only the (tiny) surviving probe set is collected.
-        if vectors is not None and embedding_threshold < 1.0:
+        # root-pole embedding probes only when explicitly enabled
+        # (reference Manager(embedding_based_matching_on_root_words),
+        # default False — manager.py:116; non-root embedding matching
+        # stays active inside _verify_doc regardless)
+        if vectors is not None and overall_similarity_threshold < 1.0 \
+                and embedding_based_matching_on_root_words:
+            stt = overall_similarity_threshold ** sp.get("n_emb", 1)
             emb_probe_rows.extend(
                 (pi, q) for q in root_words if q in vectors)
             # entity-embedding root candidates: entity labels whose
@@ -649,22 +684,28 @@ def match(spark: SparkSession, docs: DataFrame, postings: DataFrame,
                 if qv is None:
                     continue
                 for label, pv in protos.items():
-                    if _cosine_py(qv, pv) > embedding_threshold:
+                    if _cosine_py(qv, pv) > stt:
                         probe_rows.append((pi, f"ENTITY{label}", "entity"))
     if emb_probe_rows:
         vec_df = spark.createDataFrame(
             [(w, v) for w, v in vectors.items()],
             "w string, vec array<double>")
+        # each phrase carries its own single-token threshold column
+        # (overall ** n_emb) so one distributed scan serves phrases of
+        # different lengths
         roots_df = spark.createDataFrame(
-            [(pi, q, vectors[q]) for (pi, q) in emb_probe_rows],
-            "phrase_idx int, q string, qvec array<double>")
+            [(pi, q, vectors[q],
+              overall_similarity_threshold
+              ** search_phrases[pi].get("n_emb", 1))
+             for (pi, q) in emb_probe_rows],
+            "phrase_idx int, q string, qvec array<double>, stt double")
         dot = F.aggregate(F.zip_with("vec", "qvec", lambda a, b: a * b),
                           F.lit(0.0), lambda acc, x: acc + x)
         norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
             F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
         scored = (vec_df.join(F.broadcast(roots_df), F.col("w") != F.col("q"))
                   .withColumn("cos", dot / (norm(F.col("vec")) * norm(F.col("qvec"))))
-                  .filter(F.col("cos") > embedding_threshold)
+                  .filter(F.col("cos") >= F.col("stt"))
                   .select("phrase_idx", "w"))
         probe_rows.extend((int(r["phrase_idx"]), r["w"], "direct")
                           for r in scored.collect())
@@ -712,7 +753,8 @@ def match(spark: SparkSession, docs: DataFrame, postings: DataFrame,
                 for pi, positions in by_phrase.items():
                     for m in _verify_doc(sp_list[pi], tokens, dep_list,
                                          positions, closure_map,
-                                         vectors, embedding_threshold):
+                                         vectors,
+                                         overall_similarity_threshold):
                         m["url"] = url
                         rows.append(m)
             yield pd.DataFrame(rows, columns=cols)

@@ -217,6 +217,14 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
             # embedding_penalty × cosine. Driver-side over the broadcast
             # vector vocabulary (like the reference's model vocab scan).
             emb_pen = DEFAULTS["embedding_penalty"]
+            # per-phraselet single-token gate: overall ** n where
+            # overall = sqrt(word_threshold) (reference manager.py:
+            # 776-779) and n counts non-ENTITY poles (reference
+            # word_matching/embedding.py:105-108 via the phraselet's
+            # matchable_non_entity_tokens_to_vectors). For a standard
+            # two-pole relation phraselet this is exactly the word
+            # threshold; ENTITY-parent phraselets gate looser (n=1).
+            overall = embedding_threshold ** 0.5
             extra = []
             for (t, lbl, qp, qc, rev, ff) in rel_rows:
                 if not emb_retry_ok.get(lbl, True):
@@ -227,11 +235,14 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
                 qv = vectors.get(qc)
                 if qv is None:
                     continue
+                n_emb = ((0 if _ENT_CHILD_RE.match(qp or "") else 1)
+                         + (0 if _ENT_CHILD_RE.match(qc or "") else 1))
+                stt = overall ** n_emb
                 for w, wv in vectors.items():
                     if w == qc:
                         continue
                     sim = _cosine(qv, wv)
-                    if sim > embedding_threshold:
+                    if sim > stt:
                         extra.append((t, lbl, qp, w, rev, ff,
                                       round(emb_pen * sim, 8)))
             if extra:

@@ -97,8 +97,12 @@ def test_topic_match_api(mgr):
 
 def test_embedding_matching(spark):
     from holmes_extractor_spark.fixtures import WORD_VECTORS
+    # embedding_based_matching_on_root_words=True so the second part's
+    # root probe expansion is active (reference Manager flag, default
+    # False — manager.py:116)
     m = SparkHolmesManager(spark, vectors=WORD_VECTORS,
-                           word_embedding_match_threshold=0.85)
+                           word_embedding_match_threshold=0.85,
+                           embedding_based_matching_on_root_words=True)
     m.parse_and_register_document("The wolf chased the cat.", "d_wolf")
     m.parse_and_register_document("The man pursued the cat.", "d_pursue")
     # non-root embedding match: dog ≈ wolf

@@ -549,7 +549,7 @@ def test_entity_embedding_word_match():
     p = parse_document("Mary came home.", "en")
     roots = [t["i"] for t in p["tokens"] if t["lemma"] == "come"]
     ms = _verify_doc(sp, p["tokens"], p["deps"], roots, {},
-                     vectors=WORD_VECTORS, embedding_threshold=0.8)
+                     vectors=WORD_VECTORS, overall_similarity_threshold=0.8)
     assert ms, "entity-embedding match expected"
     kinds = {w["sp_word"]: w["match_type"] for m in ms for w in m["word_matches"]}
     assert kinds["man"] == "entity_embedding"
