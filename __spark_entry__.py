@@ -229,6 +229,20 @@ def q_freq_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("freq"), "repr").limit(100))
 
 
+def _dedup_single_words(m: DataFrame) -> DataFrame:
+    """One row per (url, single-word phraselet): the decay-free driver
+    queries score DISTINCT word matches (their oracles count DISTINCT
+    words), while the corpus words table now carries one row per
+    occurrence for the activation model's refresh semantics."""
+    from pyspark.sql import Window
+    is_word = F.col("kind").isin("single_word", "single_word_any_tag")
+    w = Window.partitionBy("url", "phraselet_label", "kind", "matched") \
+        .orderBy("position")
+    return (m.withColumn("_wrn", F.when(is_word, F.row_number().over(w))
+                         .otherwise(F.lit(1)))
+            .filter(F.col("_wrn") == 1).drop("_wrn"))
+
+
 def q_topic_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic document-level topic relevance for the query
     'A dog chases a cat': 300 per relation-phraselet instance + 50 per
@@ -237,7 +251,8 @@ def q_topic_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_topic_ranking with a rows-only check)."""
     kg = _kg(spark, sf_dir)
     rel_ph, word_ph = query_phraselets("A dog chases a cat")
-    m = match_phraselets(spark, kg["edges"], kg["words"], rel_ph, word_ph)
+    m = _dedup_single_words(
+        match_phraselets(spark, kg["edges"], kg["words"], rel_ph, word_ph))
     scored = (
         m.withColumn("pts", F.when(F.col("kind") == "single_word", F.lit(50))
                      .when(F.col("kind") == "single_word_any_tag", F.lit(20))
@@ -255,7 +270,8 @@ def q_topic_question(spark: SparkSession, sf_dir: str) -> DataFrame:
     kg = _kg(spark, sf_dir)
     rel_ph, word_ph = query_phraselets("Who opened the door?",
                                        include_questions=True)
-    m = match_phraselets(spark, kg["edges"], kg["words"], rel_ph, word_ph)
+    m = _dedup_single_words(
+        match_phraselets(spark, kg["edges"], kg["words"], rel_ph, word_ph))
     pts = (F.when(F.col("kind") == "question_answer", F.lit(600))
            .when(F.col("kind") == "single_word", F.lit(50))
            .when(F.col("kind") == "single_word_any_tag", F.lit(20))
@@ -272,8 +288,9 @@ def q_topic_ontology_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     kg = _kg(spark, sf_dir)
     closure = ontology_closure(spark)
     rel_ph, word_ph = query_phraselets("An animal chases an animal")
-    m = match_phraselets(spark, kg["edges"], kg["words"], rel_ph, word_ph,
-                         closure=closure)
+    m = _dedup_single_words(
+        match_phraselets(spark, kg["edges"], kg["words"], rel_ph, word_ph,
+                         closure=closure))
     pts = (F.when(F.col("kind") == "single_word", F.lit(50.0))
            .when(F.col("kind") == "single_word_any_tag", F.lit(20.0))
            .otherwise(F.lit(300.0))) * F.col("penalty")
@@ -293,8 +310,9 @@ def q_topic_embedding_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from holmes_extractor_spark.fixtures import WORD_VECTORS
     kg = _kg(spark, sf_dir)
     rel_ph, word_ph = query_phraselets("A dog chases a cat")
-    m = match_phraselets(spark, kg["edges"], kg["words"], rel_ph, word_ph,
-                         vectors=WORD_VECTORS, embedding_threshold=0.85)
+    m = _dedup_single_words(
+        match_phraselets(spark, kg["edges"], kg["words"], rel_ph, word_ph,
+                         vectors=WORD_VECTORS, embedding_threshold=0.85))
     pts = (F.when(F.col("kind") == "single_word", F.lit(50.0))
            .when(F.col("kind") == "single_word_any_tag", F.lit(20.0))
            .otherwise(F.lit(300.0))) * F.col("penalty")

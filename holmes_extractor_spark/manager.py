@@ -250,11 +250,17 @@ class SparkHolmesManager:
             F.col("t.ent_type").alias("ent_type"),
             (F.col("t.pos").isin("NOUN", "PROPN")
              & (F.col("t.dep") != "compound")).alias("is_noun"))
+        # (url, idx, chain) for coref-proximity dominance filtering —
+        # chain id = the chain's first mention index
+        chains = (docs.select("url", F.explode("tokens").alias("t"))
+                  .filter(F.size("t.coref_chain") > 0)
+                  .select("url", F.col("t.i").alias("idx"),
+                          F.array_min("t.coref_chain").alias("chain")))
         res = topic.topic_match(self.spark, edges, words, text_to_match,
                                 closure=closure, freq_factors=ff,
                                 vectors=self._vectors,
                                 embedding_threshold=self._embedding_threshold,
-                                ents=ents,
+                                ents=ents, chains=chains,
                                 **params)
         res = topic.with_passage_text(res, docs)
         if params.get("initial_question_word_behaviour") == "exclusive":

@@ -136,7 +136,8 @@ def _words_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                                          pdf["tokens"], pdf["deps"]):
             parsed = _docs_to_parsed(toks, deps)
             for w in extract_word_phraselets(parsed, lang,
-                                             match_all_words=True):
+                                             match_all_words=True,
+                                             per_occurrence=True):
                 rows.append({"url": url, "lang": lang, "word": w["word"],
                              "label": w["label"], "idx": w["idx"],
                              "negated": w["negated"],

@@ -300,7 +300,8 @@ def extract_candidate_edges(parsed: dict, lang: str,
 
 
 def extract_word_phraselets(parsed: dict, lang: str,
-                            match_all_words: bool = False) -> list[dict]:
+                            match_all_words: bool = False,
+                            per_occurrence: bool = False) -> list[dict]:
     """Single-word phraselets (template 'word') over matchable
     noun-tagged tokens — the reference's single-word topic phraselets
     (parsing.py:1955-2006, label e.g. ``word: plant``). Non-head
@@ -325,8 +326,13 @@ def extract_word_phraselets(parsed: dict, lang: str,
                 # pass (reference: phraselets 'created without matching
                 # tags' score single_word_any_tag_score,
                 # parsing.py:2442-2457 + topic_matching scoring); a
-                # tag-checked occurrence anywhere upgrades the entry
-                prev = seen.get(r)
+                # tag-checked occurrence anywhere upgrades the entry.
+                # In per_occurrence mode (the CORPUS words table, not
+                # query phraselet production) every occurrence is its
+                # own row — the reference matches a single-word
+                # phraselet at each corpus position, and the activation
+                # model refreshes on the repeats
+                prev = None if per_occurrence else seen.get(r)
                 if prev is None:
                     entry = {"template": "word", "label": f"word: {r}",
                              "word": r, "idx": t["i"],
@@ -339,7 +345,7 @@ def extract_word_phraselets(parsed: dict, lang: str,
         if match_all_words:
             for sw in t["subwords"]:
                 r = sw["derived_lemma"]
-                if r not in seen:
+                if per_occurrence or r not in seen:
                     entry = {"template": "word", "label": f"word: {r}",
                              "word": r, "idx": t["i"],
                              "negated": t["is_negated"],

@@ -146,7 +146,8 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
                      closure: DataFrame | None = None,
                      vectors: dict[str, list[float]] | None = None,
                      embedding_threshold: float = 1.0,
-                     ents: DataFrame | None = None) -> DataFrame:
+                     ents: DataFrame | None = None,
+                     chains: DataFrame | None = None) -> DataFrame:
     """Phraselet matches against the corpus:
     (url, phraselet_label, kind, position, base_score).
 
@@ -264,8 +265,9 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
             .select("url", "phraselet_label",
                     F.when(F.col("q_reverse_only"), F.lit("relation_reverse_only"))
                      .otherwise(F.lit("relation")).alias("kind"),
-                    F.least("parent_idx", "child_idx").alias("position"),
-                    "parent_idx", "child_idx", "penalty", "freq_factor")
+                    F.col("parent_idx").alias("position"),
+                    "parent_idx", "child_idx", "penalty", "freq_factor",
+                    F.col("q_child").alias("matched"))
         )
         out = rel_m
         # entity-label prototype matching for the 'person' lexeme: a
@@ -288,9 +290,10 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
                         F.when(F.col("q_reverse_only"),
                                F.lit("relation_reverse_only"))
                          .otherwise(F.lit("relation")).alias("kind"),
-                        F.least("parent_idx", "child_idx").alias("position"),
+                        F.col("parent_idx").alias("position"),
                         "parent_idx", "child_idx",
-                        F.lit(1.0).alias("penalty"), "freq_factor")
+                        F.lit(1.0).alias("penalty"), "freq_factor",
+                        F.lit(None).cast("string").alias("matched"))
             )
             out = out.unionByName(per_m)
     if ent_rel and ents is not None:
@@ -311,9 +314,10 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
             .filter(((F.col("ent_spec") == "NOUN") & F.col("is_noun"))
                     | (F.col("ent_spec") == F.col("ent_type")))
             .select("url", "phraselet_label", F.lit("relation").alias("kind"),
-                    F.least("parent_idx", "child_idx").alias("position"),
+                    F.col("parent_idx").alias("position"),
                     "parent_idx", "child_idx",
-                    F.lit(1.0).alias("penalty"), "freq_factor")
+                    F.lit(1.0).alias("penalty"), "freq_factor",
+                    F.lit(None).cast("string").alias("matched"))
         )
         out = ent_m if out is None else out.unionByName(ent_m)
     if q_rows:
@@ -340,9 +344,10 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
                         | ((F.col("gate") == "thing") & ~F.col("child_is_person")))
                 .select("url", "phraselet_label",
                         F.lit("question_answer").alias("kind"),
-                        F.least("parent_idx", "child_idx").alias("position"),
+                        F.col("parent_idx").alias("position"),
                         "parent_idx", "child_idx",
-                        F.lit(1.0).alias("penalty"), "freq_factor")
+                        F.lit(1.0).alias("penalty"), "freq_factor",
+                        F.lit(None).cast("string").alias("matched"))
             )
             out = q_m if out is None else out.unionByName(q_m)
     if word_ph:
@@ -378,7 +383,8 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
                     F.col("idx").alias("position"),
                     F.col("idx").alias("parent_idx"),
                     F.col("idx").alias("child_idx"),
-                    "penalty", "freq_factor")
+                    "penalty", "freq_factor",
+                    F.col("word").alias("matched"))
         )
         out = word_m if out is None else out.unionByName(word_m)
     if out is None:
@@ -387,7 +393,7 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
         return spark.createDataFrame(
             [], "url string, phraselet_label string, kind string, "
                 "position int, parent_idx int, child_idx int, "
-                "penalty double, freq_factor double")
+                "penalty double, freq_factor double, matched string")
     # governed interrogatives: matches of a which/what-governed
     # phraselet ALSO emit an answer row at the governed pole — scored
     # initial_question_word_answer_score for relations, answer-only for
@@ -411,26 +417,69 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
             F.when(F.col("phraselet_label").isin(parent_labels),
                    F.col("parent_idx")).otherwise(F.col("child_idx"))
             .alias("child_idx"),
-            "penalty", "freq_factor"))
+            "penalty", "freq_factor", "matched"))
     if gov_word:
         g = out.filter(F.col("phraselet_label").isin(gov_word))
         extras.append(g.select(
             "url", "phraselet_label",
             F.lit("question_answer_word").alias("kind"),
             "position", "parent_idx", "child_idx", "penalty",
-            "freq_factor"))
+            "freq_factor", "matched"))
     for e in extras:
         out = out.unionByName(e)
-    # superfluous-match / duplicate hygiene (reference
-    # topic_matching.py:606-847): one surviving match per
-    # (document, phraselet, position), keeping the least-penalized
-    # alternative — exact-join duplicates arise from ontology expansion
-    # mapping several query words onto the same corpus word, and from
-    # the same relation being reachable in both directions
-    w = Window.partitionBy("url", "phraselet_label", "position", "kind") \
+    # duplicate removal (reference remove_duplicates,
+    # topic_matching.py:797-847: same phraselet + same matched document
+    # tokens): one surviving match per (document, phraselet, parent,
+    # child), keeping the least-penalized alternative — exact-join
+    # duplicates arise from ontology expansion mapping several query
+    # words onto the same corpus word. Relation `position` is the
+    # PARENT (root) pole index, the reference's index_within_document
+    # (set from the root word match, structural_matching.py:446-447),
+    # which anchors activation tracking and passage ordering
+    w = Window.partitionBy("url", "phraselet_label", "parent_idx",
+                           "child_idx", "kind") \
         .orderBy(F.desc("penalty"))
-    return (out.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1).drop("_rn"))
+    out = (out.withColumn("_rn", F.row_number().over(w))
+           .filter(F.col("_rn") == 1).drop("_rn"))
+    if chains is not None:
+        # coref-proximity dominance (reference: the structural matcher
+        # tries coreferents closest-first and matches each slot once,
+        # structural_matching.py:573-581; the topic filter mirrors it
+        # at the child-anchored pole, topic_matching.py:702-738): when
+        # one phraselet matches the same anchor with several
+        # coreferring tokens at the other pole, only the mention
+        # closest to the anchor survives; ties prefer the preceding
+        # mention. Single-word matches are exempt (reference
+        # filter_superfluous_matches returns early for them).
+        is_rel = ~F.col("kind").isin("single_word", "single_word_any_tag")
+        ch_c = chains.select("url", F.col("idx").alias("child_idx"),
+                             F.col("chain").alias("child_chain"))
+        ch_p = chains.select("url", F.col("idx").alias("parent_idx"),
+                             F.col("chain").alias("parent_chain"))
+        out = (out.join(F.broadcast(ch_c), ["url", "child_idx"], "left")
+               .join(F.broadcast(ch_p), ["url", "parent_idx"], "left"))
+        # chain-less tokens get a unique negative group so they never
+        # compete with each other
+        cgrp = F.coalesce(F.col("child_chain"), -(F.col("child_idx") + 1))
+        pgrp = F.coalesce(F.col("parent_chain"), -(F.col("parent_idx") + 1))
+        dist_c = F.abs(F.col("parent_idx") - F.col("child_idx"))
+        wc = Window.partitionBy("url", "phraselet_label", "kind",
+                                "parent_idx", cgrp) \
+            .orderBy(dist_c, (F.col("child_idx") > F.col("parent_idx"))
+                     .cast("int"), "child_idx")
+        wp = Window.partitionBy("url", "phraselet_label", "kind",
+                                "child_idx", pgrp) \
+            .orderBy(dist_c, (F.col("parent_idx") > F.col("child_idx"))
+                     .cast("int"), "parent_idx")
+        out = (out
+               .withColumn("_rc", F.when(is_rel, F.row_number().over(wc))
+                           .otherwise(F.lit(1)))
+               .filter(F.col("_rc") == 1)
+               .withColumn("_rp", F.when(is_rel, F.row_number().over(wp))
+                           .otherwise(F.lit(1)))
+               .filter(F.col("_rp") == 1)
+               .drop("_rc", "_rp", "child_chain", "parent_chain"))
+    return out
 
 
 def _score_docs(params: dict):
@@ -515,14 +564,13 @@ def _score_docs(params: dict):
                 continue
             first_peak = False
             peak_pos, peak_score = ps[i], ss[i]
-            start, end, n = peak_pos, peak_pos, 1
+            start, end = peak_pos, peak_pos
             cluster = [peak_pos]
             for j in range(n_pts):
                 if j == i or taken[j]:
                     continue
                 if abs(ps[j] - peak_pos) <= extent and ss[j] >= cutoff:
                     start, end = min(start, ps[j]), max(end, ps[j])
-                    n += 1
                     taken[j] = True
                     cluster.append(ps[j])
             taken[i] = True
@@ -561,7 +609,13 @@ def _score_docs(params: dict):
             start = min(start, *infos) if infos else start
             end = max(end, *infos) if infos else end
             out.append({"url": url, "start_idx": start, "end_idx": end,
-                        "score": peak_score, "n_matches": n,
+                        # n_matches counts structural matches in the
+                        # passage (several phraselets can anchor at one
+                        # position now that relations anchor at the
+                        # parent pole)
+                        "score": peak_score,
+                        "n_matches": sum(len(pos_entries[p])
+                                         for p in cluster),
                         "word_infos": [
                             {"token_idx": k, "type": v[1],
                              "is_highest_activation": v[2],
@@ -669,7 +723,14 @@ def plan_selective_retries(rel_ph: list[dict], word_ph: list[dict],
             poles.add(p["obj"] if p["template"] not in ACTOR_TEMPLATES
                       else p["subj"])
     poles |= {p["word"] for p in word_ph}
-    expanded: dict[str, set[str]] = {w: {w} for w in poles}
+    # ENTITY placeholder poles probe the entity postings under their
+    # uppercase repr (reference reverse_dict keys 'ENTITYGPE' etc., so
+    # get_frequency_factor_for_pole sees the real corpus frequency of
+    # the label — word_matching/entity.py:80-114, parsing.py:1852-1877)
+    expanded: dict[str, set[str]] = {
+        w: {f"ENTITY{m.group(1).upper()}"} if (m := _ENT_CHILD_RE.match(w))
+        else {w}
+        for w in poles}
     if closure is not None:
         for r in closure.filter(F.col("query_word").isin(*poles)) \
                 .select("query_word", "matched_word").collect():
@@ -721,6 +782,7 @@ def topic_match(spark: SparkSession, edges: DataFrame, words: DataFrame,
                 embedding_threshold: float = 1.0,
                 initial_question_word_behaviour: str = "process",
                 ents: DataFrame | None = None,
+                chains: DataFrame | None = None,
                 **overrides) -> DataFrame:
     """Ranked passages for a query document. Returns
     (rank, url, start_idx, end_idx, score, n_matches, tied, word_infos,
@@ -739,7 +801,7 @@ def topic_match(spark: SparkSession, edges: DataFrame, words: DataFrame,
     matches = match_phraselets(spark, edges, words, rel_ph, word_ph, closure,
                                vectors=vectors,
                                embedding_threshold=embedding_threshold,
-                               ents=ents)
+                               ents=ents, chains=chains)
     # one collect_list per url, then mapInPandas (one python call per
     # Arrow batch of MANY urls) — applyInPandas would pay per-group
     # invocation overhead across millions of documents
