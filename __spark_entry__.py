@@ -107,7 +107,8 @@ def _b(col: str):  # type-stable boolean
 # ----------------------------------------------------------- KG queries
 
 def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _kg(spark, sf_dir)["edges"]
+    # mention-exchange / multiword-variant rows serve matching only
+    e = _kg(spark, sf_dir)["edges"].filter(~F.col("mention"))
     return (e.select("url", "template", "label", "subj", "obj",
                      _b("negated"), _b("uncertain"), _b("involves_coref"))
             .distinct())
@@ -127,7 +128,7 @@ def q_kg_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_kg_edge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _kg(spark, sf_dir)["edges"]
+    e = _kg(spark, sf_dir)["edges"].filter(~F.col("mention"))
     return (e.groupBy("template", "label")
             .agg(F.countDistinct("url").alias("n_docs"),
                  F.count("*").alias("n_instances")))
@@ -139,7 +140,7 @@ def q_kg_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     # build_entities reads only the subj/obj endpoint words — the
     # class-attachment join (link_edges) belongs to the edge-output
     # path (pipeline/graph.py), not the entity-cluster query
-    ents = build_entities(kg["edges"], closure)
+    ents = build_entities(kg["edges"].filter(~F.col("mention")), closure)
     return ents.select(
         "canonical", F.concat_ws(",", "lemmas").alias("members"),
         F.col("cluster_size").cast("long").alias("cluster_size"))

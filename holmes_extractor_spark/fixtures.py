@@ -178,6 +178,11 @@ POOL_DE: list[str] = [
 # expectations where available, else the template rules that define it.
 POOL = POOL_EN + POOL_DE  # global snippet ids: EN then DE
 
+# Copular snippets additionally carry reverse-only be-parented
+# phraselets (predicate-actor: be-X via nsubj, governor-adjective:
+# be-ADJ via acomp): the reference's VB* parent tags admit the copula
+# and the reverse-only parent-lemma list marks them reverse-only
+# (en language_specific_rules.py:834-845, 1114-1214).
 GOLDEN_EDGES: list[tuple] = [
     (0, 'predicate-actor', 'predicate-actor: chase-dog', 'dog', 'chase', 'chase', False, False, False),
     (0, 'predicate-patient', 'predicate-patient: chase-cat', 'chase', 'cat', 'chase', False, False, False),
@@ -196,6 +201,8 @@ GOLDEN_EDGES: list[tuple] = [
     (7, 'governor-adjective', 'governor-adjective: grow up-quick', 'grow up', 'quick', 'grow up', False, False, False),
     (7, 'predicate-actor', 'predicate-actor: grow up-plant', 'plant', 'grow up', 'grow up', False, False, False),
     (8, 'governor-adjective', 'governor-adjective: man-poor', 'man', 'poor', 'man', False, False, False),
+    (8, 'governor-adjective', 'governor-adjective: be-poor', 'be', 'poor', 'be', False, False, False),
+    (8, 'predicate-actor', 'predicate-actor: be-man', 'man', 'be', 'be', False, False, False),
     (9, 'governor-adjective', 'governor-adjective: come-home', 'come', 'home', 'come', False, False, False),
     (9, 'governor-adjective', 'governor-adjective: man-rich', 'man', 'rich', 'man', False, False, False),
     (9, 'predicate-actor', 'predicate-actor: come-man', 'man', 'come', 'come', False, False, False),
@@ -217,6 +224,8 @@ GOLDEN_EDGES: list[tuple] = [
     (16, 'governor-adjective', 'governor-adjective: cat-old', 'cat', 'old', 'cat', False, False, False),
     (16, 'predicate-actor', 'predicate-actor: chase-dog', 'dog', 'chase', 'chase', False, False, False),
     (16, 'predicate-patient', 'predicate-patient: chase-cat', 'chase', 'cat', 'chase', False, False, False),
+    (16, 'governor-adjective', 'governor-adjective: be-old', 'be', 'old', 'be', False, False, False),
+    (16, 'predicate-actor', 'predicate-actor: be-cat', 'cat', 'be', 'be', False, False, False),
     (17, 'predicate-actor', 'predicate-actor: decide-man', 'man', 'decide', 'decide', False, False, False),
     (17, 'predicate-actor', 'predicate-actor: open-man', 'man', 'open', 'open', False, True, False),
     (17, 'predicate-patient', 'predicate-patient: decide-open', 'decide', 'open', 'decide', False, False, False),
@@ -228,6 +237,19 @@ GOLDEN_EDGES: list[tuple] = [
     (18, 'prepgovernor-noun', 'prepgovernor-noun: see-garden', 'see', 'garden', 'see', False, False, False),
     (19, 'governor-adjective', 'governor-adjective: holiday-hard', 'holiday', 'hard', 'holiday', False, False, False),
     (19, 'predicate-toughmovedargument', 'predicate-toughmovedargument: book-holiday', 'book', 'holiday', 'book', False, True, False),
+    (19, 'governor-adjective', 'governor-adjective: be-hard', 'be', 'hard', 'be', False, False, False),
+    (19, 'predicate-actor', 'predicate-actor: be-holiday', 'holiday', 'be', 'be', False, False, False),
+    (47, 'governor-adjective', 'governor-adjective: be-ease', 'be', 'ease', 'be', False, False, False),
+    (47, 'predicate-actor', 'predicate-actor: be-holiday', 'holiday', 'be', 'be', False, False, False),
+    (92, 'governor-adjective', 'governor-adjective: be-hunger', 'be', 'hunger', 'be', False, False, False),
+    (92, 'predicate-actor', 'predicate-actor: be-dog', 'dog', 'be', 'be', False, False, True),
+    (95, 'governor-adjective', 'governor-adjective: be-tire', 'be', 'tire', 'be', False, False, False),
+    (95, 'predicate-actor', 'predicate-actor: be-cat', 'cat', 'be', 'be', False, False, False),
+    (101, 'governor-adjective', 'governor-adjective: be-tire', 'be', 'tire', 'be', False, False, False),
+    (101, 'predicate-actor', 'predicate-actor: be-dog', 'dog', 'be', 'be', False, False, False),
+    (102, 'governor-adjective', 'governor-adjective: be-tire', 'be', 'tire', 'be', False, False, False),
+    (102, 'predicate-actor', 'predicate-actor: be-cat', 'cat', 'be', 'be', False, True, False),
+    (102, 'predicate-actor', 'predicate-actor: be-mouse', 'mouse', 'be', 'be', False, False, False),
     # 20: 'A plant is grown.' — ref tests/en/test_phraselet_production_EN.py:96-99
     (20, 'predicate-passivesubject', 'predicate-passivesubject: grow-plant', 'grow', 'plant', 'grow', False, False, False),
     # 21: 'The sailors sailed rapidly.' — ref tests/en/test_phraselet_production_EN.py:115-118

@@ -242,7 +242,16 @@ class SparkHolmesManager:
                 "query_word string, matched_word string, depth int")
         ff = None
         if use_frequency_factor:
-            ff = frequency_factor(corpus_frequencies(self.postings()))
+            # punctuation reprs are excluded from the frequency dict
+            # (reference manager.py:1147-1156 skips string.punctuation
+            # keys) and ENTITYNOUN is OUR index-space artifact — the
+            # reference has no such reverse-dict key, so it must not
+            # inflate maximum_corpus_frequency
+            import string
+            punct = list(string.punctuation)
+            ff = frequency_factor(corpus_frequencies(
+                self.postings().filter(~F.col("repr").isin(*punct)
+                                       & (F.col("repr") != "ENTITYNOUN"))))
         # token-entity table for ENTITY-placeholder topic poles
         ents = docs.select(
             "url", F.explode("tokens").alias("t")).select(
@@ -250,12 +259,25 @@ class SparkHolmesManager:
             F.col("t.ent_type").alias("ent_type"),
             (F.col("t.pos").isin("NOUN", "PROPN")
              & (F.col("t.dep") != "compound")).alias("is_noun"))
-        # (url, idx, chain) for coref-proximity dominance filtering —
-        # chain id = the chain's first mention index
+        # coref pair table (url, a, b): token a's chain indexes
+        # include b — pronoun/antecedent and repeated-noun mention
+        # links, but NOT coordinated conjunct siblings (reference
+        # Mention semantics, parsing.py:1119-1126), used by the topic
+        # dominance filter
         chains = (docs.select("url", F.explode("tokens").alias("t"))
                   .filter(F.size("t.coref_chain") > 0)
-                  .select("url", F.col("t.i").alias("idx"),
-                          F.array_min("t.coref_chain").alias("chain")))
+                  .select("url", F.col("t.i").alias("a"),
+                          F.explode("t.coref_chain").alias("b"),
+                          F.col("t.righthand_siblings").alias("rhs"))
+                  .filter((F.col("a") != F.col("b"))
+                          & ~F.array_contains("rhs", F.col("b")))
+                  .drop("rhs"))
+        # symmetric conjunct exclusion: drop (a, b) when b lists a as a
+        # righthand sibling too
+        sib = (docs.select("url", F.explode("tokens").alias("t"))
+               .select("url", F.col("t.i").alias("b"),
+                       F.explode("t.righthand_siblings").alias("a")))
+        chains = chains.join(sib, ["url", "a", "b"], "left_anti")
         res = topic.topic_match(self.spark, edges, words, text_to_match,
                                 closure=closure, freq_factors=ff,
                                 vectors=self._vectors,

@@ -53,6 +53,9 @@ IRREGULAR_EN: dict[str, str] = {
     "men": "man", "women": "woman", "children": "child",
     "people": "person", "mice": "mouse", "feet": "foot", "teeth": "tooth",
     "chasing": "chase", "used": "use", "using": "use",
+    "something": "something", "anything": "anything",
+    "nothing": "nothing", "everything": "everything",
+    "someone": "someone", "anyone": "anyone", "everyone": "everyone",
 }
 
 # stems that take back their final 'e' after stripping -ed / -ing
@@ -106,6 +109,8 @@ def lemma_en(word: str) -> str:
         return w[:-2]
     if w.endswith("ss"):
         return w
+    if w.endswith("ics"):
+        return w  # mass nouns: gymnastics, physics, economics
     if w.endswith("s") and not w.endswith(("us", "is")) and len(w) > 3:
         return w[:-1]
     out = _strip_ed_ing(w)
@@ -142,6 +147,7 @@ def lemma_en_sql(col: str) -> str:
               OR lower({col}) LIKE '%zes') AND length({col}) > 4
           THEN substr(lower({col}), 1, length({col}) - 2)
         WHEN lower({col}) LIKE '%ss' THEN lower({col})
+        WHEN lower({col}) LIKE '%ics' THEN lower({col})
         WHEN lower({col}) LIKE '%s' AND lower({col}) NOT LIKE '%us'
              AND lower({col}) NOT LIKE '%is' AND length({col}) > 3
           THEN substr(lower({col}), 1, length({col}) - 1)

@@ -141,6 +141,16 @@ def _tag_en(toks: list[Tok], start_of_sent: int) -> None:
                 and (lemma(toks[j + 1].text.lower(), "en") in L.VERB_LEMMAS_EN
                      or toks[j + 1].text.lower() in ("be", "being")):
             t.pos = "PART"  # infinitival 'to' (incl. passive "to be V-ed")
+        elif w in L.PARTICLES_EN and prev is not None and any(
+                toks[k].pos in ("VERB", "AUX")
+                and (lemma(toks[k].text.lower(), "en"), w)
+                in L.PHRASAL_VERBS_EN
+                for k in range(max(0, j - 3), j)) and prev.pos not in ("VERB", "AUX"):
+            # separated particle ("takes something OUT"): a known
+            # phrasal bigram with a nearby preceding verb (reference
+            # conflates the lemma over the prt dep regardless of
+            # adjacency, language_specific_rules.py:478-492)
+            t.pos = "PART"
         elif w in L.PARTICLES_EN and prev is not None and prev.pos in ("VERB", "AUX"):
             # particle vs preposition: preposition only if an NP follows
             # (lexical lookahead — the next token is not yet tagged);
@@ -199,7 +209,7 @@ def _tag_en(toks: list[Tok], start_of_sent: int) -> None:
         elif t.text[:1].isupper() and j + start_of_sent > start_of_sent and j > 0:
             t.pos = "PROPN"
         elif t.text[:1].isupper() and j == 0 and (
-                w in _FIRST_NAMES
+                w in _FIRST_NAMES or w in _PLACES
                 # sentence-initial name SEQUENCE ("Mimi Momo progresses"):
                 # a following capitalized non-lexicon word marks a name
                 or (j + 1 < n and toks[j + 1].text[:1].isupper()
@@ -534,10 +544,13 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
     elif aux_pos:
         root_local = aux_pos[-1]
         copula = True
-        # 'do' as a MAIN verb ("He should do it", "He will have been
-        # doing it") is transitive, not copular (reference
+        # 'do'/'have' as a MAIN verb ("He should do it", "The donkey
+        # has a roof") is transitive, not copular — spaCy gives these a
+        # dobj, and the reference's reverse-only parent lemmas then
+        # yield predicate phraselets (en rules :834-845; reference
         # test_semantics_EN.py:438-459)
-        if toks[root_local].text.lower() in L.DO_FORMS_EN:
+        if toks[root_local].text.lower() in L.DO_FORMS_EN \
+                or toks[root_local].text.lower() in L.HAVE_FORMS_EN:
             copula = False
     elif verb_pos:
         root_local = verb_pos[0]
@@ -671,7 +684,9 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
 
     # --- aux attachment
     for a in aux_pos:
-        if copula and a == root_local:
+        if a == root_local:
+            # the clause root (copular 'is' or main-verb 'has'/'does')
+            # keeps its ROOT dep
             continue
         gov = toks[rel[1]] if (rel and a in rel_region) else root
         toks[a].head = gov.i
@@ -957,14 +972,23 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
                 continue
             # xcomp is a predicate-patient dependency in the reference
             # ("decide to open" → predicate-patient: decide-open,
-            # language_specific_rules.py:1126-1136)
-            add(cur.i, t.i, "xcomp")
+            # language_specific_rules.py:1126-1136). In the
+            # tough-movement shape ("is HARD to book") the infinitive
+            # hangs off the predicative ADJECTIVE like in spaCy — the
+            # adjective's JJ tag then excludes it from the
+            # predicate-patient template (reference parent tags
+            # en rules :1126-1136), so no be-book phraselet arises
+            tough = copula and any(tk.dep == "acomp" for tk in toks)
+            if tough:
+                acomp_i = next(tk.i for tk in toks if tk.dep == "acomp")
+                add(acomp_i, t.i, "xcomp")
+            else:
+                add(cur.i, t.i, "xcomp")
             # ANY predicative adjective + infinitive gives the matrix
             # subject an uncertain 'arg' dependency on the infinitive —
             # both subjective ("glad to understand") and objective
             # ("hard to reach") variants (reference
             # test_semantics_EN.py:802-827 + 'arg' rules :558-797)
-            tough = copula and any(tk.dep == "acomp" for tk in toks)
             # object control: "ordered the dog to chase" — the matrix
             # OBJECT is the infinitive's subject (reference
             # test_semantics_EN.py:184-187); else subject control
@@ -1093,8 +1117,14 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
                     add(cur.i, ph.i, "pobjt")
                 else:
                     # attach prep object to the prep's governor
-                    # (reference prepgovernor-noun phraselet)
-                    add(cur.i, ph.i, "pobjp")
+                    # (reference prepgovernor-noun phraselet) — unless
+                    # a coordinator intervenes ("Germany and in
+                    # Germany": coordinated PPs share no governor)
+                    coordinated = any(
+                        toks[k].pos == "CCONJ"
+                        for k in range(max(0, cur.i - off + 1), j))
+                    if not coordinated:
+                        add(cur.i, ph.i, "pobjp")
                     # alternative noun attachment, uncertain (reference
                     # prepposs deps, parsing.py:1359-1434): "saw the dog
                     # in the garden" → garden may modify dog
@@ -1348,6 +1378,25 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
             t.head = root.i
             if t.dep == "dep" and t.pos == "PUNCT":
                 t.dep = "punct"
+    # --- dangling prepositions (verbless fragments: "with an idea",
+    # "in Germany and in Germany"): spaCy still gives the ADP a pobj,
+    # which feeds the reverse-only prep-noun phraselet (reference
+    # template, en rules :1215-1224) — attach each unlinked ADP to the
+    # next NP head
+    linked_preps = {d["parent"] for d in deps if d["label"] == "pobj"}
+    for t in toks:
+        if t.pos == "ADP" and t.i not in linked_preps \
+                and t.dep in ("", "dep"):
+            k = t.i - off + 1
+            while k < n and toks[k].pos in ("DET", "ADJ", "NUM", "ADV"):
+                k += 1
+            if k < n and toks[k].pos in ("NOUN", "PROPN"):
+                # NP head = last token of the nominal run
+                while k + 1 < n and toks[k + 1].pos in ("NOUN", "PROPN"):
+                    k += 1
+                t.dep = "prep"
+                t.head = toks[k].i
+                add(t.i, toks[k].i, "pobj")
     return deps
 
 
@@ -1799,6 +1848,56 @@ def parse_document(text: str, lang: str) -> dict:
                      toks[x].pos in ("CCONJ", "SCONJ")
                      or toks[x].text == ","
                      for x in range(c + 1, t.i)))), None)
+            if ante is None:
+                continue
+            at = toks[ante]
+            chain = sorted({ante, t.i} | set(at.coref_chain)
+                           | set(t.coref_chain))
+            for idx in chain:
+                toks[idx].coref_chain = chain
+            t.most_specific_coref = ante
+            for (a, b) in ((ante, t.i), (t.i, ante)):
+                for d in list(all_deps):
+                    if d.get("coref"):
+                        continue
+                    if d["child"] == a and d["label"] != "det":
+                        all_deps.append({
+                            "parent": d["parent"], "child": b,
+                            "label": d["label"],
+                            "uncertain": d["uncertain"], "coref": True,
+                            "mention": True})
+                    elif d["parent"] == a and d["child"] != b \
+                            and d["label"] != "det":
+                        all_deps.append({
+                            "parent": b, "child": d["child"],
+                            "label": d["label"],
+                            "uncertain": d["uncertain"], "coref": True,
+                            "mention": True})
+
+    # --- repeated proper-name mentions ("Richard Paul Hudson.
+    # HUDSON came"): a bare PROPN corefers with an earlier proper-name
+    # mention sharing its lemma or containing it as a multiword member
+    # (coreferee links repeated names; reference consumes the chain
+    # like any nominal mention, parsing.py:1096-1137)
+    for si in range(1, len(sent_bounds)):
+        s, e = sent_bounds[si]
+        mw_members = {i for tk in toks for mw in tk.multiwords
+                      for i in mw["token_indexes"]}
+        for t in toks[s: e + 1]:
+            # only BARE names corefer backwards — a token heading or
+            # inside its own multiword names a (possibly different)
+            # entity ('Jane Jones' does not corefer with 'Peter
+            # Jones' over the shared surname)
+            if t.pos != "PROPN" or t.dep == "compound" or t.coref_chain \
+                    or t.multiwords or t.i in mw_members:
+                continue
+            prev_start = sent_bounds[max(0, si - 2)][0]
+            ante = next(
+                (c for c in range(s - 1, prev_start - 1, -1)
+                 if toks[c].pos == "PROPN" and toks[c].dep != "compound"
+                 and (toks[c].derived_lemma == t.derived_lemma
+                      or any(t.lemma in mw["lemma"].split()
+                             for mw in toks[c].multiwords))), None)
             if ante is None:
                 continue
             at = toks[ante]

@@ -141,7 +141,9 @@ def _words_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 rows.append({"url": url, "lang": lang, "word": w["word"],
                              "label": w["label"], "idx": w["idx"],
                              "negated": w["negated"],
-                             "any_tag": w["any_tag"]})
+                             "any_tag": w["any_tag"],
+                             "span_start": w["span_start"],
+                             "span_end": w["span_end"]})
         yield pd.DataFrame(rows, columns=cols)
 
 

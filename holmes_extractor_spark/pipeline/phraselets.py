@@ -26,6 +26,11 @@ from __future__ import annotations
 
 _NOUNS = frozenset({"NOUN", "PROPN"})
 _NV = frozenset({"NOUN", "PROPN", "VERB"})
+# reference VB* parent tags cover copular/auxiliary tokens too (spaCy
+# tags 'is'/'has' VBZ even when pos_ is AUX), so predicate templates
+# admit AUX parents — the reverse-only parent-lemma list then marks
+# be/have/do-parented phraselets reverse-only (en rules :834-845)
+_NVA = frozenset({"NOUN", "PROPN", "VERB", "AUX"})
 _ADJS = frozenset({"ADJ", "ADV"})
 _WP = frozenset({"who", "whom", "what"})
 _WRB = frozenset({"where", "when", "why", "how"})
@@ -35,24 +40,24 @@ _WRB = frozenset({"where", "when", "why", "how"})
 # reference's order (en language_specific_rules.py:1114-1325).
 RELATION_TEMPLATES_EN: list[tuple[str, frozenset, frozenset, frozenset, bool]] = [
     ("predicate-actor", frozenset({"nsubj", "csubj", "pobjb", "advmodsubj"}),
-     _NV, _NOUNS, False),
+     _NVA, _NOUNS, False),
     ("predicate-patient", frozenset({"dobj", "relant", "advmodobj", "xcomp"}),
-     _NV, _NV, False),
-    ("word-ofword", frozenset({"pobjo", "poss"}), _NV, _NV, False),
-    ("predicate-toughmovedargument", frozenset({"arg"}), _NV, _NOUNS, False),
+     _NVA, _NV, False),
+    ("word-ofword", frozenset({"pobjo", "poss"}), _NVA, _NV, False),
+    ("predicate-toughmovedargument", frozenset({"arg"}), _NVA, _NOUNS, False),
     ("predicate-passivesubject", frozenset({"nsubjpass", "csubjpass"}),
-     _NV, _NOUNS, False),
+     _NVA, _NOUNS, False),
     # copulas are AUX in our coarse tags but VBZ/VBD… in the reference's
     ("be-attribute", frozenset({"attr"}), frozenset({"VERB", "AUX"}),
      _NOUNS, True),
-    ("predicate-recipient", frozenset({"dative", "pobjt"}), _NV, _NOUNS, False),
+    ("predicate-recipient", frozenset({"dative", "pobjt"}), _NVA, _NOUNS, False),
     ("governor-adjective",
      frozenset({"acomp", "amod", "advmod", "npmod", "advcl", "dobj"}),
-     _NV, _ADJS, False),
+     _NVA, _ADJS, False),
     ("noun-noun", frozenset({"nmod", "appos", "compound", "nounmod"}),
      _NOUNS, _NOUNS, False),
     ("number-noun", frozenset({"nummod"}), _NOUNS, frozenset({"NUM"}), False),
-    ("prepgovernor-noun", frozenset({"pobjp"}), _NV, _NOUNS, False),
+    ("prepgovernor-noun", frozenset({"pobjp"}), _NVA, _NOUNS, False),
     ("prep-noun", frozenset({"pobj", "pcomp"}), frozenset({"ADP"}),
      _NOUNS, True),
 ]
@@ -189,19 +194,27 @@ def extract_candidate_edges(parsed: dict, lang: str,
     out: list[dict] = []
     seen: set[tuple] = set()
 
-    def _variants(tok: dict) -> list[str]:
-        """Representations of one pole: the whole token, plus — for
-        German compounds — the head subword (the reference adds head
-        subwords to the parent/child index lists, so e.g.
+    def _variants(tok: dict) -> list[tuple[str, bool]]:
+        """(repr, matching_only) for one pole: the whole token, plus —
+        for German compounds — the head subword (the reference adds
+        head subwords to the parent/child index lists, so e.g.
         'Landschaftsgärtner gibt' emits BOTH verb-nom:
         gabe-landschaftsgärtner and verb-nom: gabe-gärtner;
         reference parsing.py:2009-2034 + tests/de/
-        test_phraselet_production_DE.py:112-135)."""
-        reprs = [_repr_of(tok)]
+        test_phraselet_production_DE.py:112-135). An entity-multiword
+        head ALSO exposes its own lemma as a matching-only variant
+        (the reference's word matching compares every direct repr of
+        the head token, so phraselet come-hudson matches doc 'Richard
+        Paul Hudson came'; the variant row is flagged so KG output
+        keeps only the produced phraselet)."""
+        reprs = [(_repr_of(tok), False)]
+        if len(tok["multiwords"]) > 0 \
+                and tok["derived_lemma"] != _repr_of(tok):
+            reprs.append((tok["derived_lemma"], True))
         if len(tok["subwords"]) > 0:  # len(): Arrow batches give ndarrays
             head = tok["subwords"][-1]
-            if head["derived_lemma"] not in reprs:
-                reprs.append(head["derived_lemma"])
+            if head["derived_lemma"] not in [r for (r, _m) in reprs]:
+                reprs.append((head["derived_lemma"], False))
         return reprs
 
     def _is_person(tok: dict) -> bool:
@@ -212,7 +225,7 @@ def extract_candidate_edges(parsed: dict, lang: str,
     def emit(template: str, parent: dict, parent_repr: str,
              child_repr: str, child_idx: int,
              negated: bool, uncertain: bool, coref: bool,
-             reverse_only: bool) -> None:
+             reverse_only: bool, mention: bool = False) -> None:
         key = (template, parent["i"], parent_repr, child_repr)
         if key in seen:
             return
@@ -229,14 +242,10 @@ def extract_candidate_edges(parsed: dict, lang: str,
             "negated": negated, "uncertain": uncertain,
             "involves_coref": coref, "reverse_only": reverse_only,
             "child_is_person": _is_person(toks[child_idx]),
+            "mention": mention,
         })
 
     for d in parsed["deps"]:
-        if d.get("mention"):
-            # noun-mention exchange deps serve matching only — the
-            # reference's phraselet walk visits each token once and
-            # expands mentions at match time (parsing.py:2106-2243)
-            continue
         p, c = toks[d["parent"]], toks[d["child"]]
         if p["i"] in mw_ignore or c["i"] in mw_ignore:
             continue
@@ -254,11 +263,12 @@ def extract_candidate_edges(parsed: dict, lang: str,
                 continue
             if not c["is_matchable"]:
                 continue
-            for pr in _variants(p):
-                for cr in _variants(c):
+            for (pr, pm) in _variants(p):
+                for (cr, cm) in _variants(c):
                     emit(name, p, pr, cr, c["i"],
                          p["is_negated"] or c["is_negated"], d["uncertain"],
-                         d["coref"], tmpl_reverse or parent_reverse)
+                         d["coref"], tmpl_reverse or parent_reverse,
+                         mention=bool(d.get("mention")) or pm or cm)
         if include_questions and c["is_initial_question_word"]:
             for (name, dep_labels, parent_gate, q_words) in q_templates:
                 if d["label"] not in dep_labels:
@@ -268,7 +278,8 @@ def extract_candidate_edges(parsed: dict, lang: str,
                 if c["text"].lower() not in q_words:
                     continue
                 emit(name, p, _repr_of(p), c["derived_lemma"], c["i"],
-                     p["is_negated"], d["uncertain"], d["coref"], False)
+                     p["is_negated"], d["uncertain"], d["coref"], False,
+                     mention=bool(d.get("mention")))
 
     # German subword relations (intcompound): compound parts form an
     # edge governor-part → dependent-part within the containing token
@@ -294,7 +305,7 @@ def extract_candidate_edges(parsed: dict, lang: str,
                     "parent_idx": t["i"], "child_idx": t["i"],
                     "negated": t["is_negated"], "uncertain": False,
                     "involves_coref": False, "reverse_only": False,
-                    "child_is_person": False,
+                    "child_is_person": False, "mention": False,
                 })
     return out
 
@@ -318,6 +329,25 @@ def extract_word_phraselets(parsed: dict, lang: str,
     seen: dict[str, dict] = {}
     for t in toks:
         if t["i"] in mw_ignore:
+            # multiword MEMBERS are excluded from the tag-matched pass
+            # (the multiword substitutes for them, reference
+            # parsing.py:2036-2066) but the all-words pass still
+            # produces an any-tag phraselet per member — the
+            # superfluous-by-multiword filter suppresses them at
+            # scoring only when the containing multiword also matched
+            # (reference topic_matching.py:760-795: "Richard Paul came"
+            # scores the any-tag members against a document that lacks
+            # the exact multiword)
+            if match_all_words and t["is_matchable"]:
+                r = t["derived_lemma"]
+                if r not in STOP_LEMMAS and (per_occurrence
+                                             or r not in seen):
+                    entry = {"template": "word", "label": f"word: {r}",
+                             "word": r, "idx": t["i"],
+                             "negated": t["is_negated"], "any_tag": True,
+                             "span_start": t["i"], "span_end": t["i"]}
+                    seen[r] = entry
+                    out.append(entry)
             continue
         if (t["pos"] in WORD_TEMPLATE_POS or match_all_words) and t["is_matchable"]:
             r = _repr_of(t)
@@ -334,14 +364,37 @@ def extract_word_phraselets(parsed: dict, lang: str,
                 # model refreshes on the repeats
                 prev = None if per_occurrence else seen.get(r)
                 if prev is None:
+                    if t["multiwords"]:
+                        span = (min(t["multiwords"][0]["token_indexes"]),
+                                max(t["multiwords"][0]["token_indexes"]))
+                    else:
+                        span = (t["i"], t["i"])
                     entry = {"template": "word", "label": f"word: {r}",
                              "word": r, "idx": t["i"],
                              "negated": t["is_negated"],
-                             "any_tag": t["pos"] not in WORD_TEMPLATE_POS}
+                             "any_tag": t["pos"] not in WORD_TEMPLATE_POS,
+                             "span_start": span[0], "span_end": span[1]}
                     seen[r] = entry
                     out.append(entry)
                 elif prev["any_tag"] and t["pos"] in WORD_TEMPLATE_POS:
                     prev["any_tag"] = False
+                # the head token of a multiword ALSO yields its own
+                # word as an any-tag entry in the all-words pass — the
+                # reference substitutes the multiword only when NOT
+                # match_all_words (parsing.py:1972-1977), so "Richard
+                # Paul came" produces word: paul alongside
+                # word: richard paul
+                if match_all_words and t["multiwords"] \
+                        and t["derived_lemma"] not in STOP_LEMMAS \
+                        and (per_occurrence
+                             or t["derived_lemma"] not in seen):
+                    entry = {"template": "word",
+                             "label": f"word: {t['derived_lemma']}",
+                             "word": t["derived_lemma"], "idx": t["i"],
+                             "negated": t["is_negated"], "any_tag": True,
+                             "span_start": t["i"], "span_end": t["i"]}
+                    seen[t["derived_lemma"]] = entry
+                    out.append(entry)
         if match_all_words:
             for sw in t["subwords"]:
                 r = sw["derived_lemma"]
@@ -349,7 +402,8 @@ def extract_word_phraselets(parsed: dict, lang: str,
                     entry = {"template": "word", "label": f"word: {r}",
                              "word": r, "idx": t["i"],
                              "negated": t["is_negated"],
-                             "any_tag": True}
+                             "any_tag": True,
+                             "span_start": t["i"], "span_end": t["i"]}
                     seen[r] = entry
                     out.append(entry)
     return out

@@ -105,8 +105,12 @@ def query_phraselets(query_text: str, lang: str = "en",
     ``include_questions`` admits initial interrogatives (the
     reference's process_initial_question_words)."""
     parsed = parse_document(query_text, lang)
-    rels = extract_candidate_edges(parsed, lang,
-                                   include_questions=include_questions)
+    # matching-only rows (multiword own-lemma variants, noun-mention
+    # exchanges) are corpus-side constructs; phraselet PRODUCTION uses
+    # the substituted multiword only (reference parsing.py:2036-2066)
+    rels = [p for p in extract_candidate_edges(
+                parsed, lang, include_questions=include_questions)
+            if not p.get("mention")]
     # two-pass single-word production (reference parsing.py:2418-2458):
     # tag-checked words score single_word_score, the all-words pass
     # admits the rest as any-tag phraselets (single_word_any_tag_score)
@@ -164,14 +168,47 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
                    p["obj"] if p["template"] not in ACTOR_TEMPLATES
                    else p["subj"])]
     rel_ph_plain = [p for p in all_rel if p not in ent_rel]
+    ent_word_ph = [w for w in word_ph if _ENT_CHILD_RE.match(w["word"])]
     word_ph = [w for w in word_ph
                if not _ENT_CHILD_RE.match(w["word"])]
     rel_rows = [(p["template"], p["label"], p["pred"],
                  p["obj"] if p["template"] not in ACTOR_TEMPLATES else p["subj"],
                  bool(p.get("reverse_only"))
                  or p["template"] in REVERSE_ONLY_TEMPLATES,
-                 float(p.get("freq_factor", 1.0)))
+                 float(p.get("freq_factor", 1.0)), False)
                 for p in rel_ph_plain]
+    # reverse-polarity dependency matching (reference
+    # use_reverse_dependency_matching, structural_matching.py:597-617:
+    # verbal-argument deps match amod/acomp in inverse polarity and
+    # vice versa, en rules reverse_document_dependencies :880-1080):
+    # the phraselet ALSO probes the inverse corpus template with
+    # swapped poles — "Someone adopts a child" matches "An adopted
+    # child" and vice versa (tests/en/test_topic_matching_EN.py:755-768)
+    _INVERSE_TEMPLATES = {
+        "predicate-actor": ("governor-adjective",),
+        "predicate-patient": ("governor-adjective",),
+        "predicate-passivesubject": ("governor-adjective",),
+        "predicate-recipient": ("governor-adjective",),
+        "word-ofword": ("governor-adjective",),
+        "predicate-toughmovedargument": ("governor-adjective",),
+        "governor-adjective": ("predicate-actor", "predicate-patient",
+                               "predicate-passivesubject",
+                               "predicate-recipient", "word-ofword",
+                               "predicate-toughmovedargument",
+                               "noun-noun"),
+        "noun-noun": ("governor-adjective",),
+    }
+    rel_rows += [
+        (inv_t, p["label"],
+         # corpus parent must carry the phraselet CHILD word and
+         # corpus child the phraselet PARENT word
+         p["obj"] if p["template"] not in ACTOR_TEMPLATES else p["subj"],
+         p["pred"],
+         bool(p.get("reverse_only"))
+         or p["template"] in REVERSE_ONLY_TEMPLATES,
+         float(p.get("freq_factor", 1.0)), True)
+        for p in rel_ph_plain
+        for inv_t in _INVERSE_TEMPLATES.get(p["template"], ())]
     emb_retry_ok = {p["label"]: bool(p.get("emb_retry", True))
                     for p in rel_ph}
     q_rows = [(p["template"], p["label"], p["pred"], p["obj"],
@@ -180,7 +217,7 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
     out = None
     if rel_rows:
         q = spark.createDataFrame(
-            rel_rows, "template string, phraselet_label string, q_pred string, q_child string, q_reverse_only boolean, freq_factor double")
+            rel_rows, "template string, phraselet_label string, q_pred string, q_child string, q_reverse_only boolean, freq_factor double, inverse boolean")
         if closure is not None:
             # ontology expansion carries the closure depth so the
             # activation penalty ontology_penalty^(depth+1) can be
@@ -199,14 +236,14 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
                       .withColumnRenamed("matched_word", "m_child")
                       .withColumnRenamed("depth", "d_child"), "q_child", "left")
                 .select("template", "phraselet_label", "q_reverse_only",
-                        "freq_factor",
+                        "freq_factor", "inverse",
                         F.coalesce("m_pred", "q_pred").alias("q_pred"),
                         F.coalesce("m_child", "q_child").alias("q_child"),
                         (pen(F.col("d_pred"), F.col("m_pred"), F.col("q_pred"))
                          * pen(F.col("d_child"), F.col("m_child"), F.col("q_child"))
                          ).alias("penalty"))
                 .groupBy("template", "phraselet_label", "q_reverse_only",
-                         "freq_factor", "q_pred", "q_child")
+                         "freq_factor", "q_pred", "q_child", "inverse")
                 .agg(F.max("penalty").alias("penalty"))
             )
         else:
@@ -227,7 +264,12 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
             # threshold; ENTITY-parent phraselets gate looser (n=1).
             overall = embedding_threshold ** 0.5
             extra = []
-            for (t, lbl, qp, qc, rev, ff) in rel_rows:
+            for (t, lbl, qp, qc, rev, ff, inv) in rel_rows:
+                if inv:
+                    # the embedding retry expands forward-polarity
+                    # phraselets only (reference pass 4 operates on the
+                    # phraselet's own child pole)
+                    continue
                 if not emb_retry_ok.get(lbl, True):
                     # selective retry planning: the parent pole's
                     # frequency factor is below the embedding threshold
@@ -251,10 +293,11 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
                     extra, "template string, phraselet_label string, "
                            "q_pred string, q_child string, "
                            "q_reverse_only boolean, freq_factor double, "
-                           "penalty double")
+                           "penalty double"
+                ).withColumn("inverse", F.lit(False))
                 q = q.unionByName(qe).groupBy(
                     "template", "phraselet_label", "q_reverse_only",
-                    "freq_factor", "q_pred", "q_child"
+                    "freq_factor", "q_pred", "q_child", "inverse"
                     ).agg(F.max("penalty").alias("penalty"))
         child_col = F.when(F.col("template").isin(*ACTOR_TEMPLATES),
                            F.col("subj")).otherwise(F.col("obj"))
@@ -265,7 +308,11 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
             .select("url", "phraselet_label",
                     F.when(F.col("q_reverse_only"), F.lit("relation_reverse_only"))
                      .otherwise(F.lit("relation")).alias("kind"),
-                    F.col("parent_idx").alias("position"),
+                    # activation anchors at the doc token matching the
+                    # phraselet ROOT — the corpus CHILD when the match
+                    # is inverse-polarity
+                    F.when(F.col("inverse"), F.col("child_idx"))
+                     .otherwise(F.col("parent_idx")).alias("position"),
                     "parent_idx", "child_idx", "penalty", "freq_factor",
                     F.col("q_child").alias("matched"))
         )
@@ -276,7 +323,7 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
         # label prototype, which IS the 'person' lexeme
         # (cosine = 1.0; ENTITY_LABEL_LEXEMES, en rules :100-121)
         person_rows = [(r[0], r[1], r[2], r[4], r[5]) for r in rel_rows
-                       if r[3] == "person"]
+                       if r[3] == "person" and not r[6]]
         if person_rows:
             qp = spark.createDataFrame(
                 person_rows,
@@ -384,9 +431,82 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
                     F.col("idx").alias("parent_idx"),
                     F.col("idx").alias("child_idx"),
                     "penalty", "freq_factor",
-                    F.col("word").alias("matched"))
+                    F.col("word").alias("matched"),
+                    "span_start", "span_end")
         )
+        # first-match-wins per document token (reference strategy
+        # chain: a direct repr match pre-empts the ontology
+        # alternative at the same position, manager.py:163-214 +
+        # remove_duplicates) — without this, 'word: horse' would match
+        # doc 'wastage horse' BOTH directly (member repr) and through
+        # the ontology (multiword row), and the ontology variant
+        # would escape the multiword-span suppression below
+        wpos = Window.partitionBy("url", "phraselet_label", "kind",
+                                  "position").orderBy(F.desc("penalty"))
+        word_m = (word_m.withColumn("_pr", F.row_number().over(wpos))
+                  .filter(F.col("_pr") == 1).drop("_pr"))
+        # single-word matches contained inside a MATCHED multiword
+        # single-word match are superfluous (reference
+        # remove_single_word_matches_made_superfluous_by_multiword_
+        # matches, topic_matching.py:760-795): 'Richard Paul Hudson'
+        # matching suppresses the member matches richard/paul/hudson,
+        # but when only the members match they all score
+        mw_spans = (word_m.filter(F.col("span_end") > F.col("span_start"))
+                    .select(F.col("url").alias("m_url"),
+                            F.col("span_start").alias("m_s"),
+                            F.col("span_end").alias("m_e"))
+                    .distinct())
+        singles = word_m.filter(F.col("span_end") == F.col("span_start"))
+        bad_singles = (singles.join(
+            F.broadcast(mw_spans),
+            (F.col("url") == F.col("m_url"))
+            & (F.col("position") >= F.col("m_s"))
+            & (F.col("position") <= F.col("m_e")))
+            .select("url", "phraselet_label", "kind", "position")
+            .distinct())
+        singles = singles.join(bad_singles,
+                               ["url", "phraselet_label", "kind",
+                                "position"], "left_anti")
+        word_m = (word_m.filter(F.col("span_end") > F.col("span_start"))
+                  .unionByName(singles)
+                  .drop("span_start", "span_end"))
         out = word_m if out is None else out.unionByName(word_m)
+    ent_word_ph = [w for w in ent_word_ph
+                   if _ENT_CHILD_RE.match(w["word"]).group(1) != "noun"]
+    if ent_word_ph and ents is not None:
+        # ENTITY-placeholder single-word phraselets ("word: entitygpe")
+        # match every corpus token with the label (ENTITYNOUN → any
+        # non-compound noun) — the reference's entity word matching
+        # applies to single-word topic phraselets too
+        # (tests/en/test_topic_matching_EN.py:93-116 score the entity
+        # word alongside the relation)
+        # ENTITYNOUN has no reverse-dict key in the reference (the
+        # noun scan only serves structural relation poles,
+        # structural_matching.py:209-230), so a single-word ENTITYNOUN
+        # phraselet never matches (tests/en/test_topic_matching_EN.py
+        # :109-116 score only the relation for ENTITYNOUN but relation
+        # + word for ENTITYGPE)
+        ew = [(w["label"],
+               _ENT_CHILD_RE.match(w["word"]).group(1).upper(),
+               float(w.get("freq_factor", 1.0))) for w in ent_word_ph
+              if _ENT_CHILD_RE.match(w["word"]).group(1) != "noun"]
+        qew = spark.createDataFrame(
+            ew, "phraselet_label string, ent_spec string, freq_factor double")
+        ent_word_m = (
+            ents.crossJoin(F.broadcast(qew))
+            .filter(((F.col("ent_spec") == "NOUN") & F.col("is_noun"))
+                    | ((F.col("ent_spec") == F.col("ent_type"))
+                       & F.col("is_noun")))
+            .select("url", "phraselet_label",
+                    F.lit("single_word").alias("kind"),
+                    F.col("idx").alias("position"),
+                    F.col("idx").alias("parent_idx"),
+                    F.col("idx").alias("child_idx"),
+                    F.lit(1.0).alias("penalty"), "freq_factor",
+                    F.concat(F.lit("ENTITY"), F.col("ent_spec"),
+                             F.lit("@"), F.col("idx")).alias("matched"))
+        )
+        out = ent_word_m if out is None else out.unionByName(ent_word_m)
     if out is None:
         # no phraselets (e.g. only stop lemmas) → no matches, like the
         # reference's early return (manager.py:844-845)
@@ -443,42 +563,50 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
            .filter(F.col("_rn") == 1).drop("_rn"))
     if chains is not None:
         # coref-proximity dominance (reference: the structural matcher
-        # tries coreferents closest-first and matches each slot once,
-        # structural_matching.py:573-581; the topic filter mirrors it
-        # at the child-anchored pole, topic_matching.py:702-738): when
-        # one phraselet matches the same anchor with several
-        # coreferring tokens at the other pole, only the mention
-        # closest to the anchor survives; ties prefer the preceding
-        # mention. Single-word matches are exempt (reference
+        # tries coreferents closest-first, structural_matching.py:
+        # 573-581; the topic filter mirrors it at both poles,
+        # topic_matching.py:702-738): when the same phraselet matches
+        # the same anchor token with several COREFERRING tokens at the
+        # other pole, only the mention closest to the anchor survives
+        # (ties prefer the preceding mention). `chains` is a PAIR table
+        # (url, a, b): token a's coreference chain indexes include b —
+        # coordinated conjunct siblings are NOT linked (reference
+        # Mention construction keeps only the token's own index inside
+        # a coordinated mention, parsing.py:1119-1126), so "Richard and
+        # Peter ... They came" keeps BOTH conjunct answers.
+        # Single-word matches are exempt (reference
         # filter_superfluous_matches returns early for them).
-        is_rel = ~F.col("kind").isin("single_word", "single_word_any_tag")
-        ch_c = chains.select("url", F.col("idx").alias("child_idx"),
-                             F.col("chain").alias("child_chain"))
-        ch_p = chains.select("url", F.col("idx").alias("parent_idx"),
-                             F.col("chain").alias("parent_chain"))
-        out = (out.join(F.broadcast(ch_c), ["url", "child_idx"], "left")
-               .join(F.broadcast(ch_p), ["url", "parent_idx"], "left"))
-        # chain-less tokens get a unique negative group so they never
-        # compete with each other
-        cgrp = F.coalesce(F.col("child_chain"), -(F.col("child_idx") + 1))
-        pgrp = F.coalesce(F.col("parent_chain"), -(F.col("parent_idx") + 1))
-        dist_c = F.abs(F.col("parent_idx") - F.col("child_idx"))
-        wc = Window.partitionBy("url", "phraselet_label", "kind",
-                                "parent_idx", cgrp) \
-            .orderBy(dist_c, (F.col("child_idx") > F.col("parent_idx"))
-                     .cast("int"), "child_idx")
-        wp = Window.partitionBy("url", "phraselet_label", "kind",
-                                "child_idx", pgrp) \
-            .orderBy(dist_c, (F.col("parent_idx") > F.col("child_idx"))
-                     .cast("int"), "parent_idx")
-        out = (out
-               .withColumn("_rc", F.when(is_rel, F.row_number().over(wc))
-                           .otherwise(F.lit(1)))
-               .filter(F.col("_rc") == 1)
-               .withColumn("_rp", F.when(is_rel, F.row_number().over(wp))
-                           .otherwise(F.lit(1)))
-               .filter(F.col("_rp") == 1)
-               .drop("_rc", "_rp", "child_chain", "parent_chain"))
+        rel_kinds = ~F.col("kind").isin("single_word", "single_word_any_tag")
+        cand = out.filter(rel_kinds)
+
+        def dominated(anchor: str, other: str) -> DataFrame:
+            x, y = cand.alias("x"), cand.alias("y")
+            dx = F.abs(F.col(f"x.{other}") - F.col(f"x.{anchor}"))
+            dy = F.abs(F.col(f"y.{other}") - F.col(f"y.{anchor}"))
+            return (
+                x.join(y, (F.col("x.url") == F.col("y.url"))
+                       & (F.col("x.phraselet_label") == F.col("y.phraselet_label"))
+                       & (F.col("x.kind") == F.col("y.kind"))
+                       & (F.col(f"x.{anchor}") == F.col(f"y.{anchor}"))
+                       & (F.col(f"x.{other}") != F.col(f"y.{other}")))
+                .join(chains, (F.col("x.url") == F.col("chains.url"))
+                      & (F.col(f"x.{other}") == F.col("chains.a"))
+                      & (F.col(f"y.{other}") == F.col("chains.b")))
+                .filter((dy < dx) | ((dy == dx)
+                                     & (F.col(f"y.{other}") < F.col(f"x.{other}"))))
+                .select(F.col("x.url").alias("url"),
+                        F.col("x.phraselet_label").alias("phraselet_label"),
+                        F.col("x.kind").alias("kind"),
+                        F.col(f"x.parent_idx").alias("parent_idx"),
+                        F.col(f"x.child_idx").alias("child_idx"))
+                .distinct())
+
+        chains = chains.alias("chains")
+        bad = dominated("parent_idx", "child_idx").unionByName(
+            dominated("child_idx", "parent_idx"))
+        out = out.join(F.broadcast(bad),
+                       ["url", "phraselet_label", "kind",
+                        "parent_idx", "child_idx"], "left_anti")
     return out
 
 
@@ -492,7 +620,6 @@ def _score_docs(params: dict):
         last_act: dict[str, float] = {}
         token_scores = []
         positions = []
-        prev_by_pos: dict[int, set[str]] = {}
         base_scores = {
             "relation": params["relation_score"],
             "relation_reverse_only": params["reverse_only_relation_score"],
@@ -503,18 +630,31 @@ def _score_docs(params: dict):
             "question_answer_word": 0.0,
         }
         pos_entries: dict[int, list[tuple]] = {}
+        # overlap map built UPFRONT from every relation-kind match's
+        # BOTH poles (reference builds
+        # document_labels_to_indexes_to_phraselet_labels over parent
+        # and child word matches before the scoring loop,
+        # topic_matching.py:904-933) — so the first relation processed
+        # at a shared anchor is already ×1.5, and child-side sharing
+        # counts too
+        idx_labels: dict[int, set[str]] = {}
+        for r in ms:
+            if r["kind"].startswith("relation") \
+                    or r["kind"] == "question_answer":
+                for k in (int(r.get("parent_idx", r["position"])),
+                          int(r.get("child_idx", r["position"]))):
+                    idx_labels.setdefault(k, set()).add(r["phraselet_label"])
         for r in ms:
             lbl, pos, kind = r["phraselet_label"], int(r["position"]), r["kind"]
             base = (base_scores[kind] * float(r.get("freq_factor", 1.0))
                     * float(r.get("penalty", 1.0)))
             overlap = False
-            if kind.startswith("relation"):
-                # overlapping relations on a shared position ×1.5
-                others = prev_by_pos.get(pos, set())
+            if kind.startswith("relation") or kind == "question_answer":
+                others = (idx_labels.get(int(r.get("parent_idx", pos)), set())
+                          | idx_labels.get(int(r.get("child_idx", pos)), set()))
                 if any(o != lbl for o in others):
                     base *= params["overlapping_relation_multiplier"]
                     overlap = True
-                prev_by_pos.setdefault(pos, set()).add(lbl)
             pos_entries.setdefault(pos, []).append(
                 (lbl, kind, overlap,
                  int(r.get("parent_idx", pos)), int(r.get("child_idx", pos))))
@@ -727,9 +867,13 @@ def plan_selective_retries(rel_ph: list[dict], word_ph: list[dict],
     # uppercase repr (reference reverse_dict keys 'ENTITYGPE' etc., so
     # get_frequency_factor_for_pole sees the real corpus frequency of
     # the label — word_matching/entity.py:80-114, parsing.py:1852-1877)
+    # ENTITYNOUN has no reverse-dict key in the reference → its pole
+    # frequency factor stays 1.0 (parsing.py:1865-1870: empty
+    # frequency list returns 1.0)
     expanded: dict[str, set[str]] = {
-        w: {f"ENTITY{m.group(1).upper()}"} if (m := _ENT_CHILD_RE.match(w))
-        else {w}
+        w: (set() if m.group(1) == "noun"
+            else {f"ENTITY{m.group(1).upper()}"})
+        if (m := _ENT_CHILD_RE.match(w)) else {w}
         for w in poles}
     if closure is not None:
         for r in closure.filter(F.col("query_word").isin(*poles)) \

@@ -95,6 +95,11 @@ EDGES = T.StructType([
     # person-ness of the child pole: gates who/what question answers
     # (reference question word matching, en rules :1327-1365)
     T.StructField("child_is_person", T.BooleanType()),
+    # True for noun-mention-exchange variants: they serve topic/
+    # structural matching (the reference expands mentions at match
+    # time, parsing.py:2106-2243) but are NOT phraselet-production
+    # output, so KG queries filter them
+    T.StructField("mention", T.BooleanType()),
 ])
 
 WORDS = T.StructType([
@@ -107,4 +112,10 @@ WORDS = T.StructType([
     # True for words admitted only by the all-words pass (non-noun
     # tags) — the reference's 'created without matching tags'
     T.StructField("any_tag", T.BooleanType()),
+    # token span covered by the word instance (≠ idx..idx only for
+    # multiword entries) — drives the reference's
+    # single-word-superfluous-by-multiword suppression
+    # (topic_matching.py:760-795)
+    T.StructField("span_start", T.IntegerType()),
+    T.StructField("span_end", T.IntegerType()),
 ])

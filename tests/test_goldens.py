@@ -20,7 +20,10 @@ def test_golden_edges_match_engine():
         parsed = parse_document(text, lang)
         got = {(e["template"], e["label"], e["subj"], e["obj"], e["pred"],
                 e["negated"], e["uncertain"], e["involves_coref"])
-               for e in extract_candidate_edges(parsed, lang)}
+               for e in extract_candidate_edges(parsed, lang)
+               # matching-only rows (multiword variants, noun-mention
+               # exchanges) are not phraselet-production output
+               if not e.get("mention")}
         exp = {(t, lbl, s, o, p, n, u, c)
                for (gs, t, lbl, s, o, p, n, u, c) in GOLDEN_EDGES if gs == sid}
         assert got == exp, f"snippet {sid}: {text!r}\n got {sorted(got)}\n exp {sorted(exp)}"

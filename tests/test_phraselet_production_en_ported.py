@@ -27,8 +27,9 @@ ANCESTORS = hypernym_ancestors(REF_ONTOLOGY)
 def labels(text, hypernyms=False, include_reverse_only=False,
            include_questions=False):
     p = parse_document(text, "en")
-    rels = extract_candidate_edges(p, "en",
-                                   include_questions=include_questions)
+    rels = [r for r in extract_candidate_edges(
+                p, "en", include_questions=include_questions)
+            if not r.get("mention")]  # matching-only variants
     words = extract_word_phraselets(p, "en")
     if not include_reverse_only:
         rels = [r for r in rels

@@ -178,7 +178,8 @@ def test_checkpoint_resume(spark, sf_dir, tmp_path):
 
 
 def test_oracle_cte_matches_engine(spark, ddb, sf_dir, docs):
-    got = (extract_edges(docs).select("url", "label").distinct().toPandas()
+    got = (extract_edges(docs).filter(~F.col("mention"))
+           .select("url", "label").distinct().toPandas()
            .sort_values(["url", "label"]).reset_index(drop=True))
     sql = pages_cte_sql() + f"""
 SELECT DISTINCT ps.url, g.label
