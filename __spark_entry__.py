@@ -533,7 +533,10 @@ def _topic_scores_oracle() -> str:
 , rel AS (
   SELECT ps.url, count(*) * 300 AS pts
   FROM page_snips ps JOIN golden_edges g USING (snip_id)
-  WHERE g.label IN ('predicate-actor: chase-dog', 'predicate-patient: chase-cat')
+  WHERE g.label IN ('predicate-actor: chase-dog', 'predicate-patient: chase-cat',
+                    -- forward implication: the patient phraselet also
+                    -- matches passive-subject document deps
+                    'predicate-passivesubject: chase-cat')
   GROUP BY ps.url
 ),
 wrd AS (
@@ -639,11 +642,24 @@ best AS (
   SELECT template, q_pred, actor, m_child, max(penalty) AS penalty
   FROM cand GROUP BY template, q_pred, actor, m_child
 ),
+compat(qt, gt) AS (VALUES
+    ('predicate-actor', 'predicate-actor'),
+    ('predicate-actor', 'word-ofword'),
+    ('predicate-actor', 'predicate-toughmovedargument'),
+    ('predicate-patient', 'predicate-patient'),
+    ('predicate-patient', 'word-ofword'),
+    ('predicate-patient', 'predicate-passivesubject'),
+    ('predicate-patient', 'noun-noun'),
+    ('predicate-patient', 'predicate-toughmovedargument')),
 rel AS (
+  -- forward template implications widen each phraselet's matchable
+  -- corpus templates; the child pole is read off the CORPUS template
   SELECT ps.url, sum(300.0::DOUBLE * b.penalty) AS pts
   FROM page_snips ps JOIN golden_edges g USING (snip_id)
-  JOIN best b ON b.template = g.template AND b.q_pred = g.pred
-             AND b.m_child = CASE WHEN b.actor THEN g.subj ELSE g.obj END
+  JOIN compat c ON c.gt = g.template
+  JOIN best b ON b.template = c.qt AND b.q_pred = g.pred
+             AND b.m_child = CASE WHEN g.template = 'predicate-actor'
+                                  THEN g.subj ELSE g.obj END
   GROUP BY ps.url
 ),
 wrd AS (
@@ -699,14 +715,30 @@ def _topic_ontology_oracle() -> str:
     0.9^(depth+1) per pole (reference manager.py:683-701)."""
     return pages_cte_sql() + "," + _ontology_closure_cte() + """
 , rel AS (
-  SELECT ps.url, sum(300.0 * pp.p * pc.p) AS pts
-  FROM page_snips ps
-  JOIN golden_edges g USING (snip_id)
-  JOIN pen pp ON pp.q = 'chase' AND pp.w = g.pred
-  JOIN pen pc ON pc.q = 'animal'
-   AND pc.w = CASE WHEN g.template = 'predicate-actor' THEN g.subj ELSE g.obj END
-  WHERE g.template IN ('predicate-actor', 'predicate-patient')
-  GROUP BY ps.url
+  -- one sub-sum per query phraselet; forward template implications
+  -- widen each phraselet's matchable corpus templates (actor: +
+  -- word-ofword/toughmoved; patient: + passivesubject/word-ofword/
+  -- noun-noun/toughmoved)
+  SELECT url, sum(pts) AS pts FROM (
+    SELECT ps.url, 300.0 * pp.p * pc.p AS pts
+    FROM page_snips ps
+    JOIN golden_edges g USING (snip_id)
+    JOIN pen pp ON pp.q = 'chase' AND pp.w = g.pred
+    JOIN pen pc ON pc.q = 'animal'
+     AND pc.w = CASE WHEN g.template = 'predicate-actor' THEN g.subj ELSE g.obj END
+    WHERE g.template IN ('predicate-actor', 'word-ofword',
+                         'predicate-toughmovedargument')
+    UNION ALL
+    SELECT ps.url, 300.0 * pp.p * pc.p AS pts
+    FROM page_snips ps
+    JOIN golden_edges g USING (snip_id)
+    JOIN pen pp ON pp.q = 'chase' AND pp.w = g.pred
+    JOIN pen pc ON pc.q = 'animal'
+     AND pc.w = CASE WHEN g.template = 'predicate-actor' THEN g.subj ELSE g.obj END
+    WHERE g.template IN ('predicate-patient', 'word-ofword',
+                         'predicate-passivesubject', 'noun-noun',
+                         'predicate-toughmovedargument')
+  ) GROUP BY url
 ),
 wrd AS (
   SELECT url, sum(50.0 * p) AS pts FROM (

@@ -120,6 +120,7 @@ VERB_LEMMAS_EN = {
     "know", "look", "ask", "feel", "leave", "bring", "happen", "watch",
     "seem", "teach", "learn", "wait", "sleep", "wake", "arrive", "return",
     "carry", "wear", "break", "fix", "cook", "wash", "clean", "push",
+    "stretch",
     "pull", "throw", "climb", "swim", "dance", "laugh", "cry", "smile",
     "bark", "bite", "hunt", "feed", "plant", "water", "pick", "drop",
     "decide", "agree", "plan", "promise", "refuse", "attempt", "manage",

@@ -198,6 +198,40 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
                                "noun-noun"),
         "noun-noun": ("governor-adjective",),
     }
+    # FORWARD cross-template implications (same polarity): a phraselet
+    # dep also matches document deps carried by OTHER templates —
+    # dobj matches nsubjpass/pobjo/compound ("A cat was chased",
+    # "the chasing OF a cat"), arg matches every argument dep, etc.
+    # (reference MatchImplication document_dependencies,
+    # en language_specific_rules.py:880-1080)
+    _FORWARD_TEMPLATES = {
+        "predicate-actor": ("word-ofword",
+                            "predicate-toughmovedargument"),
+        "predicate-patient": ("word-ofword", "predicate-passivesubject",
+                              "noun-noun",
+                              "predicate-toughmovedargument"),
+        "predicate-passivesubject": ("predicate-patient", "word-ofword",
+                                     "noun-noun",
+                                     "predicate-toughmovedargument",
+                                     "predicate-recipient"),
+        "predicate-toughmovedargument": (
+            "predicate-actor", "predicate-patient", "word-ofword",
+            "predicate-passivesubject", "noun-noun",
+            "predicate-recipient", "prepgovernor-noun"),
+        "word-ofword": ("predicate-actor", "predicate-patient",
+                        "predicate-passivesubject",
+                        "predicate-toughmovedargument"),
+        "predicate-recipient": ("predicate-patient",
+                                "predicate-passivesubject"),
+    }
+    rel_rows += [
+        (fwd_t, p["label"], p["pred"],
+         p["obj"] if p["template"] not in ACTOR_TEMPLATES else p["subj"],
+         bool(p.get("reverse_only"))
+         or p["template"] in REVERSE_ONLY_TEMPLATES,
+         float(p.get("freq_factor", 1.0)), False)
+        for p in rel_ph_plain
+        for fwd_t in _FORWARD_TEMPLATES.get(p["template"], ())]
     rel_rows += [
         (inv_t, p["label"],
          # corpus parent must carry the phraselet CHILD word and
@@ -348,10 +382,17 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
                _ENT_CHILD_RE.match(
                    p["obj"] if p["template"] not in ACTOR_TEMPLATES
                    else p["subj"]).group(1).upper(),
-               float(p.get("freq_factor", 1.0))) for p in ent_rel]
+               float(p.get("freq_factor", 1.0)),
+               bool(p.get("reverse_only"))
+               or p["template"] in REVERSE_ONLY_TEMPLATES) for p in ent_rel]
+        # a reverse-only phraselet initiates matching from its CHILD's
+        # reverse-dict entry; ENTITYNOUN has none (the noun scan serves
+        # forward structural matching only, structural_matching.py:
+        # 209-230), so reverse-only × ENTITYNOUN never matches
+        er = [r for r in er if not (r[5] and r[3] == "NOUN")]
         qe = spark.createDataFrame(
             er, "template string, phraselet_label string, q_pred string, "
-                "ent_spec string, freq_factor double")
+                "ent_spec string, freq_factor double, q_reverse_only boolean")
         e2 = ents.select(F.col("url"), F.col("idx").alias("child_idx"),
                          "ent_type", "is_noun")
         ent_m = (
@@ -360,7 +401,10 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
             .join(e2, ["url", "child_idx"])
             .filter(((F.col("ent_spec") == "NOUN") & F.col("is_noun"))
                     | (F.col("ent_spec") == F.col("ent_type")))
-            .select("url", "phraselet_label", F.lit("relation").alias("kind"),
+            .select("url", "phraselet_label",
+                    F.when(F.col("q_reverse_only"),
+                           F.lit("relation_reverse_only"))
+                     .otherwise(F.lit("relation")).alias("kind"),
                     F.col("parent_idx").alias("position"),
                     "parent_idx", "child_idx",
                     F.lit(1.0).alias("penalty"), "freq_factor",

@@ -1,12 +1,27 @@
 """EN topic-matching parity suite, transcribed from the reference's
-tests/en/test_topic_matching_EN.py (cited per test as ref :line).
+tests/en/test_topic_matching_EN.py (reference line number per case).
 
 Uses the reference's own scoring parameterization (relation 20,
 reverse-only 15, single word 10, any-tag 5, cutoff 10 — ref :18-30)
-and asserts the reference's int(score) — the activation model,
-ontology penalties 0.9^(|depth|+1), frequency factors
-1-log(f-1)/log(max) and peak extraction reproduce the reference's
-integer scores exactly on these cases.
+and asserts the reference's int(score): the activation model
+(parent-anchored decay, upfront overlap map, ×1.5 overlap), reverse
+and forward dependency-implication matching, multiword/member word
+phraselets with superfluous-match suppression, coref-proximity
+dominance, entity word matching, ontology penalties
+0.9^(|depth|+1) and frequency factors 1-log(f-1)/log(max) reproduce
+the reference's integer scores exactly on these cases.
+
+NOT ported (documented gaps):
+- 12 cases relying on real spaCy vectors through
+  word_embedding_match_threshold=0.42 (car≈automobile≈vehicle,
+  friend≈GPE-prototype …) — the expected integers encode those exact
+  cosines, which no deterministic stand-in vector table can reproduce
+  (ref :101-105, :202, :245-257, :273-289, :297, :491-521)
+- 5 near-misses (off by 1-4) from the ontology-mediated derivation
+  penalty asymmetry: the reference routes query 'wastage horse' →
+  document 'waste horse' through ontology_reverse_derivational_dict
+  (one extra 0.9 step) while the opposite direction is a plain
+  derivation match (ref :714-750)
 """
 
 from __future__ import annotations
@@ -27,32 +42,113 @@ def score(spark):
         tms = m.topic_match_documents_against(
             query, relation_score=20, reverse_only_relation_score=15,
             single_word_score=10, single_word_any_tag_score=5,
-            different_match_cutoff_score=10, **kw)
+            different_match_cutoff_score=10,
+            relation_matching_frequency_threshold=0.0,
+            embedding_matching_frequency_threshold=0.0, **kw)
         return [t["score"] for t in tms]
     return _score
 
 
 # (ref line, query, document, expected int score)
 CASES = [
-    (":49", "A plant grows", "A plant grows", 34),
-    (":53", "A plant grows", "A plant grows. A plant", 34),
-    (":118", "I saw an pussy", "Somebody saw a cat", 31),
-    (":133", "I saw an animal", "Somebody saw a cat", 28),
-    (":148", "I saw an animal", "Somebody saw a kitten", 26),
-    (":153", "I saw an cat", "Somebody saw an animal", 28),
-    (":158", "I saw a kitten", "Somebody saw an animal", 26),
-    (":168", "I saw an animal", "Somebody saw Mimi Momo", 26),
-    (":188", "I saw an animal", "Somebody chased a cat", 8),
-    (":109", "My friend visited ENTITYNOUN", "Peter visited a city", 25),
+    (49, 'A plant grows', 'A plant grows', 34),
+    (53, 'A plant grows', 'A plant grows. A plant', 34),
+    (57, 'A plant grows', 'A plant grows. A plant and a plant', 16),
+    (65, 'A plant grows', 'A plant grows. A plant and a plant. Word word word word word.', 22),
+    (69, 'A plant grows', 'A plant grows. A plant grows.', 34),
+    (73, 'A plant grows', 'A plant grows. A plant grows. A plant grows.', 8),
+    (77, 'A plant grows', 'A plant grows. A plant grows. A plant grows. Word word word word word.', 14),
+    (81, 'My friend visited gegwghg', 'Peter visited gegwghg', 34),
+    (85, 'I gave Peter a dog', 'I gave Peter a present', 34),
+    (89, 'A plant grows', 'I saw a plant. It was growing', 34),
+    (93, 'My house visited ENTITYGPE', 'Peter visited London', 34),
+    (97, 'My house visited ENTITYGPE', 'Peter visited Paris. London. Berlin.', 15),
+    (109, 'My friend visited ENTITYNOUN', 'Peter visited a city', 25),
+    (113, 'My friend visited ENTITYNOUN', 'Peter visited a city. Word. word.', 25),
+    (118, 'I saw an pussy', 'Somebody saw a cat', 31),
+    (123, 'I saw an pussy', 'Somebody saw a cat. A cat. A cat.', 14),
+    (128, 'I saw an pussy', 'Somebody saw a cat. A kitten. A cat.', 31),
+    (133, 'I saw an animal', 'Somebody saw a cat', 28),
+    (138, 'I saw an animal', 'Somebody saw a cat. An cat. A cat.', 13),
+    (143, 'I saw an animal', 'Somebody saw a cat. An kitten. A cat.', 28),
+    (148, 'I saw an animal', 'Somebody saw a kitten', 26),
+    (153, 'I saw an cat', 'Somebody saw an animal', 28),
+    (158, 'I saw a kitten', 'Somebody saw an animal', 26),
+    (163, 'A cat opens something', 'An animal takes something out', 27),
+    (168, 'I saw an animal', 'Somebody saw Mimi Momo', 26),
+    (173, 'I saw an animal', 'Somebody saw Mimi Momo. Mimi Momo. Mimi Momo.', 12),
+    (178, 'I saw an animal', 'Somebody saw Mimi Momo. Momo. Momo.', 26),
+    (183, 'I saw Mimi Momo', 'Somebody saw an animal', 26),
+    (188, 'I saw an animal', 'Somebody chased a cat', 8),
+    (193, 'I saw an animal', 'Somebody chased Mimi Momo', 7),
+    (198, 'I saw Mimi Momo', 'Somebody chased an animal', 7),
+    (231, 'nice', 'nice', 5),
+    (234, 'nice place', 'nice', 5),
+    (237, 'The donkey has a roof', 'The donkey has a roof', 68),
+    (241, 'A friend has a roof', 'I saw a friend and I saw a roof. He had it.', 68),
+    (249, 'The donkey paints a roof', 'The donkey paints a roof', 82),
+    (257, 'The donkey paints a roof', 'The donkey paints a mouse', 34),
+    (261, 'A president is a politician', 'A president is a politician', 68),
+    (265, 'A president is a politician', 'A politician is a president', 24),
+    (269, 'A donkey has a roof', 'A donkey has painted a roof', 24),
+    (293, 'An ENTITYPERSON with a car', 'Richard Hudson with a lion', 14),
+    (301, 'An ENTITYNOUN with a car', 'Richard Hudson with a vehicle', 5),
+    (305, 'An ENTITYNOUN with a car', 'Richard Hudson with a lion', 5),
+    (309, 'A car with an ENTITYNOUN', 'A vehicle with Richard Hudson', 5),
+    (313, 'Richard Hudson speaks', 'Richard-Hudson speaks', 34),
+    (525, 'Somebody buys a vehicle', 'Somebody buys a vehicle and a car', 34),
+    (530, 'with an idea', 'with an idea', 29),
+    (535, 'dog', 'a dog and a dog', 10),
+    (540, 'in', 'in and in', 5),
+    (545, 'a big dog', 'a big dog and a big dog', 34),
+    (550, 'a big dog', 'a big and big dog', 34),
+    (555, 'in Germany', 'in Germany and in Germany', 29),
+    (560, 'in Germany', 'in Germany and Germany', 29),
+    (565, 'Richard Paul Hudson came', 'I saw Richard Paul Hudson', 10),
+    (570, 'Hudson came', 'I saw Richard Paul Hudson', 10),
+    (575, 'Richard Paul came', 'I saw Richard Paul Hudson', 9),
+    (580, 'Richard Paul Hudson came', 'I saw Richard Paul Hudson. He came', 34),
+    (585, 'Richard Paul Hudson came', 'I saw Richard Paul Hudson. Hudson came', 39),
+    (590, 'Hudson came', 'I saw Richard Paul Hudson. He came', 34),
+    (595, 'the tired Richard Paul Hudson', 'I saw Richard Paul Hudson', 10),
+    (600, 'the tired Hudson', 'I saw Richard Paul Hudson', 10),
+    (605, 'the tired Richard Paul', 'I saw Richard Paul Hudson', 9),
+    (610, 'the tired Richard Paul Hudson', 'I saw Richard Paul Hudson. He came', 10),
+    (615, 'the tired Hudson came', 'I saw Richard Paul Hudson. He came', 34),
+    (620, 'Richard Paul Hudson came', 'I saw Richard Paul Hudson', 10),
+    (625, 'the tired Richard Paul Hudson', 'I saw Richard Paul Hudson', 10),
+    (630, 'Richard Paul Hudson came', 'I saw Richard Paul Hudson', 10),
+    (635, 'the tired Richard Paul Hudson', 'I saw Richard Paul Hudson', 10),
+    (640, 'the mirror of Erised', 'the mirror of Erised', 39),
+    (645, 'information', 'inform', 10),
+    (650, 'information', 'inform. inform. inform.', 3),
+    (655, 'give', 'gift', 5),
+    (660, 'information', 'information', 10),
+    (665, 'inform quickly', 'quick information', 29),
+    (670, 'quick information', 'inform quickly', 34),
+    (675, 'quick information', 'quick information', 34),
+    (680, 'He decided to inform', 'He decided information', 29),
+    (685, 'He decided information', 'He decided to inform', 34),
+    (690, 'He decided information', 'He decided information', 34),
+    (696, 'An invitation to a politician', 'He explained to a politician', 35),
+    (702, 'He explained to a politician', 'An invitation to a politician', 31),
+    (708, 'He used a waste horse', 'He used a wastage horse', 34),
+    (732, 'A big waste horse', 'A big wastage horse', 34),
+    (738, 'A big wastage horse', 'A big waste horse', 34),
+    (755, 'An adopted child', 'Someone adopts a child', 34),
+    (760, 'Someone adopts a child', 'An adopted child', 34),
+    (765, 'Adopted and child', 'An adopted child', 14),
+    (770, 'A leg is hard to stretch', 'He stretched his legs.', 34),
+    (775, 'A leg is hard to fix', 'He stretched his legs.', 10),
 ]
 
 
 @pytest.mark.parametrize("ref,query,doc,expected", CASES,
-                         ids=[c[0] + " " + c[1][:24] for c in CASES])
+                         ids=[str(c[0]) + " " + c[1][:24] for c in CASES])
 def test_topic_score(score, ref, query, doc, expected):
     scores = score(query, doc)
-    assert scores, f"test_topic_matching_EN.py{ref}: no match"
-    assert int(scores[0]) == expected, f"test_topic_matching_EN.py{ref}"
+    assert scores, f"test_topic_matching_EN.py:{ref}: no match"
+    assert int(scores[0]) == expected, f"test_topic_matching_EN.py:{ref}"
 
 
 def test_no_match(score):  # ref :33
@@ -63,9 +159,14 @@ def test_no_match_stopwords(score):  # ref :41
     assert score("then", "then") == []
 
 
-def test_entity_matching(score):  # ref :93
-    # ENTITYGPE pole matches the GPE child of the same relation; the
-    # reference scores 34 (its entity word-match also counts the word
-    # level) — ours scores the relation + any-tag poles
-    scores = score("My house visited ENTITYGPE", "Peter visited London")
-    assert scores and scores[0] >= 20.0
+def test_coreference_double_match_spans(spark):
+    # ref :780-815 — the closest coreferring mention wins and the
+    # passage span includes the trailing word matches
+    m = SparkHolmesManager(spark, ontology=REF_ONTOLOGY,
+                           ontology_symmetric=True)
+    m.parse_and_register_document("I saw a man. The man walked", "d")
+    tms = m.topic_match_documents_against(
+        "A man walks", relation_score=20, single_word_score=10,
+        single_word_any_tag_score=5)
+    assert int(tms[0]["score"]) == 34
+    assert (tms[0]["start_idx"], tms[0]["end_idx"]) == (6, 7)
