@@ -206,6 +206,8 @@ def minhash_lsh_pairs(documents: DataFrame, min_agree: float = 0.5,
                      F.concat_ws("_", *[F.col("sig")[b * rows_per_band + r].cast("string")
                                         for r in range(rows_per_band)]).alias("bucket"))
             for b in range(BANDS)])).alias("bb"))
+    # map-side-combining groupBy + broadcast semi-join: the shuffled
+    # side is one row per distinct bucket, not one per band entry
     ok = (bands.groupBy(F.col("bb.band").alias("okband"),
                         F.col("bb.bucket").alias("okbucket"))
           .agg(F.count("*").alias("n"))

@@ -494,26 +494,22 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
         # remove_single_word_matches_made_superfluous_by_multiword_
         # matches, topic_matching.py:760-795): 'Richard Paul Hudson'
         # matching suppresses the member matches richard/paul/hudson,
-        # but when only the members match they all score
-        mw_spans = (word_m.filter(F.col("span_end") > F.col("span_start"))
-                    .select(F.col("url").alias("m_url"),
-                            F.col("span_start").alias("m_s"),
-                            F.col("span_end").alias("m_e"))
-                    .distinct())
-        singles = word_m.filter(F.col("span_end") == F.col("span_start"))
-        bad_singles = (singles.join(
-            F.broadcast(mw_spans),
-            (F.col("url") == F.col("m_url"))
-            & (F.col("position") >= F.col("m_s"))
-            & (F.col("position") <= F.col("m_e")))
-            .select("url", "phraselet_label", "kind", "position")
-            .distinct())
-        singles = singles.join(bad_singles,
-                               ["url", "phraselet_label", "kind",
-                                "position"], "left_anti")
-        word_m = (word_m.filter(F.col("span_end") > F.col("span_start"))
-                  .unionByName(singles)
-                  .drop("span_start", "span_end"))
+        # but when only the members match they all score. One analytic
+        # pass per url: the (few) matched multiword spans are gathered
+        # with a window collect_set, then each single-token row checks
+        # containment with a codegen `exists` — no join, no distinct
+        wu = Window.partitionBy("url")
+        word_m = (
+            word_m
+            .withColumn("_mws", F.collect_set(
+                F.when(F.col("span_end") > F.col("span_start"),
+                       F.struct(F.col("span_start").alias("s"),
+                                F.col("span_end").alias("e")))).over(wu))
+            .filter((F.col("span_end") > F.col("span_start"))
+                    | ~F.exists("_mws",
+                                lambda x: (F.col("position") >= x["s"])
+                                & (F.col("position") <= x["e"])))
+            .drop("_mws", "span_start", "span_end"))
         out = word_m if out is None else out.unionByName(word_m)
     ent_word_ph = [w for w in ent_word_ph
                    if _ENT_CHILD_RE.match(w["word"]).group(1) != "noun"]
