@@ -608,7 +608,7 @@ GOLDEN_EDGES: list[tuple] = [
     (114, 'verb-acc', 'verb-acc: sehen-katze', 'sehen', 'katze', 'sehen', False, False, False),
     (114, 'verb-nom', 'verb-nom: sehen-hund', 'hund', 'sehen', 'sehen', False, False, False),
     # 115: 'Die Wohnungsgesellschaft verkaufte das Haus.' — ref de templates de/language_specific_rules.py:1697-1960 + subword walk (head-subword variant per tests/de/test_phraselet_production_DE.py:112-135)
-    (115, 'intcompound', 'intcompound: gesellschaft-wohnung', 'gesellschaft', 'wohnung', 'gesellschaft', False, False, False),
+    (115, 'intcompound', 'intcompound: gesellschaft-wohnen', 'gesellschaft', 'wohnen', 'gesellschaft', False, False, False),
     (115, 'verb-acc', 'verb-acc: verkauf-haus', 'verkauf', 'haus', 'verkauf', False, False, False),
     (115, 'verb-nom', 'verb-nom: verkauf-gesellschaft', 'gesellschaft', 'verkauf', 'verkauf', False, False, False),
     (115, 'verb-nom', 'verb-nom: verkauf-wohnungsgesellschaft', 'wohnungsgesellschaft', 'verkauf', 'verkauf', False, False, False),
@@ -620,7 +620,7 @@ GOLDEN_EDGES: list[tuple] = [
     (117, 'verb-acc', 'verb-acc: kauf-auto', 'kauf', 'auto', 'kauf', False, False, False),
     (117, 'verb-nom', 'verb-nom: kauf-mann', 'mann', 'kauf', 'kauf', False, False, False),
     # 118: 'Die Versicherungsgesellschaft informierte den Mann.' — ref de derivation.csv:201 (information,informieren)
-    (118, 'intcompound', 'intcompound: gesellschaft-versicherung', 'gesellschaft', 'versicherung', 'gesellschaft', False, False, False),
+    (118, 'intcompound', 'intcompound: gesellschaft-versichern', 'gesellschaft', 'versichern', 'gesellschaft', False, False, False),
     (118, 'verb-acc', 'verb-acc: information-mann', 'information', 'mann', 'information', False, False, False),
     (118, 'verb-nom', 'verb-nom: information-gesellschaft', 'gesellschaft', 'information', 'information', False, False, False),
     (118, 'verb-nom', 'verb-nom: information-versicherungsgesellschaft', 'versicherungsgesellschaft', 'information', 'information', False, False, False),
@@ -825,10 +825,10 @@ GOLDEN_WORDS_ANY: list[tuple] = [
     (112, 'jagd'),
     (113, 'werden'), (113, 'jagd'),
     (114, 'klein'), (114, 'sehen'),
-    (115, 'wohnung'), (115, 'gesellschaft'), (115, 'verkauf'),
+    (115, 'wohnen'), (115, 'gesellschaft'), (115, 'verkauf'),
     (116, 'öffnen'),
     (117, 'reich'), (117, 'kauf'),
-    (118, 'versicherung'), (118, 'gesellschaft'), (118, 'information'),
+    (118, 'versichern'), (118, 'gesellschaft'), (118, 'information'),
     (119, 'sehen'), (119, 'im'),
     (120, 'lesen'),
     (121, 'spiel'), (121, 'im'),

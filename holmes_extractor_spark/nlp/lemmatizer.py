@@ -299,7 +299,8 @@ def lemma_de(word: str) -> str:
     # regular conjugation → infinitive, gated on the verb lexicon so
     # noun plurals in -en (Katzen) are never mangled
     from .lexicon import ADJECTIVES_DE, VERB_LEMMAS_DE
-    for suf in ("ten", "test", "tet", "te", "est", "st", "et", "t", "e"):
+    for suf in ("eten", "ete", "ten", "test", "tet", "te", "est", "st",
+                "et", "t", "e"):
         if w.endswith(suf) and len(w) > len(suf) + 2:
             cand = w[: -len(suf)] + "en"
             if cand in VERB_LEMMAS_DE:
@@ -322,8 +323,32 @@ from .derivation_data import DERIVATION_MAP_DE
 DERIVATION_DE: dict[str, str] = dict(DERIVATION_MAP_DE)
 
 
+_UNG_BLACKLIST_DE = ("sprung", "schwung", "nibelung")
+
+
 def derived_lemma_de(lemma: str) -> str:
-    return DERIVATION_DE.get(lemma, lemma)
+    """Dictionary first (the transcribed derivation.csv, canonical =
+    noun), then the reference's generic nominalization rules
+    (de language_specific_rules.py:1017-1062): -erung/-elung → -n,
+    -lung after a consonant → -eln, -ung → -en (blacklisted stems
+    keep their form), -heit/-keit stripped."""
+    if lemma in DERIVATION_DE:
+        return DERIVATION_DE[lemma]
+    if lemma.endswith("ung"):
+        for word in _UNG_BLACKLIST_DE:
+            if lemma.endswith(word):
+                return lemma
+        if (lemma.endswith("erung") and not lemma.endswith("ierung")) \
+                or lemma.endswith("elung"):
+            return lemma[:-3] + "n"
+        if lemma.endswith("lung") and len(lemma) >= 5 \
+                and lemma[-5] not in ("a", "e", "i", "o", "u", "ä", "ö",
+                                      "ü", "h"):
+            return lemma[:-4] + "eln"
+        return lemma[:-3] + "en"
+    if lemma.endswith(("heit", "keit")):
+        return lemma[:-4]
+    return lemma
 
 
 def lemma(word: str, lang: str) -> str:

