@@ -891,6 +891,10 @@ FROM page_snips ps JOIN w_golden g USING (snip_id)
     (29, 'head-WHsubj', 'head-WHsubj: open-who'))
 SELECT DISTINCT ps.url, g.template, g.label
 FROM page_snips ps JOIN qp_golden g USING (snip_id)
+-- only a page's FIRST sentence carries initial question words
+-- (reference set_initial_question_words walks next(doc.sents) only,
+-- parsing.py:1170-1192), so question snippets count at position 0
+WHERE ps.j = 0
 """,
         "topic_scores": _topic_scores_oracle(),
         "topic_embedding_scores": _topic_embedding_oracle(),

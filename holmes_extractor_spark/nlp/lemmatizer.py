@@ -37,6 +37,7 @@ IRREGULAR_EN: dict[str, str] = {
     "ran": "run", "running": "run", "run": "run",
     "held": "hold", "wrote": "write", "written": "write", "writing": "write",
     "sang": "sing", "sung": "sing", "flew": "fly", "flown": "fly",
+    "lied": "lie", "swore": "swear", "sworn": "swear",
     "drove": "drive", "driven": "drive", "driving": "drive",
     "met": "meet", "meeting": "meet", "paid": "pay",
     "heard": "hear", "let": "let", "began": "begin", "begun": "begin",

@@ -120,7 +120,7 @@ VERB_LEMMAS_EN = {
     "know", "look", "ask", "feel", "leave", "bring", "happen", "watch",
     "seem", "teach", "learn", "wait", "sleep", "wake", "arrive", "return",
     "carry", "wear", "break", "fix", "cook", "wash", "clean", "push",
-    "stretch",
+    "stretch", "swear", "lie",
     "pull", "throw", "climb", "swim", "dance", "laugh", "cry", "smile",
     "bark", "bite", "hunt", "feed", "plant", "water", "pick", "drop",
     "decide", "agree", "plan", "promise", "refuse", "attempt", "manage",
@@ -291,3 +291,16 @@ LANGID_STOPWORDS = {
     "es": ["el", "los", "las", "y", "es", "una", "por", "para", "con", "del"],
     "zh": ["的", "是", "了", "在", "和", "有", "我", "他", "这", "中"],
 }
+
+
+# temporal vocabulary for when/where question gating (reference
+# question word matching checks DATE/TIME entities and temporal
+# phrases, en language_specific_rules.py:1414-1424)
+TEMPORAL_NOUNS_EN = {
+    "second", "minute", "hour", "day", "week", "month", "year",
+    "decade", "century", "morning", "afternoon", "evening", "night",
+    "dawn", "dusk", "noon", "midnight", "spring", "summer", "autumn",
+    "winter", "monday", "tuesday", "wednesday", "thursday", "friday",
+    "saturday", "sunday",
+}
+TEMPORAL_ADVERBS_EN = {"yesterday", "today", "tomorrow", "tonight"}

@@ -108,6 +108,17 @@ def _tag_en(toks: list[Tok], start_of_sent: int) -> None:
         prev = toks[j - 1] if j > 0 else None
         if t.text in PUNCT:
             t.pos = "PUNCT"
+        elif (w in ("this", "these", "those")
+              or (w == "that" and (j + 1 >= n
+                                   or toks[j + 1].text in PUNCT
+                                   or toks[j + 1].text.lower()
+                                   in L.BE_FORMS_EN))) and not (
+                j + 1 < n and (toks[j + 1].text.lower() in L.NOUN_LEXICON_EN
+                               or toks[j + 1].text.lower() in L.ADJECTIVES_EN)):
+            # demonstrative PRONOUN when nothing nominal follows ("What
+            # is THIS?"); complementizer 'that' (followed by a clause)
+            # keeps its SCONJ-ish handling in the clause split
+            t.pos = "PRON"
         elif w in L.DETS_EN:
             t.pos = "DET"
         elif w in L.CONJUNCTIONS_EN:
@@ -179,6 +190,11 @@ def _tag_en(toks: list[Tok], start_of_sent: int) -> None:
             t.pos = "ADJ"  # predicative position: "is hard/easy/…"
         elif w in _SCONJ_EN:
             t.pos = "SCONJ"
+        elif w in L.ADJECTIVES_EN and j + 1 < n \
+                and toks[j + 1].text.lower() in L.NOUN_LEXICON_EN:
+            # attributive position before a known noun ("with HARD
+            # work") — wins over the adverb reading
+            t.pos = "ADJ"
         elif w in L.ADVERBS_EN or (w.endswith("ly") and len(w) > 4):
             t.pos = "ADV"
         elif ((w.endswith("ing") and len(w) > 4) or _is_participle(w)) \
@@ -325,10 +341,11 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
     off = toks[0].i
     deps: list[dict] = []
 
-    def add(parent: int, child: int, label: str, uncertain: bool = False, coref: bool = False):
+    def add(parent: int, child: int, label: str, uncertain: bool = False,
+            coref: bool = False, prep: str | None = None):
         deps.append({
             "parent": parent, "child": child, "label": label,
-            "uncertain": uncertain, "coref": coref,
+            "uncertain": uncertain, "coref": coref, "prep": prep,
         })
 
     # --- complementizer clause split ("claimed THAT a dog chased a
@@ -337,13 +354,21 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
     # flows from the matrix into the complement (en language_specific_
     # rules.py:134-167 walks ancestors' children)
     if lang in ("en", "de"):
-        comp_words = ("that",) if lang == "en" else ("dass",)
+        comp_words = ("that", "because") if lang == "en" else ("dass",)
         for k in range(1, n - 1):
-            if toks[k].text.lower() in comp_words and toks[k].pos != "PRON" \
+            cw = toks[k].text.lower()
+            # 'because of' is a multiword PREP, not a clause marker
+            if cw == "because" and k + 1 < n \
+                    and toks[k + 1].text.lower() == "of":
+                continue
+            if cw in comp_words and toks[k].pos != "PRON" \
                     and (toks[k - 1].pos in ("VERB",)
+                         or (cw == "because"
+                             and any(t2.pos == "VERB" for t2 in toks[:k]))
                          or (lang == "de" and toks[k - 1].text == ","
                              and any(t2.pos == "VERB" for t2 in toks[:k]))) \
-                    and any(t2.pos == "VERB" for t2 in toks[k + 1:]):
+                    and any(t2.pos in ("VERB", "AUX")
+                            for t2 in toks[k + 1:]):
                 # the complement ends at the first comma (a following
                 # ", it was true" is a separate coordinate clause)
                 end = next((e for e in range(k + 1, n)
@@ -356,13 +381,18 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
                                   if t2.dep == "ROOT"), toks[0])
                 sub_root = next((t2 for t2 in toks[k + 1:end]
                                  if t2.dep == "ROOT"), toks[k + 1])
-                sub_root.dep = "ccomp"
+                # 'because'-clauses link as causal adverbials with the
+                # marker as prep — why-questions gate on it (reference
+                # en rules :1430-1469); 'that' stays ccomp
+                link = "advcl" if cw == "because" else "ccomp"
+                sub_root.dep = link
                 sub_root.head = main_root.i
                 toks[k].dep = "mark"
                 toks[k].head = sub_root.i
                 return main_deps + sub_deps + rest_deps + [{
                     "parent": main_root.i, "child": sub_root.i,
-                    "label": "ccomp", "uncertain": False, "coref": False,
+                    "label": link, "uncertain": False, "coref": False,
+                    "prep": "because" if cw == "because" else None,
                 }]
 
     # --- German subordinate clause ("…, dass ein Hund eine Katze
@@ -727,10 +757,14 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
                 rh = toks[right[2]]
                 rh.head = t.i
                 rh.dep = "pobj"
-                # pobjo = "of"-genitive (reference word-ofword template
-                # deps ["pobjo", "poss"], language_specific_rules.py:1138-1147)
-                label = "pobjo" if t.text.lower() in ("of", "von") else "pobjp"
-                add(toks[left[2]].i, rh.i, label)
+                # pobjo = "of"-genitive; pobjb = deverbal by-agent
+                # ("a performance BY the boys" ≈ "the boys perform",
+                # reference deps ["pobjo"/"pobjb"], en rules :594-616)
+                pw2 = t.text.lower()
+                label = ("pobjo" if pw2 in ("of", "von")
+                         else "pobjb" if pw2 in ("by", "von")
+                         else "pobjp")
+                add(toks[left[2]].i, rh.i, label, prep=pw2)
                 consumed_pp.add(right[2])
 
     # --- relative clause internals (reference relant handling,
@@ -1029,6 +1063,10 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
             prep_tok = toks[j - 2] if pcomp_passive else toks[j - 1]
             t.head = prep_tok.i
             t.dep = "pcomp"
+            # the gerund complement also reaches the prep's governor
+            # ("managed it BY WORKING hard" — question matching gates
+    # on the prep, reference en rules :1425-1429)
+            add(cur.i, t.i, "pobjp", prep=prep_tok.text.lower())
             if pcomp_passive:
                 toks[j - 1].head = t.i
                 toks[j - 1].dep = "auxpass"
@@ -1088,9 +1126,23 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
             add(cur.i, t.i, "advmod")
             j += 1
             continue
-        if t.pos == "ADP":
+        if t.pos == "ADP" or (t.text.lower() in ("because", "owing", "thanks")
+                              and j + 1 < n
+                              and toks[j + 1].text.lower() in ("of", "to")):
+            # multiword causal preposition ("because of", "owing to",
+            # "thanks to") — one prep whose lemma is the bigram
+            # (reference why-answer matching, en rules :1430-1469)
+            mw_prep = None
+            np_from = j + 1
+            if t.text.lower() in ("because", "owing", "thanks") \
+                    and j + 1 < n and toks[j + 1].text.lower() in ("of", "to"):
+                mw_prep = f"{t.text.lower()} {toks[j + 1].text.lower()}"
+                toks[j + 1].head = t.i
+                toks[j + 1].dep = "fixed"
+                np_from = j + 2
             # PP: find the NP directly after
-            pp_np = next(((s, e, h) for (s, e, h) in nps if s == j + 1 or (s <= j + 1 <= e)), None)
+            pp_np = next(((s, e, h) for (s, e, h) in nps
+                          if s == np_from or (s <= np_from <= e)), None)
             t.head = cur.i
             t.dep = "agent" if (passive and t.text.lower() in ("by", "von", "vom")) else "prep"
             # verb→preposition semantic dep: the target of wh_wildcard
@@ -1102,22 +1154,22 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
                 ph = toks[pp_np[2]]
                 ph.head = t.i
                 ph.dep = "pobj"
-                pw = t.text.lower()
+                pw = mw_prep or t.text.lower()
                 # the reference assigns pobjb/pobjo/pobjt by preposition
                 # lemma unconditionally — deverbal-phrase matching
                 # ("Eating by employees" ≈ "employees eat",
                 # language_specific_rules.py:594-616)
                 if pw == "by" or t.dep == "agent":
-                    add(cur.i, ph.i, "pobjb")
+                    add(cur.i, ph.i, "pobjb", prep=pw)
                 elif pw in ("of", "von") and lang == "en":
                     gov = toks[dobj_local].i if dobj_local is not None else cur.i
-                    add(gov, ph.i, "pobjo")
+                    add(gov, ph.i, "pobjo", prep=pw)
                 elif pw == "to" or (pw == "für" and got_obj):
                     # dative context ("gives a file TO an employee") and
                     # directional 'to' both map to predicate-recipient
                     # deps (reference template deps ["dative", "pobjt"],
                     # language_specific_rules.py:1186-1196 + :608-612)
-                    add(cur.i, ph.i, "pobjt")
+                    add(cur.i, ph.i, "pobjt", prep=pw)
                 else:
                     # attach prep object to the prep's governor
                     # (reference prepgovernor-noun phraselet) — unless
@@ -1127,12 +1179,13 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
                         toks[k].pos == "CCONJ"
                         for k in range(max(0, cur.i - off + 1), j))
                     if not coordinated:
-                        add(cur.i, ph.i, "pobjp")
+                        add(cur.i, ph.i, "pobjp", prep=pw)
                     # alternative noun attachment, uncertain (reference
                     # prepposs deps, parsing.py:1359-1434): "saw the dog
                     # in the garden" → garden may modify dog
                     if dobj_local is not None:
-                        add(toks[dobj_local].i, ph.i, "pobjp", uncertain=True)
+                        add(toks[dobj_local].i, ph.i, "pobjp", uncertain=True,
+                            prep=pw)
                         add(toks[dobj_local].i, t.i, "prepposs", uncertain=True)
                 add(t.i, ph.i, "pobj", uncertain=False)
                 last_np = (pp_np[1], pp_np[2])
@@ -1352,21 +1405,50 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
             # fronted prepositional interrogative: the answer fills the
             # preposition's object slot — 'to' maps to the recipient
             # dep, other prepositions to pobjp (headprepto-WH /
-            # headprep-WH templates, en rules :1297-1325)
+            # headprep-WH templates, en rules :1297-1325). The prep
+            # identity gates question matching against corpus edges.
             q0.head = prev_adps[-1].i
             q0.dep = "pobj"
+            pw0 = prev_adps[-1].text.lower()
             add(root.i, q0.i,
-                "pobjt" if prev_adps[-1].text.lower() in ("to", "zu") else "pobjp")
+                "pobjt" if pw0 in ("to", "zu") else "pobjp", prep=pw0)
         elif not any(d["child"] == q0.i for d in deps):
             # WH-argument question: subject when the root still lacks
-            # one ("Who came?"), else the fronted object
-            # ("What did the man see?")
+            # one ("Who came?"), else the fronted object ("What did the
+            # man see?"); a STRANDED clause-final preposition ("who did
+            # the dog talk WITH") makes it a prep question instead
+            # (reference en rules :1297-1325)
             q0.head = root.i
-            has_subj = any(d["parent"] == root.i
-                           and d["label"] in ("nsubj", "nsubjpass")
-                           for d in deps)
-            q0.dep = "dobj" if has_subj else "nsubj"
-            add(root.i, q0.i, q0.dep)
+            stranded = next(
+                (tk for tk in reversed(toks)
+                 if tk.pos == "ADP" and tk.i > root.i
+                 and not any(d["parent"] == tk.i and d["label"] == "pobj"
+                             for d in deps)), None)
+            if stranded is not None:
+                q0.dep = "pobj"
+                q0.head = stranded.i
+                pw0 = stranded.text.lower()
+                add(root.i, q0.i,
+                    "pobjt" if pw0 in ("to", "zu") else "pobjp", prep=pw0)
+            else:
+                has_subj = any(d["parent"] == root.i
+                               and d["label"] in ("nsubj", "nsubjpass")
+                               for d in deps)
+                attr_d = next((d for d in deps
+                               if d["parent"] == root.i
+                               and d["label"] == "attr"), None)
+                if copula and (has_subj or attr_d is not None):
+                    # copular WH complement ("What is this?") — the WH
+                    # word fills the attribute slot and the other
+                    # nominal is the subject (head-WHattr, reference
+                    # en rules :1258-1267)
+                    if not has_subj and attr_d is not None:
+                        attr_d["label"] = "nsubj"
+                        toks[attr_d["child"] - off].dep = "nsubj"
+                    q0.dep = "attr"
+                else:
+                    q0.dep = "dobj" if has_subj else "nsubj"
+                add(root.i, q0.i, q0.dep)
             if copula and q0.dep == "nsubj":
                 # late copular rewire for WH subjects ("Who is sad?" →
                 # who amod sad, reference adjectival_predicate_subject_
@@ -1711,13 +1793,13 @@ def parse_document(text: str, lang: str) -> dict:
                                     "parent": d["parent"], "child": a,
                                     "label": d["label"],
                                     "uncertain": d["uncertain"],
-                                    "coref": True})
+                                    "coref": True, "prep": d.get("prep")})
                             elif d["parent"] == t.i and d["child"] != a:
                                 all_deps.append({
                                     "parent": a, "child": d["child"],
                                     "label": d["label"],
                                     "uncertain": d["uncertain"],
-                                    "coref": True})
+                                    "coref": True, "prep": d.get("prep")})
                     break
     for si in range(len(sent_bounds)):
         s, e = sent_bounds[si]
@@ -1826,11 +1908,11 @@ def parse_document(text: str, lang: str) -> dict:
                     if d["child"] == t.i:
                         all_deps.append({"parent": d["parent"], "child": a,
                                          "label": d["label"], "uncertain": d["uncertain"],
-                                         "coref": True})
+                                         "coref": True, "prep": d.get("prep")})
                     elif d["parent"] == t.i and d["child"] != a:
                         all_deps.append({"parent": a, "child": d["child"],
                                          "label": d["label"], "uncertain": d["uncertain"],
-                                         "coref": True})
+                                         "coref": True, "prep": d.get("prep")})
 
     # --- noun-mention chains ("I saw a big horse. THE HORSE was …"):
     # a definite repeated noun corefers with its earlier mention
@@ -1889,14 +1971,14 @@ def parse_document(text: str, lang: str) -> dict:
                             "parent": d["parent"], "child": b,
                             "label": d["label"],
                             "uncertain": d["uncertain"], "coref": True,
-                            "mention": True})
+                            "mention": True, "prep": d.get("prep")})
                     elif d["parent"] == a and d["child"] != b \
                             and d["label"] != "det":
                         all_deps.append({
                             "parent": b, "child": d["child"],
                             "label": d["label"],
                             "uncertain": d["uncertain"], "coref": True,
-                            "mention": True})
+                            "mention": True, "prep": d.get("prep")})
 
     # --- repeated proper-name mentions ("Richard Paul Hudson.
     # HUDSON came"): a bare PROPN corefers with an earlier proper-name
@@ -1939,14 +2021,14 @@ def parse_document(text: str, lang: str) -> dict:
                             "parent": d["parent"], "child": b,
                             "label": d["label"],
                             "uncertain": d["uncertain"], "coref": True,
-                            "mention": True})
+                            "mention": True, "prep": d.get("prep")})
                     elif d["parent"] == a and d["child"] != b \
                             and d["label"] != "det":
                         all_deps.append({
                             "parent": b, "child": d["child"],
                             "label": d["label"],
                             "uncertain": d["uncertain"], "coref": True,
-                            "mention": True})
+                            "mention": True, "prep": d.get("prep")})
 
     # --- matchability (reference parsing.py:1436-1448: matchable_pos
     # includes ADP and AUX, en language_specific_rules.py:25-36 — the
@@ -1962,7 +2044,13 @@ def parse_document(text: str, lang: str) -> dict:
             and not (t.pos == "ADP" and lang == "en"
                      and w in ("by", "of", "to"))
         )
-        if t.pos in ("PRON", "DET") and w in (L.INTERROGATIVES_EN | {"wer", "was", "wo", "wann", "warum", "wie", "wem", "wen"}):
+        if t.pos in ("PRON", "DET") and t.sent_idx == 0 \
+                and w in (L.INTERROGATIVES_EN
+                          | {"wer", "was", "wo", "wann", "warum", "wie",
+                             "wem", "wen"}):
+            # only the FIRST sentence carries initial question words
+            # (reference set_initial_question_words walks
+            # next(doc.sents) only, parsing.py:1170-1192)
             s0 = sent_bounds[t.sent_idx][0]
             # initial, or fronted behind a PREPOSITION chain ("To whom
             # did you talk?", "On the basis of what information…" —

@@ -225,7 +225,8 @@ def extract_candidate_edges(parsed: dict, lang: str,
     def emit(template: str, parent: dict, parent_repr: str,
              child_repr: str, child_idx: int,
              negated: bool, uncertain: bool, coref: bool,
-             reverse_only: bool, mention: bool = False) -> None:
+             reverse_only: bool, mention: bool = False,
+             prep: str | None = None) -> None:
         key = (template, parent["i"], parent_repr, child_repr)
         if key in seen:
             return
@@ -242,7 +243,7 @@ def extract_candidate_edges(parsed: dict, lang: str,
             "negated": negated, "uncertain": uncertain,
             "involves_coref": coref, "reverse_only": reverse_only,
             "child_is_person": _is_person(toks[child_idx]),
-            "mention": mention,
+            "mention": mention, "prep": prep,
         })
 
     for d in parsed["deps"]:
@@ -268,7 +269,18 @@ def extract_candidate_edges(parsed: dict, lang: str,
                     emit(name, p, pr, cr, c["i"],
                          p["is_negated"] or c["is_negated"], d["uncertain"],
                          d["coref"], tmpl_reverse or parent_reverse,
-                         mention=bool(d.get("mention")) or pm or cm)
+                         mention=bool(d.get("mention")) or pm or cm,
+                         prep=d.get("prep"))
+        # matching-only: a gerund prepositional complement ("managed it
+        # BY WORKING hard") — no reference phraselet (VBG child fails
+        # the prepgovernor child tags) but the how-question answer
+        # matches at this dependency (reference question word matching,
+        # en rules :1425-1429)
+        if d["label"] in ("pobjp", "advcl") and c["pos"] in ("VERB", "AUX") \
+                and d.get("prep") and c["is_matchable"]:
+            emit("prepgovernor-verb", p, _repr_of(p), _repr_of(c), c["i"],
+                 p["is_negated"] or c["is_negated"], d["uncertain"],
+                 d["coref"], False, mention=True, prep=d.get("prep"))
         if include_questions and c["is_initial_question_word"]:
             for (name, dep_labels, parent_gate, q_words) in q_templates:
                 if d["label"] not in dep_labels:
@@ -279,7 +291,7 @@ def extract_candidate_edges(parsed: dict, lang: str,
                     continue
                 emit(name, p, _repr_of(p), c["derived_lemma"], c["i"],
                      p["is_negated"], d["uncertain"], d["coref"], False,
-                     mention=bool(d.get("mention")))
+                     mention=bool(d.get("mention")), prep=d.get("prep"))
 
     # German subword relations (intcompound): compound parts form an
     # edge governor-part → dependent-part within the containing token
@@ -306,6 +318,7 @@ def extract_candidate_edges(parsed: dict, lang: str,
                     "negated": t["is_negated"], "uncertain": False,
                     "involves_coref": False, "reverse_only": False,
                     "child_is_person": False, "mention": False,
+                    "prep": None,
                 })
     return out
 

@@ -71,7 +71,8 @@ QUESTION_ANSWER_TEMPLATES = {
     "head-WHobj": ("predicate-patient", "verb-acc"),
     "head-WHattr": ("be-attribute", "verb-pd"),
     "head-WHadv": ("prepgovernor-noun",),
-    "headprep-WH": ("prepgovernor-noun",),
+    "headprep-WH": ("prepgovernor-noun", "word-ofword",
+                    "predicate-actor"),
     "headprepto-WH": ("predicate-recipient", "verb-dat"),
     "head-WHnom": ("verb-nom", "predicate-actor"),
     "head-WHacc": ("verb-acc", "predicate-patient"),
@@ -246,7 +247,7 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
     emb_retry_ok = {p["label"]: bool(p.get("emb_retry", True))
                     for p in rel_ph}
     q_rows = [(p["template"], p["label"], p["pred"], p["obj"],
-               float(p.get("freq_factor", 1.0)))
+               float(p.get("freq_factor", 1.0)), p.get("prep"))
               for p in rel_ph if p["template"].startswith("head")]
     out = None
     if rel_rows:
@@ -342,12 +343,19 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
             .select("url", "phraselet_label",
                     F.when(F.col("q_reverse_only"), F.lit("relation_reverse_only"))
                      .otherwise(F.lit("relation")).alias("kind"),
-                    # activation anchors at the doc token matching the
-                    # phraselet ROOT — the corpus CHILD when the match
-                    # is inverse-polarity
+                    # output poles are PHRASELET-oriented: for an
+                    # inverse-polarity match the phraselet root sits at
+                    # the corpus CHILD token, so the poles swap — then
+                    # position==parent_idx uniformly equals the
+                    # reference's index_within_document, and governed-
+                    # question extras pick the right pole
                     F.when(F.col("inverse"), F.col("child_idx"))
                      .otherwise(F.col("parent_idx")).alias("position"),
-                    "parent_idx", "child_idx", "penalty", "freq_factor",
+                    F.when(F.col("inverse"), F.col("child_idx"))
+                     .otherwise(F.col("parent_idx")).alias("parent_idx"),
+                    F.when(F.col("inverse"), F.col("parent_idx"))
+                     .otherwise(F.col("child_idx")).alias("child_idx"),
+                    "penalty", "freq_factor",
                     F.col("q_child").alias("matched"))
         )
         out = rel_m
@@ -420,19 +428,71 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
         # matching, en language_specific_rules.py:1327-1365)
         _GATE = {"who": "person", "whom": "person", "wer": "person",
                  "what": "thing", "was": "thing"}
-        expand = [(t, lbl, pred, _GATE.get(wh, "any"), ff, m)
-                  for (t, lbl, pred, wh, ff) in q_rows
+        expand = [(t, lbl, pred, wh, _GATE.get(wh, "any"), ff, m, qprep)
+                  for (t, lbl, pred, wh, ff, qprep) in q_rows
                   for m in QUESTION_ANSWER_TEMPLATES.get(t, ())]
+        # temporal adverbs answer 'when' through the adverbial template
+        # ("the meeting took place YESTERDAY" — reference temporal
+        # answer matching, en rules :1414-1424)
+        expand += [(t, lbl, pred, wh, _GATE.get(wh, "any"), ff, extra_t,
+                    qprep)
+                   for (t, lbl, pred, wh, ff, qprep) in q_rows
+                   if t == "head-WHadv"
+                   for extra_t in (("governor-adjective",)
+                                   if wh == "when" else
+                                   ("predicate-actor",
+                                    "prepgovernor-verb")
+                                   if wh == "how" else
+                                   ("prepgovernor-verb",)
+                                   if wh == "why" else ())]
         if expand:
+            from ..nlp.lexicon import (TEMPORAL_ADVERBS_EN,
+                                       TEMPORAL_NOUNS_EN)
+            from .structural import _WHEN_PREPS, _WHERE_PREPS
             qq = spark.createDataFrame(
                 expand, "wh string, phraselet_label string, q_pred string, "
-                        "gate string, freq_factor double, template string")
+                        "wh_word string, gate string, freq_factor double, "
+                        "template string, q_prep string")
+            g_prep = F.col("prep")
+            child_w = F.when(F.col("template").isin(*ACTOR_TEMPLATES),
+                             F.col("subj")).otherwise(F.col("obj"))
+            temporal_n = child_w.isin(*TEMPORAL_NOUNS_EN)
+            temporal_adv = child_w.isin(*TEMPORAL_ADVERBS_EN)
+            wh = F.col("wh_word")
+            # WH-class gates (reference question word matching,
+            # en language_specific_rules.py:1327-1469): a fronted or
+            # stranded question prep must equal the document prep; the
+            # WH adverbs gate on the document prep class and the
+            # answering word's temporality
+            adv_ok = (
+                ((wh == "where") & g_prep.isin(*_WHERE_PREPS)
+                 & ~temporal_n)
+                | ((wh == "when")
+                   & ((g_prep.isin(*_WHEN_PREPS)
+                       # time phrase: in/within + temporal noun
+                       # ("in three weeks"); other preps with temporal
+                       # nouns do NOT answer 'when' ("under dawn",
+                       # reference :313-320)
+                       | (temporal_n & g_prep.isin("in", "within")))
+                      | ((F.col("template") == "governor-adjective")
+                         & temporal_adv)))
+                | ((wh == "how") & g_prep.isin("by", "with") & ~temporal_n)
+                | ((wh == "why") & g_prep.isin(
+                    "because", "because of", "owing to", "thanks to"))
+            )
+            person_ok = ((F.col("gate") == "any")
+                         | ((F.col("gate") == "person")
+                            & F.col("child_is_person"))
+                         | ((F.col("gate") == "thing")
+                            & ~F.col("child_is_person")))
+            prep_ok = (F.col("q_prep").isNull()
+                       | (g_prep == F.col("q_prep")))
             q_m = (
                 edges.withColumnRenamed("pred", "q_pred")
                 .join(F.broadcast(qq), ["template", "q_pred"])
-                .filter((F.col("gate") == "any")
-                        | ((F.col("gate") == "person") & F.col("child_is_person"))
-                        | ((F.col("gate") == "thing") & ~F.col("child_is_person")))
+                .filter(F.when(wh.isin("where", "when", "how", "why"),
+                               adv_ok)
+                        .otherwise(person_ok & prep_ok))
                 .select("url", "phraselet_label",
                         F.lit("question_answer").alias("kind"),
                         F.col("parent_idx").alias("position"),
@@ -764,6 +824,12 @@ def _score_docs(params: dict):
             for p in cluster:
                 is_peak = p == peak_pos
                 for (lbl, kind, overlap, p_idx, c_idx) in pos_entries[p]:
+                    # WH-adverb answers span the whole prepositional
+                    # phrase ("in the office"); who/what answers span
+                    # only the nominal ("its man") — encoded for the
+                    # char-span stage as -(idx+1) (reference answer
+                    # spans, en rules :1367-1429)
+                    wh_adv = lbl.split(": ", 1)[0].endswith("WHadv")
                     if kind == "question_answer_word":
                         # governed single-word answer: span only
                         answers.add(c_idx)
@@ -777,7 +843,7 @@ def _score_docs(params: dict):
                         expl = f"Matches the relation {lbl.split(': ', 1)[-1].upper()}."
                         ents = [(p_idx, typ, expl), (c_idx, typ, expl)]
                         if kind == "question_answer":
-                            answers.add(c_idx)
+                            answers.add(-(c_idx + 1) if wh_adv else c_idx)
                     for (ti, typ, expl) in ents:
                         cur = infos.get(ti)
                         if cur is None or type_rank[typ] > type_rank[cur[1]]:
@@ -845,27 +911,62 @@ def with_passage_text(topic_df: DataFrame, docs: DataFrame) -> DataFrame:
                 w["is_highest_activation"].alias("is_highest_activation"),
                 w["explanation"].alias("explanation"))))
         .withColumn("answers", F.transform(
-            "answer_idxs", lambda i: F.struct(
-                char_off(_answer_start(i)).alias("relative_start_index"),
-                (char_off(i) + F.length(tok_text(i))
+            "answer_idxs", lambda enc: F.struct(
+                char_off(_ans_lo(enc)).alias("relative_start_index"),
+                (char_off(_ans_hi(enc)) + F.length(tok_text(_ans_hi(enc)))
                  ).alias("relative_end_index"),
                 F.concat_ws(" ", F.transform(
-                    F.slice(F.col("tokens"), _answer_start(i) + 1,
-                            i - _answer_start(i) + 1),
+                    F.slice(F.col("tokens"), _ans_lo(enc) + 1,
+                            _ans_hi(enc) - _ans_lo(enc) + 1),
                     lambda t: t["text"])).alias("text"))))
         .drop("tokens", "answer_idxs"))
     return out
 
 
-def _answer_start(idx):
-    """First token of the answer span: a multiword answer ("Richard
-    Hudson") covers the whole multiword, mirroring the reference's
-    subtree-based answer spans (topic_matching.py:1336-1360)."""
-    mws = F.element_at(F.col("tokens"), idx + 1)["multiwords"]
-    return F.when(
-        F.size(mws) > 0,
-        F.element_at(F.element_at(mws, 1)["token_indexes"], 1)
-    ).otherwise(idx)
+def _t_at(j):
+    return F.element_at(F.col("tokens"), j + 1)
+
+
+def _ans_members(enc):
+    """Tokens of the answer's dependency SUBTREE — the reference
+    reports the matched token's whole span as the answer ("The adopted
+    child", "in the office"; topic_matching.py:1336-1360). WH-adverb
+    answers arrive encoded as -(idx+1): their pobj/pcomp token is
+    promoted to the governing preposition so locative/temporal answers
+    carry the prep ("in the office"); who/what answers keep the
+    nominal only ("its man"). Membership = head chain (≤4 hops)
+    reaches the answer root, same sentence, punctuation excluded."""
+    idx = F.when(enc < 0, -enc - 1).otherwise(enc)
+    root = F.when((enc < 0) & _t_at(idx)["dep"].isin("pobj", "pcomp"),
+                  _t_at(idx)["head"]).otherwise(idx)
+
+    def hits(t):
+        # each hop is blocked at conjuncts: the span of 'Richard
+        # Hudson' must not swallow 'and Peter Hudson' (the reference
+        # spans one conjunct, topic_matching.py:1336-1360)
+        nc = lambda j: _t_at(j)["dep"] != "conj"  # noqa: E731
+        h1 = t["head"]
+        h2 = _t_at(h1)["head"]
+        h3 = _t_at(h2)["head"]
+        h4 = _t_at(h3)["head"]
+        reach = ((t["i"] == root)
+                 | ((h1 == root) & (t["dep"] != "conj"))
+                 | ((h2 == root) & (t["dep"] != "conj") & nc(h1))
+                 | ((h3 == root) & (t["dep"] != "conj") & nc(h1) & nc(h2))
+                 | ((h4 == root) & (t["dep"] != "conj") & nc(h1) & nc(h2)
+                    & nc(h3)))
+        return (reach & (t["sent_idx"] == _t_at(root)["sent_idx"])
+                & (t["pos"] != "PUNCT") & (t["dep"] != "cc"))
+
+    return F.filter(F.col("tokens"), hits)
+
+
+def _ans_lo(idx):
+    return F.array_min(F.transform(_ans_members(idx), lambda t: t["i"]))
+
+
+def _ans_hi(idx):
+    return F.array_max(F.transform(_ans_members(idx), lambda t: t["i"]))
 
 
 def plan_selective_retries(rel_ph: list[dict], word_ph: list[dict],

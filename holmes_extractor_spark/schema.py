@@ -64,6 +64,10 @@ SEM_DEP = T.StructType([
     # separate KG triple — the reference extracts phraselets per token
     # and walks mentions only at match time (parsing.py:2106-2243)
     T.StructField("mention", T.BooleanType()),
+    # lemma of the mediating preposition for pobj*/prep-derived deps
+    # (question matching gates on prep identity/class, reference
+    # question word matching en rules :1327-1469)
+    T.StructField("prep", T.StringType()),
 ])
 
 DOCS = T.StructType([
@@ -100,6 +104,7 @@ EDGES = T.StructType([
     # time, parsing.py:2106-2243) but are NOT phraselet-production
     # output, so KG queries filter them
     T.StructField("mention", T.BooleanType()),
+    T.StructField("prep", T.StringType()),
 ])
 
 WORDS = T.StructType([

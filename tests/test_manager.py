@@ -197,7 +197,7 @@ def test_topic_question_person_gating_and_multiword_answers(spark):
     assert [r["url"] for r in excl] == ["q"]
     # 'what' answers things, not persons
     what = m.topic_match_documents_against("What sings?")
-    assert [a["text"] for r in what for a in r["answers"]] == ["book"]
+    assert [a["text"] for r in what for a in r["answers"]] == ["A book"]
 
 
 def test_topic_fronted_preposition_question(spark):
@@ -207,7 +207,9 @@ def test_topic_fronted_preposition_question(spark):
     m.parse_and_register_document("Somebody gives a file to an employee.", "d")
     res = m.topic_match_documents_against("To whom does somebody give a file?")
     assert res and res[0]["answers"]
-    assert res[0]["answers"][0]["text"] == "employee"
+    # the answer spans the nominal's subtree (reference
+    # topic_matching.py:1336-1360)
+    assert res[0]["answers"][0]["text"] == "an employee"
 
 
 def test_topic_question_answers(spark):

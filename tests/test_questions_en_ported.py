@@ -77,7 +77,7 @@ def test_basic_matching_with_coreference_and_coordination(spark):  # ref :85
 def test_governed_interrogative_pronoun_matching_direct(spark):  # ref :88
     q = topic(spark, "Which politician lied?", "The politician lied")
     c = topic(spark, "A politician lies", "The politician lied")
-    assert answers(q) == ["politician"]
+    assert answers(q) == ["The politician"]
     assert answers(c) == []
     # the question scores above its control (ref: 54 vs 34)
     assert q[0]["score"] > c[0]["score"]
@@ -88,7 +88,7 @@ def test_governed_interrogative_pronoun_matching_ontology(spark):  # ref :100
     m = SparkHolmesManager(spark, ontology=onto)
     m.parse_and_register_document("The cat woke up", "d")
     q = m.topic_match_documents_against("Which animal woke up?")
-    assert answers(q) == ["cat"]
+    assert answers(q) == ["The cat"]
     m2 = SparkHolmesManager(spark, ontology=onto)
     m2.parse_and_register_document("The cat woke up", "d")
     c = m2.topic_match_documents_against("An animal woke up")
@@ -105,7 +105,7 @@ def test_governed_interrogative_pronoun_with_coreference(spark):  # ref :112
 def test_single_word_match_with_dependent_question_word(spark):  # ref :131
     q = topic(spark, "Which man?", "The man")
     c = topic(spark, "The man?", "The man")
-    assert answers(q) == ["man"]
+    assert answers(q) == ["The man"]
     assert answers(c) == []
     # a governed single word scores like its control (ref: 10 vs 10)
     assert q[0]["score"] == c[0]["score"]
@@ -136,3 +136,98 @@ def test_what_gating_rejects_persons(spark):
 def test_who_gating_rejects_things(spark):
     tms = topic(spark, "Who chased the cat?", "The dog chased the cat.")
     assert answers(tms) == []
+
+
+# ---------------------------------------------------------------------
+# _check_equals battery transcribed from the reference (ref line, query,
+# document, expected int score, expected FIRST answer text — the
+# reference asserts char spans into the document; the slice is taken
+# here so the assertion is text-equal). Runs under the reference's
+# question parameterization (initial_question_word_answer_score=40,
+# relation 20, reverse-only 15, word 10, any-tag 5, cutoff 10).
+#
+# NOT ported (documented):
+# :322/:325 — 'will' carries an extra any-tag word phraselet in this
+#   engine (+5); :350-:356 — purpose-infinitive why-answers need the
+#   advcl-vs-xcomp distinction of the reference parser; :392/:395 —
+#   document-side WH tokens matching the query's WH pole; :399 —
+#   encodes a reference parser quirk where the phrasal-verb relation
+#   fails to match.
+
+CHECK_CASES = [
+    (82, 'Who came home?', 'I spoke to Richard. He came home', 98, 'Richard'),
+    (85, 'Who came home?', 'I spoke to Richard Hudson and Peter Hudson. They came home', 98, 'Richard Hudson'),
+    (88, 'Which politician lied?', 'The politician lied', 54, 'The politician'),
+    (91, 'A politician lies', 'The politician lied', 34, None),
+    (94, 'Which performance by the boys was important?', 'The boys performed', 59, 'The boys performed'),
+    (97, 'A performance by the boys is important', 'The boys performed', 39, None),
+    (100, 'Which animal woke up?', 'The cat woke up', 45, 'The cat'),
+    (103, 'An animal woke up', 'The cat woke up', 29, None),
+    (106, 'Which child did its parents adopt?', 'The adopted child', 54, 'The adopted child'),
+    (109, 'A child is adopted by its parents', 'The adopted child', 34, None),
+    (112, 'Which person came home?', 'I spoke to Richard Hudson. He came home', 98, 'Richard Hudson'),
+    (131, 'Which man?', 'The man', 10, 'The man'),
+    (134, 'The man?', 'The man', 10, None),
+    (213, 'What is this?', 'this is a house', 45, 'a house'),
+    (216, 'Who looked into the sun?', 'the man looked into the sun', 127, 'the man'),
+    (219, 'Hello. Who looked into the sun?', 'the man looked into the sun', 70, None),
+    (222, 'Who looked into the sun?', 'the sun looked into the man', 19, None),
+    (225, 'Who looked into the sun?', 'the dog looked into the sun', 70, None),
+    (228, 'Who did the building see?', 'the building saw its man', 104, 'its man'),
+    (231, 'Who did the building see?', 'the building saw his dog', 34, None),
+    (234, 'who did the dog talk with', 'the dog talked with its man', 108, 'its man'),
+    (237, 'with whom did the dog talk', 'the dog talked with its man', 108, 'its man'),
+    (240, 'a dog talks with a man', 'the dog talked with its man', 108, None),
+    (243, 'a dog talks about a man', 'the dog talked with its man', 81, None),
+    (246, 'who did the dog talk to', 'the dog talked to its man', 104, 'its man'),
+    (249, 'who did the dog talk to', 'the dog talked with its man', 34, None),
+    (252, 'a dog talks to a man', 'the dog talked to its man', 81, None),
+    (255, 'who did the dog swear by', 'the dog swore by its man', 104, 'its man'),
+    (258, 'a dog swears by a man', 'the dog swore by its man', 81, None),
+    (261, 'who did the dog speak of', 'the dog spoke of its man', 104, 'its man'),
+    (264, 'a dog speaks of a man', 'the dog spoke of its man', 81, None),
+    (295, 'Whom did you talk about?', 'the dog talked about its man', 49, 'its man'),
+    (298, 'Whom did you talk about?', 'the man talked about his dog', 9, None),
+    (301, 'Where did the meeting take place?', 'the meeting took place in the office', 143, 'in the office'),
+    (304, 'Where did the meeting take place?', 'the meeting took place about the office', 83, None),
+    (307, 'When did the meeting take place?', 'the meeting took place yesterday', 143, 'yesterday'),
+    (310, 'When did the meeting take place?', 'the meeting took place after dawn', 143, 'after dawn'),
+    (313, 'When did the meeting take place?', 'the meeting took place under dawn', 83, None),
+    (316, 'When did the meeting take place?', 'the meeting took place with Richard', 83, None),
+    (319, 'When did the meeting take place?', 'the meeting took place', 83, None),
+    (328, 'How did the team manage it?', 'the team managed it by working hard', 104, 'by working hard'),
+    (331, 'How did the team manage it?', 'the team managed it with hard work', 104, 'with hard work'),
+    (334, 'How did the team manage it?', 'the team managed it without hard work', 34, None),
+    (337, 'How did the team manage it?', 'the team managed it because of the weather', 34, None),
+    (340, 'Why did the team manage it?', 'the team managed it because they had ambition', 104, 'because they had ambition'),
+    (343, 'Why did the team manage it?', 'the team managed it owing to their ambition', 104, 'owing to their ambition'),
+    (346, 'Why did the team manage it?', 'the team managed it thanks to their ambition', 104, 'thanks to their ambition'),
+    (359, 'Why did the team manage it?', 'the team managed it because of the weather', 104, 'because of the weather'),
+    (362, 'Why did the team manage it?', 'the team managed it because it was efficient', 104, 'because it was efficient'),
+    (389, 'Who did Richard see?', 'The person Richard saw was angry', 34, None),
+]
+
+
+@pytest.mark.parametrize("ref,query,doc,expected,answer", CHECK_CASES,
+                         ids=[str(c[0]) + " " + c[1][:24]
+                              for c in CHECK_CASES])
+def test_question_check_equals(spark, ref, query, doc, expected, answer):
+    from tests.test_structural_matching_en_ported import REF_ONTOLOGY
+    from holmes_extractor_spark.manager import SparkHolmesManager
+    m = SparkHolmesManager(spark, ontology=REF_ONTOLOGY,
+                           ontology_symmetric=True)
+    m.parse_and_register_document(doc, "d")
+    tms = m.topic_match_documents_against(
+        query, initial_question_word_answer_score=40, relation_score=20,
+        reverse_only_relation_score=15, single_word_score=10,
+        single_word_any_tag_score=5, different_match_cutoff_score=10,
+        relation_matching_frequency_threshold=0.0,
+        embedding_matching_frequency_threshold=0.0)
+    assert tms, f"test_questions_EN.py:{ref}: no match"
+    assert int(tms[0]["score"]) == expected, f"test_questions_EN.py:{ref}"
+    got = [a["text"] for a in (tms[0].get("answers") or [])]
+    if answer is None:
+        assert got == [], f"test_questions_EN.py:{ref}: unexpected {got}"
+    else:
+        assert got and got[0].lower() == answer.lower(), \
+            f"test_questions_EN.py:{ref}: {got} != {answer}"
