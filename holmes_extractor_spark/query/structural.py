@@ -336,77 +336,82 @@ def _cosine_py(a: list[float], b: list[float]) -> float:
     return num / (da * db) if da and db else 0.0
 
 
-def _token_matches(sp_tok: dict, dt: dict, closure_map: dict,
-                   vectors: dict | None = None,
-                   single_token_threshold: float = 1.0) -> tuple | None:
-    """First-match-wins strategy chain (reference manager.py:163-214
-    order: direct → derivation → entity → ontology → embedding).
-    Returns (match_type, depth, matched_doc_word, similarity) or None.
+STOP = object()  # sentinel: strategy claims the token, chain ends
 
-    Embedding matching mirrors the reference's
-    word_matching/embedding.py:7-136: cosine(sp vector, doc vector) >
-    single_token_threshold, gated to nouns/verbs/adjs; vectors come
-    from a broadcast word→vector table (the reference reads them off
-    the spaCy model). `single_token_threshold` is the already-derived
-    per-token gate overall_similarity_threshold ** n_emb (reference
-    word_matching/embedding.py:105-108 — the caller computes it once
-    per search phrase). Disabled by default (threshold 1.0), like the
-    reference (manager.py:115)."""
-    if sp_tok.get("q_spec"):
-        # question-word ↔ answering-token rules transcribed from the
-        # reference (en language_specific_rules.py:1327-1469,
-        # question_word_matches). DATE/TIME entity gates are vacuous
-        # under the gazetteer NER stand-in (no temporal entities) and
-        # are noted where skipped.
-        q = sp_tok["q_spec"]
-        if q in ("who", "whom", "whose"):
-            if dt["ent_type"] in ("PERSON", "NORP", "ORG", "GPE") and dt["dep"] != "compound":
-                return ("question", 0, dt["text"].lower(), 1.0)
-        elif q == "what":
-            if dt["pos"] in ("NOUN",) and dt["ent_type"] == "":
-                return ("question", 0, dt["text"].lower(), 1.0)
-        elif q == "where":
-            # place prepositions (ref :1367-1413; DATE/TIME-child gate
-            # skipped — no temporal NER in the stand-in)
-            if dt["pos"] == "ADP" and dt["lemma"] in _WHERE_PREPS:
-                return ("question", 0, dt["lemma"], 1.0)
-        elif q == "when":
-            # temporal prepositions or DATE/TIME entities (ref :1414-1424)
-            if dt["pos"] == "ADP" and dt["lemma"] in _WHEN_PREPS:
-                return ("question", 0, dt["lemma"], 1.0)
-            if dt["ent_type"] in ("DATE", "TIME"):
-                return ("question", 0, dt["text"].lower(), 1.0)
-        elif q == "how":
-            # instrumental by/with (ref :1425-1429)
-            if dt["pos"] == "ADP" and dt["lemma"] in ("by", "with"):
-                return ("question", 0, dt["lemma"], 1.0)
-        elif q == "why":
-            # because / in-order / owing-to / thanks-to (ref :1430-1469)
-            if dt["pos"] == "ADP" and dt["lemma"] == "because":
-                return ("question", 0, dt["lemma"], 1.0)
-            if dt["text"].lower() in ("owing", "thanks", "because"):
-                return ("question", 0, dt["text"].lower(), 1.0)
+
+def _question_strategy(sp_tok: dict, dt: dict, ctx: dict):
+    """Question-word ↔ answering-token rules transcribed from the
+    reference (en language_specific_rules.py:1327-1469,
+    question_word_matches). DATE/TIME entity gates are vacuous under
+    the gazetteer NER stand-in (no temporal entities) and are noted
+    where skipped. CLAIMS question-placeholder tokens: no later
+    strategy runs for them (reference word_matching/question.py is the
+    only strategy consulted for interrogative poles)."""
+    if not sp_tok.get("q_spec"):
         return None
-    if sp_tok["ent_spec"]:
-        ent_word = (dt["multiwords"][0]["text"] if dt["multiwords"]
-                    else dt["text"].lower())
-        if sp_tok["ent_spec"] == "NOUN":
-            # ENTITYNOUN matches any non-compound noun (reference
-            # structural_matching.py:209-230)
-            if dt["pos"] in ("NOUN", "PROPN") and dt["dep"] != "compound":
-                return ("entity", 0, ent_word, 1.0)
-            return None
-        if dt["ent_type"] == sp_tok["ent_spec"] and dt["dep"] != "compound":
+    q = sp_tok["q_spec"]
+    if q in ("who", "whom", "whose"):
+        if dt["ent_type"] in ("PERSON", "NORP", "ORG", "GPE") \
+                and dt["dep"] != "compound":
+            return ("question", 0, dt["text"].lower(), 1.0)
+    elif q == "what":
+        if dt["pos"] in ("NOUN",) and dt["ent_type"] == "":
+            return ("question", 0, dt["text"].lower(), 1.0)
+    elif q == "where":
+        # place prepositions (ref :1367-1413; DATE/TIME-child gate
+        # skipped — no temporal NER in the stand-in)
+        if dt["pos"] == "ADP" and dt["lemma"] in _WHERE_PREPS:
+            return ("question", 0, dt["lemma"], 1.0)
+    elif q == "when":
+        # temporal prepositions or DATE/TIME entities (ref :1414-1424)
+        if dt["pos"] == "ADP" and dt["lemma"] in _WHEN_PREPS:
+            return ("question", 0, dt["lemma"], 1.0)
+        if dt["ent_type"] in ("DATE", "TIME"):
+            return ("question", 0, dt["text"].lower(), 1.0)
+    elif q == "how":
+        # instrumental by/with (ref :1425-1429)
+        if dt["pos"] == "ADP" and dt["lemma"] in ("by", "with"):
+            return ("question", 0, dt["lemma"], 1.0)
+    elif q == "why":
+        # because / in-order / owing-to / thanks-to (ref :1430-1469)
+        if dt["pos"] == "ADP" and dt["lemma"] == "because":
+            return ("question", 0, dt["lemma"], 1.0)
+        if dt["text"].lower() in ("owing", "thanks", "because"):
+            return ("question", 0, dt["text"].lower(), 1.0)
+    return STOP
+
+
+def _entity_strategy(sp_tok: dict, dt: dict, ctx: dict):
+    """ENTITY placeholder matching (reference word_matching/
+    entity.py); CLAIMS entity-placeholder tokens."""
+    if not sp_tok["ent_spec"]:
+        return None
+    ent_word = (dt["multiwords"][0]["text"] if dt["multiwords"]
+                else dt["text"].lower())
+    if sp_tok["ent_spec"] == "NOUN":
+        # ENTITYNOUN matches any non-compound noun (reference
+        # structural_matching.py:209-230)
+        if dt["pos"] in ("NOUN", "PROPN") and dt["dep"] != "compound":
             return ("entity", 0, ent_word, 1.0)
-        return None
+        return STOP
+    if dt["ent_type"] == sp_tok["ent_spec"] and dt["dep"] != "compound":
+        return ("entity", 0, ent_word, 1.0)
+    return STOP
+
+
+def _doc_reprs(dt: dict) -> tuple[set, set]:
     doc_direct = set(dt["direct_reprs"])
     doc_deriv = set(dt["derivation_reprs"])
     for mw in dt["multiwords"]:
         doc_direct |= {mw["text"], mw["lemma"]}
         doc_deriv |= {mw["derived_lemma"]}
-    sp_direct = set(sp_tok["direct_reprs"])
-    sp_deriv = set(sp_tok["derivation_reprs"])
-    inter = sp_direct & doc_direct
+    return doc_direct, doc_deriv
+
+
+def _direct_strategy(sp_tok: dict, dt: dict, ctx: dict):
+    """Reference word_matching/direct.py."""
+    doc_direct, _ = _doc_reprs(dt)
+    inter = set(sp_tok["direct_reprs"]) & doc_direct
     if inter:
         # report the matched representation, text-form preferred — the
         # reference's document_word is the matched repr and its reprs
@@ -417,40 +422,136 @@ def _token_matches(sp_tok: dict, dt: dict, closure_map: dict,
                    else dt["lemma"] if dt["lemma"] in inter
                    else min(inter))
         return ("direct", 0, matched, 1.0)
+    return None
+
+
+def _derivation_strategy(sp_tok: dict, dt: dict, ctx: dict):
+    """Reference word_matching/derivation.py."""
+    doc_direct, doc_deriv = _doc_reprs(dt)
+    sp_direct = set(sp_tok["direct_reprs"])
+    sp_deriv = set(sp_tok["derivation_reprs"])
     if (sp_deriv & (doc_direct | doc_deriv)) or (sp_direct & doc_deriv):
         return ("derivation", 0, dt["derived_lemma"], 1.0)
-    for q in sp_direct | sp_deriv:
+    return None
+
+
+def _ontology_strategy(sp_tok: dict, dt: dict, ctx: dict):
+    """Reference word_matching/ontology.py over the broadcast closure."""
+    closure_map = ctx["closure_map"]
+    doc_direct, doc_deriv = _doc_reprs(dt)
+    for q in set(sp_tok["direct_reprs"]) | set(sp_tok["derivation_reprs"]):
         for w in doc_direct | doc_deriv:
             d = closure_map.get((q, w))
             if d is not None:
                 return ("ontology", d, w, 1.0)
-    if vectors is not None and single_token_threshold < 1.0 \
-            and dt["pos"] in ("NOUN", "PROPN", "VERB", "ADJ"):
-        sp_vec = vectors.get(sp_tok["derived_lemma"])
-        doc_vec = vectors.get(dt["derived_lemma"])
-        if sp_vec is not None and doc_vec is not None:
-            sim = _cosine_py(sp_vec, doc_vec)
-            if sim > single_token_threshold:
-                return ("embedding", 0, dt["derived_lemma"], round(sim, 8))
-        # entity-embedding: the doc token's entity label's prototype
-        # vector vs the search word vector (reference
-        # word_matching/entity_embedding.py:8-174, same
-        # single-token threshold :141-143; prototypes from the
-        # label→lexeme map, en language_specific_rules.py:100-121)
-        if sp_vec is not None and dt["ent_type"] and dt["dep"] != "compound":
-            proto = vectors.get(ENTITY_LABEL_LEXEMES.get(dt["ent_type"], ""))
-            if proto is not None:
-                sim = _cosine_py(sp_vec, proto)
-                if sim > single_token_threshold:
-                    return ("entity_embedding", 0, dt["text"].lower(),
-                            round(sim, 8))
+    return None
+
+
+def _embedding_strategy(sp_tok: dict, dt: dict, ctx: dict):
+    """Reference word_matching/embedding.py + entity_embedding.py:
+    cosine(sp vector, doc vector) > ctx['single_token_threshold'] =
+    overall_similarity_threshold ** n_emb (embedding.py:105-108)."""
+    vectors = ctx.get("vectors")
+    stt = ctx.get("single_token_threshold", 1.0)
+    if vectors is None or stt >= 1.0 \
+            or dt["pos"] not in ("NOUN", "PROPN", "VERB", "ADJ"):
+        return None
+    sp_vec = vectors.get(sp_tok["derived_lemma"])
+    doc_vec = vectors.get(dt["derived_lemma"])
+    if sp_vec is not None and doc_vec is not None:
+        sim = _cosine_py(sp_vec, doc_vec)
+        if sim > stt:
+            return ("embedding", 0, dt["derived_lemma"], round(sim, 8))
+    # entity-embedding: the doc token's entity label's prototype
+    # vector vs the search word vector (reference
+    # word_matching/entity_embedding.py:8-174, same single-token
+    # threshold :141-143; prototypes from the label→lexeme map,
+    # en language_specific_rules.py:100-121)
+    if sp_vec is not None and dt["ent_type"] and dt["dep"] != "compound":
+        proto = vectors.get(ENTITY_LABEL_LEXEMES.get(dt["ent_type"], ""))
+        if proto is not None:
+            sim = _cosine_py(sp_vec, proto)
+            if sim > stt:
+                return ("entity_embedding", 0, dt["text"].lower(),
+                        round(sim, 8))
+    return None
+
+
+# ordered first-match-wins strategy chain (the reference's pluggable
+# WordMatchingStrategy list, word_matching/general.py:13-100 +
+# manager.py:163-214 order: question/entity claims, then direct →
+# derivation → ontology → embedding). Third-party strategies register
+# with `register_word_matching_strategy`; the list is pickled into the
+# verify closure, so registration is driver-side before match().
+WORD_MATCHING_STRATEGIES: list[tuple[str, object]] = [
+    ("question", _question_strategy),
+    ("entity", _entity_strategy),
+    ("direct", _direct_strategy),
+    ("derivation", _derivation_strategy),
+    ("ontology", _ontology_strategy),
+    ("embedding", _embedding_strategy),
+]
+
+
+def register_word_matching_strategy(name: str, fn, before: str | None = None,
+                                    replace: bool = False) -> None:
+    """Register a custom word-matching strategy.
+
+    ``fn(sp_tok, dt, ctx) -> tuple | None | STOP`` returns
+    (match_type, depth, matched_doc_word, similarity), None to fall
+    through, or STOP to end the chain unmatched. ``before`` inserts
+    ahead of an existing strategy (default: append); ``replace`` swaps
+    an existing strategy of the same name. Mirrors the reference's
+    pluggable WordMatchingStrategy surface
+    (word_matching/general.py:13-100)."""
+    global WORD_MATCHING_STRATEGIES
+    if replace:
+        WORD_MATCHING_STRATEGIES = [
+            (n, fn if n == name else f) for (n, f) in
+            WORD_MATCHING_STRATEGIES]
+        return
+    entry = (name, fn)
+    if before is not None:
+        idx = next(i for i, (n, _f) in
+                   enumerate(WORD_MATCHING_STRATEGIES) if n == before)
+        WORD_MATCHING_STRATEGIES.insert(idx, entry)
+    else:
+        WORD_MATCHING_STRATEGIES.append(entry)
+
+
+def unregister_word_matching_strategy(name: str) -> None:
+    global WORD_MATCHING_STRATEGIES
+    WORD_MATCHING_STRATEGIES = [
+        (n, f) for (n, f) in WORD_MATCHING_STRATEGIES if n != name]
+
+
+def _token_matches(sp_tok: dict, dt: dict, closure_map: dict,
+                   vectors: dict | None = None,
+                   single_token_threshold: float = 1.0,
+                   strategies: list | None = None) -> tuple | None:
+    """First-match-wins over the strategy chain (reference
+    manager.py:163-214). Returns (match_type, depth, matched_doc_word,
+    similarity) or None. ``strategies`` is the driver-side snapshot of
+    WORD_MATCHING_STRATEGIES pickled into the verify closure — worker
+    processes import the shipped module and would not see driver-side
+    registrations otherwise."""
+    ctx = {"closure_map": closure_map, "vectors": vectors,
+           "single_token_threshold": single_token_threshold}
+    for (_name, fn) in (strategies if strategies is not None
+                        else WORD_MATCHING_STRATEGIES):
+        res = fn(sp_tok, dt, ctx)
+        if res is STOP:
+            return None
+        if res is not None:
+            return res
     return None
 
 
 def _verify_doc(sp: dict, tokens: list[dict], deps: list[dict],
                 root_candidates: list[int], closure_map: dict,
                 vectors: dict | None = None,
-                overall_similarity_threshold: float = 1.0) -> list[dict]:
+                overall_similarity_threshold: float = 1.0,
+                strategies: list | None = None) -> list[dict]:
     """Recursive subgraph verification for one document (reference:
     structural_matching.py:486-819 — depth-first expansion with
     visited-table loop guard; coref chains are already materialized as
@@ -473,7 +574,8 @@ def _verify_doc(sp: dict, tokens: list[dict], deps: list[dict],
 
     def rec(sp_i: int, d_i: int) -> list[list[dict]] | None:
         wm_type = _token_matches(sp["tokens"][sp_i], toks[d_i], closure_map,
-                                 vectors, single_token_threshold)
+                                 vectors, single_token_threshold,
+                                 strategies)
         if wm_type is None:
             return None
         dt = toks[d_i]
@@ -740,6 +842,9 @@ def match(spark: SparkSession, docs: DataFrame, postings: DataFrame,
     cand_docs = docs.join(cands, "url")
 
     sp_list = search_phrases  # captured in closure (broadcast via pickle)
+    # driver-side snapshot: custom strategies registered on the driver
+    # travel inside the verify closure
+    strategies = list(WORD_MATCHING_STRATEGIES)
 
     def verify_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in MATCH_ROW.fields]
@@ -754,7 +859,8 @@ def match(spark: SparkSession, docs: DataFrame, postings: DataFrame,
                     for m in _verify_doc(sp_list[pi], tokens, dep_list,
                                          positions, closure_map,
                                          vectors,
-                                         overall_similarity_threshold):
+                                         overall_similarity_threshold,
+                                         strategies):
                         m["url"] = url
                         rows.append(m)
             yield pd.DataFrame(rows, columns=cols)

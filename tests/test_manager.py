@@ -267,3 +267,32 @@ def test_match_df_is_distributed(spark):
     # a DataFrame, not a collected list — composable/writable
     assert hasattr(df, "write")
     assert df.count() == 1
+
+
+def test_custom_word_matching_strategy(spark):
+    # pluggable strategy surface (reference WordMatchingStrategy,
+    # word_matching/general.py:13-100): a registered strategy runs in
+    # the distributed verify stage and its match type flows through
+    from holmes_extractor_spark.query import structural
+
+    def synonym_strategy(sp_tok, dt, ctx):
+        if sp_tok["derived_lemma"] == "dog" and dt["lemma"] == "canine":
+            return ("custom_synonym", 0, "canine", 1.0)
+        return None
+
+    structural.register_word_matching_strategy(
+        "custom_synonym", synonym_strategy, before="embedding")
+    try:
+        m = SparkHolmesManager(spark)
+        m.parse_and_register_document("The canine chased the cat.", "d")
+        res = m.match("A dog chases a cat")
+        assert res, "custom strategy match expected"
+        kinds = {w["sp_word"]: w["match_type"]
+                 for w in res[0]["word_matches"]}
+        assert kinds["dog"] == "custom_synonym"
+    finally:
+        structural.unregister_word_matching_strategy("custom_synonym")
+    # after unregistration the match disappears
+    m2 = SparkHolmesManager(spark)
+    m2.parse_and_register_document("The canine chased the cat.", "d")
+    assert m2.match("A dog chases a cat") == []
