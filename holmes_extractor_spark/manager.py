@@ -240,18 +240,21 @@ class SparkHolmesManager:
             closure = self.spark.createDataFrame(
                 self._closure_rows,
                 "query_word string, matched_word string, depth int")
-        ff = None
-        if use_frequency_factor:
-            # punctuation reprs are excluded from the frequency dict
-            # (reference manager.py:1147-1156 skips string.punctuation
-            # keys) and ENTITYNOUN is OUR index-space artifact — the
-            # reference has no such reverse-dict key, so it must not
-            # inflate maximum_corpus_frequency
-            import string
-            punct = list(string.punctuation)
-            ff = frequency_factor(corpus_frequencies(
-                self.postings().filter(~F.col("repr").isin(*punct)
-                                       & (F.col("repr") != "ENTITYNOUN"))))
+        # frequency factors ALWAYS drive the reverse/retry planning
+        # gates; use_frequency_factor=False only disables SCORE
+        # deflation (reference manager.py:736 passes the factors to the
+        # TopicMatcher regardless and the flag gates the multiplier in
+        # perform_activation_scoring, topic_matching.py:998-1000).
+        # Punctuation reprs are excluded from the frequency dict
+        # (reference manager.py:1147-1156 skips string.punctuation
+        # keys) and ENTITYNOUN is OUR index-space artifact — the
+        # reference has no such reverse-dict key, so it must not
+        # inflate maximum_corpus_frequency
+        import string
+        punct = list(string.punctuation)
+        ff = frequency_factor(corpus_frequencies(
+            self.postings().filter(~F.col("repr").isin(*punct)
+                                   & (F.col("repr") != "ENTITYNOUN"))))
         # token-entity table for ENTITY-placeholder topic poles
         ents = docs.select(
             "url", F.explode("tokens").alias("t")).select(
@@ -280,6 +283,7 @@ class SparkHolmesManager:
         chains = chains.join(sib, ["url", "a", "b"], "left_anti")
         res = topic.topic_match(self.spark, edges, words, text_to_match,
                                 closure=closure, freq_factors=ff,
+                                use_frequency_factor=use_frequency_factor,
                                 vectors=self._vectors,
                                 embedding_threshold=self._embedding_threshold,
                                 ents=ents, chains=chains,

@@ -168,7 +168,13 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
                if _ENT_CHILD_RE.match(
                    p["obj"] if p["template"] not in ACTOR_TEMPLATES
                    else p["subj"])]
-    rel_ph_plain = [p for p in all_rel if p not in ent_rel]
+    # ENTITY placeholder at the PARENT pole ("tired ENTITYPERSON" →
+    # governor-adjective: entityperson-tired): join on the child word,
+    # gate the parent token's entity label
+    ent_par = [p for p in all_rel if p not in ent_rel
+               and _ENT_CHILD_RE.match(p["pred"])]
+    rel_ph_plain = [p for p in all_rel
+                    if p not in ent_rel and p not in ent_par]
     ent_word_ph = [w for w in word_ph if _ENT_CHILD_RE.match(w["word"])]
     word_ph = [w for w in word_ph
                if not _ENT_CHILD_RE.match(w["word"])]
@@ -419,6 +425,39 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
                     F.lit(None).cast("string").alias("matched"))
         )
         out = ent_m if out is None else out.unionByName(ent_m)
+    if ent_par and ents is not None:
+        ep = [(p["template"], p["label"],
+               p["obj"] if p["template"] not in ACTOR_TEMPLATES
+               else p["subj"],
+               _ENT_CHILD_RE.match(p["pred"]).group(1).upper(),
+               float(p.get("freq_factor", 1.0)),
+               bool(p.get("reverse_only"))
+               or p["template"] in REVERSE_ONLY_TEMPLATES) for p in ent_par]
+        qep = spark.createDataFrame(
+            ep, "template string, phraselet_label string, q_child string, "
+                "ent_spec string, freq_factor double, q_reverse_only boolean")
+        p2 = ents.select(F.col("url"), F.col("idx").alias("parent_idx"),
+                         F.col("ent_type").alias("p_ent"),
+                         F.col("is_noun").alias("p_is_noun"))
+        child_col2 = F.when(F.col("template").isin(*ACTOR_TEMPLATES),
+                            F.col("subj")).otherwise(F.col("obj"))
+        ent_pm = (
+            edges.withColumn("q_child", child_col2)
+            .join(F.broadcast(qep), ["template", "q_child"])
+            .join(p2, ["url", "parent_idx"])
+            .filter(((F.col("ent_spec") == "NOUN") & F.col("p_is_noun"))
+                    | ((F.col("ent_spec") == F.col("p_ent"))
+                       & F.col("p_is_noun")))
+            .select("url", "phraselet_label",
+                    F.when(F.col("q_reverse_only"),
+                           F.lit("relation_reverse_only"))
+                     .otherwise(F.lit("relation")).alias("kind"),
+                    F.col("parent_idx").alias("position"),
+                    "parent_idx", "child_idx",
+                    F.lit(1.0).alias("penalty"), "freq_factor",
+                    F.lit(None).cast("string").alias("matched"))
+        )
+        out = ent_pm if out is None else out.unionByName(ent_pm)
     if q_rows:
         # question phraselets: the WH pole matches any answering word,
         # scored initial_question_word_answer_score (reference
@@ -1068,6 +1107,7 @@ def topic_match(spark: SparkSession, edges: DataFrame, words: DataFrame,
                 initial_question_word_behaviour: str = "process",
                 ents: DataFrame | None = None,
                 chains: DataFrame | None = None,
+                use_frequency_factor: bool = True,
                 **overrides) -> DataFrame:
     """Ranked passages for a query document. Returns
     (rank, url, start_idx, end_idx, score, n_matches, tied, word_infos,
@@ -1083,6 +1123,14 @@ def topic_match(spark: SparkSession, edges: DataFrame, words: DataFrame,
     if freq_factors is not None:
         rel_ph, word_ph = plan_selective_retries(
             rel_ph, word_ph, freq_factors, closure, params)
+        if not use_frequency_factor:
+            # the frequency GATES above always run; the flag only
+            # disables score deflation (reference topic_matching.py:
+            # 998-1000 gates the multiplier, not the planning)
+            for p in rel_ph:
+                p["freq_factor"] = 1.0
+            for p in word_ph:
+                p["freq_factor"] = 1.0
     matches = match_phraselets(spark, edges, words, rel_ph, word_ph, closure,
                                vectors=vectors,
                                embedding_threshold=embedding_threshold,

@@ -170,3 +170,85 @@ def test_coreference_double_match_spans(spark):
         single_word_any_tag_score=5)
     assert int(tms[0]["score"]) == 34
     assert (tms[0]["start_idx"], tms[0]["end_idx"]) == (6, 7)
+
+
+# --------------------------- frequency-gated suppression (ref :317-490)
+# these drive relation_matching_frequency_threshold /
+# embedding_matching_frequency_threshold explicitly — the gates always
+# run off corpus frequencies even when use_frequency_factor=False
+# (score deflation off, planning on; reference manager.py:736 +
+# topic_matching.py:379-549)
+
+SUPPRESSION_CASES = [
+    (":317", "A dog chases a cat.",
+     "A dog chases a cat. A dog sees a cat. A dog sees a cat. "
+     "A person was chasing a person. A person chased a person.", 24,
+     dict(relation_matching_frequency_threshold=1.0,
+          embedding_matching_frequency_threshold=1.0,
+          use_frequency_factor=False)),
+    (":328", "A dog chases a cat",
+     "Chasing. Chasing. A dog chases a cat. A lion chases a tiger.", 82,
+     dict(relation_matching_frequency_threshold=0.9,
+          embedding_matching_frequency_threshold=1.0,
+          use_frequency_factor=False)),
+    (":340", "A dog chases a cat",
+     "There was a cat. A dog chased it. A lion chases a tiger. "
+     "Chasing. Chasing. ", 84,
+     dict(relation_matching_frequency_threshold=0.9,
+          embedding_matching_frequency_threshold=1.0,
+          use_frequency_factor=False)),
+    (":352", "An adopted child",
+     "Someone adopts the child. The child is here. Children. Children. "
+     "Children.", 34,
+     dict(relation_matching_frequency_threshold=0.9,
+          embedding_matching_frequency_threshold=1.0,
+          use_frequency_factor=False)),
+    (":365", "in Germany",
+     "I was in Germany. I know Germany. Germany. Germany.", 10,
+     dict(relation_matching_frequency_threshold=0.1,
+          embedding_matching_frequency_threshold=0.6)),
+    (":385", "in Germany",
+     "I was in Germany. I know Germany. Germany. Germany.", 7,
+     dict(relation_matching_frequency_threshold=1.0,
+          embedding_matching_frequency_threshold=1.0)),
+    (":443", "tired ENTITYPERSON",
+     "I was tired Richard Paul Hudson. I was a tired Richard Paul "
+     "Hudson. I spoke to Richard Paul Hudson and he was tired.", 14,
+     dict(relation_matching_frequency_threshold=1.0,
+          embedding_matching_frequency_threshold=1.0,
+          use_frequency_factor=False)),
+    (":454", "tired ENTITYPERSON",
+     "I was tired Richard Paul Hudson. I was a tired Richard Paul "
+     "Hudson. I spoke to Richard Paul Hudson and he was tired.", 34,
+     dict(relation_matching_frequency_threshold=0.0,
+          embedding_matching_frequency_threshold=0.0,
+          use_frequency_factor=False)),
+    (":465", "someone knows an ENTITYPERSON",
+     "I knew Richard Paul Hudson. I knew Richard Paul Hudson. I knew "
+     "someone and spoke to Richard Paul Hudson.", 14,
+     dict(relation_matching_frequency_threshold=1.0,
+          embedding_matching_frequency_threshold=1.0,
+          use_frequency_factor=False)),
+    (":478", "someone knows an ENTITYPERSON",
+     "I knew Richard Paul Hudson. I knew Richard Paul Hudson. I knew "
+     "someone and spoke to Richard Paul Hudson.", 34,
+     dict(relation_matching_frequency_threshold=0.0,
+          embedding_matching_frequency_threshold=0.0,
+          use_frequency_factor=False)),
+]
+
+
+@pytest.mark.parametrize("ref,query,doc,expected,kw", SUPPRESSION_CASES,
+                         ids=[c[0] + " " + c[1][:22]
+                              for c in SUPPRESSION_CASES])
+def test_topic_suppression(spark, ref, query, doc, expected, kw):
+    m = SparkHolmesManager(spark, ontology=REF_ONTOLOGY,
+                           ontology_symmetric=True)
+    m.parse_and_register_document(doc, "d")
+    tms = m.topic_match_documents_against(
+        query, relation_score=20, reverse_only_relation_score=15,
+        single_word_score=10, single_word_any_tag_score=5,
+        different_match_cutoff_score=10, **kw)
+    assert tms, f"test_topic_matching_EN.py{ref}: no match"
+    assert int(tms[0]["score"]) == expected, \
+        f"test_topic_matching_EN.py{ref}"
