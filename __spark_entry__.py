@@ -96,6 +96,11 @@ def _kg(spark: SparkSession, sf_dir: str) -> dict:
             "docs": docs,
             "edges": extract_edges(docs).cache(),
             "words": extract_words(docs).cache(),
+            # the inverted index is probed by every structural/question
+            # query and the frequency queries — build it once per
+            # corpus, like the reference's per-worker reverse_dict
+            # built at document-registration time
+            "postings": build_postings(docs).cache(),
         }
     return _CACHE[key]
 
@@ -149,7 +154,7 @@ def q_kg_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _match_query(spark: SparkSession, sf_dir: str, phrase: str,
                  use_ontology: bool) -> DataFrame:
     kg = _kg(spark, sf_dir)
-    postings = build_postings(kg["docs"])
+    postings = kg["postings"]
     closure_rows = None
     if use_ontology:
         closure_rows = [(r["query_word"], r["matched_word"], r["depth"])
@@ -178,7 +183,7 @@ def q_question_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     the extracted word filling the question slot (reference
     word_matching/question.py; answers mirror Manager.match dicts)."""
     kg = _kg(spark, sf_dir)
-    postings = build_postings(kg["docs"])
+    postings = kg["postings"]
     sp = compile_search_phrase("Who came?",
                                process_initial_question_words=True)
     res = match(spark, kg["docs"], postings, [sp])
@@ -195,7 +200,7 @@ def q_where_question(spark: SparkSession, sf_dir: str) -> DataFrame:
     language_specific_rules.py:1367-1413); the answer is the matched
     preposition's object."""
     kg = _kg(spark, sf_dir)
-    postings = build_postings(kg["docs"])
+    postings = kg["postings"]
     sp = compile_search_phrase("Where did somebody sing?",
                                process_initial_question_words=True)
     res = match(spark, kg["docs"], postings, [sp])
@@ -223,7 +228,7 @@ def q_freq_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
     the gate for reverse-only/retry planning."""
     from holmes_extractor_spark.pipeline.postings import corpus_frequencies, frequency_factor
     kg = _kg(spark, sf_dir)
-    postings = build_postings(kg["docs"]).filter(F.col("kind") == "text")
+    postings = kg["postings"].filter(F.col("kind") == "text")
     ff = frequency_factor(corpus_frequencies(postings))
     return (ff.select("repr", F.col("freq").cast("long").alias("freq"),
                       F.round("frequency_factor", 4).alias("frequency_factor"))
@@ -235,13 +240,16 @@ def _dedup_single_words(m: DataFrame) -> DataFrame:
     queries score DISTINCT word matches (their oracles count DISTINCT
     words), while the corpus words table now carries one row per
     occurrence for the activation model's refresh semantics."""
-    from pyspark.sql import Window
     is_word = F.col("kind").isin("single_word", "single_word_any_tag")
-    w = Window.partitionBy("url", "phraselet_label", "kind", "matched") \
-        .orderBy("position")
-    return (m.withColumn("_wrn", F.when(is_word, F.row_number().over(w))
-                         .otherwise(F.lit(1)))
-            .filter(F.col("_wrn") == 1).drop("_wrn"))
+    g = ["url", "phraselet_label", "kind", "matched"]
+    rest = F.struct("position", "parent_idx", "child_idx", "penalty",
+                    "freq_factor")
+    words = (m.filter(is_word).groupBy(*g)
+             .agg(F.min_by(rest, "position").alias("_r"))
+             .select("url", "phraselet_label", "kind", "_r.position",
+                     "_r.parent_idx", "_r.child_idx", "_r.penalty",
+                     "_r.freq_factor", "matched"))
+    return m.filter(~is_word).unionByName(words)
 
 
 def q_topic_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -342,8 +350,7 @@ def q_postings_direct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index build (lowercased surface kind) — the oracle
     mirrors the tokenizer + lowercase rule over the page synthesis."""
     kg = _kg(spark, sf_dir)
-    postings = build_postings(kg["docs"])
-    return (postings.filter(F.col("kind") == "text")
+    return (kg["postings"].filter(F.col("kind") == "text")
             .groupBy("repr").agg(F.countDistinct("url", "token_index").alias("freq"))
             .orderBy(F.desc("freq"), "repr").limit(100))
 

@@ -88,6 +88,12 @@ class SparkHolmesManager:
         label = label or f"doc{len(self._labels)}"
         if label in self._labels:
             raise errors.DuplicateDocumentError(label)
+        # bulk-registered corpora keep their labels in the DataFrame,
+        # not on the driver — one tiny filter-count probes for a clash
+        # (only ever runs after a bulk register / first docs() build)
+        if self._docs is not None and self._docs.filter(
+                F.col("url") == label).limit(1).count():
+            raise errors.DuplicateDocumentError(label)
         if len(document_text) > 1_000_000:
             # reference parsing.py:953-963
             raise errors.DocumentTooBigError(
@@ -98,16 +104,51 @@ class SparkHolmesManager:
         # word_dictionaries_need_rebuilding, manager.py:263)
         self._postings = None
 
+    #: languages this engine's deterministic parser models support —
+    #: the Spark analogue of the reference's loaded spaCy model name
+    SUPPORTED_MODELS = ("en", "de")
+
     def register_serialized_documents(self, docs: DataFrame) -> None:
         """Bulk-register a pre-parsed docs table (reference:
-        manager.py:333-361). Version-guarded like the reference."""
+        manager.py:333-361). Version- and model-guarded like the
+        reference (WrongVersionDeserializationError /
+        WrongModelDeserializationError, reference manager.py:1057-1079).
+
+        Scale contract: every check below is count-based and
+        distributed — registering a billion-row docs table allocates
+        O(1) driver memory (no url ever comes to the driver here;
+        ``document_labels()`` is the documented collect)."""
         bad = docs.filter(F.col("parser_version") != PARSER_VERSION).count()
         if bad:
             raise errors.WrongVersionDeserializationError(
                 f"{bad} documents parsed with a different parser version "
                 f"(expected {PARSER_VERSION})")
+        badm = (docs.filter(~F.col("lang").isin(*self.SUPPORTED_MODELS))
+                .select("lang").limit(1).collect())
+        if badm:
+            raise errors.WrongModelDeserializationError(
+                f"documents serialized with unsupported model "
+                f"'{badm[0]['lang']}' (supported: "
+                f"{', '.join(self.SUPPORTED_MODELS)})")
+        # duplicate-label detection without materializing the label
+        # set: an internal groupBy-count check plus a semi-join count
+        # against the already-registered corpus
+        dup_new = (docs.groupBy("url").agg(F.count("*").alias("n"))
+                   .filter(F.col("n") > 1).limit(1).collect())
+        if dup_new:
+            raise errors.DuplicateDocumentError(dup_new[0]["url"])
+        if self._labels:
+            dup_drv = (docs.filter(F.col("url").isin(*self._labels))
+                       .select("url").limit(1).collect())
+            if dup_drv:
+                raise errors.DuplicateDocumentError(dup_drv[0]["url"])
+        if self._docs is not None:
+            dup_old = (docs.select("url")
+                       .join(self._docs.select("url"), "url")
+                       .limit(1).collect())
+            if dup_old:
+                raise errors.DuplicateDocumentError(dup_old[0]["url"])
         self._docs = docs if self._docs is None else self._docs.unionByName(docs)
-        self._labels |= {r["url"] for r in docs.select("url").collect()}
         self._postings = None
 
     def remove_document(self, label: str) -> None:
@@ -120,7 +161,14 @@ class SparkHolmesManager:
         self._postings = None
 
     def document_labels(self) -> list[str]:
-        return sorted(self._labels)
+        """Every registered label. Collects bulk-registered urls to the
+        driver — a documented API-parity caveat (the reference returns
+        a list too); the scale path is ``docs().select('url')``."""
+        labels = set(self._labels)
+        if self._docs is not None:
+            labels |= {r["url"]
+                       for r in self._docs.select("url").distinct().collect()}
+        return sorted(labels)
 
     def serialize_documents(self, path: str) -> None:
         """Export the parsed corpus (parquet stands in for the

@@ -197,42 +197,45 @@ def minhash_lsh_pairs(documents: DataFrame, min_agree: float = 0.5,
     task. Buckets larger than max_bucket_size are dropped before the
     self-join (the same cap as `embedding_neardup`); members of a
     dropped bucket still pair through their other BANDS-1 buckets."""
-    sig = minhash_signatures(documents).cache()
+    from pyspark.sql import Window
+    sig = minhash_signatures(documents)
     rows_per_band = N_PERM // BANDS
-    bands = sig.select(
-        "doc_id",
+    # carry the (64-byte) signature through the band explode: the
+    # agreement fraction is then computable directly on the joined
+    # pair rows — no cache, no join back to the signature table, and
+    # the whole operator is ONE shuffle of the band rows (the window's
+    # (band, bucket) hash partitioning is exactly the self-join key, so
+    # AQE/ReuseExchange share it) plus the final pair distinct
+    bands = (sig.select(
+        "doc_id", "sig",
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"),
                      F.concat_ws("_", *[F.col("sig")[b * rows_per_band + r].cast("string")
                                         for r in range(rows_per_band)]).alias("bucket"))
             for b in range(BANDS)])).alias("bb"))
-    # map-side-combining groupBy + broadcast semi-join: the shuffled
-    # side is one row per distinct bucket, not one per band entry
-    ok = (bands.groupBy(F.col("bb.band").alias("okband"),
-                        F.col("bb.bucket").alias("okbucket"))
-          .agg(F.count("*").alias("n"))
-          .filter(F.col("n") <= max_bucket_size)
-          .select("okband", "okbucket"))
-    bands = bands.join(F.broadcast(ok),
-                       (F.col("bb.band") == F.col("okband"))
-                       & (F.col("bb.bucket") == F.col("okbucket"))).drop("okband", "okbucket")
-    cand = (
+        .select("doc_id", "sig", F.col("bb.band").alias("band"),
+                F.col("bb.bucket").alias("bucket")))
+    # degenerate-bucket cap as a window count over the same partitioning
+    # the join needs — one shuffle serves both
+    wb = Window.partitionBy("band", "bucket")
+    bands = (bands.withColumn("_n", F.count("*").over(wb))
+             .filter(F.col("_n") <= max_bucket_size).drop("_n"))
+    pairs = (
         bands.alias("x").join(
             bands.alias("y"),
-            (F.col("x.bb.band") == F.col("y.bb.band"))
-            & (F.col("x.bb.bucket") == F.col("y.bb.bucket"))
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
             & (F.col("x.doc_id") < F.col("y.doc_id")))
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .distinct()
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"),
+                F.col("x.sig").alias("sig_a"), F.col("y.sig").alias("sig_b"))
     )
-    agree = (
-        cand.join(sig.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sig", "sig_a"), "doc_a")
-        .join(sig.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sig", "sig_b"), "doc_b")
-        .withColumn("agree", F.round(
-            F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda a, b: a == b),
-                            lambda x: x)).cast("double") / N_PERM, 4))
-    )
-    return agree.filter(F.col("agree") >= min_agree).select("doc_a", "doc_b", "agree")
+    agree = pairs.withColumn("agree", F.round(
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda a, b: a == b),
+                        lambda x: x)).cast("double") / N_PERM, 4))
+    # agree is a pure function of the pair, so distinct on the full
+    # output row dedups multi-band collisions exactly
+    return (agree.filter(F.col("agree") >= min_agree)
+            .select("doc_a", "doc_b", "agree").distinct())
 
 
 def duplicate_clusters(documents: DataFrame, min_agree: float = 0.5) -> DataFrame:

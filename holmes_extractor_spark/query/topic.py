@@ -36,7 +36,6 @@ from ..nlp.parser import parse_document
 from ..pipeline.phraselets import (ACTOR_TEMPLATES, REVERSE_ONLY_TEMPLATES,
                                    extract_candidate_edges,
                                    extract_word_phraselets)
-from .structural import _cosine_py as _cosine
 
 DEFAULTS = dict(
     maximum_activation_distance=75,
@@ -255,7 +254,11 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
     q_rows = [(p["template"], p["label"], p["pred"], p["obj"],
                float(p.get("freq_factor", 1.0)), p.get("prep"))
               for p in rel_ph if p["template"].startswith("head")]
+    # relation-ish branches accumulate in `out` (they need the
+    # duplicate-removal agg); word branches in `wout` (already unique
+    # per position after their own agg — no second shuffle needed)
     out = None
+    wout = None
     if rel_rows:
         q = spark.createDataFrame(
             rel_rows, "template string, phraselet_label string, q_pred string, q_child string, q_reverse_only boolean, freq_factor double, inverse boolean")
@@ -293,8 +296,13 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
             # pass-4 child-embedding retry (reference topic_matching.py:
             # 301-319 + embedding_penalty, manager.py:683-701): expand
             # the CHILD pole by vector similarity, penalty =
-            # embedding_penalty × cosine. Driver-side over the broadcast
-            # vector vocabulary (like the reference's model vocab scan).
+            # embedding_penalty × cosine. The vocabulary side runs as a
+            # DISTRIBUTED scored scan (broadcast query-child probes ⋈
+            # vector table, JVM zip_with dot products) — mirroring the
+            # structural root-embedding plan (structural.py) — so a
+            # realistic 100k–1M-word vocabulary never loops on the
+            # driver. ``vectors`` may be a dict (tests/fixtures) or a
+            # (word, vector) DataFrame (the scale path).
             emb_pen = DEFAULTS["embedding_penalty"]
             # per-phraselet single-token gate: overall ** n where
             # overall = sqrt(word_threshold) (reference manager.py:
@@ -304,7 +312,7 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
             # two-pole relation phraselet this is exactly the word
             # threshold; ENTITY-parent phraselets gate looser (n=1).
             overall = embedding_threshold ** 0.5
-            extra = []
+            probes = []
             for (t, lbl, qp, qc, rev, ff, inv) in rel_rows:
                 if inv:
                     # the embedding retry expands forward-polarity
@@ -316,26 +324,48 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
                     # frequency factor is below the embedding threshold
                     # (reference topic_matching.py:429-434)
                     continue
-                qv = vectors.get(qc)
-                if qv is None:
-                    continue
                 n_emb = ((0 if _ENT_CHILD_RE.match(qp or "") else 1)
                          + (0 if _ENT_CHILD_RE.match(qc or "") else 1))
-                stt = overall ** n_emb
-                for w, wv in vectors.items():
-                    if w == qc:
-                        continue
-                    sim = _cosine(qv, wv)
-                    if sim > stt:
-                        extra.append((t, lbl, qp, w, rev, ff,
-                                      round(emb_pen * sim, 8)))
-            if extra:
-                qe = spark.createDataFrame(
-                    extra, "template string, phraselet_label string, "
-                           "q_pred string, q_child string, "
-                           "q_reverse_only boolean, freq_factor double, "
-                           "penalty double"
-                ).withColumn("inverse", F.lit(False))
+                probes.append((t, lbl, qp, qc, rev, ff,
+                               overall ** n_emb))
+            if probes:
+                if isinstance(vectors, DataFrame):
+                    vec_df = vectors.toDF("w", "vec")
+                else:
+                    vec_df = spark.createDataFrame(
+                        [(w, [float(x) for x in v])
+                         for w, v in vectors.items()],
+                        "w string, vec array<double>")
+                # only the (few) query children's vectors come to the
+                # driver — O(|query|), not O(vocabulary)
+                qcs = sorted({p[3] for p in probes})
+                qvecs = {r["w"]: list(r["vec"]) for r in
+                         vec_df.filter(F.col("w").isin(qcs)).collect()}
+                probes = [p + (qvecs[p[3]],) for p in probes
+                          if p[3] in qvecs]
+            if probes:
+                pr = spark.createDataFrame(
+                    probes, "template string, phraselet_label string, "
+                            "q_pred string, q_child string, "
+                            "q_reverse_only boolean, freq_factor double, "
+                            "stt double, qvec array<double>")
+                dot = F.aggregate(
+                    F.zip_with("qvec", "vec", lambda a, b: a * b),
+                    F.lit(0.0), lambda acc, x: acc + x)
+                norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+                    F.transform(c, lambda x: x * x),
+                    F.lit(0.0), lambda a, x: a + x))
+                qe = (vec_df.join(F.broadcast(pr),
+                                  F.col("w") != F.col("q_child"))
+                      .withColumn("cos", dot / (norm(F.col("qvec"))
+                                                * norm(F.col("vec"))))
+                      .filter(F.col("cos") > F.col("stt"))
+                      .select("template", "phraselet_label", "q_pred",
+                              F.col("w").alias("q_child"),
+                              "q_reverse_only", "freq_factor",
+                              F.round(F.lit(emb_pen) * F.col("cos"), 8)
+                              .alias("penalty"),
+                              F.lit(False).alias("inverse")))
                 q = q.unionByName(qe).groupBy(
                     "template", "phraselet_label", "q_reverse_only",
                     "freq_factor", "q_pred", "q_child", "inverse"
@@ -583,20 +613,30 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
         # remove_duplicates) — without this, 'word: horse' would match
         # doc 'wastage horse' BOTH directly (member repr) and through
         # the ontology (multiword row), and the ontology variant
-        # would escape the multiword-span suppression below
-        wpos = Window.partitionBy("url", "phraselet_label", "kind",
-                                  "position").orderBy(F.desc("penalty"))
-        word_m = (word_m.withColumn("_pr", F.row_number().over(wpos))
-                  .filter(F.col("_pr") == 1).drop("_pr"))
+        # would escape the multiword-span suppression below.
+        # arg-max by (penalty, matched) as a map-side-combining hash
+        # agg: duplicates collapse BEFORE the shuffle, unlike a
+        # row_number window which shuffles + sorts every match row
+        gcols = ["url", "phraselet_label", "kind", "position"]
+        rest = F.struct("parent_idx", "child_idx", "penalty",
+                        "freq_factor", "matched", "span_start", "span_end")
+        word_m = (word_m.groupBy(*gcols)
+                  .agg(F.max_by(rest, F.struct("penalty", "matched"))
+                       .alias("_r"))
+                  .select(*gcols, "_r.parent_idx", "_r.child_idx",
+                          "_r.penalty", "_r.freq_factor", "_r.matched",
+                          "_r.span_start", "_r.span_end"))
         # single-word matches contained inside a MATCHED multiword
         # single-word match are superfluous (reference
         # remove_single_word_matches_made_superfluous_by_multiword_
         # matches, topic_matching.py:760-795): 'Richard Paul Hudson'
         # matching suppresses the member matches richard/paul/hudson,
         # but when only the members match they all score. One analytic
-        # pass per url: the (few) matched multiword spans are gathered
-        # with a window collect_set, then each single-token row checks
-        # containment with a codegen `exists` — no join, no distinct
+        # pass per url over the ALREADY position-deduped rows: the
+        # (few) matched multiword spans are gathered with a window
+        # collect_set, then each single-token row checks containment
+        # with a codegen `exists` — no join, no second computation of
+        # the word branch
         wu = Window.partitionBy("url")
         word_m = (
             word_m
@@ -609,7 +649,7 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
                                 lambda x: (F.col("position") >= x["s"])
                                 & (F.col("position") <= x["e"])))
             .drop("_mws", "span_start", "span_end"))
-        out = word_m if out is None else out.unionByName(word_m)
+        wout = word_m if wout is None else wout.unionByName(word_m)
     ent_word_ph = [w for w in ent_word_ph
                    if _ENT_CHILD_RE.match(w["word"]).group(1) != "noun"]
     if ent_word_ph and ents is not None:
@@ -645,20 +685,48 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
                     F.concat(F.lit("ENTITY"), F.col("ent_spec"),
                              F.lit("@"), F.col("idx")).alias("matched"))
         )
-        out = ent_word_m if out is None else out.unionByName(ent_word_m)
-    if out is None:
+        wout = ent_word_m if wout is None else wout.unionByName(ent_word_m)
+    if out is None and wout is None:
         # no phraselets (e.g. only stop lemmas) → no matches, like the
         # reference's early return (manager.py:844-845)
         return spark.createDataFrame(
             [], "url string, phraselet_label string, kind string, "
                 "position int, parent_idx int, child_idx int, "
                 "penalty double, freq_factor double, matched string")
+    # duplicate removal over the RELATION-ish branches (reference
+    # remove_duplicates, topic_matching.py:797-847: same phraselet +
+    # same matched document tokens): one surviving match per
+    # (document, phraselet, parent, child), keeping the
+    # least-penalized alternative — exact-join duplicates arise from
+    # ontology expansion mapping several query words onto the same
+    # corpus word, and from the person-entity branch overlapping the
+    # plain branch. Relation `position` is the PARENT (root) pole
+    # index, the reference's index_within_document (set from the root
+    # word match, structural_matching.py:446-447), which anchors
+    # activation tracking and passage ordering.
+    # Map-side-combining arg-max agg instead of a row_number window:
+    # duplicate alternatives collapse before the shuffle. Word rows
+    # are already unique per (url, label, kind, position) from their
+    # own agg and skip this shuffle entirely.
+    if out is not None:
+        dcols = ["url", "phraselet_label", "parent_idx", "child_idx",
+                 "kind"]
+        drest = F.struct("position", "penalty", "freq_factor", "matched")
+        out = (out.groupBy(*dcols)
+               .agg(F.max_by(drest, F.struct("penalty", "matched"))
+                    .alias("_r"))
+               .select("url", "phraselet_label", "kind", "_r.position",
+                       "parent_idx", "child_idx", "_r.penalty",
+                       "_r.freq_factor", "_r.matched"))
+    if wout is not None:
+        out = wout if out is None else out.unionByName(wout)
     # governed interrogatives: matches of a which/what-governed
     # phraselet ALSO emit an answer row at the governed pole — scored
     # initial_question_word_answer_score for relations, answer-only for
     # single words (reference tests/en/test_questions_EN.py:60-170:
     # 'Which politician lied?' scores above its non-question control,
-    # 'Which man?' equals it but carries the answer span)
+    # 'Which man?' equals it but carries the answer span). Derived
+    # from the already-deduped rows, so the extras are unique too.
     gov_rel = {p["label"]: p["wh_governed"] for p in rel_ph
                if p.get("wh_governed")}
     gov_word = [w["label"] for w in word_ph if w.get("wh_governed")]
@@ -686,20 +754,6 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
             "freq_factor", "matched"))
     for e in extras:
         out = out.unionByName(e)
-    # duplicate removal (reference remove_duplicates,
-    # topic_matching.py:797-847: same phraselet + same matched document
-    # tokens): one surviving match per (document, phraselet, parent,
-    # child), keeping the least-penalized alternative — exact-join
-    # duplicates arise from ontology expansion mapping several query
-    # words onto the same corpus word. Relation `position` is the
-    # PARENT (root) pole index, the reference's index_within_document
-    # (set from the root word match, structural_matching.py:446-447),
-    # which anchors activation tracking and passage ordering
-    w = Window.partitionBy("url", "phraselet_label", "parent_idx",
-                           "child_idx", "kind") \
-        .orderBy(F.desc("penalty"))
-    out = (out.withColumn("_rn", F.row_number().over(w))
-           .filter(F.col("_rn") == 1).drop("_rn"))
     if chains is not None:
         # coref-proximity dominance (reference: the structural matcher
         # tries coreferents closest-first, structural_matching.py:
