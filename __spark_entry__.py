@@ -119,6 +119,22 @@ def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct())
 
 
+def q_classification_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct supervised-classification feature labels per document —
+    the phraselet feature space the classifier trains on (relation
+    phraselet labels + 'word: X' labels; reference
+    classification.py:39-174). Mirrors q_kg_triples/q_kg_words
+    filtering: mention/variant rows serve matching only, any-tag word
+    rows serve topic matching only."""
+    kg = _kg(spark, sf_dir)
+    e = (kg["edges"].filter(~F.col("mention"))
+         .select("url", F.col("label").alias("feature")))
+    w = (kg["words"].filter(~F.col("any_tag"))
+         .select("url", F.concat(F.lit("word: "),
+                                 F.col("word")).alias("feature")))
+    return e.unionByName(w).distinct()
+
+
 def q_kg_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tag-checked words only: the any-tag rows exist for topic matching
     # (single_word_any_tag) and are excluded from the KG word list
@@ -242,13 +258,11 @@ def _dedup_single_words(m: DataFrame) -> DataFrame:
     occurrence for the activation model's refresh semantics."""
     is_word = F.col("kind").isin("single_word", "single_word_any_tag")
     g = ["url", "phraselet_label", "kind", "matched"]
-    rest = F.struct("position", "parent_idx", "child_idx", "penalty",
-                    "freq_factor")
+    rest_cols = [c for c in m.columns if c not in g]
     words = (m.filter(is_word).groupBy(*g)
-             .agg(F.min_by(rest, "position").alias("_r"))
-             .select("url", "phraselet_label", "kind", "_r.position",
-                     "_r.parent_idx", "_r.child_idx", "_r.penalty",
-                     "_r.freq_factor", "matched"))
+             .agg(F.min_by(F.struct(*rest_cols), "position").alias("_r"))
+             .select(*g, *[F.col(f"_r.{c}").alias(c) for c in rest_cols])
+             .select(*m.columns))
     return m.filter(~is_word).unionByName(words)
 
 
@@ -441,6 +455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "kg_triples": q_kg_triples,
         "kg_words": q_kg_words,
+        "classification_features": q_classification_features,
         "kg_word_freq": q_kg_word_freq,
         "kg_edge_counts": q_kg_edge_counts,
         "kg_entities": q_kg_entities,
@@ -860,6 +875,15 @@ FROM page_snips ps JOIN golden_edges g USING (snip_id)
         "kg_words": kg + """
 SELECT DISTINCT ps.url, g.word
 FROM page_snips ps JOIN golden_words g USING (snip_id)
+""",
+        "classification_features": kg + """
+SELECT DISTINCT url, feature FROM (
+  SELECT ps.url, g.label AS feature
+  FROM page_snips ps JOIN golden_edges g USING (snip_id)
+  UNION ALL
+  SELECT ps.url, 'word: ' || g.word AS feature
+  FROM page_snips ps JOIN golden_words g USING (snip_id)
+)
 """,
         "kg_word_freq": kg + """
 SELECT word, count(*) AS n_docs FROM (

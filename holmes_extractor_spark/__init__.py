@@ -32,7 +32,9 @@ inside Arrow batches (mapInPandas / pandas UDFs), never per-row.
 __version__ = "0.1.0"
 
 # bumped when parse/normalization semantics change (round 2:
-# reference-faithful templates, negation scoping, coref chains) —
-# the serialized-docs version guard rejects older corpora, like the
-# reference's SERIALIZED_DOCUMENT_VERSION (parsing.py:25)
-PARSER_VERSION = "hse-2.1"
+# reference-faithful templates, negation scoping, coref chains;
+# round 4: token char offsets + retained document text for char-exact
+# passage reporting) — the serialized-docs version guard rejects older
+# corpora, like the reference's SERIALIZED_DOCUMENT_VERSION
+# (parsing.py:25)
+PARSER_VERSION = "hse-2.2"

@@ -589,7 +589,6 @@ GOLDEN_EDGES: list[tuple] = [
     (108, 'prep-noun', 'prep-noun: nach-haus', 'nach', 'haus', 'nach', False, False, False),
     (108, 'prepgovernor-noun', 'prepgovernor-noun: kommen-haus', 'kommen', 'haus', 'kommen', False, False, False),
     (108, 'verb-nom', 'verb-nom: kommen-mann', 'mann', 'kommen', 'kommen', False, False, False),
-    (109, 'prep-noun', 'prep-noun: vom-hund', 'vom', 'hund', 'vom', False, False, False),
     (109, 'verb-acc', 'verb-acc: jagd-katze', 'jagd', 'katze', 'jagd', False, False, False),
     (109, 'verb-nom', 'verb-nom: jagd-hund', 'hund', 'jagd', 'jagd', False, False, False),
     (110, 'verb-acc', 'verb-acc: jagd-katze', 'jagd', 'katze', 'jagd', True, False, False),
@@ -684,7 +683,6 @@ GOLDEN_EDGES: list[tuple] = [
     # 124: 'Der Mann wurde vom Kriminellen gesehen.' — de passive+agent
     (124, 'verb-acc', 'verb-acc: sehen-mann', 'sehen', 'mann', 'sehen', False, False, False),
     (124, 'verb-nom', 'verb-nom: sehen-kriminelle', 'kriminelle', 'sehen', 'sehen', False, False, False),
-    (124, 'prep-noun', 'prep-noun: vom-kriminelle', 'vom', 'kriminelle', 'vom', False, False, False),
     # 125: 'Die kleine Katze schlief im Garten.' (schlafen→schlaf)
     (125, 'noun-dependent', 'noun-dependent: katze-klein', 'katze', 'klein', 'katze', False, False, False),
     (125, 'verb-nom', 'verb-nom: schlaf-katze', 'katze', 'schlaf', 'schlaf', False, False, False),
@@ -819,7 +817,7 @@ GOLDEN_WORDS_ANY: list[tuple] = [
     (106, 'jagd'),
     (107, 'polizei'), (107, 'information'), (107, 'über'),
     (108, 'reich'), (108, 'kommen'), (108, 'nach'),
-    (109, 'werden'), (109, 'vom'), (109, 'jagd'),
+    (109, 'werden'), (109, 'jagd'),
     (110, 'jagd'),
     (111, 'jagd'),
     (112, 'jagd'),
@@ -834,7 +832,7 @@ GOLDEN_WORDS_ANY: list[tuple] = [
     (121, 'spiel'), (121, 'im'),
     (122, 'polizei'), (122, 'information'), (122, 'broschüre'), (122, 'sein'), (122, 'interessant'),
     (123, 'gabe'),
-    (124, 'werden'), (124, 'vom'), (124, 'sehen'),
+    (124, 'werden'), (124, 'sehen'),
     (125, 'klein'), (125, 'schlaf'), (125, 'im'),
     (126, 'bau'),
     (127, 'jagd'),

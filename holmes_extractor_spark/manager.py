@@ -84,8 +84,9 @@ class SparkHolmesManager:
 
     def parse_and_register_document(self, document_text: str,
                                     label: str = "", lang: str = "en") -> None:
-        """Reference: manager.py:375-384."""
-        label = label or f"doc{len(self._labels)}"
+        """Reference: manager.py:375-384 (the default label is the
+        empty string — a real, unique label intended for single-document
+        use cases, not an auto-generated name)."""
         if label in self._labels:
             raise errors.DuplicateDocumentError(label)
         # bulk-registered corpora keep their labels in the DataFrame,
@@ -195,7 +196,10 @@ class SparkHolmesManager:
             df = self.spark.createDataFrame(
                 pending, "url string, text string, lang string")
             par = self.spark.sparkContext.defaultParallelism
-            parsed = parse_pages(df.repartition(par, "url"))
+            parsed = parse_pages(
+                df.repartition(par, "url"),
+                ontology_multiwords=frozenset(self._ontology_multiwords)
+                if self._ontology_multiwords else None)
             if not self._coref:
                 parsed = parsed.withColumn(
                     "deps", F.filter("deps", lambda d: ~d["coref"]))
@@ -253,6 +257,30 @@ class SparkHolmesManager:
         small result sets; use match_df() at corpus scale."""
         res = self.match_df(search_phrase_text, document_label_filter,
                             process_initial_question_words)
+        # sentences_within_document (reference structural_matching.py:
+        # 820-842): the stripped texts of every sentence covering a
+        # matched token, joined with single spaces — built as column
+        # exprs over the retained document text + token char offsets
+        toks = self.docs().select("url", "tokens",
+                                  F.col("text").alias("_t"))
+        res = res.join(toks, "url", "left")
+        mi = F.transform("word_matches", lambda w: w["doc_index"])
+        tok_sent = lambda i: F.element_at(F.col("tokens"),  # noqa: E731
+                                          i + 1)["sent_idx"]
+        s_lo = F.array_min(F.transform(mi, tok_sent))
+        s_hi = F.array_max(F.transform(mi, tok_sent))
+
+        def sent_text(sidx):
+            ts = F.filter(F.col("tokens"), lambda t: t["sent_idx"] == sidx)
+            cs = F.array_min(F.transform(ts, lambda t: t["char_start"]))
+            ce = F.array_max(F.transform(
+                ts, lambda t: t["char_start"] + F.length(t["text"])))
+            return F.trim(F.substring("_t", cs + 1, ce - cs))
+
+        res = res.withColumn(
+            "sentences_within_document",
+            F.concat_ws(" ", F.transform(F.sequence(s_lo, s_hi), sent_text))
+        ).drop("tokens", "_t")
         out = []
         for r in res.collect():
             wms = []
@@ -266,6 +294,7 @@ class SparkHolmesManager:
                 "search_phrase_label": r["phrase_label"],
                 "document": r["url"],
                 "index_within_document": r["index_within_document"],
+                "sentences_within_document": r["sentences_within_document"],
                 "negated": r["negated"],
                 "uncertain": r["uncertain"],
                 "involves_coreference": r["involves_coreference"],
@@ -276,11 +305,16 @@ class SparkHolmesManager:
 
     def topic_match_documents_against(self, text_to_match: str,
                                       use_frequency_factor: bool = True,
+                                      document_label_filter: str | None = None,
                                       **params) -> list[dict]:
         """Reference: manager.py:677-898 (use_frequency_factor default
         True, manager.py:736 — corpus frequencies deflate phraselet
-        scores and gate the reverse/embedding retry planning)."""
+        scores and gate the reverse/embedding retry planning;
+        document_label_filter restricts to labels STARTING with the
+        filter, manager.py:756)."""
         docs = self.docs()
+        if document_label_filter is not None:
+            docs = docs.filter(F.col("url").startswith(document_label_filter))
         edges = extract_edges(docs)
         words = extract_words(docs)
         closure = None
@@ -335,8 +369,11 @@ class SparkHolmesManager:
                                 vectors=self._vectors,
                                 embedding_threshold=self._embedding_threshold,
                                 ents=ents, chains=chains,
+                                ontology_multiwords=self._ontology_multiwords,
                                 **params)
-        res = topic.with_passage_text(res, docs)
+        res = topic.with_passage_text(
+            res, docs,
+            tied_result_quotient=params.get("tied_result_quotient", 0.9))
         if params.get("initial_question_word_behaviour") == "exclusive":
             # reference manager.py:727: 'exclusive' returns only
             # passages that answer the question

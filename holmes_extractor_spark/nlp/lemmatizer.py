@@ -287,6 +287,26 @@ IRREGULAR_DE: dict[str, str] = {
     "hunde": "hund", "katzen": "katze", "männer": "mann",
     "frauen": "frau", "kinder": "kind", "pflanzen": "pflanze",
     "häuser": "haus", "städte": "stadt", "bücher": "buch",
+    # round-4 DE structural parity vocabulary
+    "bären": "bär", "löwen": "löwe", "elefanten": "elefant",
+    "studenten": "student", "berge": "berg", "bergen": "berg",
+    "flüsse": "fluss", "flüssen": "fluss", "knochen": "knochen",
+    "fraß": "fressen", "frisst": "fressen", "gefressen": "fressen",
+    "fressen": "fressen", "fraßen": "fressen",
+    "entschloss": "entschließen", "entschlossen": "entschließen",
+    "entschied": "entscheiden", "entschieden": "entscheiden",
+    "dachte": "denken", "gedacht": "denken", "dachten": "denken",
+    "schloss": "schließen", "geschlossen": "schließen",
+    "versicherungen": "versicherung", "mitarbeiter": "mitarbeiter",
+    "jahren": "jahr", "jahre": "jahr",
+    "müde": "müde", "party": "party", "partys": "party",
+    "ging": "gehen", "gingen": "gehen", "gegangen": "gehen",
+    "geht": "gehen", "ausgehen": "ausgehen", "auszugehen": "ausgehen",
+    "brauchte": "brauchen", "braucht": "brauchen",
+    "abzuschließen": "abschließen", "abgeschlossen": "abschließen",
+    "benötigte": "benötigen", "benötigt": "benötigen",
+    "sang": "singen", "gesungen": "singen", "singt": "singen",
+    "sangen": "singen",
 }
 
 

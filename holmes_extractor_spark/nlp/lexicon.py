@@ -82,7 +82,7 @@ ADVERBS_EN = {
     "again", "away", "together", "well", "too", "also", "just", "still",
     "already", "almost", "quite", "rather", "hard", "fast", "never",
     "abroad", "everywhere", "outside", "inside", "upstairs", "downstairs",
-    "ever", "nonetheless", "although", "though", "however",
+    "ever", "nonetheless", "although", "though", "however", "then",
 }
 
 ADJECTIVES_EN = {
@@ -108,6 +108,7 @@ NUMBER_WORDS_EN = {"one", "two", "three", "four", "five", "six", "seven",
 # content-verb lemma seed lexicon: a surface form is tagged VERB when its
 # lemma is here and it shows verbal morphology or sits in verb position
 VERB_LEMMAS_EN = {
+    "consume",
     "chase", "see", "come", "grow", "give", "open", "book", "buy", "sell",
     "eat", "catch", "take", "put", "make", "say", "go", "get", "find",
     "use", "work", "call", "try", "need", "want", "jump", "walk", "run",
@@ -174,6 +175,16 @@ STOPWORDS_EN = DETS_EN | PRONOUNS_EN | PREPOSITIONS_EN | CONJUNCTIONS_EN | {
 
 # ---------------------------------------------------------------- German
 
+SEPARABLE_PREFIXES_DE = {"aus", "an", "auf", "ab", "ein", "mit", "vor",
+                         "zu", "zurück", "weg", "los", "um", "nach",
+                         "herab", "hinaus"}
+
+MODALS_DE = {"kann", "kannst", "können", "könnte", "könnten", "konnte",
+             "konnten", "soll", "sollte", "sollten", "sollen", "muss",
+             "musste", "mussten", "müssen", "müsste", "darf", "durfte",
+             "dürfte", "dürfen", "mag", "möchte", "möchten", "will",
+             "wollte", "wollten", "wollen", "würde", "würden"}
+
 DETS_DE = {"der", "die", "das", "den", "dem", "des", "ein", "eine",
            "einen", "einem", "einer", "eines", "kein", "keine", "keinen"}
 
@@ -205,7 +216,9 @@ ADVERBS_DE = {"schnell", "langsam", "heute", "gestern", "morgen", "hier",
 VERB_LEMMAS_DE = {
     "meinen",
     "jagen", "sehen", "kommen", "wachsen", "geben", "öffnen", "kaufen",
-    "behaupten", "fressen", "buchen", "wandern",
+    "behaupten", "fressen", "buchen", "wandern", "entschließen",
+    "entscheiden", "denken", "schließen", "benötigen", "ausgehen",
+    "abschließen",
     "schlafen", "bauen", "kochen", "lehren", "fangen", "essen",
     "verkaufen", "essen", "fangen", "nehmen", "machen", "sagen", "gehen",
     "finden", "informieren", "singen", "fliegen", "fahren", "besuchen",

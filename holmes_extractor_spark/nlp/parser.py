@@ -20,7 +20,7 @@ from dataclasses import dataclass, field
 
 from . import lexicon as L
 from .lemmatizer import derived_lemma, lemma
-from .tokenizer import SENT_END, sentences, tokenize, tokenize_with_joins
+from .tokenizer import SENT_END, sentences, tokenize, tokenize_full
 
 PUNCT = set('.,!?;:()"')
 
@@ -84,6 +84,9 @@ class Tok:
     # True when this token was hyphen-joined to the previous one in the
     # surface text ("cat-chasing" → chasing.hyph_prev)
     hyph_prev: bool = False
+    # character offset of the token in the original document text
+    # (spaCy's token.idx — char-span reporting in topic match dicts)
+    char_start: int = 0
 
 
 # sem dep: dict(parent, child, label, uncertain, coref)
@@ -98,6 +101,29 @@ def _is_participle(w: str) -> bool:
 
 
 # ----------------------------------------------------------- tagging EN
+
+def _would_default_noun(text: str) -> bool:
+    """True when the EN tagger would land this word on the default
+    NOUN branch: alphabetic and claimed by no other lexicon class.
+    Used for lookahead decisions (e.g. possessive 'his/her' before an
+    out-of-lexicon noun) — mirrors the tagger's fallthrough order."""
+    w = text.lower()
+    if not w.isalpha():
+        return False
+    if (w in L.DETS_EN or w in L.PRONOUNS_EN or w in L.PREPOSITIONS_EN
+            or w in L.CONJUNCTIONS_EN or w in L.ADVERBS_EN
+            or w in L.ADJECTIVES_EN or w in L.BE_FORMS_EN
+            or w in L.DO_FORMS_EN or w in L.HAVE_FORMS_EN
+            or w in L.MODALS_EN or w in L.NUMBER_WORDS_EN
+            or w in L.NEGATION_WORDS_EN):
+        return False
+    if (w.endswith("ly") and len(w) > 4) \
+            or (w.endswith(L.ADJ_SUFFIXES_EN) and len(w) > 5):
+        return False
+    if lemma(w, "en") in L.VERB_LEMMAS_EN:
+        return False
+    return True
+
 
 def _tag_en(toks: list[Tok], start_of_sent: int) -> None:
     n = len(toks)
@@ -141,7 +167,13 @@ def _tag_en(toks: list[Tok], start_of_sent: int) -> None:
         elif w in ("my", "your", "its", "our", "their") or (
                 w in ("his", "her") and j + 1 < n
                 and (toks[j + 1].text.lower() in L.NOUN_LEXICON_EN
-                     or toks[j + 1].text.lower() in L.ADJECTIVES_EN)):
+                     or toks[j + 1].text.lower() in L.ADJECTIVES_EN
+                     # …or any word that will default-tag as a noun
+                     # (OOV → NOUN): "give Harry Potter HIS present" —
+                     # 'present' is out-of-lexicon but nominal, and
+                     # 'his' must open the second NP of the double
+                     # object (reference: spaCy poss det)
+                     or _would_default_noun(toks[j + 1].text))):
             # possessive determiners ("his son", "your roll")
             t.pos = "DET"
         elif w in L.PRONOUNS_EN:
@@ -181,6 +213,13 @@ def _tag_en(toks: list[Tok], start_of_sent: int) -> None:
                 t.pos = "PART"
         elif w in L.PREPOSITIONS_EN:
             t.pos = "ADP"
+        elif _is_participle(w) and lemma(w, "en") in L.VERB_LEMMAS_EN \
+                and prev is not None and prev.text.lower() \
+                in L.HAVE_FORMS_EN | L.DO_FORMS_EN:
+            # perfect tense ("HAD adopted him") — a have/do auxiliary
+            # before a verbal participle forces the verb reading even
+            # for participles listed as adjectives
+            t.pos = "VERB"
         elif w in L.ADJECTIVES_EN and prev is not None and (
                 prev.pos == "AUX"
                 # intensifier chain: "was VERY hard", "is so very easy"
@@ -247,6 +286,11 @@ def _tag_de(toks: list[Tok]) -> None:
         prev = toks[j - 1] if j > 0 else None
         if t.text in PUNCT:
             t.pos = "PUNCT"
+        elif w in ("welche", "welcher", "welches", "welchen", "welchem") \
+                and j + 1 < len(toks) and toks[j + 1].text[:1].isupper():
+            # governed interrogative determiner ("WELCHE Hunde fressen
+            # Knochen?") — unmatchable, like EN 'which'
+            t.pos = "DET"
         elif w in L.DETS_DE:
             t.pos = "DET"
         elif w in ("und", "oder", "aber"):
@@ -257,8 +301,20 @@ def _tag_de(toks: list[Tok]) -> None:
             t.pos = "SCONJ"
         elif w in L.PRONOUNS_DE:
             t.pos = "PRON"
-        elif w in ("ist", "war", "sind", "waren", "wird", "wurde", "wurden", "hat", "hatte", "haben"):
+        elif w in ("ist", "war", "sind", "waren", "wird", "wurde",
+                   "wurden", "werden", "worden", "sein", "hat", "hatte",
+                   "hatten", "haben", "habe") or w in L.MODALS_DE:
             t.pos = "AUX"
+        elif w in L.SEPARABLE_PREFIXES_DE \
+                and (j + 1 == len(toks) or toks[j + 1].text in PUNCT) \
+                and any(t2.pos == "VERB"
+                        and (w + lemma(t2.text.lower(), "de"))
+                        in L.VERB_LEMMAS_DE
+                        for t2 in toks[:j]):
+            # separated prefix of a separable verb ("Ein Student geht
+            # AUS" → lemma ausgehen; reference conflates separable
+            # prefixes into the verb lemma, de language rules)
+            t.pos = "PART"
         elif w in L.PREPOSITIONS_DE and not (t.text[:1].isupper() and j > 0):
             t.pos = "ADP"
         elif w in IRREGULAR_DE and IRREGULAR_DE[w] in L.VERB_LEMMAS_DE:
@@ -395,6 +451,156 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
                     "prep": "because" if cw == "because" else None,
                 }]
 
+    # --- German relative clause ("Der Hund, DER DIE KATZE JAGTE, war
+    # müde"): comma + d-pronoun after a nominal opens a verb-final
+    # relative clause closed by the next comma. The clause parses as
+    # its own verb-final unit; the antecedent takes the pronoun's
+    # grammatical role — nominative der/die/das → subject (nsubjpass
+    # under an interior werden-passive), accusative 'den' → object,
+    # dative 'dem' → dative (reference de relative-pronoun handling,
+    # tests/de/test_structural_matching_DE.py:233-262).
+    # --- German zu-infinitive complement ("Die Katze entschied, VOM
+    # HUND GEJAGT ZU WERDEN", "… entschlossen sich, EINE KATZE ZU
+    # JAGEN"): comma + clause-final 'zu' + infinitive. The main
+    # subject(s) control the complement (uncertain, like the EN xcomp
+    # path); interior NPs are the complement's objects, interior PPs
+    # its prepositional dependents — under a passive infinitive
+    # ("gejagt zu werden") the controller is the patient and a
+    # von/vom/durch phrase the agent (reference tests/de/
+    # test_structural_matching_DE.py:296-332).
+    if lang == "de":
+        for k in range(1, n - 2):
+            if toks[k].text != ",":
+                continue
+            tail = toks[k + 1:]
+            if len(tail) < 2 or tail[-2].text.lower() != "zu" \
+                    or tail[-1].pos not in ("VERB", "AUX"):
+                continue
+            if not any(t2.pos in ("VERB", "AUX") for t2 in toks[:k]):
+                continue
+            main_deps = _parse_sentence(toks[:k], lang)
+            main_root = next((t2 for t2 in toks[:k] if t2.dep == "ROOT"),
+                             toks[0])
+            inf = tail[-1]
+            passive_inf = (inf.text.lower() in ("werden", "sein")
+                           and any(t2.pos == "VERB"
+                                   and _is_participle(t2.text)
+                                   for t2 in tail[:-2]))
+            content = inf
+            if passive_inf:
+                content = next(t2 for t2 in reversed(tail[:-2])
+                               if t2.pos == "VERB"
+                               and _is_participle(t2.text))
+            content.dep = "xcomp"
+            content.head = main_root.i
+            extra = [{"parent": main_root.i, "child": content.i,
+                      "label": "xcomp", "uncertain": False,
+                      "coref": False, "prep": None, "mention": False}]
+            subj_lbl = "nsubjpass" if passive_inf else "nsubj"
+            for d in main_deps:
+                if d["parent"] == main_root.i \
+                        and d["label"] in ("nsubj", "nsubjpass"):
+                    extra.append({"parent": content.i, "child": d["child"],
+                                  "label": subj_lbl, "uncertain": True,
+                                  "coref": False, "prep": None,
+                                  "mention": False})
+                    toks[d["child"]].righthand_siblings = \
+                        toks[d["child"]].righthand_siblings
+            inner = [t2 for t2 in tail
+                     if t2 is not inf and t2 is not tail[-2]]
+            sp2 = _chunk_nps(inner)
+            for (s2, e2, h2) in sp2:
+                ht = inner[h2]
+                if ht.pos not in ("NOUN", "PROPN"):
+                    continue
+                prev_t = inner[s2 - 1] if s2 > 0 else None
+                if prev_t is not None and prev_t.pos == "ADP":
+                    pw3 = prev_t.text.lower()
+                    prev_t.dep = ("agent" if passive_inf
+                                  and pw3 in ("von", "vom", "durch")
+                                  else "prep")
+                    prev_t.head = content.i
+                    ht.dep = "pobj"
+                    ht.head = prev_t.i
+                    extra.append({"parent": content.i, "child": ht.i,
+                                  "label": ("pobjb"
+                                            if prev_t.dep == "agent"
+                                            else "pobjp"),
+                                  "uncertain": True, "coref": False,
+                                  "prep": pw3, "mention": False})
+                else:
+                    ht.dep = "dobj"
+                    ht.head = content.i
+                    extra.append({"parent": content.i, "child": ht.i,
+                                  "label": "dobj", "uncertain": True,
+                                  "coref": False, "prep": None,
+                                  "mention": False})
+            for t2 in tail:
+                if t2.dep == "":
+                    t2.dep = "dep"
+                    t2.head = content.i
+            toks[k].dep = "punct"
+            toks[k].head = content.i
+            return main_deps + extra
+
+    if lang == "de":
+        for k in range(2, n - 1):
+            rw = toks[k].text.lower()
+            if toks[k - 1].text != "," \
+                    or rw not in ("der", "die", "das", "den", "dem"):
+                continue
+            ante = k - 2
+            if toks[ante].pos not in ("NOUN", "PROPN"):
+                continue
+            close = next((e for e in range(k + 1, n)
+                          if toks[e].text == ","), None)
+            if close is None:
+                continue
+            interior = toks[k + 1: close]
+            if not any(t2.pos == "VERB" for t2 in interior):
+                continue
+            if not any(t2.pos in ("VERB", "AUX") for t2 in toks[close + 1:]):
+                continue
+            main_deps = _parse_sentence(toks[:k - 1] + toks[close + 1:],
+                                        lang)
+            at = toks[ante]
+            extra: list[dict] = []
+            if rw in ("den", "dem"):
+                # accusative/dative pronoun: the interior's own NP is
+                # the subject; the antecedent fills the object slot
+                sub_deps = _parse_sentence(interior, lang)
+                sub_root = next((t2 for t2 in interior
+                                 if t2.dep == "ROOT"), interior[0])
+                toks[k].dep = "relpron"
+                toks[k].head = sub_root.i
+                extra.append({"parent": sub_root.i, "child": at.i,
+                              "label": "dobj" if rw == "den" else "dative",
+                              "uncertain": False, "coref": False,
+                              "prep": None, "mention": False})
+            else:
+                # nominative pronoun parses as the clause subject, then
+                # every dep of the pronoun is re-addressed to the
+                # antecedent
+                toks[k].pos = toks[k].tag = "PRON"
+                sub_deps = _parse_sentence(toks[k: close], lang)
+                sub_root = next((t2 for t2 in toks[k: close]
+                                 if t2.dep == "ROOT"), toks[k])
+                remapped = []
+                for d in sub_deps:
+                    d = dict(d)
+                    if d["child"] == toks[k].i:
+                        d["child"] = at.i
+                    if d["parent"] == toks[k].i:
+                        d["parent"] = at.i
+                    remapped.append(d)
+                sub_deps = remapped
+                toks[k].dep = "relpron"
+                toks[k].head = sub_root.i
+            for pt in (toks[k - 1], toks[close]):
+                pt.dep = "punct"
+                pt.head = sub_root.i
+            return main_deps + sub_deps + extra
+
     # --- German subordinate clause ("…, dass ein Hund eine Katze
     # gejagt hatte"): verb-final complement linked with ccomp; the
     # negation pass then scopes main-clause negation into it (the DE
@@ -436,10 +642,17 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
             while j2 < n and toks[j2].pos in ("DET", "ADJ", "NUM",
                                               "NOUN", "PROPN"):
                 j2 += 1
-            # AUX-headed only: "the horse WAS chasing" is a clause, but
-            # "the mouse chased by the dog" is a reduced relative over
-            # an NP conjunct (test_participle_phrase_with_conjunction)
-            np_clause = (j2 > k + 1 and j2 < n and toks[j2].pos == "AUX")
+            # AUX-headed ("the horse WAS chasing") or finite-verb-headed
+            # ("a lion CONSUMES") second clauses split; "the mouse
+            # chased BY the dog" stays a reduced relative over an NP
+            # conjunct (test_participle_phrase_with_conjunction) — the
+            # following 'by' marks the participle reading
+            np_clause = (j2 > k + 1 and j2 < n
+                         and (toks[j2].pos == "AUX"
+                              or (toks[j2].pos == "VERB"
+                                  and not (j2 + 1 < n
+                                           and toks[j2 + 1].text.lower()
+                                           == "by"))))
             is_clause_cconj = (
                 toks[k].pos == "CCONJ"
                 and (nom_pron or np_clause)
@@ -566,7 +779,15 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
     # ("A holiday is hard to book" — root is the copula, not 'book')
     finite_verbs = [v for v in verb_pos
                     if not (v > 0 and toks[v - 1].text.lower() == "to"
-                            and toks[v - 1].pos == "PART")]
+                            and toks[v - 1].pos == "PART")
+                    # a gerund governed by a preposition is a clause
+                    # COMPLEMENT, never the root ("It was happy ABOUT
+                    # CHASING a cat" roots at the copula) — same for the
+                    # passive variant ("happy about BEING CHASED")
+                    and not (v > 0 and toks[v - 1].pos == "ADP"
+                             and toks[v].text.lower().endswith("ing"))
+                    and not (v > 1 and toks[v - 1].text.lower() == "being"
+                             and toks[v - 2].pos == "ADP")]
     main_verbs = [v for v in finite_verbs if v not in rel_region]
     if rel and not rel_final:
         root_local = rel[2]
@@ -591,10 +812,18 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
         nps = _chunk_nps(toks)
         root_local = nps[0][2] if nps else 0
     if root_local in set(verb_pos):
-        # passive: a BE aux before the verb + participle form
+        # passive: a BE aux before the verb + participle form; German
+        # verb-final clauses put the werden-aux AFTER the participle
+        # ("…, die vom Hund gejagt WURDE")
+        _wf = {"wird", "wurde", "wurden", "werden", "worden", "ist", "war"}
         be_before = [a for a in aux_pos
                      if a < root_local and a not in rel_region
-                     and toks[a].text.lower() in L.BE_FORMS_EN | {"wird", "wurde", "wurden", "ist", "war"}]
+                     and toks[a].text.lower() in L.BE_FORMS_EN | _wf]
+        if lang == "de":
+            be_before += [a for a in aux_pos
+                          if a > root_local and a not in rel_region
+                          and toks[a].text.lower() in
+                          {"wird", "wurde", "wurden", "werden", "worden"}]
         if be_before and _is_participle(toks[root_local].text):
             passive = True
     root = toks[root_local]
@@ -710,6 +939,15 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
                 add(toks[h].i, t.i, "compound")
             elif t.pos == "PROPN":
                 t.dep = "compound"
+                # name-part compounds carry a semantic dep too (spaCy
+                # emits compound for every name part); phraselet
+                # production drops the parts INSIDE the substituted
+                # multiword via its ignore set, so this only surfaces
+                # when an ontology-defined multiword is narrower than
+                # the entity span ('A big Richard Pranaya Jones' →
+                # noun-noun: pranaya jones-richard,
+                # tests/en/test_topic_matching_EN.py:1066-1077)
+                add(toks[h].i, t.i, "compound")
             elif t.pos == "CCONJ":
                 t.dep = "cc"  # NP-internal adjective conjunction
             else:
@@ -751,7 +989,11 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
                 continue
             left = next(((s, e, h) for (s, e, h) in nps if e == j - 1), None)
             right = next(((s, e, h) for (s, e, h) in nps if s == j + 1), None)
-            if left and right:
+            if left and right and not (lang == "de"
+                                       and toks[left[2]].pos == "PRON"):
+                # a German PP behind a (relative) pronoun belongs to
+                # the verb-final clause, not the pronoun ("…, die VOM
+                # HUND gejagt wurde") — left for the mid-field scan
                 t.head = toks[left[2]].i
                 t.dep = "prep"
                 rh = toks[right[2]]
@@ -883,7 +1125,10 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
         pre = [h for h in np_heads
                if h < first_v and h not in conj_right and h not in consumed_pp
                and not (is_q0 and h <= q_front)]
-        if not pre and is_q0 and first_v in aux_pos:
+        if not pre and (is_q0 or first_v == 0) and first_v in aux_pos:
+            # subject–aux inversion: WH-fronted ("Where DID somebody
+            # sing?") or clause-initial aux ("DID Richard come?") — the
+            # subject sits between the aux and the verb
             pre = [h for h in np_heads if first_v < h < root_local]
         if pre:
             if lang == "de" and len(pre) >= 2 \
@@ -900,6 +1145,27 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
                 for h in pre[1:]:
                     span = next(((s, e) for (s, e, hh) in nps if hh == h),
                                 None)
+                    # mid-field PP ("…, die VOM HUND gejagt wurde"):
+                    # an NP governed by a preposition is no object —
+                    # under a werden-passive the von/vom/durch phrase
+                    # is the agent (pobjb), otherwise a plain
+                    # prepositional dependent (pobjp)
+                    pp = (span is not None and span[0] > 0
+                          and toks[span[0] - 1].pos == "ADP")
+                    if pp:
+                        prep_t = toks[span[0] - 1]
+                        pw = prep_t.text.lower()
+                        prep_t.head = root.i
+                        prep_t.dep = ("agent" if passive and pw in
+                                      ("von", "vom", "durch") else "prep")
+                        add(root.i, prep_t.i, "prep")
+                        toks[h].head = prep_t.i
+                        toks[h].dep = "pobj"
+                        add(prep_t.i, toks[h].i, "pobj")
+                        add(root.i, toks[h].i,
+                            "pobjb" if prep_t.dep == "agent" else "pobjp",
+                            prep=pw)
+                        continue
                     det_w = (toks[span[0]].text.lower()
                              if span is not None else "")
                     lbl = "dative" if det_w in ("dem", "einem") else "dobj"
@@ -1144,7 +1410,8 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
             pp_np = next(((s, e, h) for (s, e, h) in nps
                           if s == np_from or (s <= np_from <= e)), None)
             t.head = cur.i
-            t.dep = "agent" if (passive and t.text.lower() in ("by", "von", "vom")) else "prep"
+            t.dep = "agent" if (passive and t.text.lower()
+                                in ("by", "von", "vom", "durch")) else "prep"
             # verb→preposition semantic dep: the target of wh_wildcard
             # question matching (reference keeps prep deps; implication
             # wh_wildcard→{advmod,advcl,npadvmod,prep,pobjp},
@@ -1164,6 +1431,11 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
                 elif pw in ("of", "von") and lang == "en":
                     gov = toks[dobj_local].i if dobj_local is not None else cur.i
                     add(gov, ph.i, "pobjo", prep=pw)
+                elif pw in ("von", "vom") and lang == "de":
+                    # German von-phrase ≈ genitive attribute (pobjo),
+                    # so "Kündigung VON einer Versicherung" matches
+                    # "Kündigung einer Versicherung" both ways
+                    add(cur.i, ph.i, "pobjo", prep=pw)
                 elif pw == "to" or (pw == "für" and got_obj):
                     # dative context ("gives a file TO an employee") and
                     # directional 'to' both map to predicate-recipient
@@ -1265,6 +1537,15 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
     if lang == "en" and any(
             a < root_local and toks[a].text.lower() in L.MODALS_EN
             and toks[a].text.lower() != "will" for a in aux_pos):
+        for d in deps:
+            if d["parent"] == root.i and d["label"] != "xcomp":
+                d["uncertain"] = True
+    if lang == "de" and any(
+            a < root_local and toks[a].text.lower() in L.MODALS_DE
+            and toks[a].text.lower() not in ("würde", "würden")
+            for a in aux_pos):
+        # reference tests/de/test_structural_matching_DE.py:221-226:
+        # "Der Hund könnte eine Katze jagen" matches uncertain
         for d in deps:
             if d["parent"] == root.i and d["label"] != "xcomp":
                 d["uncertain"] = True
@@ -1482,6 +1763,43 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
                 t.dep = "prep"
                 t.head = toks[k].i
                 add(t.i, toks[k].i, "pobj")
+    # --- German adnominal genitive ("Die Kündigung EINER VERSICHERUNG",
+    # "Maßnahmen DER BESCHAFFUNG der Information"): an NP directly
+    # following another NP whose determiner is genitive-marked attaches
+    # as pobjo — the same dep the von-phrase carries, so genitive and
+    # von-phrases match each other (reference de verb-acc template
+    # covers 'ag' genitive attributes; tests/de/
+    # test_structural_matching_DE.py:270-295). Applied only when the
+    # second NP cannot be a clause argument: fragments (no verb) or a
+    # genitive NP that directly follows the first NP post-verbally.
+    if lang == "de":
+        gen_dets = {"des", "eines", "der", "einer"}
+        spans_gen = _chunk_nps(toks)
+        has_verb = any(t2.pos == "VERB" for t2 in toks)
+        for a in range(len(spans_gen) - 1):
+            (s1, e1, h1), (s2, e2, h2) = spans_gen[a], spans_gen[a + 1]
+            if s2 != e1 + 1:
+                continue
+            if toks[s2].pos != "DET" \
+                    or toks[s2].text.lower() not in gen_dets:
+                continue
+            if has_verb and not (toks[h1].dep in ("dobj", "pobj", "attr")
+                                 or any(v < s1 for v in verb_pos)):
+                continue
+            if toks[h2].dep in ("nsubj", "nsubjpass", "dative"):
+                continue  # already a clause argument
+            if toks[h2].dep == "dobj":
+                if toks[toks[h2].head].pos == "VERB":
+                    continue  # real verbal object
+                # noun-headed 'object' from fragment scanning is the
+                # genitive attribute — relabel
+                for d in deps:
+                    if d["parent"] == toks[h1].i and d["child"] == toks[h2].i \
+                            and d["label"] == "dobj":
+                        d["label"] = "pobjo"
+                toks[h2].dep = "pobjo"
+                continue
+            add(toks[h1].i, toks[h2].i, "pobjo", prep=None)
     return deps
 
 
@@ -1591,20 +1909,22 @@ def _german_subwords(t: Tok) -> list[dict]:
     return out
 
 
-def parse_document(text: str, lang: str) -> dict:
+def parse_document(text: str, lang: str,
+                   ontology_multiwords: set[str] | None = None) -> dict:
     """Full deterministic parse of one document.
 
     Returns ``{"tokens": [token dicts], "deps": [semantic dep dicts]}``
     matching the `docs` schema of FIXTURES.md §5a.
     """
-    words, joins = tokenize_with_joins(text)
+    words, joins, starts = tokenize_full(text)
     sents = sentences(words)
     toks: list[Tok] = []
     all_deps: list[dict] = []
     gi = 0
     sent_bounds: list[tuple[int, int]] = []
     for si, sw in enumerate(sents):
-        stoks = [Tok(i=gi + j, text=w, hyph_prev=joins[gi + j])
+        stoks = [Tok(i=gi + j, text=w, hyph_prev=joins[gi + j],
+                     char_start=starts[gi + j])
                  for j, w in enumerate(sw)]
         for t in stoks:
             t.sent_idx = si
@@ -1630,8 +1950,15 @@ def parse_document(text: str, lang: str) -> dict:
             for d in dep_by_parent.get(t.i, []):
                 if d["label"] == "prt":
                     # phrasal verb lemma merge (reference
-                    # language_specific_rules.py:478-492)
-                    t.lemma = f"{t.lemma} {toks[d['child']].text.lower()}"
+                    # language_specific_rules.py:478-492); German
+                    # separable prefixes CONCATENATE ("geht … aus" →
+                    # ausgehen, de separable-verb conflation)
+                    part = toks[d["child"]].text.lower()
+                    if lang == "de" and (part + t.lemma) \
+                            in L.VERB_LEMMAS_DE:
+                        t.lemma = part + t.lemma
+                    else:
+                        t.lemma = f"{t.lemma} {part}"
         # derived lemma is POS-gated like the reference's rules
         # (noun suffixes vs RB-tagged -ly adverbs,
         # language_specific_rules.py:494-556)
@@ -1679,6 +2006,33 @@ def parse_document(text: str, lang: str) -> dict:
                         "lemma": bigram,
                         "derived_lemma": f"{a.derived_lemma} {b.derived_lemma}",
                         "token_indexes": [a.i, b.i],
+                    })
+    # dynamic ontology-defined multiwords from the LOADED ontology
+    # (reference ontology word matching indexes every multiword entry,
+    # word_matching/ontology.py:180-210, and phraselet production
+    # substitutes the ontology multiword ahead of the entity span —
+    # 'A big Richard Pranaya Jones' yields noun-noun richard +
+    # relation over 'pranaya jones',
+    # tests/en/test_topic_matching_EN.py:1066-1100). Longest n-gram
+    # first; appended BEFORE the entity PROPN run so multiwords[0]
+    # drives phraselet substitution.
+    if ontology_multiwords:
+        max_n = max(w.count(" ") for w in ontology_multiwords) + 1
+        for n in range(min(max_n, 4), 1, -1):
+            for j in range(len(toks) - n + 1):
+                span = toks[j: j + n]
+                if any(t.sent_idx != span[0].sent_idx for t in span):
+                    continue
+                lemmas = " ".join(t.lemma for t in span)
+                if lemmas in ontology_multiwords and not any(
+                        m["lemma"] == lemmas
+                        for m in span[-1].multiwords):
+                    span[-1].multiwords.append({
+                        "text": " ".join(t.text.lower() for t in span),
+                        "lemma": lemmas,
+                        "derived_lemma": " ".join(t.derived_lemma
+                                                  for t in span),
+                        "token_indexes": [t.i for t in span],
                     })
 
     # --- multiword spans: maximal PROPN runs (reference builds noun
@@ -1809,6 +2163,7 @@ def parse_document(text: str, lang: str) -> dict:
                 continue
             neuter = w in L.NEUTER_PRONOUNS_EN | {"es"}
             ante = None
+            fallback = None
             mentions_crossed = 0
             # subject preference (centering): a compatible resolved
             # pronoun SUBJECT of the previous sentence relays its chain
@@ -1865,6 +2220,12 @@ def parse_document(text: str, lang: str) -> dict:
                 if neuter and not is_person:
                     ante = c
                     break
+                if not neuter and not is_person and fallback is None:
+                    # he/she prefer a person antecedent but fall back to
+                    # the nearest noun when none exists in range
+                    # ("There was a dog. HE chased a cat" — coreferee
+                    # links the animal; 'it' keeps the non-person gate)
+                    fallback = c
                 if not neuter and is_person:
                     # given-name gender gate ("she" skips Peter Jones):
                     # unknown names are compatible with either gender
@@ -1877,6 +2238,8 @@ def parse_document(text: str, lang: str) -> dict:
                         continue
                     ante = c
                     break
+            if ante is None:
+                ante = fallback
             if ante is None:
                 continue
             # plural pronouns pick up a whole conjunct group ("I saw a
@@ -1929,6 +2292,14 @@ def parse_document(text: str, lang: str) -> dict:
                 toks[k].text.lower() == "the" and toks[k].head == t.i
                 for k in range(s, t.i))
             if not has_the:
+                continue
+            if any(toks[k].head == t.i
+                   and toks[k].text.lower() in ("other", "another")
+                   for k in range(s, t.i)):
+                # 'the OTHER policy' explicitly picks a different
+                # referent — never a repeated mention (reference
+                # coreferee keeps it out of the chain,
+                # tests/en/..._with_coreference_EN.py:868-878)
                 continue
             # the chain-opening mention is INDEFINITE and at most one
             # sentence back ("We saw A BIG DOG. The dog was chasing…")
@@ -2040,9 +2411,14 @@ def parse_document(text: str, lang: str) -> dict:
             and w not in L.GENERIC_PRONOUNS_EN
             and w not in L.INTERROGATIVES_EN
             # by/of/to carry pobjb/pobjo/pobjt deps instead and are
-            # unmatchable (reference language_specific_rules.py:615-617)
+            # unmatchable (reference language_specific_rules.py:615-617);
+            # German von/vom/durch are their agent/genitive analogues
+            # (de rules — "Kündigung VON einer Versicherung" matches
+            # the bare genitive)
             and not (t.pos == "ADP" and lang == "en"
                      and w in ("by", "of", "to"))
+            and not (t.pos == "ADP" and lang == "de"
+                     and w in ("von", "vom", "durch"))
         )
         if t.pos in ("PRON", "DET") and t.sent_idx == 0 \
                 and w in (L.INTERROGATIVES_EN
@@ -2073,7 +2449,8 @@ def parse_document(text: str, lang: str) -> dict:
         direct_reprs = sorted({t.lemma, w})
         derivation_reprs = [t.derived_lemma] if t.derived_lemma != t.lemma else []
         token_dicts.append({
-            "i": t.i, "text": t.text, "lemma": t.lemma,
+            "i": t.i, "text": t.text, "char_start": t.char_start,
+            "lemma": t.lemma,
             "derived_lemma": t.derived_lemma, "pos": t.pos, "tag": t.tag,
             "dep": t.dep, "head": t.head, "ent_type": t.ent_type,
             "direct_reprs": direct_reprs,

@@ -37,24 +37,44 @@ def tokenize(text: str) -> list[str]:
     return [t for t in _WS_RE.split(padded.strip()) if t and t != "-"]
 
 
-def tokenize_with_joins(text: str) -> tuple[list[str], list[bool]]:
-    """Same token stream as :func:`tokenize`, plus a parallel flag list:
-    ``joins[k]`` is True when token *k* was joined to token *k-1* by a
-    hyphen inside one whitespace word ("cat-chasing" → cat, chasing
-    with joins [False, True])."""
-    padded = _WORD_PUNCT_RE.sub(r" \1 ", text)
+_TOKEN_SPAN_RE = re.compile(r'[.,!?;:()"]|[^\s.,!?;:()"-]+')
+_PUNCT_TOKENS = set('.,!?;:()"')
+
+
+def tokenize_full(text: str) -> tuple[list[str], list[bool], list[int]]:
+    """Token stream of :func:`tokenize` plus per-token metadata:
+
+    - ``joins[k]`` — True when token *k* was joined to token *k-1* by a
+      hyphen inside one whitespace word ("cat-chasing" → cat, chasing
+      with joins [False, True]);
+    - ``starts[k]`` — character offset of token *k* in the ORIGINAL
+      text (the reference reports char-span word infos/answers in its
+      topic match dicts, topic_matching.py:1288-1483 — spaCy keeps
+      ``token.idx``; we keep the same offset through a span-preserving
+      scan instead of the pad-and-split rule, which is token-stream
+      equivalent: punctuation chars are single tokens, everything else
+      splits on whitespace and hyphens).
+    """
     toks: list[str] = []
     joins: list[bool] = []
-    for w in _WS_RE.split(padded.strip()):
-        if not w:
-            continue
-        prev_in_word = False
-        for p in w.split("-"):
-            if not p:
-                continue
-            toks.append(p)
-            joins.append(prev_in_word)
-            prev_in_word = True
+    starts: list[int] = []
+    prev_end = -1
+    for m in _TOKEN_SPAN_RE.finditer(text):
+        tok = m.group(0)
+        gap = text[prev_end:m.start()] if prev_end >= 0 else ""
+        join = (bool(gap) and set(gap) == {"-"}
+                and tok not in _PUNCT_TOKENS
+                and bool(toks) and toks[-1] not in _PUNCT_TOKENS)
+        toks.append(tok)
+        joins.append(join)
+        starts.append(m.start())
+        prev_end = m.end()
+    return toks, joins, starts
+
+
+def tokenize_with_joins(text: str) -> tuple[list[str], list[bool]]:
+    """Back-compat wrapper over :func:`tokenize_full`."""
+    toks, joins, _ = tokenize_full(text)
     return toks, joins
 
 

@@ -26,28 +26,42 @@ from ..pipeline.phraselets import extract_candidate_edges, extract_word_phrasele
 from ..schema import DOCS, EDGES, WORDS
 
 
-def _parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _parse_batches(batches: Iterator[pd.DataFrame],
+                   ontology_multiwords: frozenset[str] | None = None
+                   ) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         rows = []
         for url, lang, text in zip(pdf["url"], pdf["lang"], pdf["text"]):
-            parsed = parse_document(text, lang)
+            parsed = parse_document(
+                text, lang, ontology_multiwords=ontology_multiwords)
             rows.append({
                 "url": url,
                 "lang": lang,
                 "parser_version": PARSER_VERSION,
                 "n_tokens": len(parsed["tokens"]),
+                "text": text,
                 "tokens": parsed["tokens"],
                 "deps": parsed["deps"],
             })
         yield pd.DataFrame(rows, columns=["url", "lang", "parser_version",
-                                          "n_tokens", "tokens", "deps"])
+                                          "n_tokens", "text", "tokens",
+                                          "deps"])
 
 
-def parse_pages(pages: DataFrame) -> DataFrame:
-    """pages(url, text, lang) → docs table (schema.DOCS)."""
+def parse_pages(pages: DataFrame,
+                ontology_multiwords: frozenset[str] | None = None
+                ) -> DataFrame:
+    """pages(url, text, lang) → docs table (schema.DOCS).
+    ``ontology_multiwords`` ships the loaded ontology's multiword
+    entries to the executors (tiny closure capture — the reference
+    indexes ontology multiwords at parse time,
+    word_matching/ontology.py:180-210)."""
+    from functools import partial
+    fn = (partial(_parse_batches, ontology_multiwords=ontology_multiwords)
+          if ontology_multiwords else _parse_batches)
     return (
         pages.select("url", "lang", "text")
-        .mapInPandas(_parse_batches, schema=DOCS)
+        .mapInPandas(fn, schema=DOCS)
     )
 
 

@@ -156,14 +156,31 @@ def _repr_of(tok: dict) -> str:
     return tok["derived_lemma"]
 
 
+def _disp_of(tok: dict) -> str:
+    """Display lemma for word-match explanation strings — the PLAIN
+    lemma (multiword-substituted), not the derived one: the reference
+    renders ``search_phrase_token._.holmes.lemma`` into explanations
+    (word_matching/direct.py:36, ontology.py:77), so query 'gives'
+    explains as 'Matches GIVE directly.' even though the phraselet
+    pole repr is the derived lemma 'gift'."""
+    if len(tok["multiwords"]) > 0:
+        return tok["multiwords"][0]["lemma"]
+    return tok["lemma"]
+
+
 def _multiword_member_indexes(toks: list[dict]) -> set[int]:
-    """Non-head members of multiword spans — excluded from phraselet
-    production (reference token_indexes_within_multiwords_to_ignore,
-    parsing.py:2036-2066)."""
+    """Non-head members of the CHOSEN multiword per head token —
+    excluded from phraselet production (reference
+    token_indexes_within_multiwords_to_ignore, parsing.py:2036-2066).
+    Only the substituted multiword's members are ignored: an
+    ontology-defined multiword ('pranaya jones') beats the wider
+    entity span ('richard pranaya jones'), leaving 'richard' to
+    produce its own phraselets (the parser orders ontology multiwords
+    first, mirroring the reference's odm-before-edm preference)."""
     ignore: set[int] = set()
     for t in toks:
-        for mw in t["multiwords"]:
-            for i in mw["token_indexes"]:
+        if len(t["multiwords"]) > 0:
+            for i in t["multiwords"][0]["token_indexes"]:
                 if i != t["i"]:
                     ignore.add(i)
     return ignore
@@ -239,6 +256,8 @@ def extract_candidate_edges(parsed: dict, lang: str,
         out.append({
             "template": template, "label": label,
             "pred": parent_repr, "subj": subj, "obj": obj,
+            "pred_disp": _disp_of(parent),
+            "child_disp": _disp_of(toks[child_idx]),
             "parent_idx": parent["i"], "child_idx": child_idx,
             "negated": negated, "uncertain": uncertain,
             "involves_coref": coref, "reverse_only": reverse_only,
@@ -314,6 +333,8 @@ def extract_candidate_edges(parsed: dict, lang: str,
                     "pred": gov_sw["derived_lemma"],
                     "subj": gov_sw["derived_lemma"],
                     "obj": dep_sw["derived_lemma"],
+                    "pred_disp": gov_sw["lemma"],
+                    "child_disp": dep_sw["lemma"],
                     "parent_idx": t["i"], "child_idx": t["i"],
                     "negated": t["is_negated"], "uncertain": False,
                     "involves_coref": False, "reverse_only": False,
@@ -356,7 +377,7 @@ def extract_word_phraselets(parsed: dict, lang: str,
                 if r not in STOP_LEMMAS and (per_occurrence
                                              or r not in seen):
                     entry = {"template": "word", "label": f"word: {r}",
-                             "word": r, "idx": t["i"],
+                             "word": r, "disp": t["lemma"], "idx": t["i"],
                              "negated": t["is_negated"], "any_tag": True,
                              "span_start": t["i"], "span_end": t["i"]}
                     seen[r] = entry
@@ -377,13 +398,13 @@ def extract_word_phraselets(parsed: dict, lang: str,
                 # model refreshes on the repeats
                 prev = None if per_occurrence else seen.get(r)
                 if prev is None:
-                    if t["multiwords"]:
+                    if len(t["multiwords"]) > 0:
                         span = (min(t["multiwords"][0]["token_indexes"]),
                                 max(t["multiwords"][0]["token_indexes"]))
                     else:
                         span = (t["i"], t["i"])
                     entry = {"template": "word", "label": f"word: {r}",
-                             "word": r, "idx": t["i"],
+                             "word": r, "disp": _disp_of(t), "idx": t["i"],
                              "negated": t["is_negated"],
                              "any_tag": t["pos"] not in WORD_TEMPLATE_POS,
                              "span_start": span[0], "span_end": span[1]}
@@ -397,13 +418,14 @@ def extract_word_phraselets(parsed: dict, lang: str,
                 # match_all_words (parsing.py:1972-1977), so "Richard
                 # Paul came" produces word: paul alongside
                 # word: richard paul
-                if match_all_words and t["multiwords"] \
+                if match_all_words and len(t["multiwords"]) > 0 \
                         and t["derived_lemma"] not in STOP_LEMMAS \
                         and (per_occurrence
                              or t["derived_lemma"] not in seen):
                     entry = {"template": "word",
                              "label": f"word: {t['derived_lemma']}",
-                             "word": t["derived_lemma"], "idx": t["i"],
+                             "word": t["derived_lemma"], "disp": t["lemma"],
+                             "idx": t["i"],
                              "negated": t["is_negated"], "any_tag": True,
                              "span_start": t["i"], "span_end": t["i"]}
                     seen[t["derived_lemma"]] = entry
@@ -413,7 +435,7 @@ def extract_word_phraselets(parsed: dict, lang: str,
                 r = sw["derived_lemma"]
                 if per_occurrence or r not in seen:
                     entry = {"template": "word", "label": f"word: {r}",
-                             "word": r, "idx": t["i"],
+                             "word": r, "disp": sw["lemma"], "idx": t["i"],
                              "negated": t["is_negated"],
                              "any_tag": True,
                              "span_start": t["i"], "span_end": t["i"]}

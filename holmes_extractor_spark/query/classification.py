@@ -39,7 +39,8 @@ from ..pipeline.parse_stage import extract_edges, extract_words, parse_pages
 
 def phraselet_features(docs: DataFrame,
                        replace_with_hypernym_ancestors: bool = False,
-                       overlap_combined: bool = True) -> DataFrame:
+                       overlap_combined: bool = True,
+                       ontology: list[tuple] | None = None) -> DataFrame:
     """(url, features: array<string>) — every relation + single-word
     phraselet label of the document (the reference's feature space,
     classification.py:39-174).
@@ -54,7 +55,8 @@ def phraselet_features(docs: DataFrame,
     w = extract_words(docs)
     if replace_with_hypernym_ancestors:
         from ..pipeline.linking import hypernym_ancestors
-        anc = hypernym_ancestors()
+        anc = hypernym_ancestors(ontology) if ontology is not None \
+            else hypernym_ancestors()
         amap = F.create_map(*[F.lit(x) for kv in anc.items() for x in kv])
         pred_g = F.coalesce(amap[F.col("pred")], F.col("pred"))
         childv = F.when(F.col("template").isin("predicate-actor", "verb-nom"),
@@ -77,13 +79,46 @@ def phraselet_features(docs: DataFrame,
                                 (F.col("x.url") == F.col("y.url"))
                                 & (F.col("x.pos") == F.col("y.pos"))
                                 & (F.col("x.label") < F.col("y.label")))
-            .select(F.col("x.url").alias("url"),
+            # one combined feature per shared-token INSTANCE — repeated
+            # relation pairs in one document count once per repetition
+            # (reference one_hot=False counts, tests/en/
+            # test_supervised_topic_classification_EN.py:168-224)
+            .select(F.col("x.url").alias("url"), F.col("x.pos").alias("pos"),
                     F.concat(F.col("x.label"), F.lit("/"),
                              F.col("y.label")).alias("f"))
             .distinct()
+            .drop("pos")
         )
         feats = feats.unionByName(combined)
     return feats.groupBy("url").agg(F.collect_list("f").alias("features"))
+
+
+def labels_to_classification_frequencies(
+        pages: DataFrame, labels: DataFrame, one_hot: bool = True,
+        ontology: list[tuple] | None = None) -> DataFrame:
+    """(label, classification, freq) — the reference's
+    ``labels_to_classification_frequencies`` dict as a DataFrame
+    (SupervisedTopicTrainingBasis.prepare, classification.py:682-742):
+    every phraselet feature of every training document, poles
+    generalized to their most general hypernym ancestor when an
+    ontology is loaded (classification.py:384-397), combined 'a/b'
+    labels for relation matches sharing a document token, counted per
+    classification. ``one_hot=True`` (the reference default) caps each
+    label at one count per document; ``one_hot=False`` counts every
+    occurrence ("A dog chases a cat" under the test ontology gives
+    'word: animal' → 2, reference
+    tests/en/test_supervised_topic_classification_EN.py:46-58)."""
+    docs = parse_pages(pages)
+    feats = phraselet_features(
+        docs, replace_with_hypernym_ancestors=ontology is not None,
+        ontology=ontology)
+    per_doc = (feats.select("url", F.explode("features").alias("f"))
+               .groupBy("url", "f").agg(F.count("*").alias("n")))
+    if one_hot:
+        per_doc = per_doc.withColumn("n", F.least(F.col("n"), F.lit(1)))
+    return (per_doc.join(labels, "url")
+            .groupBy(F.col("f").alias("label"), "classification")
+            .agg(F.sum("n").cast("long").alias("freq")))
 
 
 def select_features(feats: DataFrame, min_occurrences: int = 2,

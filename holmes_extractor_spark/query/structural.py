@@ -140,6 +140,9 @@ MATCH_ROW = T.StructType([
         T.StructField("depth", T.IntegerType()),
         T.StructField("extracted_word", T.StringType()),
         T.StructField("similarity", T.DoubleType()),
+        # True when THIS word match traversed a coreference dep
+        # (reference WordMatch.involves_coreference)
+        T.StructField("involves_coreference", T.BooleanType()),
     ]))),
 ])
 
@@ -594,8 +597,12 @@ def _verify_doc(sp: dict, tokens: list[dict], deps: list[dict],
             # text preferred (reference get_extracted_word_for_token,
             # word_matching/general.py:82-100)
             mst = toks[dt["most_specific_coref"]]
-            extracted = (mst["multiwords"][0]["text"] if mst["multiwords"]
-                         else mst["text"].lower())
+            # multiword text preferred; otherwise the derived LEMMA —
+            # the reference reports 'horse' for a plural mention
+            # 'horses' (word_matching/general.py:82-100)
+            extracted = (mst["multiwords"][0]["text"]
+                         if len(mst["multiwords"]) > 0
+                         else mst["derived_lemma"])
         elif len(dt["multiwords"]) > 0:
             extracted = dt["multiwords"][0]["text"]
         base_wm = {
@@ -715,7 +722,9 @@ def _verify_doc(sp: dict, tokens: list[dict], deps: list[dict],
                 "involves_coreference": any(w["_coref"] for w in wm),
                 "overall_similarity": round(prod ** (1.0 / len(wm)), 8),
                 "word_matches": [
-                    {k: v for k, v in w.items() if not k.startswith("_")}
+                    {**{k: v for k, v in w.items()
+                        if not k.startswith("_")},
+                     "involves_coreference": w["_coref"]}
                     for w in sorted(wm, key=lambda w: w["sp_index"])
                 ],
             })

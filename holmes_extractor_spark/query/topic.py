@@ -51,6 +51,9 @@ DEFAULTS = dict(
     different_match_cutoff_score=15.0,
     number_of_results=10,
     tied_result_quotient=0.9,
+    # keep only the highest-scoring passage per document (reference
+    # manager.py:757 + topic_matching.py:1104-1111)
+    only_one_result_per_document=False,
     # selective retry planning (reference manager.py:695-696 +
     # topic_matching.py:379-549): a relation phraselet whose parent is
     # corpus-frequent (ff below the relation threshold) is only matched
@@ -82,29 +85,38 @@ TOPIC_MATCH = T.StructType([
     T.StructField("url", T.StringType()),
     T.StructField("start_idx", T.IntegerType()),
     T.StructField("end_idx", T.IntegerType()),
+    # token position of the activation peak (the reference's
+    # index_within_document); also drives the is_highest_activation
+    # flag assignment in with_passage_text
+    T.StructField("index_within_document", T.IntegerType()),
     T.StructField("score", T.DoubleType()),
     T.StructField("n_matches", T.IntegerType()),
     # per-word explanations + question answers (reference
     # topic_matching.py:1288-1483 word_infos/answers) — token-indexed
-    # here, converted to passage-relative char spans by
-    # with_passage_text
+    # here, converted to passage-relative char spans (multiword-aware
+    # via `word`) by with_passage_text
     T.StructField("word_infos", T.ArrayType(T.StructType([
         T.StructField("token_idx", T.IntegerType()),
         T.StructField("type", T.StringType()),
-        T.StructField("is_highest_activation", T.BooleanType()),
         T.StructField("explanation", T.StringType()),
+        # the matched DOCUMENT word (multiword-resolving); NULL for
+        # entity-label matches, which span the token's entity multiword
+        T.StructField("word", T.StringType()),
     ]))),
     T.StructField("answer_idxs", T.ArrayType(T.IntegerType())),
 ])
 
 
 def query_phraselets(query_text: str, lang: str = "en",
-                     include_questions: bool = False) -> tuple[list[dict], list[dict]]:
+                     include_questions: bool = False,
+                     ontology_multiwords: set[str] | None = None
+                     ) -> tuple[list[dict], list[dict]]:
     """Compile the query document into relation + single-word
     phraselets (reference: parsing.py:2418-2458 two-pass production);
     ``include_questions`` admits initial interrogatives (the
     reference's process_initial_question_words)."""
-    parsed = parse_document(query_text, lang)
+    parsed = parse_document(query_text, lang,
+                            ontology_multiwords=ontology_multiwords)
     # matching-only rows (multiword own-lemma variants, noun-mention
     # exchanges) are corpus-side constructs; phraselet PRODUCTION uses
     # the substituted multiword only (reference parsing.py:2036-2066)
@@ -144,6 +156,31 @@ import re as _re
 
 _ENT_CHILD_RE = _re.compile(r"^entity([a-z]+)$")
 
+# reference word-match explanation strings as column expressions
+# (word_matching/direct.py:17-18, ontology.py:23-46, embedding.py:12-22,
+# entity.py:12-15, entity_embedding.py:13-23, question.py:13-16) —
+# emitted per pole by match_phraselets so topic word_infos carry the
+# reference's per-word explanations (topic_matching.py:1288-1483)
+_DEPTH_NAMES = {
+    -4: "an ancestor", -3: "a great-grandparent", -2: "a grandparent",
+    -1: "a parent", 0: "a synonym", 1: "a child", 2: "a grandchild",
+    3: "a great-grandchild", 4: "a descendant",
+}
+
+
+def _direct_expl(word_col):
+    return F.concat(F.lit("Matches "), F.upper(word_col),
+                    F.lit(" directly."))
+
+
+def _onto_expl(word_col, depth_col):
+    d = F.greatest(F.lit(-4), F.least(F.lit(4), depth_col))
+    name = F.lit(None).cast("string")
+    for k, v in _DEPTH_NAMES.items():
+        name = F.when(d == k, F.lit(v)).otherwise(name)
+    return F.concat(F.lit("Is "), name, F.lit(" of "), F.upper(word_col),
+                    F.lit(" in the ontology."))
+
 
 def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
                      rel_ph: list[dict], word_ph: list[dict],
@@ -181,7 +218,11 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
                  p["obj"] if p["template"] not in ACTOR_TEMPLATES else p["subj"],
                  bool(p.get("reverse_only"))
                  or p["template"] in REVERSE_ONLY_TEMPLATES,
-                 float(p.get("freq_factor", 1.0)), False)
+                 float(p.get("freq_factor", 1.0)), False,
+                 p.get("pred_disp") or p["pred"],
+                 p.get("child_disp") or (
+                     p["obj"] if p["template"] not in ACTOR_TEMPLATES
+                     else p["subj"]))
                 for p in rel_ph_plain]
     # reverse-polarity dependency matching (reference
     # use_reverse_dependency_matching, structural_matching.py:597-617:
@@ -235,7 +276,11 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
          p["obj"] if p["template"] not in ACTOR_TEMPLATES else p["subj"],
          bool(p.get("reverse_only"))
          or p["template"] in REVERSE_ONLY_TEMPLATES,
-         float(p.get("freq_factor", 1.0)), False)
+         float(p.get("freq_factor", 1.0)), False,
+         p.get("pred_disp") or p["pred"],
+         p.get("child_disp") or (
+             p["obj"] if p["template"] not in ACTOR_TEMPLATES
+             else p["subj"]))
         for p in rel_ph_plain
         for fwd_t in _FORWARD_TEMPLATES.get(p["template"], ())]
     rel_rows += [
@@ -246,13 +291,18 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
          p["pred"],
          bool(p.get("reverse_only"))
          or p["template"] in REVERSE_ONLY_TEMPLATES,
-         float(p.get("freq_factor", 1.0)), True)
+         float(p.get("freq_factor", 1.0)), True,
+         p.get("child_disp") or (
+             p["obj"] if p["template"] not in ACTOR_TEMPLATES
+             else p["subj"]),
+         p.get("pred_disp") or p["pred"])
         for p in rel_ph_plain
         for inv_t in _INVERSE_TEMPLATES.get(p["template"], ())]
     emb_retry_ok = {p["label"]: bool(p.get("emb_retry", True))
                     for p in rel_ph}
     q_rows = [(p["template"], p["label"], p["pred"], p["obj"],
-               float(p.get("freq_factor", 1.0)), p.get("prep"))
+               float(p.get("freq_factor", 1.0)), p.get("prep"),
+               p.get("pred_disp") or p["pred"])
               for p in rel_ph if p["template"].startswith("head")]
     # relation-ish branches accumulate in `out` (they need the
     # duplicate-removal agg); word branches in `wout` (already unique
@@ -261,17 +311,25 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
     wout = None
     if rel_rows:
         q = spark.createDataFrame(
-            rel_rows, "template string, phraselet_label string, q_pred string, q_child string, q_reverse_only boolean, freq_factor double, inverse boolean")
+            rel_rows, "template string, phraselet_label string, "
+                      "q_pred string, q_child string, "
+                      "q_reverse_only boolean, freq_factor double, "
+                      "inverse boolean, p_disp string, c_disp string")
         if closure is not None:
             # ontology expansion carries the closure depth so the
             # activation penalty ontology_penalty^(depth+1) can be
             # applied per pole (reference manager.py:683-701 +
             # topic_matching.py:867-1054); identity matches (the word
-            # itself) carry no penalty
+            # itself) carry no penalty. Each pole also carries the
+            # reference word-match explanation string (ontology.py:
+            # 23-46) for word_infos parity.
             c = closure.select("query_word", "matched_word", "depth")
             pen = lambda depth_col, m_col, q_col: F.when(  # noqa: E731
                 m_col.isNull() | (m_col == q_col), F.lit(1.0)).otherwise(
                 F.pow(F.lit(ontology_penalty), F.abs(depth_col) + 1))
+            expl = lambda m_col, d_col, q_col, disp: F.when(  # noqa: E731
+                m_col.isNull() | (m_col == q_col), _direct_expl(disp)
+                ).otherwise(_onto_expl(disp, d_col))
             q = (
                 q.join(F.broadcast(c).withColumnRenamed("query_word", "q_pred")
                        .withColumnRenamed("matched_word", "m_pred")
@@ -280,18 +338,31 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
                       .withColumnRenamed("matched_word", "m_child")
                       .withColumnRenamed("depth", "d_child"), "q_child", "left")
                 .select("template", "phraselet_label", "q_reverse_only",
-                        "freq_factor", "inverse",
+                        "freq_factor", "inverse", "p_disp", "c_disp",
                         F.coalesce("m_pred", "q_pred").alias("q_pred"),
                         F.coalesce("m_child", "q_child").alias("q_child"),
                         (pen(F.col("d_pred"), F.col("m_pred"), F.col("q_pred"))
                          * pen(F.col("d_child"), F.col("m_child"), F.col("q_child"))
-                         ).alias("penalty"))
+                         ).alias("penalty"),
+                        expl(F.col("m_pred"), F.col("d_pred"),
+                             F.col("q_pred"), F.col("p_disp")).alias("expl_pred"),
+                        expl(F.col("m_child"), F.col("d_child"),
+                             F.col("q_child"), F.col("c_disp")).alias("expl_child"))
                 .groupBy("template", "phraselet_label", "q_reverse_only",
                          "freq_factor", "q_pred", "q_child", "inverse")
-                .agg(F.max("penalty").alias("penalty"))
+                .agg(F.max_by(F.struct("penalty", "expl_pred", "expl_child",
+                                       "p_disp", "c_disp"),
+                              F.struct("penalty", "expl_pred", "expl_child"))
+                     .alias("_x"))
+                .select("template", "phraselet_label", "q_reverse_only",
+                        "freq_factor", "q_pred", "q_child", "inverse",
+                        "_x.penalty", "_x.expl_pred", "_x.expl_child",
+                        "_x.p_disp", "_x.c_disp")
             )
         else:
-            q = q.withColumn("penalty", F.lit(1.0))
+            q = (q.withColumn("penalty", F.lit(1.0))
+                 .withColumn("expl_pred", _direct_expl(F.col("p_disp")))
+                 .withColumn("expl_child", _direct_expl(F.col("c_disp"))))
         if vectors is not None and embedding_threshold < 1.0:
             # pass-4 child-embedding retry (reference topic_matching.py:
             # 301-319 + embedding_penalty, manager.py:683-701): expand
@@ -313,7 +384,7 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
             # threshold; ENTITY-parent phraselets gate looser (n=1).
             overall = embedding_threshold ** 0.5
             probes = []
-            for (t, lbl, qp, qc, rev, ff, inv) in rel_rows:
+            for (t, lbl, qp, qc, rev, ff, inv, pd_, cd_) in rel_rows:
                 if inv:
                     # the embedding retry expands forward-polarity
                     # phraselets only (reference pass 4 operates on the
@@ -327,7 +398,7 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
                 n_emb = ((0 if _ENT_CHILD_RE.match(qp or "") else 1)
                          + (0 if _ENT_CHILD_RE.match(qc or "") else 1))
                 probes.append((t, lbl, qp, qc, rev, ff,
-                               overall ** n_emb))
+                               overall ** n_emb, pd_, cd_))
             if probes:
                 if isinstance(vectors, DataFrame):
                     vec_df = vectors.toDF("w", "vec")
@@ -348,7 +419,8 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
                     probes, "template string, phraselet_label string, "
                             "q_pred string, q_child string, "
                             "q_reverse_only boolean, freq_factor double, "
-                            "stt double, qvec array<double>")
+                            "stt double, p_disp string, c_disp string, "
+                            "qvec array<double>")
                 dot = F.aggregate(
                     F.zip_with("qvec", "vec", lambda a, b: a * b),
                     F.lit(0.0), lambda acc, x: acc + x)
@@ -361,15 +433,35 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
                                                 * norm(F.col("vec"))))
                       .filter(F.col("cos") > F.col("stt"))
                       .select("template", "phraselet_label", "q_pred",
-                              F.col("w").alias("q_child"),
                               "q_reverse_only", "freq_factor",
                               F.round(F.lit(emb_pen) * F.col("cos"), 8)
                               .alias("penalty"),
-                              F.lit(False).alias("inverse")))
-                q = q.unionByName(qe).groupBy(
+                              F.lit(False).alias("inverse"),
+                              "p_disp", "c_disp",
+                              _direct_expl(F.col("p_disp"))
+                              .alias("expl_pred"),
+                              # reference embedding.py:12-22 (display
+                              # word = the search phrase child's lemma)
+                              F.concat(
+                                  F.lit("Has a word embedding that is "),
+                                  F.floor(F.col("cos") * 100).cast("int"),
+                                  F.lit("% similar to "),
+                                  F.upper("c_disp"), F.lit("."))
+                              .alias("expl_child"),
+                              F.col("w").alias("q_child")))
+                q = (q.unionByName(qe).groupBy(
                     "template", "phraselet_label", "q_reverse_only",
-                    "freq_factor", "q_pred", "q_child", "inverse"
-                    ).agg(F.max("penalty").alias("penalty"))
+                    "freq_factor", "q_pred", "q_child", "inverse")
+                    .agg(F.max_by(
+                        F.struct("penalty", "expl_pred", "expl_child",
+                                 "p_disp", "c_disp"),
+                        F.struct("penalty", "expl_pred", "expl_child"))
+                        .alias("_x"))
+                    .select("template", "phraselet_label",
+                            "q_reverse_only", "freq_factor", "q_pred",
+                            "q_child", "inverse", "_x.penalty",
+                            "_x.expl_pred", "_x.expl_child",
+                            "_x.p_disp", "_x.c_disp"))
         child_col = F.when(F.col("template").isin(*ACTOR_TEMPLATES),
                            F.col("subj")).otherwise(F.col("obj"))
         rel_m = (
@@ -392,7 +484,25 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
                     F.when(F.col("inverse"), F.col("parent_idx"))
                      .otherwise(F.col("child_idx")).alias("child_idx"),
                     "penalty", "freq_factor",
-                    F.col("q_child").alias("matched"))
+                    F.col("q_child").alias("matched"),
+                    # position-oriented explanations + DOCUMENT words
+                    # (q_pred/q_child hold the corpus words after
+                    # ontology/embedding expansion — the words the
+                    # document actually contains, which resolve
+                    # multiword char spans in with_passage_text like
+                    # the reference's first..last_document_token,
+                    # topic_matching.py:1301-1309): for an
+                    # inverse-polarity match the phraselet root sits
+                    # at the corpus CHILD token, so the poles swap here
+                    # exactly as the indexes do above
+                    F.when(F.col("inverse"), F.col("expl_child"))
+                     .otherwise(F.col("expl_pred")).alias("p_expl"),
+                    F.when(F.col("inverse"), F.col("expl_pred"))
+                     .otherwise(F.col("expl_child")).alias("c_expl"),
+                    F.when(F.col("inverse"), F.col("q_child"))
+                     .otherwise(F.col("q_pred")).alias("p_word"),
+                    F.when(F.col("inverse"), F.col("q_pred"))
+                     .otherwise(F.col("q_child")).alias("c_word"))
         )
         out = rel_m
         # entity-label prototype matching for the 'person' lexeme: a
@@ -400,15 +510,18 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
         # the reference's entity-embedding word match with the PERSON
         # label prototype, which IS the 'person' lexeme
         # (cosine = 1.0; ENTITY_LABEL_LEXEMES, en rules :100-121)
-        person_rows = [(r[0], r[1], r[2], r[4], r[5]) for r in rel_rows
+        person_rows = [(r[0], r[1], r[2], r[4], r[5], r[7])
+                       for r in rel_rows
                        if r[3] == "person" and not r[6]]
         if person_rows:
             qp = spark.createDataFrame(
                 person_rows,
                 "template string, phraselet_label string, q_pred string, "
-                "q_reverse_only boolean, freq_factor double")
+                "q_reverse_only boolean, freq_factor double, "
+                "p_disp string")
             per_m = (
                 edges.filter(F.col("child_is_person"))
+                .withColumn("c_word", child_col)
                 .withColumnRenamed("pred", "q_pred")
                 .join(F.broadcast(qp), ["template", "q_pred"])
                 .select("url", "phraselet_label",
@@ -418,7 +531,15 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
                         F.col("parent_idx").alias("position"),
                         "parent_idx", "child_idx",
                         F.lit(1.0).alias("penalty"), "freq_factor",
-                        F.lit(None).cast("string").alias("matched"))
+                        F.lit(None).cast("string").alias("matched"),
+                        _direct_expl(F.col("p_disp")).alias("p_expl"),
+                        # reference entity_embedding.py:13-23 (the
+                        # PERSON label prototype IS the 'person'
+                        # lexeme, cosine 1.0)
+                        F.lit("Has an entity label that is 100% similar "
+                              "to the word embedding corresponding to "
+                              "PERSON.").alias("c_expl"),
+                        F.col("q_pred").alias("p_word"), "c_word")
             )
             out = out.unionByName(per_m)
     if ent_rel and ents is not None:
@@ -428,7 +549,8 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
                    else p["subj"]).group(1).upper(),
                float(p.get("freq_factor", 1.0)),
                bool(p.get("reverse_only"))
-               or p["template"] in REVERSE_ONLY_TEMPLATES) for p in ent_rel]
+               or p["template"] in REVERSE_ONLY_TEMPLATES,
+               p.get("pred_disp") or p["pred"]) for p in ent_rel]
         # a reverse-only phraselet initiates matching from its CHILD's
         # reverse-dict entry; ENTITYNOUN has none (the noun scan serves
         # forward structural matching only, structural_matching.py:
@@ -436,7 +558,8 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
         er = [r for r in er if not (r[5] and r[3] == "NOUN")]
         qe = spark.createDataFrame(
             er, "template string, phraselet_label string, q_pred string, "
-                "ent_spec string, freq_factor double, q_reverse_only boolean")
+                "ent_spec string, freq_factor double, "
+                "q_reverse_only boolean, p_disp string")
         e2 = ents.select(F.col("url"), F.col("idx").alias("child_idx"),
                          "ent_type", "is_noun")
         ent_m = (
@@ -452,7 +575,16 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
                     F.col("parent_idx").alias("position"),
                     "parent_idx", "child_idx",
                     F.lit(1.0).alias("penalty"), "freq_factor",
-                    F.lit(None).cast("string").alias("matched"))
+                    F.lit(None).cast("string").alias("matched"),
+                    _direct_expl(F.col("p_disp")).alias("p_expl"),
+                    # reference entity.py:12-15
+                    F.concat(F.lit("Has an entity label matching ENTITY"),
+                             F.col("ent_spec"), F.lit("."))
+                    .alias("c_expl"),
+                    F.col("q_pred").alias("p_word"),
+                    # entity pole: no matched word — the char span is
+                    # resolved from the entity token's multiword
+                    F.lit(None).cast("string").alias("c_word"))
         )
         out = ent_m if out is None else out.unionByName(ent_m)
     if ent_par and ents is not None:
@@ -462,10 +594,14 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
                _ENT_CHILD_RE.match(p["pred"]).group(1).upper(),
                float(p.get("freq_factor", 1.0)),
                bool(p.get("reverse_only"))
-               or p["template"] in REVERSE_ONLY_TEMPLATES) for p in ent_par]
+               or p["template"] in REVERSE_ONLY_TEMPLATES,
+               p.get("child_disp") or (
+                   p["obj"] if p["template"] not in ACTOR_TEMPLATES
+                   else p["subj"])) for p in ent_par]
         qep = spark.createDataFrame(
             ep, "template string, phraselet_label string, q_child string, "
-                "ent_spec string, freq_factor double, q_reverse_only boolean")
+                "ent_spec string, freq_factor double, "
+                "q_reverse_only boolean, c_disp string")
         p2 = ents.select(F.col("url"), F.col("idx").alias("parent_idx"),
                          F.col("ent_type").alias("p_ent"),
                          F.col("is_noun").alias("p_is_noun"))
@@ -485,7 +621,13 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
                     F.col("parent_idx").alias("position"),
                     "parent_idx", "child_idx",
                     F.lit(1.0).alias("penalty"), "freq_factor",
-                    F.lit(None).cast("string").alias("matched"))
+                    F.lit(None).cast("string").alias("matched"),
+                    F.concat(F.lit("Has an entity label matching ENTITY"),
+                             F.col("ent_spec"), F.lit("."))
+                    .alias("p_expl"),
+                    _direct_expl(F.col("c_disp")).alias("c_expl"),
+                    F.lit(None).cast("string").alias("p_word"),
+                    F.col("q_child").alias("c_word"))
         )
         out = ent_pm if out is None else out.unionByName(ent_pm)
     if q_rows:
@@ -495,17 +637,20 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
         # the WH word gates the ANSWER's person-ness: who/wer requires a
         # person, what/was a non-person (reference question word
         # matching, en language_specific_rules.py:1327-1365)
-        _GATE = {"who": "person", "whom": "person", "wer": "person",
-                 "what": "thing", "was": "thing"}
-        expand = [(t, lbl, pred, wh, _GATE.get(wh, "any"), ff, m, qprep)
-                  for (t, lbl, pred, wh, ff, qprep) in q_rows
+        # 'what' matches ANY answer in the reference
+        # (en language_specific_rules.py:1364-1365 returns True
+        # unconditionally); only who/whom/wer gate on person-ness
+        _GATE = {"who": "person", "whom": "person", "wer": "person"}
+        expand = [(t, lbl, pred, wh, _GATE.get(wh, "any"), ff, m, qprep,
+                   pdisp)
+                  for (t, lbl, pred, wh, ff, qprep, pdisp) in q_rows
                   for m in QUESTION_ANSWER_TEMPLATES.get(t, ())]
         # temporal adverbs answer 'when' through the adverbial template
         # ("the meeting took place YESTERDAY" — reference temporal
         # answer matching, en rules :1414-1424)
         expand += [(t, lbl, pred, wh, _GATE.get(wh, "any"), ff, extra_t,
-                    qprep)
-                   for (t, lbl, pred, wh, ff, qprep) in q_rows
+                    qprep, pdisp)
+                   for (t, lbl, pred, wh, ff, qprep, pdisp) in q_rows
                    if t == "head-WHadv"
                    for extra_t in (("governor-adjective",)
                                    if wh == "when" else
@@ -521,7 +666,7 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
             qq = spark.createDataFrame(
                 expand, "wh string, phraselet_label string, q_pred string, "
                         "wh_word string, gate string, freq_factor double, "
-                        "template string, q_prep string")
+                        "template string, q_prep string, p_disp string")
             g_prep = F.col("prep")
             child_w = F.when(F.col("template").isin(*ACTOR_TEMPLATES),
                              F.col("subj")).otherwise(F.col("obj"))
@@ -567,33 +712,52 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
                         F.col("parent_idx").alias("position"),
                         "parent_idx", "child_idx",
                         F.lit(1.0).alias("penalty"), "freq_factor",
-                        F.lit(None).cast("string").alias("matched"))
+                        F.lit(None).cast("string").alias("matched"),
+                        _direct_expl(F.col("p_disp")).alias("p_expl"),
+                        # reference question.py:13-16
+                        F.concat(F.lit("Matches the question word "),
+                                 F.upper("wh_word"), F.lit("."))
+                        .alias("c_expl"),
+                        F.col("q_pred").alias("p_word"),
+                        child_w.alias("c_word"))
             )
             out = q_m if out is None else out.unionByName(q_m)
     if word_ph:
         qw = spark.createDataFrame(
             [(p["word"], p["label"], float(p.get("freq_factor", 1.0)),
-              bool(p.get("any_tag", False)))
+              bool(p.get("any_tag", False)),
+              p.get("disp") or p["word"], int(p.get("idx", 0)))
              for p in word_ph],
             "word string, phraselet_label string, freq_factor double, "
-            "q_any_tag boolean")
+            "q_any_tag boolean, w_disp string, ph_ord int")
         if closure is not None:
             c = closure.select("query_word", "matched_word", "depth")
             qw = (qw.join(F.broadcast(c).withColumnRenamed("query_word", "word")
                           .withColumnRenamed("matched_word", "m_word")
                           .withColumnRenamed("depth", "d_word"), "word", "left")
-                  .select(F.coalesce("m_word", "word").alias("word"),
-                          "phraselet_label", "freq_factor", "q_any_tag",
+                  .select("phraselet_label", "freq_factor", "q_any_tag",
+                          "ph_ord",
                           F.when(F.col("m_word").isNull()
                                  | (F.col("m_word") == F.col("word")),
                                  F.lit(1.0))
                           .otherwise(F.pow(F.lit(ontology_penalty),
-                                           F.abs(F.col("d_word")) + 1)).alias("penalty"))
+                                           F.abs(F.col("d_word")) + 1)).alias("penalty"),
+                          F.when(F.col("m_word").isNull()
+                                 | (F.col("m_word") == F.col("word")),
+                                 _direct_expl(F.col("w_disp")))
+                          .otherwise(_onto_expl(F.col("w_disp"),
+                                                F.col("d_word")))
+                          .alias("w_expl"),
+                          F.coalesce("m_word", "word").alias("word"))
                   .groupBy("word", "phraselet_label", "freq_factor",
-                           "q_any_tag")
-                  .agg(F.max("penalty").alias("penalty")))
+                           "q_any_tag", "ph_ord")
+                  .agg(F.max_by(F.struct("penalty", "w_expl"),
+                                F.struct("penalty", "w_expl")).alias("_x"))
+                  .select("word", "phraselet_label", "freq_factor",
+                          "q_any_tag", "ph_ord", "_x.penalty", "_x.w_expl"))
         else:
-            qw = qw.withColumn("penalty", F.lit(1.0))
+            qw = (qw.withColumn("penalty", F.lit(1.0))
+                  .withColumn("w_expl", _direct_expl(F.col("w_disp"))))
         word_m = (
             words.join(F.broadcast(qw), "word")
             .select("url", "phraselet_label",
@@ -605,7 +769,11 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
                     F.col("idx").alias("child_idx"),
                     "penalty", "freq_factor",
                     F.col("word").alias("matched"),
-                    "span_start", "span_end")
+                    F.col("w_expl").alias("p_expl"),
+                    F.lit(None).cast("string").alias("c_expl"),
+                    F.col("word").alias("p_word"),
+                    F.lit(None).cast("string").alias("c_word"),
+                    "span_start", "span_end", "ph_ord")
         )
         # first-match-wins per document token (reference strategy
         # chain: a direct repr match pre-empts the ontology
@@ -619,13 +787,23 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
         # row_number window which shuffles + sorts every match row
         gcols = ["url", "phraselet_label", "kind", "position"]
         rest = F.struct("parent_idx", "child_idx", "penalty",
-                        "freq_factor", "matched", "span_start", "span_end")
+                        "freq_factor", "matched", "p_expl", "c_expl",
+                        "p_word", "c_word", "span_start", "span_end",
+                        "ph_ord")
         word_m = (word_m.groupBy(*gcols)
-                  .agg(F.max_by(rest, F.struct("penalty", "matched"))
+                  # penalty ties prefer the LONGER matched word — the
+                  # reference probes multiwords before their member
+                  # parts (parsing.py:2630 sorts words_matching_root_
+                  # token longest-first)
+                  .agg(F.max_by(rest, F.struct(F.col("penalty"),
+                                               F.length("matched"),
+                                               F.col("matched")))
                        .alias("_r"))
                   .select(*gcols, "_r.parent_idx", "_r.child_idx",
                           "_r.penalty", "_r.freq_factor", "_r.matched",
-                          "_r.span_start", "_r.span_end"))
+                          "_r.p_expl", "_r.c_expl", "_r.p_word",
+                          "_r.c_word", "_r.span_start", "_r.span_end",
+                          "_r.ph_ord"))
         # single-word matches contained inside a MATCHED multiword
         # single-word match are superfluous (reference
         # remove_single_word_matches_made_superfluous_by_multiword_
@@ -667,10 +845,12 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
         # + word for ENTITYGPE)
         ew = [(w["label"],
                _ENT_CHILD_RE.match(w["word"]).group(1).upper(),
-               float(w.get("freq_factor", 1.0))) for w in ent_word_ph
+               float(w.get("freq_factor", 1.0)), int(w.get("idx", 0)))
+              for w in ent_word_ph
               if _ENT_CHILD_RE.match(w["word"]).group(1) != "noun"]
         qew = spark.createDataFrame(
-            ew, "phraselet_label string, ent_spec string, freq_factor double")
+            ew, "phraselet_label string, ent_spec string, "
+                "freq_factor double, ph_ord int")
         ent_word_m = (
             ents.crossJoin(F.broadcast(qew))
             .filter(((F.col("ent_spec") == "NOUN") & F.col("is_noun"))
@@ -683,16 +863,45 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
                     F.col("idx").alias("child_idx"),
                     F.lit(1.0).alias("penalty"), "freq_factor",
                     F.concat(F.lit("ENTITY"), F.col("ent_spec"),
-                             F.lit("@"), F.col("idx")).alias("matched"))
+                             F.lit("@"), F.col("idx")).alias("matched"),
+                    # reference entity.py:12-15
+                    F.concat(F.lit("Has an entity label matching ENTITY"),
+                             F.col("ent_spec"), F.lit("."))
+                    .alias("p_expl"),
+                    F.lit(None).cast("string").alias("c_expl"),
+                    F.lit(None).cast("string").alias("p_word"),
+                    F.lit(None).cast("string").alias("c_word"),
+                    "ph_ord")
         )
         wout = ent_word_m if wout is None else wout.unionByName(ent_word_m)
+    if wout is not None:
+        # cross-phraselet duplicate removal (reference remove_duplicates,
+        # topic_matching.py:797-847): all single-word matches at one
+        # document token sort adjacently in the reference's
+        # position-sorted match list and carry the identical token-index
+        # set, so only the FIRST survives — and the original match order
+        # follows phraselet creation order, i.e. query token order.
+        # 'A dog chases an animal' → at a corpus 'dog' token, 'word: dog'
+        # (query idx 1) beats the ontology match of 'word: animal'
+        # (query idx 4). Map-side-combining arg-min agg on the query
+        # token ordinal.
+        wcols = [c for c in wout.columns
+                 if c not in ("url", "position", "ph_ord")]
+        wout = (wout.groupBy("url", "position")
+                .agg(F.min_by(F.struct(*wcols, "ph_ord"),
+                              F.struct("ph_ord", "phraselet_label"))
+                     .alias("_r"))
+                .select("url", "position", *[F.col(f"_r.{c}").alias(c)
+                                             for c in wcols]))
     if out is None and wout is None:
         # no phraselets (e.g. only stop lemmas) → no matches, like the
         # reference's early return (manager.py:844-845)
         return spark.createDataFrame(
             [], "url string, phraselet_label string, kind string, "
                 "position int, parent_idx int, child_idx int, "
-                "penalty double, freq_factor double, matched string")
+                "penalty double, freq_factor double, matched string, "
+                "p_expl string, c_expl string, p_word string, "
+                "c_word string")
     # duplicate removal over the RELATION-ish branches (reference
     # remove_duplicates, topic_matching.py:797-847: same phraselet +
     # same matched document tokens): one surviving match per
@@ -711,13 +920,19 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
     if out is not None:
         dcols = ["url", "phraselet_label", "parent_idx", "child_idx",
                  "kind"]
-        drest = F.struct("position", "penalty", "freq_factor", "matched")
+        drest = F.struct("position", "penalty", "freq_factor", "matched",
+                         "p_expl", "c_expl", "p_word", "c_word")
         out = (out.groupBy(*dcols)
-               .agg(F.max_by(drest, F.struct("penalty", "matched"))
+               # penalty ties prefer the LONGER matched word (multiword
+               # before member part, reference parsing.py:2630)
+               .agg(F.max_by(drest, F.struct(F.col("penalty"),
+                                             F.length("matched"),
+                                             F.col("matched")))
                     .alias("_r"))
                .select("url", "phraselet_label", "kind", "_r.position",
                        "parent_idx", "child_idx", "_r.penalty",
-                       "_r.freq_factor", "_r.matched"))
+                       "_r.freq_factor", "_r.matched", "_r.p_expl",
+                       "_r.c_expl", "_r.p_word", "_r.c_word"))
     if wout is not None:
         out = wout if out is None else out.unionByName(wout)
     # governed interrogatives: matches of a which/what-governed
@@ -738,20 +953,26 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
                         if pole == "child"]
         g = out.filter(F.col("phraselet_label").isin(
             parent_labels + child_labels))
+        is_par = F.col("phraselet_label").isin(parent_labels)
         extras.append(g.select(
             "url", "phraselet_label", F.lit("question_answer").alias("kind"),
             "position", "parent_idx",
-            F.when(F.col("phraselet_label").isin(parent_labels),
-                   F.col("parent_idx")).otherwise(F.col("child_idx"))
+            F.when(is_par, F.col("parent_idx")).otherwise(F.col("child_idx"))
             .alias("child_idx"),
-            "penalty", "freq_factor", "matched"))
+            "penalty", "freq_factor", "matched", "p_expl",
+            F.when(is_par, F.col("p_expl")).otherwise(F.col("c_expl"))
+            .alias("c_expl"),
+            "p_word",
+            F.when(is_par, F.col("p_word")).otherwise(F.col("c_word"))
+            .alias("c_word")))
     if gov_word:
         g = out.filter(F.col("phraselet_label").isin(gov_word))
         extras.append(g.select(
             "url", "phraselet_label",
             F.lit("question_answer_word").alias("kind"),
             "position", "parent_idx", "child_idx", "penalty",
-            "freq_factor", "matched"))
+            "freq_factor", "matched", "p_expl", "c_expl", "p_word",
+            "c_word"))
     for e in extras:
         out = out.unionByName(e)
     if chains is not None:
@@ -805,14 +1026,15 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
 
 def _score_docs(params: dict):
     def score_one(url: str, rows: list[dict]) -> list[dict]:
-        ms = rows  # sorted (position, phraselet_label) by caller
+        ms = rows  # caller sorts (position, relation-before-single,
+        #            label) — the reference's position_sorted order
+        #            (topic_matching.py:556-560 sort key ends with
+        #            from_single_word_phraselet)
         max_d = params["maximum_activation_distance"]
         # per-phraselet activation with linear decay (reference
-        # topic_matching.py:867-1054): token score = Σ live activations
+        # topic_matching.py:867-1054): match score = Σ live activations
         last_pos: dict[str, float] = {}
         last_act: dict[str, float] = {}
-        token_scores = []
-        positions = []
         base_scores = {
             "relation": params["relation_score"],
             "relation_reverse_only": params["reverse_only_relation_score"],
@@ -822,7 +1044,6 @@ def _score_docs(params: dict):
             # governed single-word answers carry the span, not a score
             "question_answer_word": 0.0,
         }
-        pos_entries: dict[int, list[tuple]] = {}
         # overlap map built UPFRONT from every relation-kind match's
         # BOTH poles (reference builds
         # document_labels_to_indexes_to_phraselet_labels over parent
@@ -837,6 +1058,7 @@ def _score_docs(params: dict):
                 for k in (int(r.get("parent_idx", r["position"])),
                           int(r.get("child_idx", r["position"]))):
                     idx_labels.setdefault(k, set()).add(r["phraselet_label"])
+        entries: list[dict] = []
         for r in ms:
             lbl, pos, kind = r["phraselet_label"], int(r["position"]), r["kind"]
             base = (base_scores[kind] * float(r.get("freq_factor", 1.0))
@@ -848,9 +1070,6 @@ def _score_docs(params: dict):
                 if any(o != lbl for o in others):
                     base *= params["overlapping_relation_multiplier"]
                     overlap = True
-            pos_entries.setdefault(pos, []).append(
-                (lbl, kind, overlap,
-                 int(r.get("parent_idx", pos)), int(r.get("child_idx", pos))))
             # decay previous activation of this phraselet; a repeat
             # match RESETS to its own score if higher, else keeps the
             # decayed activation (reference topic_matching.py:1021-1028
@@ -868,152 +1087,337 @@ def _score_docs(params: dict):
                 d = pos - opos
                 dec = last_act[other] * max(0.0, 1.0 - d / max_d)
                 total += dec
-            token_scores.append(total)
-            positions.append(pos)
-        if not positions:
+            entries.append({
+                "lbl": lbl, "pos": pos, "kind": kind, "overlap": overlap,
+                "p_idx": int(r.get("parent_idx", pos)),
+                "c_idx": int(r.get("child_idx", pos)),
+                "p_expl": r.get("p_expl"), "c_expl": r.get("c_expl"),
+                "p_word": r.get("p_word"), "c_word": r.get("c_word"),
+                "total": total,
+            })
+        if not entries:
             return []
-        # greedy peak + sideways extension (reference
-        # topic_matching.py:1056-1224)
-        best: dict[int, float] = {}
-        for p, s in zip(positions, token_scores):
-            if s > best.get(p, -1.0):
-                best[p] = s
-        ps = sorted(best)
-        ss = [best[p] for p in ps]
-        n_pts = len(ps)
-        taken = [False] * n_pts
-        out = []
+        # ---- topic match generation: the reference's walk verbatim
+        # (generate_topic_matches, topic_matching.py:1056-1224): every
+        # match is a peak candidate in topic-score order (stable for
+        # ties); a candidate whose anchor falls inside an existing
+        # passage is skipped; the passage is the CONTIGUOUS run of
+        # position-sorted matches around the peak, extended left while
+        # the match nearer the peak scores ABOVE the cutoff (strict >)
+        # and right while the candidate itself scores >= the cutoff,
+        # both capped at sideways_match_extent from the peak and
+        # stopped at matches already inside other passages. There is
+        # NO cutoff on the peaks themselves — only containment and
+        # number_of_results bound the result count.
+        n = len(entries)
+        order = sorted(range(n), key=lambda i: -entries[i]["total"])
         cutoff = params["different_match_cutoff_score"]
         extent = params["sideways_match_extent"]
+        k_cap = params["number_of_results"]
+        spans: list[tuple[int, int]] = []
         type_rank = {"single": 0, "relation": 1, "overlapping_relation": 2}
-        first_peak = True
-        for i in sorted(range(n_pts), key=lambda x: (-ss[x], ps[x])):
-            # the cutoff gates ADDITIONAL peaks only — a document whose
-            # best match scores below it still yields its top passage
-            # (reference: 'I saw an animal' vs 'Somebody chased a cat'
-            # returns score 8 under cutoff 10,
-            # tests/en/test_topic_matching_EN.py:188-191)
-            if taken[i] or (ss[i] < cutoff and not first_peak):
+        out = []
+
+        def contained(j):
+            pj = entries[j]["pos"]
+            return any(s <= pj <= e for (s, e) in spans)
+
+        def widen(j, start, end):
+            e = entries[j]
+            return (min(start, e["p_idx"], e["c_idx"]),
+                    max(end, e["p_idx"], e["c_idx"]))
+
+        for i in order:
+            if len(out) >= k_cap:
+                break
+            if contained(i):
                 continue
-            first_peak = False
-            peak_pos, peak_score = ps[i], ss[i]
-            start, end = peak_pos, peak_pos
-            cluster = [peak_pos]
-            for j in range(n_pts):
-                if j == i or taken[j]:
-                    continue
-                if abs(ps[j] - peak_pos) <= extent and ss[j] >= cutoff:
-                    start, end = min(start, ps[j]), max(end, ps[j])
-                    taken[j] = True
-                    cluster.append(ps[j])
-            taken[i] = True
+            peak = entries[i]
+            start, end = widen(i, peak["pos"], peak["pos"])
+            lo = hi = i
+            while (lo > 0 and entries[lo]["total"] > cutoff
+                   and not contained(lo - 1)
+                   and peak["pos"] - entries[lo - 1]["pos"] <= extent):
+                lo -= 1
+                start, end = widen(lo, start, end)
+            while (hi + 1 < n and entries[hi + 1]["total"] >= cutoff
+                   and not contained(hi + 1)
+                   and entries[hi + 1]["pos"] - peak["pos"] <= extent):
+                hi += 1
+                start, end = widen(hi, start, end)
+            spans.append((start, end))
+            cluster = entries[lo:hi + 1]
             # word infos + question answers (reference
-            # topic_matching.py:1288-1483): one entry per document
-            # token touched by a match in this passage, best type wins
-            # (overlapping_relation > relation > single); the tokens of
-            # the peak-position match are flagged is_highest_activation
-            infos: dict[int, list] = {}
+            # topic_matching.py:1288-1483): one entry per (document
+            # token, matched document word) — distinct matched words at
+            # one token resolve to DIFFERENT char spans downstream
+            # (single 'hudson' vs multiword 'richard paul hudson'), so
+            # they stay separate here and the char-span containment
+            # filter in with_passage_text reconciles them like the
+            # reference's WordInfo span dict. Exact-duplicate entries
+            # upgrade their type only (overlapping_relation > relation
+            # > single), keeping the first explanation, mirroring the
+            # reference's word_infos_to_word_infos merge
+            # (topic_matching.py:1370-1377).
+            infos: dict[tuple, list] = {}
             answers: set[int] = set()
-            for p in cluster:
-                is_peak = p == peak_pos
-                for (lbl, kind, overlap, p_idx, c_idx) in pos_entries[p]:
-                    # WH-adverb answers span the whole prepositional
-                    # phrase ("in the office"); who/what answers span
-                    # only the nominal ("its man") — encoded for the
-                    # char-span stage as -(idx+1) (reference answer
-                    # spans, en rules :1367-1429)
-                    wh_adv = lbl.split(": ", 1)[0].endswith("WHadv")
-                    if kind == "question_answer_word":
-                        # governed single-word answer: span only
-                        answers.add(c_idx)
-                        continue
-                    if kind.startswith("single_word"):
-                        word = lbl.split(": ", 1)[-1]
-                        ents = [(p_idx, "single",
-                                 f"Matches {word.upper()} individually.")]
-                    else:
-                        typ = "overlapping_relation" if overlap else "relation"
-                        expl = f"Matches the relation {lbl.split(': ', 1)[-1].upper()}."
-                        ents = [(p_idx, typ, expl), (c_idx, typ, expl)]
-                        if kind == "question_answer":
-                            answers.add(-(c_idx + 1) if wh_adv else c_idx)
-                    for (ti, typ, expl) in ents:
-                        cur = infos.get(ti)
-                        if cur is None or type_rank[typ] > type_rank[cur[1]]:
-                            infos[ti] = [ti, typ,
-                                         is_peak or (cur is not None and cur[2]),
-                                         expl]
-                        elif is_peak:
-                            cur[2] = True
-            start = min(start, *infos) if infos else start
-            end = max(end, *infos) if infos else end
+            for e in cluster:
+                lbl, kind, overlap = e["lbl"], e["kind"], e["overlap"]
+                p_idx, c_idx = e["p_idx"], e["c_idx"]
+                # WH-adverb answers span the whole prepositional
+                # phrase ("in the office"); who/what answers span
+                # only the nominal ("its man") — encoded for the
+                # char-span stage as -(idx+1) (reference answer
+                # spans, en rules :1367-1429)
+                wh_adv = lbl.split(": ", 1)[0].endswith("WHadv")
+                if kind == "question_answer_word":
+                    # governed single-word answer: span only
+                    answers.add(c_idx)
+                    continue
+                # each token's explanation is its word match's
+                # strategy explanation (reference passes
+                # word_match.explanation into WordInfo,
+                # topic_matching.py:1311-1330)
+                if kind.startswith("single_word"):
+                    word = lbl.split(": ", 1)[-1]
+                    ents = [(p_idx, "single", e["p_expl"]
+                             or f"Matches {word.upper()} directly.",
+                             e["p_word"])]
+                else:
+                    typ = "overlapping_relation" if overlap else "relation"
+                    ents = [(p_idx, typ, e["p_expl"], e["p_word"]),
+                            (c_idx, typ, e["c_expl"], e["c_word"])]
+                    if kind == "question_answer":
+                        answers.add(-(c_idx + 1) if wh_adv else c_idx)
+                for (ti, typ, expl, word) in ents:
+                    cur = infos.get((ti, word))
+                    if cur is None:
+                        infos[(ti, word)] = [ti, typ, expl, word]
+                    elif type_rank[typ] > type_rank[cur[1]]:
+                        cur[1] = typ  # keep first explanation
             out.append({"url": url, "start_idx": start, "end_idx": end,
-                        # n_matches counts structural matches in the
-                        # passage (several phraselets can anchor at one
-                        # position now that relations anchor at the
-                        # parent pole)
-                        "score": peak_score,
-                        "n_matches": sum(len(pos_entries[p])
-                                         for p in cluster),
+                        # the reference's index_within_document: the
+                        # anchor token of the peak structural match
+                        "index_within_document": peak["pos"],
+                        "score": peak["total"],
+                        "n_matches": hi - lo + 1,
                         "word_infos": [
-                            {"token_idx": k, "type": v[1],
-                             "is_highest_activation": v[2],
-                             "explanation": v[3]}
-                            for k, v in sorted(infos.items())],
+                            {"token_idx": v[0], "type": v[1],
+                             "explanation": v[2], "word": v[3]}
+                            for k, v in sorted(infos.items(),
+                                               key=lambda kv: (kv[0][0],
+                                                               kv[0][1] or ""))],
                         "answer_idxs": sorted(answers)})
         return out
     return score_one
 
 
-def with_passage_text(topic_df: DataFrame, docs: DataFrame) -> DataFrame:
-    """Attach the passage's surface text (tokens start_idx..end_idx) and
-    convert the token-indexed word_infos/answer_idxs to passage-relative
-    character spans — the reference reports passage text, char-span
+def _wi_type_rank(t):
+    return (F.when(t == "overlapping_relation", 3)
+            .when(t == "relation", 2).otherwise(1))
+
+
+def with_passage_text(topic_df: DataFrame, docs: DataFrame,
+                      tied_result_quotient: float = 0.9) -> DataFrame:
+    """Attach the passage's surface text and convert the token-indexed
+    word_infos/answer_idxs to passage-relative CHARACTER spans — the
+    reference reports the sentence-expanded passage text, char-span
     word_infos, and char-span answers in its topic match dicts
-    (topic_matching.py:1226-1485). Pure column exprs: the char offset of
-    token j inside the space-joined passage is Σ(len+1) over the
-    preceding passage tokens, a nested higher-order aggregate."""
-    toks = docs.select("url", "tokens")
+    (topic_matching.py:1190-1197 sentence expansion, 1226-1485 char
+    spans via spaCy ``token.idx``). Char-exact: the parser keeps each
+    token's offset in the original text (``char_start``) and the docs
+    table retains ``text``, so every span is a substring of the real
+    document — hyphens, original spacing and all.
+
+    Reference-faithful word_infos pipeline, all as column exprs:
+    multiword spans resolve through the token's multiword table (the
+    reference's first..last_document_token, :1301-1309), word infos
+    strictly contained in another are dropped and same-span duplicates
+    keep the dominant type (:1260-1277, 1370-1385), the peak token's
+    info — or its container — is flagged is_highest_activation
+    (:1379-1421), answers contained in longer answers are dropped
+    (:1429-1453), and results are ordered (score desc, passage word
+    count desc, label, first info) with chained tie groups rendered as
+    reference rank strings '1=' (TopicMatchDictionaryOrderer,
+    :1488-1524)."""
+    toks = docs.select("url", "tokens", F.col("text").alias("_doc_text"))
     joined = topic_df.join(toks, "url", "left")
-    span = F.slice(
-        F.col("tokens"),
-        F.col("start_idx") + 1,
-        F.col("end_idx") - F.col("start_idx") + 1)
 
-    def char_off(idx):
-        # clamp: a multiword answer can start before the passage's first
-        # match position; its passage-relative offset floors at 0
-        return F.aggregate(
-            F.slice(F.col("tokens"), F.col("start_idx") + 1,
-                    F.greatest(F.lit(0), idx - F.col("start_idx"))),
-            F.lit(0), lambda acc, t: acc + F.length(t["text"]) + 1)
+    def _wi_token_idxs(w):
+        # the matched document word decides the token extent: a
+        # multiword ('richard paul hudson') spans its token range; an
+        # entity match (word NULL) spans the token's entity multiword;
+        # plain words span the token (reference first..last_document_
+        # token, topic_matching.py:1301-1309)
+        cand = F.element_at(F.col("tokens"), w["token_idx"] + 1)["multiwords"]
+        mw = F.filter(cand, lambda m: (m["lemma"] == w["word"])
+                      | (m["derived_lemma"] == w["word"])
+                      | (F.lower(m["text"]) == w["word"]))
+        is_ent = (w["word"].isNull()
+                  & w["explanation"].startswith("Has an entity label"))
+        # an entity-label match spans the token's WIDEST multiword
+        # (the full entity run — an ontology multiword over a subset of
+        # the name must not shrink an ENTITYPERSON span)
+        widest = F.aggregate(
+            cand, F.element_at(cand, 1),
+            lambda acc, m: F.when(
+                F.size(m["token_indexes"]) > F.size(acc["token_indexes"]),
+                m).otherwise(acc))
+        return (F.when(F.size(mw) > 0,
+                       F.element_at(mw, 1)["token_indexes"])
+                .when(is_ent & (F.size(cand) > 0),
+                      widest["token_indexes"])
+                .otherwise(F.array(w["token_idx"])))
 
-    def tok_text(idx):
-        return F.element_at(F.col("tokens"), idx + 1)["text"]
+    # multiword-aware start/end token indexes (reference
+    # alter_start_and_end_indexes_for_match widens the passage to each
+    # word match's first..last document token, :1135-1151 — our scoring
+    # stage only knows anchor tokens, so the widening happens here
+    # where the multiword table is available)
+    wi_lo = F.array_min(F.transform(
+        "word_infos", lambda w: F.array_min(_wi_token_idxs(w))))
+    wi_hi = F.array_max(F.transform(
+        "word_infos", lambda w: F.array_max(_wi_token_idxs(w))))
+    joined = (joined
+              .withColumn("start_idx", F.least("start_idx",
+                                               F.coalesce(wi_lo, F.col("start_idx"))))
+              .withColumn("end_idx", F.greatest("end_idx",
+                                                F.coalesce(wi_hi, F.col("end_idx")))))
+
+    # sentence expansion (reference topic_matching.py:1190-1197): the
+    # passage runs from the first token of start_idx's sentence to the
+    # last token of end_idx's sentence
+    s_sent = _t_at(F.col("start_idx"))["sent_idx"]
+    e_sent = _t_at(F.col("end_idx"))["sent_idx"]
+    sent_cs = F.array_min(F.transform(
+        F.filter(F.col("tokens"), lambda t: t["sent_idx"] == s_sent),
+        lambda t: t["char_start"]))
+    sent_ce = F.array_max(F.transform(
+        F.filter(F.col("tokens"), lambda t: t["sent_idx"] == e_sent),
+        lambda t: t["char_start"] + F.length(t["text"])))
+    sent_si = F.array_min(F.transform(
+        F.filter(F.col("tokens"), lambda t: t["sent_idx"] == s_sent),
+        lambda t: t["i"]))
+    sent_ei = F.array_max(F.transform(
+        F.filter(F.col("tokens"), lambda t: t["sent_idx"] == e_sent),
+        lambda t: t["i"]))
+
+    def tok(idx):
+        return F.element_at(F.col("tokens"), idx + 1)
+
+    def rel_start(idx):
+        return tok(idx)["char_start"] - F.col("_sent_cs")
+
+    def wi_resolved(w, i):
+        idxs = _wi_token_idxs(w)
+        lo, hi = F.array_min(idxs), F.array_max(idxs)
+        return F.struct(
+            rel_start(lo).alias("s"),
+            (rel_start(hi) + F.length(tok(hi)["text"])).alias("e"),
+            w["type"].alias("type"),
+            w["explanation"].alias("explanation"),
+            i.alias("i"))
+
+    def contained_or_dominated(w):
+        # strict span containment (reference get_containing_word_info_
+        # key) or an exact-span duplicate with a dominant type /
+        # earlier insertion
+        return lambda o: (
+            ((w["s"] > o["s"]) & (w["e"] <= o["e"]))
+            | ((w["s"] >= o["s"]) & (w["e"] < o["e"]))
+            | ((o["s"] == w["s"]) & (o["e"] == w["e"])
+               & ((_wi_type_rank(o["type"]) > _wi_type_rank(w["type"]))
+                  | ((_wi_type_rank(o["type"]) == _wi_type_rank(w["type"]))
+                     & (o["i"] < w["i"])))))
+
+    pk_s = rel_start(F.col("index_within_document"))
+    pk_e = pk_s + F.length(tok(F.col("index_within_document"))["text"])
+
+    def pk_contains(w):
+        return (w["s"] <= pk_s) & (w["e"] >= pk_e)
 
     out = (
-        joined.withColumn(
+        joined.withColumn("_sent_cs", sent_cs)
+        .withColumn("sentences_start_index", sent_si)
+        .withColumn("sentences_end_index", sent_ei)
+        .withColumn("sentences_character_start_index", F.col("_sent_cs"))
+        .withColumn("sentences_character_end_index", sent_ce)
+        .withColumn(
             "passage_text",
-            F.concat_ws(" ", F.transform(span, lambda t: t["text"])))
-        .withColumn("word_infos", F.transform(
-            "word_infos", lambda w: F.struct(
-                char_off(w["token_idx"]).alias("relative_start_index"),
-                (char_off(w["token_idx"]) + F.length(tok_text(w["token_idx"]))
-                 ).alias("relative_end_index"),
+            F.substring(F.col("_doc_text"), F.col("_sent_cs") + 1,
+                        sent_ce - F.col("_sent_cs")))
+        .withColumn("_wi", F.transform("word_infos", wi_resolved))
+        .withColumn("_wi", F.filter(
+            "_wi", lambda w: ~F.exists("_wi", contained_or_dominated(w))))
+        .withColumn("_minlen", F.array_min(F.transform(
+            F.filter("_wi", pk_contains), lambda w: w["e"] - w["s"])))
+        .withColumn("word_infos", F.array_sort(F.transform(
+            "_wi", lambda w: F.struct(
+                w["s"].alias("relative_start_index"),
+                w["e"].alias("relative_end_index"),
                 w["type"].alias("type"),
-                w["is_highest_activation"].alias("is_highest_activation"),
-                w["explanation"].alias("explanation"))))
-        .withColumn("answers", F.transform(
+                F.coalesce(pk_contains(w)
+                           & ((w["e"] - w["s"]) == F.col("_minlen")),
+                           F.lit(False)).alias("is_highest_activation"),
+                w["explanation"].alias("explanation")))))
+        .withColumn("_answers", F.transform(
             "answer_idxs", lambda enc: F.struct(
-                char_off(_ans_lo(enc)).alias("relative_start_index"),
-                (char_off(_ans_hi(enc)) + F.length(tok_text(_ans_hi(enc)))
+                rel_start(_ans_lo(enc)).alias("relative_start_index"),
+                (rel_start(_ans_hi(enc)) + F.length(tok(_ans_hi(enc))["text"])
                  ).alias("relative_end_index"),
-                F.concat_ws(" ", F.transform(
-                    F.slice(F.col("tokens"), _ans_lo(enc) + 1,
-                            _ans_hi(enc) - _ans_lo(enc) + 1),
-                    lambda t: t["text"])).alias("text"))))
-        .drop("tokens", "answer_idxs"))
-    return out
+                F.substring(
+                    F.col("_doc_text"), tok(_ans_lo(enc))["char_start"] + 1,
+                    tok(_ans_hi(enc))["char_start"]
+                    + F.length(tok(_ans_hi(enc))["text"])
+                    - tok(_ans_lo(enc))["char_start"]).alias("text"))))
+        # drop answers contained within longer answers (reference
+        # topic_matching.py:1429-1453)
+        .withColumn("answers", F.array_sort(F.filter(
+            "_answers", lambda a: ~F.exists(
+                "_answers", lambda o:
+                ((o["relative_start_index"] < a["relative_start_index"])
+                 & (o["relative_end_index"] >= a["relative_end_index"]))
+                | ((o["relative_start_index"] == a["relative_start_index"])
+                   & (o["relative_end_index"] > a["relative_end_index"]))))))
+        .drop("tokens", "answer_idxs", "_answers", "_doc_text",
+              "_sent_cs", "_wi", "_minlen", "rank", "tied"))
+    # reference result ordering + rank strings
+    # (TopicMatchDictionaryOrderer, topic_matching.py:1495-1524): score
+    # desc, passage word count desc, label, first word info. Tie groups
+    # are LEADER-based, not pairwise: a following result joins the
+    # current group iff its score / the GROUP LEADER's score exceeds
+    # tied_result_quotient; every member of a >1 group renders as 'N='.
+    # That recursion isn't a closed-form window expr, but this frame is
+    # the already-top-k result (≤ number_of_results rows), so the
+    # (_rn, score) pairs — and only those — come to the driver and the
+    # rank strings broadcast-join back.
+    wc = F.size(F.split(F.trim("passage_text"), r"\s+"))
+    worder = Window.orderBy(F.desc("score"), F.desc(wc), "url",
+                            F.col("word_infos")[0]["relative_start_index"])
+    out = (out.withColumn("_rn", F.row_number().over(worder))
+           .withColumn("rank", F.lit(None).cast("string")))
+    sch = out.drop("_rn").schema
+    names = [f.name for f in sch.fields]
+    q = float(tied_result_quotient)
+
+    def _rank_batches(batches):
+        dfs = [b for b in batches if len(b)]
+        if not dfs:
+            return
+        df = pd.concat(dfs).sort_values("_rn")
+        scores = df["score"].tolist()
+        labels: list[str] = []
+        i = 0
+        while i < len(scores):
+            j = i + 1
+            while j < len(scores) and scores[j] / scores[i] > q:
+                j += 1
+            labels += [f"{i + 1}=" if j - i > 1 else str(i + 1)] * (j - i)
+            i = j
+        df["rank"] = labels
+        yield df[names]
+
+    return out.coalesce(1).mapInPandas(_rank_batches, schema=sch)
 
 
 def _t_at(j):
@@ -1133,6 +1537,17 @@ def plan_selective_retries(rel_ph: list[dict], word_ph: list[dict],
             p["freq_factor"] = parent_ff
             out_rel.append(p)
             continue
+        if p.get("wh_governed"):
+            # a pole governed by an initial question word bypasses every
+            # frequency gate (reference add_indexes_for_reverse_matching
+            # checks has_initial_question_word_in_phrase at each
+            # threshold decision, topic_matching.py:406-470)
+            child = (p["obj"] if p["template"] not in ACTOR_TEMPLATES
+                     else p["subj"])
+            p["freq_factor"] = parent_ff * pole_ff(child)
+            p["emb_retry"] = True
+            out_rel.append(p)
+            continue
         child = (p["obj"] if p["template"] not in ACTOR_TEMPLATES
                  else p["subj"])
         child_ff = pole_ff(child)
@@ -1162,6 +1577,7 @@ def topic_match(spark: SparkSession, edges: DataFrame, words: DataFrame,
                 ents: DataFrame | None = None,
                 chains: DataFrame | None = None,
                 use_frequency_factor: bool = True,
+                ontology_multiwords: set[str] | None = None,
                 **overrides) -> DataFrame:
     """Ranked passages for a query document. Returns
     (rank, url, start_idx, end_idx, score, n_matches, tied, word_infos,
@@ -1173,7 +1589,8 @@ def topic_match(spark: SparkSession, edges: DataFrame, words: DataFrame,
     rel_ph, word_ph = query_phraselets(
         query_text, lang,
         include_questions=initial_question_word_behaviour in ("process",
-                                                              "exclusive"))
+                                                              "exclusive"),
+        ontology_multiwords=ontology_multiwords)
     if freq_factors is not None:
         rel_ph, word_ph = plan_selective_retries(
             rel_ph, word_ph, freq_factors, closure, params)
@@ -1195,7 +1612,9 @@ def topic_match(spark: SparkSession, edges: DataFrame, words: DataFrame,
     grouped = matches.groupBy("url").agg(
         F.collect_list(F.struct("phraselet_label", "kind", "position",
                                 "parent_idx", "child_idx",
-                                "freq_factor", "penalty")).alias("ms"))
+                                "freq_factor", "penalty",
+                                "p_expl", "c_expl",
+                                "p_word", "c_word")).alias("ms"))
     score_one = _score_docs(params)
 
     cols = [f.name for f in TOPIC_MATCH.fields]
@@ -1204,12 +1623,19 @@ def topic_match(spark: SparkSession, edges: DataFrame, words: DataFrame,
         for pdf in batches:
             rows: list[dict] = []
             for url, ms in zip(pdf["url"], pdf["ms"]):
-                srt = sorted((dict(r) for r in ms),
-                             key=lambda r: (r["position"], r["phraselet_label"]))
+                srt = sorted(
+                    (dict(r) for r in ms),
+                    key=lambda r: (r["position"],
+                                   r["kind"].startswith("single_word"),
+                                   r["phraselet_label"]))
                 rows.extend(score_one(url, srt))
             yield pd.DataFrame(rows, columns=cols)
 
     scored = grouped.mapInPandas(score_batches, schema=TOPIC_MATCH)
+    if params["only_one_result_per_document"]:
+        du = Window.partitionBy("url").orderBy(F.desc("score"), "start_idx")
+        scored = (scored.withColumn("_dr", F.row_number().over(du))
+                  .filter(F.col("_dr") == 1).drop("_dr"))
     k = params["number_of_results"]
     w = Window.orderBy(F.desc("score"), "url", "start_idx")
     top = (scored.orderBy(F.desc("score"), "url", "start_idx").limit(k)
@@ -1218,5 +1644,6 @@ def topic_match(spark: SparkSession, edges: DataFrame, words: DataFrame,
     top = top.withColumn(
         "tied", (F.lag("score").over(w).isNotNull()
                  & (F.col("score") / F.lag("score").over(w) > params["tied_result_quotient"])))
-    return top.select("rank", "url", "start_idx", "end_idx", "score",
-                      "n_matches", "tied", "word_infos", "answer_idxs")
+    return top.select("rank", "url", "start_idx", "end_idx",
+                      "index_within_document", "score", "n_matches",
+                      "tied", "word_infos", "answer_idxs")

@@ -33,6 +33,8 @@ MULTIWORD = T.StructType([
 TOKEN = T.StructType([
     T.StructField("i", T.IntegerType()),
     T.StructField("text", T.StringType()),
+    # character offset in the original document text (spaCy token.idx)
+    T.StructField("char_start", T.IntegerType()),
     T.StructField("lemma", T.StringType()),
     T.StructField("derived_lemma", T.StringType()),
     T.StructField("pos", T.StringType()),
@@ -75,6 +77,10 @@ DOCS = T.StructType([
     T.StructField("lang", T.StringType()),
     T.StructField("parser_version", T.StringType()),
     T.StructField("n_tokens", T.IntegerType()),
+    # original document text, retained for char-exact passage/answer
+    # reporting (the reference keeps the full spaCy Doc; queries that
+    # don't report text never read the column — parquet prunes it)
+    T.StructField("text", T.StringType()),
     T.StructField("tokens", T.ArrayType(TOKEN)),
     T.StructField("deps", T.ArrayType(SEM_DEP)),
 ])

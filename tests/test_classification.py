@@ -115,3 +115,119 @@ def test_hypernym_ancestor_features(spark):
                                overlap_combined=False).collect()[0]["features"]
     assert "predicate-actor: chase-animal" in feats
     assert "word: animal" in feats
+
+
+# ---------------- labels_to_classification_frequencies parity
+# (reference tests/en/test_supervised_topic_classification_EN.py,
+# cited per test). Label strings use OUR derived-lemma rendering
+# ('chase' where the reference's derivational dict displays 'chasing').
+
+from tests.test_structural_matching_en_ported import REF_ONTOLOGY
+
+from holmes_extractor_spark.query.classification import (
+    labels_to_classification_frequencies)
+
+
+def _freq(spark, docs_with_classes, one_hot=True, ontology=REF_ONTOLOGY):
+    pages = spark.createDataFrame(
+        [(f"d{i}", t, "en") for i, (t, _) in enumerate(docs_with_classes)],
+        "url string, text string, lang string")
+    labels = spark.createDataFrame(
+        [(f"d{i}", c) for i, (_, c) in enumerate(docs_with_classes)],
+        "url string, classification string")
+    rows = labels_to_classification_frequencies(
+        pages, labels, one_hot=one_hot, ontology=ontology).collect()
+    out: dict[str, dict[str, int]] = {}
+    for r in rows:
+        out.setdefault(r["label"], {})[r["classification"]] = r["freq"]
+    return out
+
+
+def test_frequencies_direct_matching(spark):  # ref :31
+    freq = _freq(spark, [("A lion chases a tiger", "animals"),
+                         ("fast", "dummy")], one_hot=False)
+    assert freq["predicate-actor: chase-lion"] == {"animals": 1}
+    assert freq["predicate-patient: chase-tiger"] == {"animals": 1}
+    assert freq["predicate-actor: chase-lion/"
+                "predicate-patient: chase-tiger"] == {"animals": 1}
+    assert freq["word: lion"] == {"animals": 1}
+    assert freq["word: tiger"] == {"animals": 1}
+
+
+def test_frequencies_ontology_matching(spark):  # ref :46
+    freq = _freq(spark, [("A dog chases a cat", "animals"),
+                         ("fast", "dummy")], one_hot=False)
+    assert freq["predicate-actor: chase-animal"] == {"animals": 1}
+    assert freq["predicate-patient: chase-animal"] == {"animals": 1}
+    assert freq["predicate-actor: chase-animal/"
+                "predicate-patient: chase-animal"] == {"animals": 1}
+    assert freq["word: animal"] == {"animals": 2}
+
+
+def test_linked_matching_common_dependent(spark):  # ref :72
+    freq = _freq(spark, [("A lion eats and consumes a tiger", "animals"),
+                         ("fast", "dummy")], one_hot=False)
+    assert freq["predicate-actor: consume-lion"] == {"animals": 1}
+    assert freq["predicate-actor: eat-lion"] == {"animals": 1}
+    assert freq["predicate-patient: consume-tiger"] == {"animals": 1}
+    assert freq["predicate-actor: consume-lion/"
+                "predicate-actor: eat-lion"] == {"animals": 1}
+    assert freq["word: lion"] == {"animals": 1}
+    assert freq["word: tiger"] == {"animals": 1}
+
+
+def test_linked_matching_common_dependent_control(spark):  # ref :94
+    freq = _freq(spark, [("A lion eats and a lion consumes", "animals"),
+                         ("fast", "dummy")], one_hot=False)
+    assert freq["predicate-actor: consume-lion"] == {"animals": 1}
+    assert freq["predicate-actor: eat-lion"] == {"animals": 1}
+    assert ("predicate-actor: consume-lion/"
+            "predicate-actor: eat-lion") not in freq
+    assert freq["word: lion"] == {"animals": 2}
+
+
+def test_linked_matching_stepped_lower_first(spark):  # ref :109
+    freq = _freq(spark, [("A big lion eats", "animals"),
+                         ("fast", "dummy")], one_hot=False)
+    assert freq["governor-adjective: lion-big"] == {"animals": 1}
+    assert freq["predicate-actor: eat-lion"] == {"animals": 1}
+    assert freq["governor-adjective: lion-big/"
+                "predicate-actor: eat-lion"] == {"animals": 1}
+    assert freq["word: lion"] == {"animals": 1}
+
+
+def test_linked_matching_stepped_lower_second(spark):  # ref :123
+    freq = _freq(spark, [("Something eats a big lion", "animals"),
+                         ("fast", "dummy")], one_hot=False)
+    assert freq["governor-adjective: lion-big"] == {"animals": 1}
+    assert freq["predicate-patient: eat-lion"] == {"animals": 1}
+    assert freq["governor-adjective: lion-big/"
+                "predicate-patient: eat-lion"] == {"animals": 1}
+    assert freq["word: lion"] == {"animals": 1}
+
+
+def test_repeating_relation_through_coreference(spark):  # ref :156
+    freq = _freq(spark, [("The building was used last year. "
+                          "It is used this year", "test"),
+                         ("fast", "dummy")], ontology=None)
+    assert ("predicate-patient: use-building/"
+            "predicate-patient: use-building") not in freq
+
+
+def test_one_hot(spark):  # ref :168
+    docs = [("A dog chases a cat. A dog chases a cat", "animals"),
+            ("A dog chases a cat. A dog chases a cat", "animals"),
+            ("A dog chases a cat. A dog chases a cat", "animals2"),
+            ("A dog chases a cat. A dog chases a cat", "animals2")]
+    freq1 = _freq(spark, docs, one_hot=False)
+    freq2 = _freq(spark, docs, one_hot=True)
+    pair = ("predicate-actor: chase-animal/"
+            "predicate-patient: chase-animal")
+    assert freq1[pair] == {"animals": 4, "animals2": 4}
+    assert freq1["predicate-actor: chase-animal"] == {"animals": 4,
+                                                      "animals2": 4}
+    assert freq1["word: animal"] == {"animals": 8, "animals2": 8}
+    assert freq2[pair] == {"animals": 2, "animals2": 2}
+    assert freq2["predicate-actor: chase-animal"] == {"animals": 2,
+                                                      "animals2": 2}
+    assert freq2["word: animal"] == {"animals": 2, "animals2": 2}

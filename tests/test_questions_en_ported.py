@@ -187,6 +187,17 @@ CHECK_CASES = [
     (261, 'who did the dog speak of', 'the dog spoke of its man', 104, 'its man'),
     (264, 'a dog speaks of a man', 'the dog spoke of its man', 81, None),
     (295, 'Whom did you talk about?', 'the dog talked about its man', 49, 'its man'),
+    # round-4 additions — pronoun-gender gating of WHO answers through
+    # the coreference chain (ref :267-:291)
+    (267, 'who spoke', 'There came a doctor. He spoke.', 45, 'a doctor'),
+    (271, 'who spoke', 'There came a doctor. She spoke.', 45, 'a doctor'),
+    (275, 'who spoke', 'A doctor spoke. He was angry.', 45, 'A doctor'),
+    (279, 'who spoke', 'A doctor spoke. She was angry.', 45, 'A doctor'),
+    (283, 'who spoke', 'A doctor spoke.', 5, None),
+    (287, 'who spoke', 'A doctor spoke. It was angry.', 5, None),
+    (291, 'who spoke', 'There came a doctor. It spoke.', 5, None),
+    (389, 'Who did Richard see?', 'The person Richard saw was angry', 34,
+     None),
     (298, 'Whom did you talk about?', 'the man talked about his dog', 9, None),
     (301, 'Where did the meeting take place?', 'the meeting took place in the office', 143, 'in the office'),
     (304, 'Where did the meeting take place?', 'the meeting took place about the office', 83, None),
@@ -231,3 +242,88 @@ def test_question_check_equals(spark, ref, query, doc, expected, answer):
     else:
         assert got and got[0].lower() == answer.lower(), \
             f"test_questions_EN.py:{ref}: {got} != {answer}"
+
+
+# -------------------------- round-4 additions (ref :137-:170, :365-:383)
+
+def test_in_answers_split_1(spark):  # ref :365
+    tms = topic(spark, "What did you live in?",
+                "I lived in a house and a flat.")
+    assert answers(tms[:1]) == ["a house", "a flat"]
+
+
+def test_in_answers_split_2(spark):  # ref :371
+    tms = topic(spark, "When are you going?",
+                "I am going in two weeks and in three weeks")
+    assert answers(tms[:1]) == ["in two weeks", "in three weeks"]
+
+
+def test_in_answers_split_3(spark):  # ref :377
+    tms = topic(spark, "When are you going?",
+                "I am going in two weeks and three weeks")
+    assert answers(tms[:1]) == ["in two weeks", "three weeks"]
+
+
+def test_entity_multiword_answer(spark):  # ref :383
+    tms = topic(spark, "Who spoke?", "Then Richard Hudson spoke")
+    assert int(tms[0]["score"]) == 620
+    assert answers(tms[:1]) == ["Richard Hudson"]
+    wi = tms[0]["word_infos"]
+    assert [w["explanation"] for w in wi] == [
+        "Matches the question word WHO.", "Matches SPEAK directly."]
+
+
+def test_no_relation_frequency_threshold_for_direct_question_words(spark):
+    # ref :137 — question phraselets ignore the relation frequency gate
+    tms = topic(spark, "What came?", "Richard came. Come. Come.",
+                relation_matching_frequency_threshold=1.0,
+                embedding_matching_frequency_threshold=1.0)
+    assert int(tms[0]["score"]) == 228
+    assert answers(tms[:1]) == ["Richard"]
+
+
+def test_no_relation_frequency_threshold_direct_control(spark):  # ref :143
+    tms = topic(spark, "Did Richard come?", "Richard came. Come. Come.",
+                relation_matching_frequency_threshold=1.0,
+                embedding_matching_frequency_threshold=1.0)
+    assert int(tms[0]["score"]) == 167
+    assert answers(tms[:1]) == []
+
+
+def test_no_relation_frequency_threshold_for_governed_question_words(spark):
+    # ref :149
+    tms = topic(spark, "Which dog barked?",
+                "The dog barked. The dog barked. The dog barked.",
+                relation_matching_frequency_threshold=1.0,
+                embedding_matching_frequency_threshold=1.0)
+    assert int(tms[0]["score"]) == 107
+    assert answers(tms[:1]) == ["The dog", "The dog", "The dog"]
+
+
+def test_no_relation_frequency_threshold_governed_control(spark):  # ref :156
+    tms = topic(spark, "The dog barked?",
+                "The dog barked. The dog barked. The dog barked.",
+                relation_matching_frequency_threshold=1.0,
+                embedding_matching_frequency_threshold=1.0)
+    assert int(tms[0]["score"]) == 25
+    assert answers(tms[:1]) == []
+
+
+def test_no_reverse_relation_frequency_threshold_for_governed_question_words(spark):
+    # ref :163
+    tms = topic(spark, "In which house?",
+                "in a house. in a house. in a house.",
+                relation_matching_frequency_threshold=1.0,
+                embedding_matching_frequency_threshold=1.0)
+    assert int(tms[0]["score"]) == 107
+    assert answers(tms[:1]) == ["a house", "a house", "a house"]
+
+
+def test_no_reverse_relation_frequency_threshold_governed_control(spark):
+    # ref :170
+    tms = topic(spark, "In a house",
+                "in a house. in a house. in a house.",
+                relation_matching_frequency_threshold=1.0,
+                embedding_matching_frequency_threshold=1.0)
+    assert int(tms[0]["score"]) == 25
+    assert answers(tms[:1]) == []

@@ -92,3 +92,248 @@ def test_object_conjunction(by_doc):
 def test_double_object_dative(by_doc):
     ms = by_doc["double_obj"]
     assert len(ms) == 1
+
+
+# --------------------------------------------- round-4 ported additions
+# one-manager-per-case fixture for the cases that need their own
+# search-phrase sets (mirrors the reference's
+# holmes_manager_with_variable_search_phrases)
+
+def _de(spark, phrases, doc):
+    m = SparkHolmesManager(spark)
+    for p in phrases:
+        if isinstance(p, tuple):
+            m.register_search_phrase(p[0], label=p[1], lang="de")
+        else:
+            m.register_search_phrase(p, lang="de")
+    m.parse_and_register_document(doc, "d", lang="de")
+    return m.match()
+
+
+JAGT = "Ein Hund jagt eine Katze"
+
+
+def test_different_object(spark):  # ref :100
+    assert _de(spark, [JAGT], "Der Hund jagte das Pferd") == []
+
+
+def test_noun_phrase_negation(spark):  # ref :111
+    ms = _de(spark, [JAGT], "Kein Hund jagte keine Katze")
+    assert len(ms) == 1 and ms[0]["negated"] and not ms[0]["uncertain"]
+
+
+def test_irrelevant_negation(spark):  # ref :118
+    ms = _de(spark, [JAGT], "Der nicht alte Hund jagte die Katze")
+    assert len(ms) == 1 and not ms[0]["negated"] and not ms[0]["uncertain"]
+
+
+def test_adjective_swapping_with_conjunction(spark):  # ref :133
+    ms = _de(spark, ["Der reiche Mann"], "Der schlaue und schlaue Mann")
+    assert ms == []
+    ms = _de(spark, ["Ein Mann ist schlau"], "Der Mann war reich und reich")
+    assert ms == []
+
+
+def test_conjunction_with_and(spark):  # ref :146
+    ms = _de(spark, [JAGT],
+             "Der Hund und der Hund jagten die Katze und eine Katze")
+    assert len(ms) == 4 and all(not m["uncertain"] for m in ms)
+
+
+def test_conjunction_with_or(spark):  # ref :153
+    ms = _de(spark, [JAGT],
+             "Der Hund oder der Hund jagten die Katze und eine Katze")
+    assert len(ms) == 4 and all(m["uncertain"] for m in ms)
+
+
+def test_threeway_conjunction_with_or(spark):  # ref :160
+    ms = _de(spark, [JAGT], "Der Hund, der Hund oder der Hund jagten "
+                            "die Katze und eine Katze")
+    assert len(ms) == 6 and all(m["uncertain"] for m in ms)
+
+
+def test_active_future_and_perfect(spark):  # ref :175
+    ms = _de(spark, [JAGT], "Der Hund wird die Katze jagen")
+    assert len(ms) == 1 and not ms[0]["uncertain"]
+    ms = _de(spark, [JAGT], "Der Hund hatte die Katze gejagt")
+    assert len(ms) == 1 and not ms[0]["uncertain"]
+
+
+@pytest.mark.parametrize("doc", [
+    "Die Katze wird vom Hund gejagt",
+    "Die Katze wird vom Hund gejagt werden",
+    "Die Katze war vom Hund gejagt worden",
+    "Die Katze wird vom Hund gejagt worden sein",
+])
+def test_passive_with_von(spark, doc):  # ref :185
+    ms = _de(spark, [JAGT], doc)
+    assert len(ms) == 1 and not ms[0]["uncertain"]
+
+
+@pytest.mark.parametrize("doc", [
+    "Die Katze wird durch den Hund gejagt",
+    "Die Katze wird durch den Hund gejagt werden",
+    "Die Katze war durch den Hund gejagt worden",
+    "Die Katze wird durch den Hund gejagt worden sein",
+])
+def test_passive_with_durch(spark, doc):  # ref :203
+    ms = _de(spark, [JAGT], doc)
+    assert len(ms) == 1 and not ms[0]["uncertain"]
+
+
+def test_modal(spark):  # ref :221
+    ms = _de(spark, [JAGT], "Der Hund könnte eine Katze jagen")
+    assert len(ms) == 1 and ms[0]["uncertain"]
+
+
+def test_relative_pronoun_nominative(spark):  # ref :233
+    ms = _de(spark, [JAGT], "Der Hund, der die Katze jagte, war müde")
+    assert len(ms) == 1 and not ms[0]["uncertain"]
+
+
+def test_relative_pronoun_nominative_inverted(spark):  # ref :239
+    assert _de(spark, [JAGT],
+               "Die Katze, die den Hund jagte, war müde") == []
+
+
+def test_relative_pronoun_nominative_with_conjunction(spark):  # ref :244
+    ms = _de(spark, [JAGT],
+             "Der Hund, der die Katze und die Katze jagte, war müde")
+    assert len(ms) == 2 and all(not m["uncertain"] for m in ms)
+
+
+def test_relative_pronoun_nominative_with_passive(spark):  # ref :251
+    ms = _de(spark, [JAGT],
+             "Die Katze, die vom Hund gejagt wurde, war müde")
+    assert len(ms) == 1 and not ms[0]["uncertain"]
+
+
+def test_relative_pronoun_accusative(spark):  # ref :257
+    ms = _de(spark, ["Ein Hund jagt einen Bären"],
+             "Der Bär, den der Hund jagte, war müde")
+    assert len(ms) == 1 and not ms[0]["uncertain"]
+
+
+def test_separable_verb(spark):  # ref :263
+    ms = _de(spark, [("Ein Student geht aus", "excursion")],
+             "Die Studenten werden ausgehen")
+    assert len(ms) == 1 and not ms[0]["uncertain"]
+    assert ms[0]["search_phrase_label"] == "excursion"
+
+
+def test_von_phrase_matches_genitive_phrase(spark):  # ref :270
+    ms = _de(spark, ["Der Abschluss einer Versicherung"],
+             "Der Abschluss von einer Versicherung")
+    assert len(ms) == 1 and not ms[0]["uncertain"]
+
+
+def test_genitive_phrase_matches_von_phrase(spark):  # ref :283
+    ms = _de(spark, ["Die Kündigung von einer Versicherung"],
+             "Die Kündigung einer Versicherung")
+    assert len(ms) == 1 and not ms[0]["uncertain"]
+
+
+def test_genitive_phrase_matches_von_phrase_with_coordination(spark):  # ref :289
+    ms = _de(spark, ["Die Kündigung von einer Versicherung"],
+             "Die Kündigung einer Versicherung und einer Versicherung")
+    assert len(ms) == 2 and all(not m["uncertain"] for m in ms)
+
+
+def test_subjective_zu_clause_complement_with_conjunction_active(spark):  # ref :296
+    ms = _de(spark, [JAGT], "Der Hund und der Löwe entschlossen sich, "
+                            "eine Katze und eine Maus zu jagen")
+    assert len(ms) == 1 and ms[0]["uncertain"]
+
+
+def test_subjective_zu_clause_complement_simple_passive(spark):  # ref :321
+    ms = _de(spark, [JAGT], "Die Katze entschied, vom Hund gejagt zu werden")
+    assert len(ms) == 1 and ms[0]["uncertain"]
+
+
+def test_passive_search_phrase_with_active_searched_sentence(spark):  # ref :333
+    ms = _de(spark, ["Eine Katze wurde von einem Hund gejagt"],
+             "Der Hund wird die Katze jagen")
+    assert len(ms) == 1 and not ms[0]["uncertain"]
+
+
+def test_passive_search_phrase_with_active_conjunction(spark):  # ref :342
+    ms = _de(spark, ["Eine Katze wurde von einem Hund gejagt"],
+             "Der Hund und der Hund haben die Katze und die Katze gejagt")
+    assert len(ms) == 4 and all(not m["uncertain"] for m in ms)
+
+
+def test_passive_search_phrase_with_passive_conjunction(spark):  # ref :352
+    ms = _de(spark, ["Eine Katze wurde von einem Hund gejagt"],
+             "Die Katze und die Katze werden von einem Hund und einem "
+             "Hund gejagt werden")
+    assert len(ms) == 4 and all(not m["uncertain"] for m in ms)
+
+
+def test_passive_search_phrase_with_negated_searched_sentence(spark):  # ref :362
+    ms = _de(spark, ["Eine Katze wurde von einem Hund gejagt"],
+             "Der Hund jagte die Katze nie")
+    assert len(ms) == 1 and not ms[0]["uncertain"] and ms[0]["negated"]
+
+
+def test_question_search_phrase_with_active_searched_sentence(spark):  # ref :372
+    ms = _de(spark, ["Welche Hunde fressen Knochen?"],
+             "Der Hund wird den Knochen fressen")
+    assert len(ms) == 1 and not ms[0]["uncertain"]
+
+
+def test_question_search_phrase_with_active_conjunction(spark):  # ref :381
+    ms = _de(spark, ["Welche Hunde fressen Knochen?"],
+             "Der Hund und der Hund haben einen Knochen und einen "
+             "Knochen gefressen")
+    assert len(ms) == 4 and all(not m["uncertain"] for m in ms)
+
+
+def test_question_search_phrase_with_passive_conjunction(spark):  # ref :391
+    ms = _de(spark, ["Welche Hunde fressen Knochen?"],
+             "Der Knochen und der Knochen werden von einem Hund und "
+             "einem Hund gefressen werden")
+    assert len(ms) == 4 and all(not m["uncertain"] for m in ms)
+
+
+def test_question_search_phrase_with_negated_searched_sentence(spark):  # ref :401
+    ms = _de(spark, ["Welche Hunde fressen Knochen?"],
+             "Der Hund fraß den Knochen nie")
+    assert len(ms) == 1 and not ms[0]["uncertain"] and ms[0]["negated"]
+
+
+def test_original_search_phrase_root_not_matchable(spark):  # ref :411
+    ms = _de(spark, ["Wer war traurig?"], "Der Mann war sehr traurig.")
+    assert len(ms) == 1
+
+
+def test_non_grammatical_auxiliary(spark):  # ref :416
+    ms = _de(spark, ["Das Fahrzeug hat einen Fehler"],
+             "Das Fahrzeug hat einen Fehler.")
+    assert len(ms) == 1
+
+
+def test_entitynoun_as_root_node(spark):  # ref :421
+    ms = _de(spark, ["Ein ENTITYNOUN"],
+             "Hunde, Katzen, Löwen und Elefanten")
+    assert len(ms) == 4
+
+
+def test_entitynoun_as_non_root_node(spark):  # ref :429
+    ms = _de(spark, ["Ich sah ein ENTITYNOUN"],
+             "Ich sah einen Hund und eine Katze")
+    assert len(ms) == 2
+
+
+def test_involves_coreference_false_de(spark):  # ref :454
+    ms = _de(spark, [JAGT], "Ein Hund jagte eine Katze.")
+    assert len(ms) == 1 and not ms[0]["involves_coreference"]
+    assert not ms[0]["word_matches"][0]["involves_coreference"]
+
+
+def test_matching_additional_preposition_dependency_on_verb(spark):  # ref :449
+    # our fixture registers ONE phrase (the reference registers three
+    # overlapping für-phrases and expects 3 matches)
+    ms = _de(spark, ["Jemand braucht eine Versicherung für fünf Jahre"],
+             "Der Mitarbeiter braucht eine Versicherung für die "
+             "nächsten fünf Jahre")
+    assert len(ms) == 1

@@ -47,6 +47,23 @@ REF_ONTOLOGY = [
     ("wastage horse", "subClassOf", "horse"),
     ("fido", "type", "dog"),
     ("mimi momo", "type", "cat"),
+    ("pranaya jones", "type", "cat"),
+    ("harry", "equivalentClass", "harry potter"),
+    ("harry potter", "equivalentClass", "potter"),
+    ("rainbows", "subClassOf", "arc"),
+    # standalone OWL classes with no relations (the reference owl file
+    # declares them so Holmes registers their multiword forms,
+    # test_ontology.owl:139-255) — an identity synonym triple is our
+    # list-of-triples encoding for a bare class entry
+    ("unhyphenated multiword", "equivalentClass", "unhyphenated multiword"),
+    ("unhyphenated single multiword", "equivalentClass",
+     "unhyphenated single multiword"),
+    ("hypenated-multiword", "equivalentClass", "hypenated-multiword"),
+    ("hypenated-single-multiword", "equivalentClass",
+     "hypenated-single-multiword"),
+    ("moodiness", "equivalentClass", "moodiness"),
+    ("offence", "equivalentClass", "offence"),
+    ("offense", "equivalentClass", "offense"),
 ]
 
 # reference module-level search phrases, ref :15-61

@@ -252,3 +252,324 @@ def test_topic_suppression(spark, ref, query, doc, expected, kw):
     assert tms, f"test_topic_matching_EN.py{ref}: no match"
     assert int(tms[0]["score"]) == expected, \
         f"test_topic_matching_EN.py{ref}"
+
+
+# ------------------- indexes / passage spans (ref :816-905, :966-976)
+# These exercise the reference's sentence expansion + char-span
+# reporting through our column names: url=document_label,
+# passage_text=text, start_idx=start_index, end_idx=end_index.
+
+def _mgr(spark, *docs):
+    m = SparkHolmesManager(spark, ontology=REF_ONTOLOGY,
+                           ontology_symmetric=True)
+    for text, label in docs:
+        m.parse_and_register_document(text, label)
+    return m
+
+
+IRRELEVANT = (" A great deal of irrelevant text." * 15).strip()
+
+
+def test_indexes(spark):  # ref :816
+    m = _mgr(spark, ("This is an irrelevant sentence. I think a plant "
+                     "grows.", "d"))
+    tms = m.topic_match_documents_against("A plant grows")
+    assert tms[0]["sentences_start_index"] == 6
+    assert tms[0]["sentences_end_index"] == 11
+    assert tms[0]["start_idx"] == 9
+    assert tms[0]["end_idx"] == 10
+
+
+def test_indexes_with_preceding_non_matched_dependent(spark):  # ref :827
+    m = _mgr(spark, ("I saw a big dog.", "d"))
+    tms = m.topic_match_documents_against("A big dog")
+    assert tms[0]["sentences_start_index"] == 0
+    assert tms[0]["sentences_end_index"] == 5
+    assert tms[0]["start_idx"] == 3
+    assert tms[0]["end_idx"] == 4
+
+
+def test_only_one_result_per_document(spark):  # ref :849
+    doc = "Peter came home." + IRRELEVANT + " Peter came home."
+    m = _mgr(spark, (doc, "d"))
+    assert len(m.topic_match_documents_against("Peter")) == 2
+    assert len(m.topic_match_documents_against(
+        "Peter", only_one_result_per_document=True)) == 1
+
+
+def test_match_cutoff(spark):  # ref :867
+    doc = "A cat. " + IRRELEVANT + " The dog chased the cat."
+    m = _mgr(spark, (doc, "d"))
+    tms = m.topic_match_documents_against("The dog chased the cat")
+    # two activation peaks separated by > sideways_match_extent split
+    # into separate results; the relation-bearing one wins
+    assert tms[0]["start_idx"] > 90
+    assert "dog chased the cat" in tms[0]["passage_text"]
+
+
+def test_result_ordering_by_match_length_different_documents_2(spark):
+    # ref :886
+    doc = ("A dog chased a cat. " + IRRELEVANT
+           + " A dog chased a cat. A cat")
+    m = _mgr(spark, (doc, "d"))
+    tms = m.topic_match_documents_against("The dog chased the cat")
+    assert tms[0]["end_idx"] - tms[0]["start_idx"] == 6
+    assert tms[1]["end_idx"] - tms[1]["start_idx"] == 3
+
+
+def test_result_ordering_by_match_length_different_documents_1(spark):
+    # ref :966
+    m = _mgr(spark, ("A dog chased a cat.", "1"),
+             ("A dog chased a cat. A cat.", "2"))
+    tms = m.topic_match_documents_against("The dog chased the cat")
+    assert tms[0]["end_idx"] == 7
+    assert tms[1]["end_idx"] == 4
+
+
+# ----------------------------- dictionaries (ref :906-965, :1043-1100)
+
+def _wi(tm):
+    """word_infos as the reference's [start, end, type, peak, expl]."""
+    return [[w["relative_start_index"], w["relative_end_index"],
+             w["type"], w["is_highest_activation"], w["explanation"]]
+            for w in tm["word_infos"]]
+
+
+def test_dictionaries(spark):  # ref :906
+    doc = ("A dog chased a cat. " + IRRELEVANT
+           + " A dog chased a cat. A cat. Another irrelevant sentence.")
+    m = _mgr(spark, (doc, ""), ("Dogs and cats.", "animals"))
+    tms = m.topic_match_documents_against(
+        "The dog chased the cat", use_frequency_factor=False)
+    assert [t["url"] for t in tms] == ["", "", "animals"]
+    assert [t["rank"] for t in tms] == ["1=", "1=", "3"]
+    t0, t1, t2 = tms
+    assert t0["passage_text"] == "A dog chased a cat. A cat."
+    assert int(t0["score"]) == 993
+    assert _wi(t0) == [
+        [2, 5, "overlapping_relation", False, "Matches DOG directly."],
+        [6, 12, "overlapping_relation", False, "Matches CHASE directly."],
+        [15, 18, "overlapping_relation", True, "Matches CAT directly."],
+        [22, 25, "single", False, "Matches CAT directly."]]
+    assert t1["passage_text"] == "A dog chased a cat."
+    assert int(t1["score"]) == 993
+    assert (t1["sentences_character_start_index"],
+            t1["sentences_character_end_index"]) == (0, 19)
+    assert _wi(t1) == [
+        [2, 5, "overlapping_relation", False, "Matches DOG directly."],
+        [6, 12, "overlapping_relation", False, "Matches CHASE directly."],
+        [15, 18, "overlapping_relation", True, "Matches CAT directly."]]
+    assert t2["passage_text"] == "Dogs and cats."
+    assert int(t2["score"]) == 98
+    assert (t2["sentences_character_start_index"],
+            t2["sentences_character_end_index"]) == (0, 14)
+    assert _wi(t2) == [
+        [0, 4, "single", False, "Matches DOG directly."],
+        [9, 13, "single", True, "Matches CAT directly."]]
+    # tied_result_quotient=0.01 chains all three into one tie group
+    tms = m.topic_match_documents_against(
+        "The dog chased the cat", tied_result_quotient=0.01,
+        use_frequency_factor=False)
+    assert [t["rank"] for t in tms] == ["1=", "1=", "1="]
+
+
+def test_dictionaries_with_multiword_in_relation_not_final(spark):
+    # ref :923
+    m = _mgr(spark, ("Richard Paul Hudson came home", ""))
+    tms = m.topic_match_documents_against("Richard Paul Hudson was coming")
+    t = tms[0]
+    assert t["rank"] == "1"
+    assert t["passage_text"] == "Richard Paul Hudson came home"
+    assert (t["start_idx"], t["end_idx"]) == (0, 3)
+    assert int(t["score"]) == 369
+    assert _wi(t) == [
+        [0, 19, "relation", False,
+         "Matches RICHARD PAUL HUDSON directly."],
+        [20, 24, "relation", True, "Matches COME directly."]]
+
+
+def test_dictionaries_with_multiword_alone(spark):  # ref :934
+    m = _mgr(spark, ("Richard Paul Hudson", ""))
+    tms = m.topic_match_documents_against("Richard Paul Hudson")
+    t = tms[0]
+    assert t["passage_text"] == "Richard Paul Hudson"
+    assert int(t["score"]) == 50
+    assert _wi(t) == [[0, 19, "single", True,
+                       "Matches RICHARD PAUL HUDSON directly."]]
+
+
+def test_dictionaries_with_multiword_alone_and_entity_token(spark):
+    # ref :944
+    m = _mgr(spark, ("Richard Paul Hudson", ""))
+    tms = m.topic_match_documents_against("ENTITYPERSON")
+    t = tms[0]
+    assert int(t["score"]) == 50
+    assert _wi(t) == [[0, 19, "single", True,
+                       "Has an entity label matching ENTITYPERSON."]]
+
+
+def test_dictionaries_with_multiword_as_single_word_and_relation(spark):
+    # ref :955 — 'harry' is an ontology synonym of the document
+    # multiword 'harry potter'
+    m = _mgr(spark, ("Can somebody give Harry Potter his present", ""))
+    tms = m.topic_match_documents_against("Somebody gives a present to Harry")
+    t = tms[0]
+    assert int(t["score"]) == 922
+    assert (t["start_idx"], t["end_idx"]) == (2, 6)
+    assert _wi(t) == [
+        [13, 17, "overlapping_relation", False, "Matches GIVE directly."],
+        [18, 30, "overlapping_relation", False,
+         "Is a synonym of HARRY in the ontology."],
+        [35, 42, "overlapping_relation", True,
+         "Matches PRESENT directly."]]
+
+
+def test_adjective_describing_entity_multiword_dicts(spark):  # ref :1054
+    m = _mgr(spark, ("A big Richard Paul Hudson", ""))
+    tms = m.topic_match_documents_against("A big Richard Paul Hudson")
+    t = tms[0]
+    assert int(t["score"]) == 369
+    assert (t["start_idx"], t["end_idx"]) == (1, 4)
+    assert _wi(t) == [
+        [2, 5, "relation", False, "Matches BIG directly."],
+        [6, 25, "relation", True,
+         "Matches RICHARD PAUL HUDSON directly."]]
+
+
+def test_adjective_describing_double_multiword_dicts_1(spark):  # ref :1066
+    m = _mgr(spark, ("A big Richard Pranaya Jones", ""))
+    tms = m.topic_match_documents_against("A big Richard Pranaya Jones")
+    t = tms[0]
+    assert int(t["score"]) == 1017
+    assert _wi(t) == [
+        [2, 5, "overlapping_relation", False, "Matches BIG directly."],
+        [6, 13, "overlapping_relation", False, "Matches RICHARD directly."],
+        [14, 27, "overlapping_relation", True,
+         "Matches PRANAYA JONES directly."]]
+
+
+def test_adjective_describing_double_multiword_dicts_2(spark):  # ref :1078
+    m = _mgr(spark, ("A big Richard Pranaya Jones", ""))
+    tms = m.topic_match_documents_against("A big Pranaya Jones")
+    t = tms[0]
+    assert int(t["score"]) == 369
+    assert _wi(t) == [
+        [2, 5, "relation", False, "Matches BIG directly."],
+        [14, 27, "relation", True, "Matches PRANAYA JONES directly."]]
+
+
+def test_adjective_describing_double_multiword_dicts_3(spark):  # ref :1090
+    m = _mgr(spark, ("A big Richard Pranaya Jones", ""))
+    tms = m.topic_match_documents_against("A big Jones")
+    t = tms[0]
+    assert int(t["score"]) == 369
+    assert _wi(t) == [
+        [2, 5, "relation", False, "Matches BIG directly."],
+        [22, 27, "relation", True, "Matches JONES directly."]]
+
+
+# ------------------------- match cutoff score variants (ref :1101-1154)
+
+def test_different_match_cutoff_score_low(spark):  # ref :1101
+    m = _mgr(spark, ("A dog and a dog then and then and then and then "
+                     "and then a dog", ""))
+    assert len(m.topic_match_documents_against("A dog")) == 1
+
+
+def test_different_match_cutoff_score_high(spark):  # ref :1111, :1252
+    m = _mgr(spark, ("A dog then and then and then and then and then "
+                     "a dog", ""))
+    assert len(m.topic_match_documents_against(
+        "A dog", different_match_cutoff_score=10000)) == 2
+
+
+def test_different_match_cutoff_score_zero(spark):  # ref :1125
+    m = _mgr(spark, ("A dog then and then and then and then and then "
+                     "a dog", ""))
+    assert len(m.topic_match_documents_against(
+        "A dog", different_match_cutoff_score=0)) == 1
+
+
+def test_different_match_cutoff_score_control(spark):  # ref :1140, :1264
+    m = _mgr(spark, ("A dog then and then and then and then and then "
+                     "a dog", ""))
+    assert len(m.topic_match_documents_against("A dog")) == 1
+
+
+# --------------------- frequency factor corpora (ref :1155-1219)
+
+@pytest.fixture(scope="module")
+def ff_mgr(spark):
+    m = SparkHolmesManager(spark, ontology=REF_ONTOLOGY)
+    m.parse_and_register_document("I saw a dog. It was chasing a cat",
+                                  "specific")
+    m.parse_and_register_document("The dog chased the animal", "exact")
+    m.parse_and_register_document("The cat chased the dog",
+                                  "specific-reversed")
+    m.parse_and_register_document("The animal chased the dog",
+                                  "exact-reversed")
+    return m
+
+
+def test_one_worker_frequency_factor(ff_mgr):  # ref :1155 (+:1177 2-worker)
+    assert ff_mgr.document_labels() == [
+        "exact", "exact-reversed", "specific", "specific-reversed"]
+    tms = ff_mgr.topic_match_documents_against(
+        "A dog chases an animal", relation_score=30,
+        reverse_only_relation_score=20, single_word_score=5,
+        single_word_any_tag_score=2, different_match_cutoff_score=5,
+        relation_matching_frequency_threshold=0.2)
+    assert [t["url"] for t in tms] == [
+        "exact", "specific", "exact-reversed", "specific-reversed"]
+    assert [t["rank"] for t in tms] == ["1=", "1=", "3=", "3="]
+    assert [int(t["score"]) for t in tms] == [17, 15, 8, 7]
+    assert _wi(tms[0]) == [
+        [4, 7, "overlapping_relation", False, "Matches DOG directly."],
+        [8, 14, "overlapping_relation", False, "Matches CHASE directly."],
+        [19, 25, "overlapping_relation", True,
+         "Matches ANIMAL directly."]]
+    assert _wi(tms[1]) == [
+        [8, 11, "overlapping_relation", False, "Matches DOG directly."],
+        [20, 27, "overlapping_relation", False, "Matches CHASE directly."],
+        [30, 33, "overlapping_relation", True,
+         "Is a child of ANIMAL in the ontology."]]
+    assert _wi(tms[2]) == [
+        [4, 10, "single", False, "Matches ANIMAL directly."],
+        [11, 17, "relation", False, "Matches CHASE directly."],
+        [22, 25, "relation", True,
+         "Is a child of ANIMAL in the ontology."]]
+    assert _wi(tms[3]) == [
+        [4, 7, "single", False, "Is a child of ANIMAL in the ontology."],
+        [8, 14, "relation", False, "Matches CHASE directly."],
+        [19, 22, "relation", True,
+         "Is a child of ANIMAL in the ontology."]]
+
+
+def test_number_of_results(ff_mgr):  # ref :1198
+    tms = ff_mgr.topic_match_documents_against(
+        "A dog chases an animal", number_of_results=3,
+        use_frequency_factor=True, relation_score=30,
+        reverse_only_relation_score=20, single_word_score=5,
+        single_word_any_tag_score=2, different_match_cutoff_score=5,
+        relation_matching_frequency_threshold=0.2)
+    assert [t["url"] for t in tms] == ["exact", "specific",
+                                       "exact-reversed"]
+    # cut to 3 results, the third loses its tie partner → plain '3'
+    assert [t["rank"] for t in tms] == ["1=", "1=", "3"]
+
+
+# ------------------- label filtering (ref :978-1042, :1220-1250)
+
+def test_filtering_with_topic_matches(spark):  # ref :978 + :1220
+    m = _mgr(spark, *[("The dog chased the cat", lab)
+                      for lab in ("T11", "T12", "T21", "T22")])
+    q = "The dog chased the cat"
+    assert len(m.topic_match_documents_against(q)) == 4
+    assert len(m.topic_match_documents_against(
+        q, document_label_filter="T")) == 4
+    assert len(m.topic_match_documents_against(
+        q, document_label_filter="T1")) == 2
+    assert len(m.topic_match_documents_against(
+        q, document_label_filter="T22")) == 1
+    assert len(m.topic_match_documents_against(
+        q, document_label_filter="X")) == 0
