@@ -26,6 +26,10 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # dominating the 32-core measurement — at 320k the 32-core job ran
 # ~3.5s and that overhead alone cost ~8 efficiency points
 SCALING_PAGES = int(os.environ.get("BENCH_SCALING_PAGES", "960000"))
+# 512 input files → 16 task waves at 32 cores: halves the last-wave
+# straggler tail vs 256 (the mp control drains a shared queue and has
+# no tail, so tail loss shows up directly as scaling-efficiency gap)
+SCALE_FILES = int(os.environ.get("BENCH_SCALE_FILES", "512"))
 
 
 def _scale_data_path() -> str:
@@ -34,7 +38,7 @@ def _scale_data_path() -> str:
     import hashlib
     from holmes_extractor_spark.fixtures import POOL
     fp = hashlib.sha256("\x00".join(POOL).encode()).hexdigest()[:12]
-    return f"/tmp/holmes_scale_pages_{SCALING_PAGES}_{fp}"
+    return f"/tmp/holmes_scale_pages_{SCALING_PAGES}_{SCALE_FILES}_{fp}"
 
 
 SCALE_DATA = _scale_data_path()
@@ -66,7 +70,7 @@ def _ensure_scale_data() -> None:
     from holmes_extractor_spark.fixtures import build_pages_n
     from holmes_extractor_spark.session import get_spark
     spark = get_spark(app_name="bench_gen", cpus=CPUS)
-    build_pages_n(spark, SCALING_PAGES).repartition(256) \
+    build_pages_n(spark, SCALING_PAGES).repartition(SCALE_FILES) \
         .write.mode("overwrite").parquet(SCALE_DATA)
     spark.stop()
 

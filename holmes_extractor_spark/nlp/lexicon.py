@@ -167,6 +167,15 @@ PERSON_NOUNS_EN = {
     "colleague", "boss", "salesman", "son", "beneficiary",
 }
 
+# nouns that carry grammatical gender in spaCy's morphology — the
+# reference's who-gate accepts a noun answer only when the token (or a
+# coref mention) is PERSON-entity-typed or morph-gendered
+# (en language_specific_rules.py:1338-1363)
+GENDERED_NOUNS_EN = {
+    "man", "woman", "boy", "girl", "king", "queen", "father", "mother",
+    "brother", "sister", "son", "daughter", "salesman",
+}
+
 STOPWORDS_EN = DETS_EN | PRONOUNS_EN | PREPOSITIONS_EN | CONJUNCTIONS_EN | {
     "be", "is", "are", "was", "were", "been", "am", "do", "does", "did",
     "have", "has", "had", "will", "would", "can", "could", "should",

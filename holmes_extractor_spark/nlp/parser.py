@@ -204,8 +204,15 @@ def _tag_en(toks: list[Tok], start_of_sent: int) -> None:
             nw = nxt.text.lower() if nxt is not None else ""
             if (lemma(prev.text.lower(), "en"), w) in L.PHRASAL_VERBS_EN:
                 t.pos = "PART"
+            elif toks[0].text.lower() in L.INTERROGATIVES_EN \
+                    and (nxt is None or nxt.text in PUNCT):
+                # stranded preposition of a WH question ("What did you
+                # live IN?") — a preposition whose object is the
+                # fronted question word, never a verb particle
+                t.pos = "ADP"
             elif nxt is not None and nxt.text not in PUNCT and (
                 nw in L.DETS_EN or nw in L.NOUN_LEXICON_EN
+                or nw in L.NUMBER_WORDS_EN or nw.isdigit()
                 or (nxt.text[:1].isupper() and nw not in L.ADVERBS_EN)
             ) and not (nw in L.ADVERBS_EN or (nw.endswith("ly") and len(nw) > 4)):
                 t.pos = "ADP"
@@ -653,9 +660,18 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
                                   and not (j2 + 1 < n
                                            and toks[j2 + 1].text.lower()
                                            == "by"))))
+            # an OPEN relative clause before the conjunction claims the
+            # following verb as its main predicate ("the dog who chased
+            # the cat and cat CAME home") — no clause split there
+            open_rel = any(
+                toks[i].pos == "PRON" and i > 0
+                and toks[i].text.lower() in ("who", "which", "that")
+                and toks[i - (2 if toks[i - 1].text == "," else 1)].pos
+                in ("NOUN", "PROPN")
+                for i in range(1, k))
             is_clause_cconj = (
                 toks[k].pos == "CCONJ"
-                and (nom_pron or np_clause)
+                and (nom_pron or (np_clause and not open_rel))
                 and any(t2.pos in ("VERB", "AUX") for t2 in toks[k + 2:])
                 and any(t2.pos in ("VERB", "AUX") for t2 in toks[:k]))
             is_sconj = (
@@ -1618,7 +1634,8 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
                     unc = True
                 for m in group:
                     if m != d["child"] and not _dep_exists(d["parent"], m, d["label"]):
-                        add(d["parent"], m, d["label"], uncertain=unc)
+                        add(d["parent"], m, d["label"], uncertain=unc,
+                            prep=d.get("prep"))
             if d["parent"] == t.i and d["child"] not in gset:
                 # parent-side copies flow from the ANCHOR only: in
                 # "who chased and caught the cat" the object belongs to
@@ -1636,7 +1653,8 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
                         # horse and a little horse")
                         continue
                     if not _dep_exists(m, d["child"], d["label"]):
-                        add(m, d["child"], d["label"], uncertain=unc)
+                        add(m, d["child"], d["label"], uncertain=unc,
+                            prep=d.get("prep"))
 
     # displaced preposition in a relative clause ("The office you ate
     # your roll at was new"): the clause-final bare preposition takes
@@ -2260,6 +2278,14 @@ def parse_document(text: str, lang: str,
             for idx in chain:
                 toks[idx].coref_chain = chain
             t.most_specific_coref = antes[0]
+            # mention-distance cap (reference
+            # maximum_mentions_in_coreference_chain=3,
+            # parsing.py:1109-1116): a pronoun more than 3 mentions
+            # away from the antecedent stays in the chain but its deps
+            # are NOT exchanged — "There was a dog. He… He… He… He
+            # chased a cat" no longer matches
+            if chain.index(t.i) - chain.index(antes[0]) > MAX_COREF_MENTIONS:
+                continue
             # coreference-linked deps (reference parsing.py:1507-1532,
             # coreference_linked_child/parent dependencies): deps
             # pointing at OR out of the pronoun also attach to the

@@ -239,6 +239,23 @@ def extract_candidate_edges(parsed: dict, lang: str,
         nouns = PERSON_NOUNS_DE if lang == "de" else PERSON_NOUNS_EN
         return bool(tok["ent_type"] == "PERSON" or tok["lemma"] in nouns)
 
+    def _is_gendered(tok: dict) -> bool:
+        """The reference's who-gate: PERSON-ish entity type, a
+        morph-gendered noun, or a gendered pronoun somewhere in the
+        token's coreference chain (en language_specific_rules.py:
+        1338-1363 — 'A doctor spoke.' does NOT answer 'who', but
+        'There came a doctor. He spoke.' does)."""
+        from ..nlp.lexicon import GENDERED_NOUNS_EN, PERSON_NOUNS_DE
+        if tok["ent_type"] in ("PERSON", "NORP", "ORG", "GPE"):
+            return True
+        if lang == "de":
+            return bool(tok["lemma"] in PERSON_NOUNS_DE)
+        if tok["lemma"] in GENDERED_NOUNS_EN:
+            return True
+        gp = {"he", "him", "himself", "she", "her", "herself"}
+        return any(toks[i]["text"].lower() in gp
+                   for i in tok["coref_chain"])
+
     def emit(template: str, parent: dict, parent_repr: str,
              child_repr: str, child_idx: int,
              negated: bool, uncertain: bool, coref: bool,
@@ -262,6 +279,7 @@ def extract_candidate_edges(parsed: dict, lang: str,
             "negated": negated, "uncertain": uncertain,
             "involves_coref": coref, "reverse_only": reverse_only,
             "child_is_person": _is_person(toks[child_idx]),
+            "child_is_gendered": _is_gendered(toks[child_idx]),
             "mention": mention, "prep": prep,
         })
 
@@ -338,7 +356,8 @@ def extract_candidate_edges(parsed: dict, lang: str,
                     "parent_idx": t["i"], "child_idx": t["i"],
                     "negated": t["is_negated"], "uncertain": False,
                     "involves_coref": False, "reverse_only": False,
-                    "child_is_person": False, "mention": False,
+                    "child_is_person": False, "child_is_gendered": False,
+                    "mention": False,
                     "prep": None,
                 })
     return out

@@ -696,7 +696,7 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
             )
             person_ok = ((F.col("gate") == "any")
                          | ((F.col("gate") == "person")
-                            & F.col("child_is_person"))
+                            & F.col("child_is_gendered"))
                          | ((F.col("gate") == "thing")
                             & ~F.col("child_is_person")))
             prep_ok = (F.col("q_prep").isNull()
@@ -1059,6 +1059,16 @@ def _score_docs(params: dict):
                           int(r.get("child_idx", r["position"]))):
                     idx_labels.setdefault(k, set()).add(r["phraselet_label"])
         entries: list[dict] = []
+        # governed single-word answers are zero-score SPAN CARRIERS
+        # riding on their base word match (reference folds them into
+        # the match's word infos) — they join the passage of whatever
+        # cluster covers their position instead of walking as matches
+        qaw_by_pos: dict[int, list[int]] = {}
+        for r in ms:
+            if r["kind"] == "question_answer_word":
+                qaw_by_pos.setdefault(int(r["position"]), []).append(
+                    int(r.get("child_idx", r["position"])))
+        ms = [r for r in ms if r["kind"] != "question_answer_word"]
         for r in ms:
             lbl, pos, kind = r["phraselet_label"], int(r["position"]), r["kind"]
             base = (base_scores[kind] * float(r.get("freq_factor", 1.0))
@@ -1170,10 +1180,6 @@ def _score_docs(params: dict):
                 # char-span stage as -(idx+1) (reference answer
                 # spans, en rules :1367-1429)
                 wh_adv = lbl.split(": ", 1)[0].endswith("WHadv")
-                if kind == "question_answer_word":
-                    # governed single-word answer: span only
-                    answers.add(c_idx)
-                    continue
                 # each token's explanation is its word match's
                 # strategy explanation (reference passes
                 # word_match.explanation into WordInfo,
@@ -1195,6 +1201,9 @@ def _score_docs(params: dict):
                         infos[(ti, word)] = [ti, typ, expl, word]
                     elif type_rank[typ] > type_rank[cur[1]]:
                         cur[1] = typ  # keep first explanation
+            for p2 in {e2["pos"] for e2 in cluster}:
+                for a_idx in qaw_by_pos.get(p2, ()):
+                    answers.add(a_idx)
             out.append({"url": url, "start_idx": start, "end_idx": end,
                         # the reference's index_within_document: the
                         # anchor token of the peak structural match
@@ -1360,6 +1369,19 @@ def with_passage_text(topic_df: DataFrame, docs: DataFrame,
                            & ((w["e"] - w["s"]) == F.col("_minlen")),
                            F.lit(False)).alias("is_highest_activation"),
                 w["explanation"].alias("explanation")))))
+        # answers over a coordination split into one answer per
+        # conjunct (reference splits coordinated answer spans,
+        # tests/en/test_questions_EN.py:365-382: 'in a house and a
+        # flat' answers 'a house' AND 'a flat'): each encoded answer
+        # expands with its root's righthand siblings, preserving the
+        # WH-adverb promotion encoding
+        .withColumn("answer_idxs", F.array_distinct(F.flatten(F.transform(
+            "answer_idxs", lambda enc: F.concat(
+                F.array(enc),
+                F.transform(
+                    tok(F.when(enc < 0, -enc - 1).otherwise(enc))
+                    ["righthand_siblings"],
+                    lambda s: F.when(enc < 0, -(s + 1)).otherwise(s)))))))
         .withColumn("_answers", F.transform(
             "answer_idxs", lambda enc: F.struct(
                 rel_start(_ans_lo(enc)).alias("relative_start_index"),
@@ -1453,7 +1475,11 @@ def _ans_members(enc):
                  | ((h4 == root) & (t["dep"] != "conj") & nc(h1) & nc(h2)
                     & nc(h3)))
         return (reach & (t["sent_idx"] == _t_at(root)["sent_idx"])
-                & (t["pos"] != "PUNCT") & (t["dep"] != "cc"))
+                & (t["pos"] != "PUNCT") & (t["dep"] != "cc")
+                # a non-promoted answer never swallows a preposition
+                # ("What did you live in?" answers 'a house', not 'in
+                # a house'; promoted WH-adverb answers carry the prep)
+                & ~((enc >= 0) & (t["pos"] == "ADP")))
 
     return F.filter(F.col("tokens"), hits)
 

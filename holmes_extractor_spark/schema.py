@@ -105,6 +105,9 @@ EDGES = T.StructType([
     # person-ness of the child pole: gates who/what question answers
     # (reference question word matching, en rules :1327-1365)
     T.StructField("child_is_person", T.BooleanType()),
+    # who-gate: PERSON-ish entity / morph-gendered noun / gendered
+    # pronoun in the coref chain (reference en rules :1338-1363)
+    T.StructField("child_is_gendered", T.BooleanType()),
     # True for noun-mention-exchange variants: they serve topic/
     # structural matching (the reference expands mentions at match
     # time, parsing.py:2106-2243) but are NOT phraselet-production

@@ -200,21 +200,31 @@ def test_topic_question_person_gating_and_multiword_answers(spark):
     excl = m.topic_match_documents_against(
         "Who sings?", initial_question_word_behaviour="exclusive")
     assert [r["url"] for r in excl] == ["q"]
-    # 'what' answers things, not persons
+    # 'what' matches ANY answer in the reference (en rules :1364-1365
+    # return True unconditionally) — things AND persons
     what = m.topic_match_documents_against("What sings?")
-    assert [a["text"] for r in what for a in r["answers"]] == ["A book"]
+    what_answers = {a["text"] for r in what for a in r["answers"]}
+    assert "A book" in what_answers
+    assert "Richard Hudson" in what_answers
 
 
 def test_topic_fronted_preposition_question(spark):
     # reference test_semantics_EN.py:966-968 + headprepto-WH template:
     # 'To whom did somebody give the book?' answers the recipient
     m = SparkHolmesManager(spark)
-    m.parse_and_register_document("Somebody gives a file to an employee.", "d")
+    # 'whom' answers need a PERSON-entity / gendered recipient
+    # (reference who-gate, en rules :1338-1363 — a bare 'employee'
+    # without entity type or gender morph does NOT answer 'whom')
+    m.parse_and_register_document("Somebody gives a file to a man.", "d")
     res = m.topic_match_documents_against("To whom does somebody give a file?")
     assert res and res[0]["answers"]
     # the answer spans the nominal's subtree (reference
     # topic_matching.py:1336-1360)
-    assert res[0]["answers"][0]["text"] == "an employee"
+    assert res[0]["answers"][0]["text"] == "a man"
+    m2 = SparkHolmesManager(spark)
+    m2.parse_and_register_document("Somebody gives a file to an employee.", "d")
+    res2 = m2.topic_match_documents_against("To whom does somebody give a file?")
+    assert all(not r["answers"] for r in res2)
 
 
 def test_topic_question_answers(spark):

@@ -127,10 +127,11 @@ def test_where_question(spark):
     assert tms and tms[0]["answers"]
 
 
-def test_what_gating_rejects_persons(spark):
-    # what/was requires a non-person answer (ref en rules :1327-1365)
+def test_what_matches_any_answer(spark):
+    # 'what' matches anything — persons included (ref en rules
+    # :1364-1365 return True unconditionally)
     tms = topic(spark, "What came home?", "Richard Hudson came home.")
-    assert answers(tms) == []
+    assert answers(tms) == ["Richard Hudson"]
 
 
 def test_who_gating_rejects_things(spark):

@@ -573,3 +573,67 @@ def test_filtering_with_topic_matches(spark):  # ref :978 + :1220
         q, document_label_filter="T22")) == 1
     assert len(m.topic_match_documents_against(
         q, document_label_filter="X")) == 0
+
+
+# --------------------------- round-4b additions (refs :245-:1092)
+
+def test_reverse_only_parent_lemma_twoway(score):  # ref :245
+    assert int(score("The donkey has a roof",
+                     "The donkey has a house")[0]) == 47
+
+
+def test_reverse_only_parent_lemma_twoway_control(score):  # ref :253
+    assert int(score("The donkey paints a roof",
+                     "The donkey paints a house")[0]) == 58
+
+
+def test_coreference_double_match_on_governor(spark):  # ref :792
+    m = _mgr(spark, ("I saw a big man. The man walked", "d"))
+    tms = m.topic_match_documents_against(
+        "A big man", relation_score=20, single_word_score=10,
+        single_word_any_tag_score=5)
+    assert int(tms[0]["score"]) == 34
+    assert tms[0]["sentences_start_index"] == 0
+    assert tms[0]["sentences_end_index"] == 8
+    assert (tms[0]["start_idx"], tms[0]["end_idx"]) == (3, 7)
+
+
+def test_coreference_double_match_same_distance(spark):  # ref :804
+    m = _mgr(spark, ("The man was big. Man walked.", "d"))
+    tms = m.topic_match_documents_against(
+        "A big man", relation_score=20, single_word_score=10,
+        single_word_any_tag_score=5)
+    assert int(tms[0]["score"]) == 34
+    assert tms[0]["sentences_start_index"] == 0
+    assert tms[0]["sentences_end_index"] == 7
+    assert (tms[0]["start_idx"], tms[0]["end_idx"]) == (1, 5)
+
+
+def test_indexes_with_subsequent_non_matched_dependent(spark):  # ref :838
+    m = _mgr(spark, ("The dog I saw was big.", "d"))
+    tms = m.topic_match_documents_against("A big dog")
+    assert tms[0]["sentences_start_index"] == 0
+    assert tms[0]["sentences_end_index"] == 6
+    assert (tms[0]["start_idx"], tms[0]["end_idx"]) == (1, 5)
+
+
+def test_filtering_with_topic_match_dictionaries(spark):  # ref :1010
+    m = _mgr(spark, *[("The dog chased the cat", lab)
+                      for lab in ("U11", "U12", "U21", "U22")])
+    q = "The dog chased the cat"
+    assert len(m.topic_match_documents_against(
+        q, document_label_filter="U")) == 4
+    assert len(m.topic_match_documents_against(
+        q, document_label_filter="U2")) == 2
+
+
+def test_adjective_describing_ontology_multiword_dicts(spark):  # ref :1043
+    m = _mgr(spark, ("A big Unhyphenated Single Multiword", ""))
+    tms = m.topic_match_documents_against("A big Unhyphenated Single Multiword")
+    t = tms[0]
+    assert int(t["score"]) == 369
+    assert (t["start_idx"], t["end_idx"]) == (1, 4)
+    assert _wi(t) == [
+        [2, 5, "relation", False, "Matches BIG directly."],
+        [6, 35, "relation", True,
+         "Matches UNHYPHENATED SINGLE MULTIWORD directly."]]
