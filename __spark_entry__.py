@@ -587,27 +587,26 @@ ORDER BY score DESC, url LIMIT 50
 
 
 def _topic_question_oracle() -> str:
-    """'Who opened the door?' — answers 600 (the 'who' answer must be a
-    PERSON: lexicon person nouns or named entities, reference question
-    word matching en rules :1327-1365), open-door relations 300,
-    word 'door' 50 (decay-free)."""
-    from holmes_extractor_spark.nlp.lexicon import PERSON_NOUNS_EN
-    from holmes_extractor_spark.nlp.parser import _FIRST_NAMES
-    persons = ",".join(f"'{w}'" for w in sorted(PERSON_NOUNS_EN))
-    name_like = " OR ".join(
-        f"list_contains(string_split(answer, ' '), '{nm}')"
-        for nm in sorted(_FIRST_NAMES))
-    return pages_cte_sql() + f"""
+    """'Who opened the door?' — answers 600 (the 'who' answer must be
+    GENDERED: morph-gendered noun, person-like named entity, or a
+    gendered pronoun in the answer's coreference chain — reference
+    question word matching en rules :1338-1363; 'The account was
+    opened by the manager' does NOT answer 'who'), open-door
+    relations 300, word 'door' 50 (decay-free). The per-snippet
+    gendered provenance lives in fixtures.GOLDEN_GENDERED."""
+    return pages_cte_sql() + """
 , qa AS (
   SELECT ps.url, count(*) * 600 AS pts
   FROM (
-    SELECT ps.url, ps.j, CASE WHEN g.template = 'predicate-actor'
-                              THEN g.subj ELSE g.obj END AS answer
+    SELECT ps.url, ps.j, g.snip_id,
+           CASE WHEN g.template = 'predicate-actor'
+                THEN g.subj ELSE g.obj END AS answer
     FROM page_snips ps JOIN golden_edges g USING (snip_id)
     WHERE g.template IN ('predicate-actor', 'predicate-passivesubject')
       AND g.pred = 'open'
   ) ps
-  WHERE answer IN ({persons}) OR {name_like}
+  JOIN golden_gendered gg
+    ON gg.snip_id = ps.snip_id AND gg.word = ps.answer
   GROUP BY ps.url
 ),
 rel AS (
@@ -653,8 +652,12 @@ q(template, q_pred, q_child, actor) AS (VALUES
 cand AS (
   SELECT template, q_pred, actor, q_child AS m_child, 1.0::DOUBLE AS penalty FROM q
   UNION ALL
+  -- penalty = embedding_penalty × round(overall, 8); overall is the
+  -- geometric mean of per-word similarities across the phraselet's
+  -- two non-ENTITY vectored poles (parent direct = 1.0, child = cos),
+  -- i.e. sqrt(cos) — reference structural_matching.py:458-462
   SELECT q.template, q.q_pred, q.actor, w.word,
-         round(0.6 * list_cosine_similarity(qv.v, w.v), 8)
+         0.6 * round(sqrt(list_cosine_similarity(qv.v, w.v)), 8)
   FROM q
   JOIN vectors qv ON qv.word = q.q_child
   JOIN vectors w ON w.word <> q.q_child

@@ -52,6 +52,7 @@ class SparkHolmesManager:
         are allowed with negative depths (reference ontology.py:30-44)."""
         self.spark = spark
         self._pending: list[tuple[str, str, str]] = []  # (url/label, text, lang)
+        self._probe_pending: set[str] = set()  # labels awaiting the batched clash probe
         self._labels: set[str] = set()
         self._search_phrases: list[dict] = []
         self._docs: DataFrame | None = None
@@ -90,11 +91,13 @@ class SparkHolmesManager:
         if label in self._labels:
             raise errors.DuplicateDocumentError(label)
         # bulk-registered corpora keep their labels in the DataFrame,
-        # not on the driver — one tiny filter-count probes for a clash
-        # (only ever runs after a bulk register / first docs() build)
-        if self._docs is not None and self._docs.filter(
-                F.col("url") == label).limit(1).count():
-            raise errors.DuplicateDocumentError(label)
+        # not on the driver — the clash probe against that frame is
+        # BATCHED: pending labels accumulate and one filter-count job
+        # checks them all at the next docs() build, so registering n
+        # documents one-by-one after a bulk register costs one Spark
+        # job, not n sequential jobs
+        if self._docs is not None:
+            self._probe_pending.add(label)
         if len(document_text) > 1_000_000:
             # reference parsing.py:953-963
             raise errors.DocumentTooBigError(
@@ -157,6 +160,7 @@ class SparkHolmesManager:
         (anti-join semantics)."""
         self._labels.discard(label)
         self._pending = [p for p in self._pending if p[0] != label]
+        self._probe_pending.discard(label)
         if self._docs is not None:
             self._docs = self._docs.filter(F.col("url") != label)
         self._postings = None
@@ -190,6 +194,19 @@ class SparkHolmesManager:
         self._search_phrases = []
 
     def docs(self) -> DataFrame:
+        if self._probe_pending and self._docs is not None:
+            # deferred duplicate-label probe against the bulk frame
+            # (one job for all labels registered since the last build)
+            probe = sorted(self._probe_pending)
+            self._probe_pending = set()
+            clash = (self._docs.filter(F.col("url").isin(*probe))
+                     .select("url").limit(1).collect())
+            if clash:
+                label = clash[0]["url"]
+                self._labels.discard(label)
+                self._pending = [p for p in self._pending
+                                 if p[0] != label]
+                raise errors.DuplicateDocumentError(label)
         if self._docs is None or self._pending:
             pending = self._pending
             self._pending = []
@@ -311,7 +328,13 @@ class SparkHolmesManager:
         True, manager.py:736 — corpus frequencies deflate phraselet
         scores and gate the reverse/embedding retry planning;
         document_label_filter restricts to labels STARTING with the
-        filter, manager.py:756)."""
+        filter, manager.py:756). ``word_embedding_match_threshold``
+        may be passed per call (reference manager.py:683 — per-call
+        knob, default 0.8 there; here it defaults to the value the
+        manager was constructed with so vector-less managers stay
+        embedding-free)."""
+        emb_threshold = params.pop("word_embedding_match_threshold",
+                                   self._embedding_threshold)
         docs = self.docs()
         if document_label_filter is not None:
             docs = docs.filter(F.col("url").startswith(document_label_filter))
@@ -367,7 +390,7 @@ class SparkHolmesManager:
                                 closure=closure, freq_factors=ff,
                                 use_frequency_factor=use_frequency_factor,
                                 vectors=self._vectors,
-                                embedding_threshold=self._embedding_threshold,
+                                embedding_threshold=emb_threshold,
                                 ents=ents, chains=chains,
                                 ontology_multiwords=self._ontology_multiwords,
                                 **params)

@@ -307,6 +307,21 @@ IRREGULAR_DE: dict[str, str] = {
     "benötigte": "benötigen", "benötigt": "benötigen",
     "sang": "singen", "gesungen": "singen", "singt": "singen",
     "sangen": "singen",
+    # DE topic/question-suite vocabulary
+    "nahm": "nehmen", "nimmt": "nehmen", "genommen": "nehmen",
+    "nahmen": "nehmen",
+    "stand": "stehen", "gestanden": "stehen", "standen": "stehen",
+    "durchgesetzt": "durchsetzen", "gemalt": "malen",
+    "angemalt": "anmalen", "abgedankt": "abdanken",
+    "extrahierte": "extrahieren", "entführte": "entführen",
+    "sprach": "sprechen", "gesprochen": "sprechen",
+    "sprachen": "sprechen",
+    "ochsen": "ochse", "symphonien": "symphonie", "dächer": "dach",
+    "ideen": "idee", "präsidenten": "präsident", "prinzen": "prinz",
+    "politikern": "politiker", "ländern": "land", "länder": "land",
+    "menschen": "mensch", "vögel": "vogel", "vögeln": "vogel",
+    "orte": "ort", "orten": "ort", "sachen": "sache",
+    "mozarts": "mozart", "königs": "könig",
 }
 
 

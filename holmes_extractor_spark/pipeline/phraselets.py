@@ -83,10 +83,13 @@ QUESTION_TEMPLATES_EN: list[tuple[str, frozenset, frozenset, frozenset]] = [
 # prepgovernor-noun, prep-noun (reverse-only), verb-toughmovedargument
 # (arg), intcompound. Mapped over OUR dep labels:
 RELATION_TEMPLATES_DE: list[tuple[str, frozenset, frozenset, frozenset, bool]] = [
+    # haben/sein/werden carry AUX in our coarse tags but head full
+    # relations ("Der Esel HAT ein Dach" — VAFIN sb/oa in the
+    # reference parse), so the parent gates admit AUX like EN
     ("verb-nom", frozenset({"nsubj", "csubj", "pobjb", "advmodsubj"}),
-     _NV, _NOUNS, False),
+     _NVA, _NOUNS, False),
     ("verb-acc", frozenset({"dobj", "pobjo", "poss", "nsubjpass", "relant",
-                            "advmodobj"}), _NV, _NOUNS, False),
+                            "advmodobj"}), _NVA, _NOUNS, False),
     ("verb-dat", frozenset({"dative", "pobjt"}),
      frozenset({"VERB", "AUX"}), _NOUNS, False),
     ("verb-pd", frozenset({"attr"}), frozenset({"VERB", "AUX"}),
@@ -131,10 +134,11 @@ REVERSE_ONLY_PARENT_LEMMAS = {
     ("be", "VERB"), ("be", "AUX"), ("have", "VERB"), ("have", "AUX"),
     ("do", "VERB"), ("say", "VERB"), ("go", "VERB"), ("get", "VERB"),
     ("make", "VERB"),
-    # German equivalents (de language_specific_rules.py reverse-only
-    # parent lemma list)
+    # German equivalents (de language_specific_rules.py:1585-1594:
+    # sein/werden/haben AUX, sagen/machen/tun/haben/werden VERB)
     ("sein", "VERB"), ("sein", "AUX"), ("haben", "VERB"), ("haben", "AUX"),
     ("werden", "VERB"), ("werden", "AUX"),
+    ("machen", "VERB"), ("sagen", "VERB"), ("tun", "VERB"),
 }
 
 # lemmas suppressed in topic phraselets (reference :830-831); pronoun

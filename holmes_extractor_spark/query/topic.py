@@ -398,7 +398,7 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
                 n_emb = ((0 if _ENT_CHILD_RE.match(qp or "") else 1)
                          + (0 if _ENT_CHILD_RE.match(qc or "") else 1))
                 probes.append((t, lbl, qp, qc, rev, ff,
-                               overall ** n_emb, pd_, cd_))
+                               overall ** n_emb, n_emb, pd_, cd_))
             if probes:
                 if isinstance(vectors, DataFrame):
                     vec_df = vectors.toDF("w", "vec")
@@ -419,7 +419,8 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
                     probes, "template string, phraselet_label string, "
                             "q_pred string, q_child string, "
                             "q_reverse_only boolean, freq_factor double, "
-                            "stt double, p_disp string, c_disp string, "
+                            "stt double, n_emb int, "
+                            "p_disp string, c_disp string, "
                             "qvec array<double>")
                 dot = F.aggregate(
                     F.zip_with("qvec", "vec", lambda a, b: a * b),
@@ -434,7 +435,15 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
                       .filter(F.col("cos") > F.col("stt"))
                       .select("template", "phraselet_label", "q_pred",
                               "q_reverse_only", "freq_factor",
-                              F.round(F.lit(emb_pen) * F.col("cos"), 8)
+                              # reference structural_matching.py:458-462
+                              # + topic_matching.py:1004: penalty =
+                              # embedding_penalty × overall similarity,
+                              # overall = round(cos^(1/n_vectored), 8)
+                              # (geometric mean across the phraselet's
+                              # non-ENTITY vectored poles)
+                              (F.lit(emb_pen)
+                               * F.round(F.pow(F.col("cos"),
+                                               1.0 / F.col("n_emb")), 8))
                               .alias("penalty"),
                               F.lit(False).alias("inverse"),
                               "p_disp", "c_disp",
@@ -1133,8 +1142,16 @@ def _score_docs(params: dict):
             return any(s <= pj <= e for (s, e) in spans)
 
         def widen(j, start, end):
+            # the reference widens by each word match's first..last
+            # document token (alter_start_and_end_indexes_for_match,
+            # topic_matching.py:1079-1096) — a matched MULTIWORD spans
+            # its member tokens, which sit left of the anchor (both
+            # PROPN-run and ontology multiwords anchor on their last
+            # token), so the span start backs up by the member count
             e = entries[j]
-            return (min(start, e["p_idx"], e["c_idx"]),
+            p_first = e["p_idx"] - (e["p_word"] or "").count(" ")
+            c_first = e["c_idx"] - (e["c_word"] or "").count(" ")
+            return (min(start, p_first, c_first),
                     max(end, e["p_idx"], e["c_idx"]))
 
         for i in order:
@@ -1414,8 +1431,12 @@ def with_passage_text(topic_df: DataFrame, docs: DataFrame,
     # (_rn, score) pairs — and only those — come to the driver and the
     # rank strings broadcast-join back.
     wc = F.size(F.split(F.trim("passage_text"), r"\s+"))
-    worder = Window.orderBy(F.desc("score"), F.desc(wc), "url",
-                            F.col("word_infos")[0]["relative_start_index"])
+    # literal partition key: this frame is the already-top-k result
+    # (≤ number_of_results rows) — partitionBy(lit) keeps WindowExec
+    # from logging single-partition warnings that would mask real ones
+    worder = (Window.partitionBy(F.lit(0))
+              .orderBy(F.desc("score"), F.desc(wc), "url",
+                       F.col("word_infos")[0]["relative_start_index"]))
     out = (out.withColumn("_rn", F.row_number().over(worder))
            .withColumn("rank", F.lit(None).cast("string")))
     sch = out.drop("_rn").schema
@@ -1432,7 +1453,11 @@ def with_passage_text(topic_df: DataFrame, docs: DataFrame,
         i = 0
         while i < len(scores):
             j = i + 1
-            while j < len(scores) and scores[j] / scores[i] > q:
+            # a zero-score leader can never tie (the reference shares
+            # the same quotient; guarding keeps a degenerate all-zero
+            # frame from crashing the whole job instead of one call)
+            while (j < len(scores) and scores[i] > 0
+                   and scores[j] / scores[i] > q):
                 j += 1
             labels += [f"{i + 1}=" if j - i > 1 else str(i + 1)] * (j - i)
             i = j
@@ -1663,7 +1688,10 @@ def topic_match(spark: SparkSession, edges: DataFrame, words: DataFrame,
         scored = (scored.withColumn("_dr", F.row_number().over(du))
                   .filter(F.col("_dr") == 1).drop("_dr"))
     k = params["number_of_results"]
-    w = Window.orderBy(F.desc("score"), "url", "start_idx")
+    # bounded top-k frame (≤ k rows after the limit); the literal
+    # partition key suppresses WindowExec single-partition warnings
+    w = (Window.partitionBy(F.lit(0))
+         .orderBy(F.desc("score"), "url", "start_idx"))
     top = (scored.orderBy(F.desc("score"), "url", "start_idx").limit(k)
            .withColumn("rank", F.row_number().over(w)))
     # tie ranking (reference topic_matching.py:1488-1524)

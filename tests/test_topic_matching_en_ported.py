@@ -35,10 +35,17 @@ from tests.test_structural_matching_en_ported import REF_ONTOLOGY
 
 @pytest.fixture(scope="module")
 def score(spark):
+    # mirrors the reference's _check_equals (ref :18-30): vectors come
+    # off the model there / off the deterministic WORD_VECTORS fixture
+    # here, with the same per-call word_embedding_match_threshold=0.42
+    from holmes_extractor_spark.fixtures import WORD_VECTORS
+
     def _score(query, doc, **kw):
         m = SparkHolmesManager(spark, ontology=REF_ONTOLOGY,
-                               ontology_symmetric=True)
+                               ontology_symmetric=True,
+                               vectors=WORD_VECTORS)
         m.parse_and_register_document(doc, "d")
+        kw.setdefault("word_embedding_match_threshold", 0.42)
         tms = m.topic_match_documents_against(
             query, relation_score=20, reverse_only_relation_score=15,
             single_word_score=10, single_word_any_tag_score=5,
