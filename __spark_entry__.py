@@ -234,7 +234,12 @@ def q_question_phraselets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from holmes_extractor_spark.pipeline.parse_stage import extract_edges_q
     kg = _kg(spark, sf_dir)
     e = extract_edges_q(kg["docs"])
-    return (e.filter(F.col("template").startswith("head"))
+    # mention=True head-* rows are the corpus-side LITERAL question
+    # words (a document's own non-initial 'who'/'wohin', matching-only
+    # constructs, reference topic_matching.py:965-975) — question
+    # phraselets proper come from initial question words only
+    return (e.filter(F.col("template").startswith("head")
+                     & ~F.col("mention"))
             .select("url", "template", "label").distinct())
 
 
@@ -615,6 +620,16 @@ rel AS (
   WHERE g.label = 'predicate-patient: open-door'
   GROUP BY ps.url
 ),
+-- a document's own 'who' in an open→who dependency matches the
+-- question phraselet LITERALLY, scored as a plain relation, never an
+-- answer (reference topic_matching.py:965-975 keeps relation_score
+-- when the document token carries an interrogative tag)
+qlit AS (
+  SELECT ps.url, count(*) * 300 AS pts
+  FROM page_snips ps JOIN golden_qword_edges g USING (snip_id)
+  WHERE g.pred = 'open' AND g.wh = 'who'
+  GROUP BY ps.url
+),
 wrd AS (
   SELECT url, count(*) * 50 AS pts FROM (
     SELECT DISTINCT ps.url, g.word
@@ -630,8 +645,8 @@ wrd_any AS (
   ) GROUP BY url
 )
 SELECT url, sum(pts)::BIGINT AS score FROM (
-  SELECT * FROM qa UNION ALL SELECT * FROM rel UNION ALL SELECT * FROM wrd
-  UNION ALL SELECT * FROM wrd_any
+  SELECT * FROM qa UNION ALL SELECT * FROM rel UNION ALL SELECT * FROM qlit
+  UNION ALL SELECT * FROM wrd UNION ALL SELECT * FROM wrd_any
 ) GROUP BY url ORDER BY score DESC, url LIMIT 50
 """
 

@@ -579,32 +579,32 @@ GOLDEN_EDGES: list[tuple] = [
     # predicate's deps uncertain (ref tests/en/test_semantics_EN.py:438-441)
     (105, 'predicate-actor', 'predicate-actor: chase-dog', 'dog', 'chase', 'chase', False, True, False),
     (105, 'predicate-patient', 'predicate-patient: chase-cat', 'chase', 'cat', 'chase', False, True, False),
-    (106, 'verb-acc', 'verb-acc: jagd-katze', 'jagd', 'katze', 'jagd', False, False, False),
+    (106, 'verb-acc', 'verb-acc: jagd-katz', 'jagd', 'katz', 'jagd', False, False, False),
     (106, 'verb-nom', 'verb-nom: jagd-hund', 'hund', 'jagd', 'jagd', False, False, False),
     (107, 'intcompound', 'intcompound: information-polizei', 'information', 'polizei', 'information', False, False, False),
-    (107, 'prep-noun', 'prep-noun: über-kriminelle', 'über', 'kriminelle', 'über', False, False, False),
-    (107, 'prepgovernor-noun', 'prepgovernor-noun: information-kriminelle', 'information', 'kriminelle', 'information', False, False, False),
-    (107, 'prepgovernor-noun', 'prepgovernor-noun: polizeiinformation-kriminelle', 'polizeiinformation', 'kriminelle', 'polizeiinformation', False, False, False),
+    (107, 'prep-noun', 'prep-noun: über-kriminell', 'über', 'kriminell', 'über', False, False, False),
+    (107, 'prepgovernor-noun', 'prepgovernor-noun: information-kriminell', 'information', 'kriminell', 'information', False, False, False),
+    (107, 'prepgovernor-noun', 'prepgovernor-noun: polizeiinformation-kriminell', 'polizeiinformation', 'kriminell', 'polizeiinformation', False, False, False),
     (108, 'noun-dependent', 'noun-dependent: mann-reich', 'mann', 'reich', 'mann', False, False, False),
     (108, 'prep-noun', 'prep-noun: nach-haus', 'nach', 'haus', 'nach', False, False, False),
     (108, 'prepgovernor-noun', 'prepgovernor-noun: kommen-haus', 'kommen', 'haus', 'kommen', False, False, False),
     (108, 'verb-nom', 'verb-nom: kommen-mann', 'mann', 'kommen', 'kommen', False, False, False),
-    (109, 'verb-acc', 'verb-acc: jagd-katze', 'jagd', 'katze', 'jagd', False, False, False),
+    (109, 'verb-acc', 'verb-acc: jagd-katz', 'jagd', 'katz', 'jagd', False, False, False),
     (109, 'verb-nom', 'verb-nom: jagd-hund', 'hund', 'jagd', 'jagd', False, False, False),
-    (110, 'verb-acc', 'verb-acc: jagd-katze', 'jagd', 'katze', 'jagd', True, False, False),
+    (110, 'verb-acc', 'verb-acc: jagd-katz', 'jagd', 'katz', 'jagd', True, False, False),
     (110, 'verb-nom', 'verb-nom: jagd-hund', 'hund', 'jagd', 'jagd', True, False, False),
     # 111: 'Der Hund jagte die Katze und die Maus.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
-    (111, 'verb-acc', 'verb-acc: jagd-katze', 'jagd', 'katze', 'jagd', False, False, False),
+    (111, 'verb-acc', 'verb-acc: jagd-katz', 'jagd', 'katz', 'jagd', False, False, False),
     (111, 'verb-acc', 'verb-acc: jagd-maus', 'jagd', 'maus', 'jagd', False, False, False),
     (111, 'verb-nom', 'verb-nom: jagd-hund', 'hund', 'jagd', 'jagd', False, False, False),
     # 112: 'Die Polizei jagte den Kriminellen.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
-    (112, 'verb-acc', 'verb-acc: jagd-kriminelle', 'jagd', 'kriminelle', 'jagd', False, False, False),
+    (112, 'verb-acc', 'verb-acc: jagd-kriminell', 'jagd', 'kriminell', 'jagd', False, False, False),
     (112, 'verb-nom', 'verb-nom: jagd-polizei', 'polizei', 'jagd', 'jagd', False, False, False),
     # 113: 'Die Katze wurde nicht gejagt.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
-    (113, 'verb-acc', 'verb-acc: jagd-katze', 'jagd', 'katze', 'jagd', True, False, False),
+    (113, 'verb-acc', 'verb-acc: jagd-katz', 'jagd', 'katz', 'jagd', True, False, False),
     # 114: 'Der kleine Hund sah die Katze.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
     (114, 'noun-dependent', 'noun-dependent: hund-klein', 'hund', 'klein', 'hund', False, False, False),
-    (114, 'verb-acc', 'verb-acc: sehen-katze', 'sehen', 'katze', 'sehen', False, False, False),
+    (114, 'verb-acc', 'verb-acc: sehen-katz', 'sehen', 'katz', 'sehen', False, False, False),
     (114, 'verb-nom', 'verb-nom: sehen-hund', 'hund', 'sehen', 'sehen', False, False, False),
     # 115: 'Die Wohnungsgesellschaft verkaufte das Haus.' — ref de templates de/language_specific_rules.py:1697-1960 + subword walk (head-subword variant per tests/de/test_phraselet_production_DE.py:112-135)
     (115, 'intcompound', 'intcompound: gesellschaft-wohnen', 'gesellschaft', 'wohnen', 'gesellschaft', False, False, False),
@@ -641,15 +641,15 @@ GOLDEN_EDGES: list[tuple] = [
     # de/language_specific_rules.py:364-530); adjacent parts chain via
     # intcompound (:740-746); predicative adjective → noun-dependent on
     # both the whole compound and its head subword
-    (122, 'noun-dependent', 'noun-dependent: polizeiinformationsbroschüre-interessant', 'polizeiinformationsbroschüre', 'interessant', 'polizeiinformationsbroschüre', False, False, False),
-    (122, 'noun-dependent', 'noun-dependent: broschüre-interessant', 'broschüre', 'interessant', 'broschüre', False, False, False),
+    (122, 'noun-dependent', 'noun-dependent: polizeiinformationsbroschür-interessant', 'polizeiinformationsbroschür', 'interessant', 'polizeiinformationsbroschür', False, False, False),
+    (122, 'noun-dependent', 'noun-dependent: broschür-interessant', 'broschür', 'interessant', 'broschür', False, False, False),
     (122, 'intcompound', 'intcompound: information-polizei', 'information', 'polizei', 'information', False, False, False),
-    (122, 'intcompound', 'intcompound: broschüre-information', 'broschüre', 'information', 'broschüre', False, False, False),
+    (122, 'intcompound', 'intcompound: broschür-information', 'broschür', 'information', 'broschür', False, False, False),
     # sb under VAFIN 'ist' produces verb-nom like EN's predicate-actor:
     # be-man on snippet 8 (reference DE verb-nom parent tags include
     # VAFIN, de rules :1697-1724; + the head-subword child variant)
-    (122, 'verb-nom', 'verb-nom: sein-polizeiinformationsbroschüre', 'polizeiinformationsbroschüre', 'sein', 'sein', False, False, False),
-    (122, 'verb-nom', 'verb-nom: sein-broschüre', 'broschüre', 'sein', 'sein', False, False, False),
+    (122, 'verb-nom', 'verb-nom: sein-polizeiinformationsbroschür', 'polizeiinformationsbroschür', 'sein', 'sein', False, False, False),
+    (122, 'verb-nom', 'verb-nom: sein-broschür', 'broschür', 'sein', 'sein', False, False, False),
     # 91: 'The big cat creature chased the kitten.' — ontology-defined
     # multiword 'cat creature' indexed as one repr (reference
     # word_matching/ontology.py:180-210 + test ontology; multiword
@@ -687,10 +687,10 @@ GOLDEN_EDGES: list[tuple] = [
     (123, 'verb-acc', 'verb-acc: gabe-buch', 'gabe', 'buch', 'gabe', False, False, False),
     # 124: 'Der Mann wurde vom Kriminellen gesehen.' — de passive+agent
     (124, 'verb-acc', 'verb-acc: sehen-mann', 'sehen', 'mann', 'sehen', False, False, False),
-    (124, 'verb-nom', 'verb-nom: sehen-kriminelle', 'kriminelle', 'sehen', 'sehen', False, False, False),
+    (124, 'verb-nom', 'verb-nom: sehen-kriminell', 'kriminell', 'sehen', 'sehen', False, False, False),
     # 125: 'Die kleine Katze schlief im Garten.' (schlafen→schlaf)
-    (125, 'noun-dependent', 'noun-dependent: katze-klein', 'katze', 'klein', 'katze', False, False, False),
-    (125, 'verb-nom', 'verb-nom: schlaf-katze', 'katze', 'schlaf', 'schlaf', False, False, False),
+    (125, 'noun-dependent', 'noun-dependent: katz-klein', 'katz', 'klein', 'katz', False, False, False),
+    (125, 'verb-nom', 'verb-nom: schlaf-katz', 'katz', 'schlaf', 'schlaf', False, False, False),
     (125, 'prepgovernor-noun', 'prepgovernor-noun: schlaf-garten', 'schlaf', 'garten', 'schlaf', False, False, False),
     (125, 'prep-noun', 'prep-noun: im-garten', 'im', 'garten', 'im', False, False, False),
     # 126: 'Der Lehrer baute ein Haus.' (bauen→bau)
@@ -700,8 +700,8 @@ GOLDEN_EDGES: list[tuple] = [
     # conjunction (ref tests/de/test_semantics_DE.py:25-30, plural
     # finite verb); jagen→jagd per de derivation.csv
     (127, 'verb-nom', 'verb-nom: jagd-hund', 'hund', 'jagd', 'jagd', False, False, False),
-    (127, 'verb-acc', 'verb-acc: jagd-katze', 'jagd', 'katze', 'jagd', False, False, False),
-    (127, 'verb-nom', 'verb-nom: jagd-löwe', 'löwe', 'jagd', 'jagd', False, False, False),
+    (127, 'verb-acc', 'verb-acc: jagd-katz', 'jagd', 'katz', 'jagd', False, False, False),
+    (127, 'verb-nom', 'verb-nom: jagd-löw', 'löw', 'jagd', 'jagd', False, False, False),
     # 128: 'Der große und starke Hund kam heim.' — conjoined attributive
     # adjectives (ref tests/de/test_semantics_DE.py:59-64); heim adverb →
     # verb-adverb template (de language_specific_rules.py:1697-1960)
@@ -727,10 +727,24 @@ GOLDEN_GENDERED: list[tuple] = [
     (66, 'man'), (67, 'woman'), (70, 'girl'), (75, 'king'),
     (77, 'king'), (80, 'man'), (81, 'boy'), (82, 'girl'),
     (83, 'woman'), (84, 'man'), (87, 'man'), (89, 'john'),
-    (90, 'girl'), (94, 'man'), (107, 'kriminelle'), (108, 'mann'),
-    (112, 'kriminelle'), (116, 'kind'), (117, 'mann'), (118, 'mann'),
+    (90, 'girl'), (94, 'man'), (107, 'kriminell'), (108, 'mann'),
+    (112, 'kriminell'), (116, 'kind'), (117, 'mann'), (118, 'mann'),
     (119, 'mann'), (120, 'frau'), (121, 'kind'), (123, 'frau'),
-    (123, 'mann'), (124, 'kriminelle'), (124, 'mann'), (126, 'lehrer'),
+    (123, 'mann'), (124, 'kriminell'), (124, 'mann'), (126, 'lehrer'),
+]
+
+# (snip_id, template, pred, wh_word) — CORPUS-side literal question
+# words: a document's own interrogative in an answering dependency.
+# A query question phraselet whose predicate matches scores these as
+# plain RELATIONS (never answers) — the reference keeps relation_score
+# when the matched document token carries an interrogative tag
+# (topic_matching.py:965-975; tests/en/test_questions_EN.py:392-396).
+GOLDEN_QWORD_EDGES: list[tuple] = [
+    (14, 'head-WHsubj', 'come', 'who'),     # 'Who came?'
+    (29, 'head-WHsubj', 'open', 'who'),     # 'Who opened the door?'
+    # relative-pronoun 'who' snippets (15, 96, 101) also carry literal
+    # interrogatives, but no driver query's question phraselet shares
+    # their clause predicate, so they are not recorded here
 ]
 
 # (snip_id, word) — the reference's single-word phraselets
@@ -857,7 +871,7 @@ GOLDEN_WORDS_ANY: list[tuple] = [
     (119, 'sehen'), (119, 'im'),
     (120, 'lesen'),
     (121, 'spiel'), (121, 'im'),
-    (122, 'polizei'), (122, 'information'), (122, 'broschüre'), (122, 'sein'), (122, 'interessant'),
+    (122, 'polizei'), (122, 'information'), (122, 'broschür'), (122, 'sein'), (122, 'interessant'),
     (123, 'gabe'),
     (124, 'werden'), (124, 'sehen'),
     (125, 'klein'), (125, 'schlaf'), (125, 'im'),
@@ -874,10 +888,10 @@ GOLDEN_WORDS_ANY: list[tuple] = [
 # follow the transcribed derivation rules.
 GOLDEN_WORDS: list[tuple] = [
     (123, 'frau'), (123, 'mann'), (123, 'buch'),
-    (124, 'mann'), (124, 'kriminelle'),
-    (125, 'katze'), (125, 'garten'),
+    (124, 'mann'), (124, 'kriminell'),
+    (125, 'katz'), (125, 'garten'),
     (126, 'lehrer'), (126, 'haus'),
-    (127, 'hund'), (127, 'löwe'), (127, 'katze'),
+    (127, 'hund'), (127, 'löw'), (127, 'katz'),
     (128, 'hund'),
     (94, 'man'),
     (94, 'dog'),
@@ -886,7 +900,7 @@ GOLDEN_WORDS: list[tuple] = [
     (92, 'dog'),
     (91, 'cat creature'),
     (91, 'kitten'),
-    (122, 'polizeiinformationsbroschüre'),
+    (122, 'polizeiinformationsbroschür'),
     (21, 'sailor'),
     (27, 'man'),
     (0, 'cat'),
@@ -1072,23 +1086,23 @@ GOLDEN_WORDS: list[tuple] = [
     (104, 'cat'), (104, 'dog'),
     (105, 'dog'), (105, 'cat'),
     (106, 'hund'),
-    (106, 'katze'),
-    (107, 'kriminelle'),
+    (106, 'katz'),
+    (107, 'kriminell'),
     (107, 'polizeiinformation'),
     (108, 'haus'),
     (108, 'mann'),
     (109, 'hund'),
-    (109, 'katze'),
+    (109, 'katz'),
     (110, 'hund'),
-    (110, 'katze'),
+    (110, 'katz'),
     (111, 'hund'),
-    (111, 'katze'),
+    (111, 'katz'),
     (111, 'maus'),
-    (112, 'kriminelle'),
+    (112, 'kriminell'),
     (112, 'polizei'),
-    (113, 'katze'),
+    (113, 'katz'),
     (114, 'hund'),
-    (114, 'katze'),
+    (114, 'katz'),
     (115, 'haus'),
     (115, 'wohnungsgesellschaft'),
     (116, 'kind'),
@@ -1210,6 +1224,9 @@ def pages_cte_sql() -> str:
         f"({sid}, '{w}')" for (sid, w) in GOLDEN_WORDS_ANY)
     gendered_vals = ",\n    ".join(
         f"({sid}, '{w}')" for (sid, w) in GOLDEN_GENDERED)
+    qword_vals = ",\n    ".join(
+        f"({sid}, '{t}', '{p}', '{w}')"
+        for (sid, t, p, w) in GOLDEN_QWORD_EDGES)
     snips_vals = ",\n    ".join(
         f"({i}, '{s.replace(chr(39), chr(39)*2)}')" for i, s in enumerate(POOL)
     )
@@ -1243,5 +1260,8 @@ golden_any_words(snip_id, word) AS (VALUES
 ),
 golden_gendered(snip_id, word) AS (VALUES
     {gendered_vals}
+),
+golden_qword_edges(snip_id, template, pred, wh) AS (VALUES
+    {qword_vals}
 )
 """

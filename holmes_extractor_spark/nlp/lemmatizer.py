@@ -316,12 +316,21 @@ IRREGULAR_DE: dict[str, str] = {
     "extrahierte": "extrahieren", "entführte": "entführen",
     "sprach": "sprechen", "gesprochen": "sprechen",
     "sprachen": "sprechen",
+    "fährst": "fahren", "fährt": "fahren", "fuhr": "fahren",
+    "gefahren": "fahren", "gibst": "geben",
     "ochsen": "ochse", "symphonien": "symphonie", "dächer": "dach",
     "ideen": "idee", "präsidenten": "präsident", "prinzen": "prinz",
     "politikern": "politiker", "ländern": "land", "länder": "land",
     "menschen": "mensch", "vögel": "vogel", "vögeln": "vogel",
     "orte": "ort", "orten": "ort", "sachen": "sache",
     "mozarts": "mozart", "königs": "könig",
+    # DE phraselet-production-suite vocabulary
+    "gehabt": "haben", "hatten": "haben", "tat": "tun", "getan": "tun",
+    "tut": "tun",
+    "taten": "tun", "gepflanzt": "pflanzen", "gewaschen": "waschen",
+    "daten": "datum", "durchgeführt": "durchführen",
+    "besprachen": "besprechen", "besprach": "besprechen",
+    "besprochen": "besprechen", "gärtners": "gärtner",
 }
 
 
@@ -334,7 +343,11 @@ def lemma_de(word: str) -> str:
         return w[:-2]  # wohnungen -> wohnung
     # regular conjugation → infinitive, gated on the verb lexicon so
     # noun plurals in -en (Katzen) are never mangled
-    from .lexicon import ADJECTIVES_DE, VERB_LEMMAS_DE
+    from .lexicon import ADJECTIVES_DE, NOUN_LEXICON_DE, VERB_LEMMAS_DE
+    if w in NOUN_LEXICON_DE:
+        # a known noun never conjugates ('Pflanze' must not reach the
+        # verb loop as pflanz+en once 'pflanzen' is a known verb)
+        return w
     for suf in ("eten", "ete", "ten", "test", "tet", "te", "est", "st",
                 "et", "t", "e"):
         if w.endswith(suf) and len(w) > len(suf) + 2:
@@ -361,15 +374,32 @@ DERIVATION_DE: dict[str, str] = dict(DERIVATION_MAP_DE)
 
 _UNG_BLACKLIST_DE = ("sprung", "schwung", "nibelung")
 
+_VOWELS_DE = ("a", "e", "i", "o", "u", "ä", "ö", "ü", "y")
 
-def derived_lemma_de(lemma: str) -> str:
+
+def derived_lemma_de(lemma: str, pos: str = "") -> str:
     """Dictionary first (the transcribed derivation.csv, canonical =
     noun), then the reference's generic nominalization rules
-    (de language_specific_rules.py:1017-1062): -erung/-elung → -n,
+    (de language_specific_rules.py:1017-1095): -erung/-elung → -n,
     -lung after a consonant → -eln, -ung → -en (blacklisted stems
-    keep their form), -heit/-keit stripped."""
+    keep their form), -heit/-keit stripped, and common-noun final -e
+    after a consonant stripped (pflanze→pflanz, katze→katz — for
+    comparability with diminutives, ref :1086-1094). ``pos`` gates the
+    noun rules like the reference's tag_ == "NN" checks; "" (subwords)
+    passes every gate like the reference's token=None."""
     if lemma in DERIVATION_DE:
         return DERIVATION_DE[lemma]
+    # 'ieren'/'ierung' → 'ation' when the result is a known noun
+    # (reference de rules :1022-1040, vocab-gated: informieren /
+    # informierung → information; extrahation is OOV so extrahieren
+    # falls through to the csv instead)
+    if (lemma.endswith("ieren") and len(lemma) > 9) \
+            or (lemma.endswith("ierung") and len(lemma) > 10):
+        cut = -5 if lemma.endswith("ieren") else -6
+        cand = lemma[:cut] + "ation"
+        from .lexicon import COMPOUND_PARTS_DE, NOUN_LEXICON_DE
+        if cand in NOUN_LEXICON_DE or cand in COMPOUND_PARTS_DE:
+            return cand
     if lemma.endswith("ung"):
         for word in _UNG_BLACKLIST_DE:
             if lemma.endswith(word):
@@ -384,6 +414,11 @@ def derived_lemma_de(lemma: str) -> str:
         return lemma[:-3] + "en"
     if lemma.endswith(("heit", "keit")):
         return lemma[:-4]
+    # common-noun final -e after a consonant is stripped (reference de
+    # rules :1086-1094, gated on tag NN — PROPN/VERB/ADJ keep theirs)
+    if pos in ("", "NOUN") and len(lemma) > 1 and lemma.endswith("e") \
+            and lemma[-2] not in _VOWELS_DE:
+        return lemma[:-1]
     return lemma
 
 
@@ -392,4 +427,5 @@ def lemma(word: str, lang: str) -> str:
 
 
 def derived_lemma(lem: str, lang: str, pos: str = "") -> str:
-    return derived_lemma_de(lem) if lang == "de" else derived_lemma_en(lem, pos)
+    return derived_lemma_de(lem, pos) if lang == "de" \
+        else derived_lemma_en(lem, pos)

@@ -184,7 +184,7 @@ STOPWORDS_EN = DETS_EN | PRONOUNS_EN | PREPOSITIONS_EN | CONJUNCTIONS_EN | {
 
 # ---------------------------------------------------------------- German
 
-SEPARABLE_PREFIXES_DE = {"aus", "an", "auf", "ab", "ein", "mit", "vor",
+SEPARABLE_PREFIXES_DE = {"aus", "an", "auf", "ab", "ein", "mit", "vor", "durch",
                          "zu", "zurück", "weg", "los", "um", "nach",
                          "herab", "hinaus"}
 
@@ -206,7 +206,9 @@ PRONOUNS_DE = {"ich", "du", "er", "sie", "es", "wir", "ihr", "man",
 PREPOSITIONS_DE = {"in", "an", "auf", "über", "unter", "mit", "von",
                    "zu", "bei", "nach", "aus", "für", "gegen", "ohne",
                    "um", "durch", "vor", "hinter", "neben", "zwischen",
-                   "vom", "zum", "zur", "beim", "im", "am", "ins", "ans"}
+                   "vom", "zum", "zur", "beim", "im", "am", "ins", "ans",
+                   "wegen", "trotz", "seit", "bis", "ab", "per",
+                   "mittels", "gegenüber"}
 
 NEGATION_WORDS_DE = {"nicht", "kein", "keine", "keinen", "nie", "niemals",
                      "nichts", "niemand", "keiner", "keinem"}
@@ -220,13 +222,15 @@ ADJECTIVES_DE = {"reich", "reiche", "reicher", "reichen", "arm", "arme",
                  "hungrig", "hungrige", "glücklich", "glückliche",
                  "schlau", "schlaue", "schlauen", "traurig", "traurige",
                  "schwer", "schwere", "neu", "neue", "neuen",
-                 "nett", "nette", "netter", "beschrieben", "beschriebene",
+                 "nett", "nette", "netten", "netter", "beschrieben", "beschriebene",
                  "irrelevant", "irrelevante", "irrelevanter",
-                 "demenzkrank", "demenzkranke", "grün", "grüne"}
+                 "demenzkrank", "demenzkranke", "grün", "grüne",
+                 "nächste", "nächsten", "nächster",
+                 "gesund", "gesunde", "gesunden", "lang"}
 
 ADVERBS_DE = {"schnell", "langsam", "heute", "gestern", "morgen", "hier",
               "dort", "jetzt", "immer", "oft", "bald", "gern", "sehr",
-              "heim", "nie", "niemals"}
+              "heim", "nie", "niemals", "lange", "dann"}
 
 VERB_LEMMAS_DE = {
     "meinen",
@@ -245,7 +249,15 @@ VERB_LEMMAS_DE = {
     "durchsetzen", "extrahieren", "entführen", "abfliegen", "glauben",
     "reparieren", "interessieren", "warten", "ankommen", "erwähnen",
     "diskutieren", "reden", "sprechen", "arbeiten", "leben", "tanzen",
+    "betrachten", "schauen", "stimmen", "mitkommen",
+    # DE phraselet-production-suite vocabulary
+    "tun", "haben", "aufwachsen", "pflanzen", "besprechen", "vorhaben",
+    "durchführen", "springen", "amputieren",
 }
+
+NUMBER_WORDS_DE = {"null", "eins", "zwei", "drei", "vier", "fünf",
+                   "sechs", "sieben", "acht", "neun", "zehn", "elf",
+                   "zwölf", "hundert", "tausend"}
 
 NOUN_LEXICON_DE = {
     "hund", "katze", "mann", "frau", "kind", "pflanze", "haus", "stadt",
@@ -263,13 +275,20 @@ NOUN_LEXICON_DE = {
     "informierung", "linguistik", "theorie", "komputer",
     "sprachwissenschaft", "jagd", "monitor", "hardware", "abdanken",
     "nehmen", "jagen", "krankenhaus", "doktor", "junge", "mädchen",
+    # DE question-suite vocabulary
+    "sonne", "gebäude", "person", "leute", "woche", "wochen",
+    "evidenz", "problem", "anhalter", "betrachtung",
+    # DE phraselet-production-suite vocabulary
+    "amputation", "komitee", "wissenschaft", "maßnahme", "beschaffung",
+    "mittagessen", "datum",
 }
 
 # nouns denoting persons (who/wer question gating, coref compatibility)
 PERSON_NOUNS_DE = {
     "mann", "frau", "kind", "mensch", "lehrer", "arzt", "student",
     "freund", "mutter", "vater", "bruder", "schwester", "könig",
-    "königin", "kriminelle", "kriminellen",
+    "königin", "kriminelle", "kriminellen", "person", "leute",
+    "doktor", "junge", "mädchen", "prinz", "prinzessin",
 }
 
 STOPWORDS_DE = DETS_DE | PRONOUNS_DE | PREPOSITIONS_DE | {
@@ -303,7 +322,12 @@ COMPOUND_PARTS_DE = {
     # Komputerlinguistik, Theorielinguistik, Wohnungsverkauf …)
     "könig", "königin", "prinz", "abdanken", "katze", "jagen", "mozart",
     "beethoven", "mahler", "symphonie", "entführung", "nehmen",
-    "theorie", "komputer", "linguistik", "grün", "informierung",
+    "theorie", "komputer", "linguistik", "informierung",
+    # DE phraselet-production-suite compound parts (Informationsmonitor,
+    # Sprachwissenschaft, Informationskomitee, Sammelabflug,
+    # Informationsinteressen-/-beschaffungs-/-problemmaßnahmen)
+    "monitor", "wissenschaft", "sprach", "komitee", "sammel", "abflug",
+    "beschaffung", "problem", "maßnahme",
 }
 
 # endings after which a Fugen-S is expected — the split consumes the s
@@ -350,3 +374,35 @@ TEMPORAL_NOUNS_EN = {
     "saturday", "sunday",
 }
 TEMPORAL_ADVERBS_EN = {"yesterday", "today", "tomorrow", "tonight"}
+
+# ---------------------------------------------------- German questions
+
+INTERROGATIVES_DE = {"wer", "wen", "wem", "wessen", "was", "wo",
+                     "wohin", "womit", "woher", "wodurch", "wann",
+                     "warum", "wieso", "weshalb", "wie"}
+# pronominal interrogatives (nominal arguments) vs adverbial ones
+INTERROGATIVE_PRONOUNS_DE = {"wer", "wen", "wem", "wessen", "was"}
+
+# reference de question_word_matches prep classes (de rules :2005-2125)
+WO_PREPS_DE = {"an", "auf", "aus", "bei", "gegenüber", "hinter", "in",
+               "neben", "über", "unter", "vor", "zu", "zwischen"}
+WOHIN_PREPS_DE = {"an", "auf", "hinter", "in", "neben", "über",
+                  "unter", "vor", "zwischen"}
+WANN_PREPS_DE = {"ab", "an", "bis", "für", "in", "nach", "seit",
+                 "vor", "um"}
+WIE_PREPS_DE = {"mit", "mittels"}
+WOHER_PREPS_DE = {"aus", "von", "wegen"}
+WARUM_PREPS_DE = {"wegen"}
+
+TEMPORAL_NOUNS_DE = {
+    # derived-lemma variants (common-noun final -e after a consonant is
+    # stripped, de rules :1086-1094 — KG edges carry 'woch' for Woche)
+    "woch", "sekund", "minut", "stund",
+    "sekunde", "minute", "stunde", "tag", "woche", "monat", "jahr",
+    "jahrzehnt", "jahrhundert", "morgen", "nachmittag", "abend",
+    "nacht", "frühling", "sommer", "herbst", "winter", "montag",
+    "dienstag", "mittwoch", "donnerstag", "freitag", "samstag",
+    "sonntag",
+}
+TEMPORAL_ADVERBS_DE = {"gestern", "heute", "morgen", "jetzt", "bald",
+                       "damals", "früher", "später"}

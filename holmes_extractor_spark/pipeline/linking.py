@@ -40,6 +40,10 @@ ONTOLOGY_EDGES: list[tuple[str, str, str]] = [
     # document reprs carry the lemma, KG edge endpoints the derived one.
     ("hund", "equivalentClass", "dog"),
     ("katze", "equivalentClass", "cat"),
+    # noun-canonical derived form of 'katze' (final -e after a
+    # consonant stripped, reference de rules :1086-1094) — KG edge
+    # endpoints carry the derived lemma, like jagd for jagen
+    ("katz", "equivalentClass", "cat"),
     ("jagen", "equivalentClass", "chase"),
     ("jagd", "equivalentClass", "chase"),
     ("tier", "equivalentClass", "animal"),

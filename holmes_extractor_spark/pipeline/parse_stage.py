@@ -157,7 +157,8 @@ def _words_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                              "negated": w["negated"],
                              "any_tag": w["any_tag"],
                              "span_start": w["span_start"],
-                             "span_end": w["span_end"]})
+                             "span_end": w["span_end"],
+                             "subword_idx": w.get("subword_idx", -1)})
         yield pd.DataFrame(rows, columns=cols)
 
 

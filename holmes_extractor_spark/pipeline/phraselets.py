@@ -98,9 +98,11 @@ RELATION_TEMPLATES_DE: list[tuple[str, frozenset, frozenset, frozenset, bool]] =
      frozenset({"amod", "compound", "nummod", "nmod", "appos"}),
      _NOUNS, _NOUNS | _ADJS | frozenset({"NUM"}), False),
     # 'mo'/'moposs' adverbials; predicative adjectives reach nouns via
-    # the amod rewrite (→ noun-dependent), so acomp is not mapped here
+    # the amod rewrite (→ noun-dependent, so acomp is not mapped here).
+    # AUX parents: the reference gate lists VAFIN/VAIMP/VAINF/VAPP
+    # ("Immer HAT er es" → verb-adverb: haben-immer, de rules :1812)
     ("verb-adverb", frozenset({"advmod"}),
-     frozenset({"VERB"}), _ADJS, False),
+     frozenset({"VERB", "AUX"}), _ADJS, False),
     ("prepgovernor-noun", frozenset({"pobjp"}), _NV, _NOUNS, False),
     ("prep-noun", frozenset({"pobj", "pcomp"}), frozenset({"ADP"}),
      _NOUNS, True),
@@ -114,11 +116,12 @@ QUESTION_TEMPLATES_DE: list[tuple[str, frozenset, frozenset, frozenset]] = [
     ("head-WHnom", frozenset({"nsubj", "pobjb"}),
      frozenset({"VERB", "AUX"}), frozenset({"wer", "was"})),
     ("head-WHacc", frozenset({"dobj"}), frozenset({"VERB"}),
-     frozenset({"wer", "was"})),
+     frozenset({"wen", "was"})),
     ("head-WHdat", frozenset({"dative"}), frozenset({"VERB"}),
-     frozenset({"wer", "was"})),
+     frozenset({"wem"})),
     ("head-WHadv", frozenset({"advmod"}), frozenset({"VERB"}),
-     frozenset({"wo", "wann", "warum", "wie"})),
+     frozenset({"wo", "wohin", "womit", "woher", "wodurch", "wann",
+                "warum", "wieso", "weshalb", "wie"})),
 ]
 
 # templates where the child is the semantic subject of the triple
@@ -141,9 +144,11 @@ REVERSE_ONLY_PARENT_LEMMAS = {
     ("machen", "VERB"), ("sagen", "VERB"), ("tun", "VERB"),
 }
 
-# lemmas suppressed in topic phraselets (reference :830-831); pronoun
-# stop tags PRP/PRP$ are handled by the matchability flag upstream
-STOP_LEMMAS = {"then", "therefore", "so"}
+# lemmas suppressed in topic phraselets (reference en rules :830-831 +
+# de rules :1583: dann/danach/so/ich/mein); pronoun stop tags PRP/PRP$/
+# PPER/PRF are handled by the matchability flag upstream
+STOP_LEMMAS = {"then", "therefore", "so",
+               "dann", "danach", "ich", "mein"}
 
 # single-word phraselet: noun tags only (reference 'word' template,
 # language_specific_rules.py:1313-1325)
@@ -212,6 +217,7 @@ def extract_candidate_edges(parsed: dict, lang: str,
         templates = RELATION_TEMPLATES_EN
         q_templates = QUESTION_TEMPLATES_EN
     mw_ignore = _multiword_member_indexes(toks)
+    _ALL_Q_WORDS = {w for (_n, _d, _p, ws) in q_templates for w in ws}
     out: list[dict] = []
     seen: set[tuple] = set()
 
@@ -228,14 +234,27 @@ def extract_candidate_edges(parsed: dict, lang: str,
         the head token, so phraselet come-hudson matches doc 'Richard
         Paul Hudson came'; the variant row is flagged so KG output
         keeps only the produced phraselet)."""
-        reprs = [(_repr_of(tok), False)]
-        if len(tok["multiwords"]) > 0 \
-                and tok["derived_lemma"] != _repr_of(tok):
-            reprs.append((tok["derived_lemma"], True))
+        borrowed_any = any(bool(sw.get("borrowed"))
+                           for sw in tok["subwords"])
+        reprs = []
+        if not borrowed_any:
+            reprs.append((_repr_of(tok), False, -1))
+            if len(tok["multiwords"]) > 0 \
+                    and tok["derived_lemma"] != _repr_of(tok):
+                reprs.append((tok["derived_lemma"], True, -1))
+        # whole words involved in subword conjunction are partial
+        # hyphenated fragments — only an OWN head subword can stand in
+        # as a relation pole (reference parsing.py:2009-2034
+        # add_head_subwords_to_token_list_and_remove_words_with_
+        # subword_conjunction)
         if len(tok["subwords"]) > 0:  # len(): Arrow batches give ndarrays
             head = tok["subwords"][-1]
-            if head["derived_lemma"] not in [r for (r, _m) in reprs]:
-                reprs.append((head["derived_lemma"], False))
+            if not bool(head.get("borrowed")) \
+                    and head["derived_lemma"] not in [r for (r, _m, _s)
+                                                      in reprs]:
+                # head-subword variant: the pole anchors on the PART
+                reprs.append((head["derived_lemma"], False,
+                              int(head["idx"])))
         return reprs
 
     def _is_person(tok: dict) -> bool:
@@ -250,7 +269,8 @@ def extract_candidate_edges(parsed: dict, lang: str,
         1338-1363 — 'A doctor spoke.' does NOT answer 'who', but
         'There came a doctor. He spoke.' does)."""
         from ..nlp.lexicon import GENDERED_NOUNS_EN, PERSON_NOUNS_DE
-        if tok["ent_type"] in ("PERSON", "NORP", "ORG", "GPE"):
+        if tok["ent_type"] in ("PERSON", "NORP", "ORG", "GPE",
+                               "PER"):  # PER = the spaCy de label
             return True
         if lang == "de":
             return bool(tok["lemma"] in PERSON_NOUNS_DE)
@@ -264,7 +284,8 @@ def extract_candidate_edges(parsed: dict, lang: str,
              child_repr: str, child_idx: int,
              negated: bool, uncertain: bool, coref: bool,
              reverse_only: bool, mention: bool = False,
-             prep: str | None = None) -> None:
+             prep: str | None = None, prep_case: str | None = None,
+             parent_sub: int = -1, child_sub: int = -1) -> None:
         key = (template, parent["i"], parent_repr, child_repr)
         if key in seen:
             return
@@ -284,7 +305,8 @@ def extract_candidate_edges(parsed: dict, lang: str,
             "involves_coref": coref, "reverse_only": reverse_only,
             "child_is_person": _is_person(toks[child_idx]),
             "child_is_gendered": _is_gendered(toks[child_idx]),
-            "mention": mention, "prep": prep,
+            "mention": mention, "prep": prep, "prep_case": prep_case,
+            "parent_sub": parent_sub, "child_sub": child_sub,
         })
 
     for d in parsed["deps"]:
@@ -305,13 +327,15 @@ def extract_candidate_edges(parsed: dict, lang: str,
                 continue
             if not c["is_matchable"]:
                 continue
-            for (pr, pm) in _variants(p):
-                for (cr, cm) in _variants(c):
+            for (pr, pm, ps) in _variants(p):
+                for (cr, cm, cs) in _variants(c):
                     emit(name, p, pr, cr, c["i"],
                          p["is_negated"] or c["is_negated"], d["uncertain"],
                          d["coref"], tmpl_reverse or parent_reverse,
                          mention=bool(d.get("mention")) or pm or cm,
-                         prep=d.get("prep"))
+                         prep=d.get("prep"),
+                         prep_case=d.get("prep_case"),
+                         parent_sub=ps, child_sub=cs)
         # matching-only: a gerund prepositional complement ("managed it
         # BY WORKING hard") — no reference phraselet (VBG child fails
         # the prepgovernor child tags) but the how-question answer
@@ -321,7 +345,8 @@ def extract_candidate_edges(parsed: dict, lang: str,
                 and d.get("prep") and c["is_matchable"]:
             emit("prepgovernor-verb", p, _repr_of(p), _repr_of(c), c["i"],
                  p["is_negated"] or c["is_negated"], d["uncertain"],
-                 d["coref"], False, mention=True, prep=d.get("prep"))
+                 d["coref"], False, mention=True, prep=d.get("prep"),
+                 prep_case=d.get("prep_case"))
         if include_questions and c["is_initial_question_word"]:
             for (name, dep_labels, parent_gate, q_words) in q_templates:
                 if d["label"] not in dep_labels:
@@ -332,7 +357,27 @@ def extract_candidate_edges(parsed: dict, lang: str,
                     continue
                 emit(name, p, _repr_of(p), c["derived_lemma"], c["i"],
                      p["is_negated"], d["uncertain"], d["coref"], False,
-                     mention=bool(d.get("mention")), prep=d.get("prep"))
+                     mention=bool(d.get("mention")), prep=d.get("prep"),
+                     prep_case=d.get("prep_case"))
+        elif c["text"].lower() in _ALL_Q_WORDS:
+            # CORPUS-side question words: a document's own interrogative
+            # matches a question phraselet's WH pole LITERALLY and is
+            # then scored as a plain relation, never as an answer
+            # (reference topic_matching.py:965-975 keeps relation_score
+            # when the document token carries an interrogative tag;
+            # tests/en/test_questions_EN.py:392-396). Matching-only
+            # rows — mention=True keeps them out of KG output.
+            for (name, dep_labels, parent_gate, q_words) in q_templates:
+                if d["label"] not in dep_labels:
+                    continue
+                if p["pos"] not in parent_gate:
+                    continue
+                if c["text"].lower() not in q_words:
+                    continue
+                emit(name, p, _repr_of(p), c["derived_lemma"], c["i"],
+                     p["is_negated"], d["uncertain"], d["coref"], False,
+                     mention=True, prep=d.get("prep"),
+                     prep_case=d.get("prep_case"))
 
     # German subword relations (intcompound): compound parts form an
     # edge governor-part → dependent-part within the containing token
@@ -362,7 +407,9 @@ def extract_candidate_edges(parsed: dict, lang: str,
                     "involves_coref": False, "reverse_only": False,
                     "child_is_person": False, "child_is_gendered": False,
                     "mention": False,
-                    "prep": None,
+                    "prep": None, "prep_case": None,
+                    "parent_sub": int(sw["idx"]),
+                    "child_sub": int(sw["dependent"]),
                 })
     return out
 
@@ -402,12 +449,43 @@ def extract_word_phraselets(parsed: dict, lang: str,
                     entry = {"template": "word", "label": f"word: {r}",
                              "word": r, "disp": t["lemma"], "idx": t["i"],
                              "negated": t["is_negated"], "any_tag": True,
-                             "span_start": t["i"], "span_end": t["i"]}
+                             "span_start": t["i"], "span_end": t["i"],
+                             "subword_idx": -1}
                     seen[r] = entry
                     out.append(entry)
             continue
+        if any(sw.get("borrowed") for sw in t["subwords"]):
+            # whole single words involved in subword conjunction are
+            # partial words including hyphens (reference
+            # parsing.py:2076-2090) — only their subwords participate
+            if match_all_words:
+                for sw in t["subwords"]:
+                    if sw.get("borrowed"):
+                        continue
+                    r = sw["derived_lemma"]
+                    if per_occurrence or r not in seen:
+                        entry = {"template": "word",
+                                 "label": f"word: {r}", "word": r,
+                                 "disp": sw["lemma"], "idx": t["i"],
+                                 "negated": t["is_negated"],
+                                 "any_tag": True,
+                                 "span_start": t["i"],
+                                 "span_end": t["i"],
+                                 "subword_idx": sw["idx"]}
+                        seen[r] = entry
+                        out.append(entry)
+            continue
         if (t["pos"] in WORD_TEMPLATE_POS or match_all_words) and t["is_matchable"]:
-            r = _repr_of(t)
+            # match-all QUERY production ignores multiwords — the head
+            # keeps its own lemma and members get any-tag entries
+            # (reference parsing.py:1972-1977 gates the substitution on
+            # `not match_all_words`; 'Richard Paul Hudson kam' yields
+            # word: richard/paul/hudson/kommen, ref production DE :210).
+            # The per_occurrence CORPUS table keeps the multiword row —
+            # it is the document-side index the word branch probes.
+            mw_skip = (match_all_words and not per_occurrence
+                       and len(t["multiwords"]) > 0)
+            r = t["derived_lemma"] if mw_skip else _repr_of(t)
             if r not in STOP_LEMMAS:
                 # any_tag marks words admitted only by the all-words
                 # pass (reference: phraselets 'created without matching
@@ -421,7 +499,7 @@ def extract_word_phraselets(parsed: dict, lang: str,
                 # model refreshes on the repeats
                 prev = None if per_occurrence else seen.get(r)
                 if prev is None:
-                    if len(t["multiwords"]) > 0:
+                    if len(t["multiwords"]) > 0 and not mw_skip:
                         span = (min(t["multiwords"][0]["token_indexes"]),
                                 max(t["multiwords"][0]["token_indexes"]))
                     else:
@@ -430,7 +508,8 @@ def extract_word_phraselets(parsed: dict, lang: str,
                              "word": r, "disp": _disp_of(t), "idx": t["i"],
                              "negated": t["is_negated"],
                              "any_tag": t["pos"] not in WORD_TEMPLATE_POS,
-                             "span_start": span[0], "span_end": span[1]}
+                             "span_start": span[0], "span_end": span[1],
+                             "subword_idx": -1}
                     seen[r] = entry
                     out.append(entry)
                 elif prev["any_tag"] and t["pos"] in WORD_TEMPLATE_POS:
@@ -450,18 +529,24 @@ def extract_word_phraselets(parsed: dict, lang: str,
                              "word": t["derived_lemma"], "disp": t["lemma"],
                              "idx": t["i"],
                              "negated": t["is_negated"], "any_tag": True,
-                             "span_start": t["i"], "span_end": t["i"]}
+                             "span_start": t["i"], "span_end": t["i"],
+                             "subword_idx": -1}
                     seen[t["derived_lemma"]] = entry
                     out.append(entry)
         if match_all_words:
             for sw in t["subwords"]:
+                if sw.get("borrowed"):
+                    # conjunction-distributed copy — its own token
+                    # yields the entry (reference parsing.py:2092-2095)
+                    continue
                 r = sw["derived_lemma"]
                 if per_occurrence or r not in seen:
                     entry = {"template": "word", "label": f"word: {r}",
                              "word": r, "disp": sw["lemma"], "idx": t["i"],
                              "negated": t["is_negated"],
                              "any_tag": True,
-                             "span_start": t["i"], "span_end": t["i"]}
+                             "span_start": t["i"], "span_end": t["i"],
+                             "subword_idx": sw["idx"]}
                     seen[r] = entry
                     out.append(entry)
     return out
@@ -489,4 +574,84 @@ def replace_with_hypernym_ancestors(
         word = ancestors.get(w["word"], w["word"])
         label = f"word: {word}"
         out_w.setdefault(label, {**w, "word": word, "label": label})
+    return list(out_r.values()), list(out_w.values())
+
+
+def extract_phraselets(parsed: dict, lang: str, *,
+                       match_all_words: bool = False,
+                       include_reverse_only: bool = False,
+                       include_questions: bool = False
+                       ) -> tuple[list[dict], list[dict]]:
+    """Relation + single-word phraselets with the reference's
+    add_phraselets_to_dict gating (parsing.py:1703-2307): matching-only
+    (mention) rows dropped, reverse-only templates AND reverse-only
+    parent lemmas suppressed unless ``include_reverse_only``, and the
+    reference's empty-dict fallback — when nothing was produced and
+    ``match_all_words`` is off, every matchable non-stop token yields
+    an any-tag word phraselet (parsing.py:2302-2307, the path that
+    gives 'Immer hat er es' its word: haben / word: immer)."""
+    rels = [r for r in extract_candidate_edges(
+                parsed, lang, include_questions=include_questions)
+            if not r.get("mention")]
+    if not include_reverse_only:
+        rels = [r for r in rels
+                if r["template"] not in REVERSE_ONLY_TEMPLATES
+                and not r["reverse_only"]]
+    words = extract_word_phraselets(parsed, lang,
+                                    match_all_words=match_all_words)
+    if not rels and not words and not match_all_words:
+        words = extract_word_phraselets(parsed, lang,
+                                        match_all_words=True)
+        for w in words:
+            w["any_tag"] = True
+    return rels, words
+
+
+def ontology_reverse_derivation_map(ontology_words: set[str],
+                                    lang: str) -> dict[str, str]:
+    """derived lemma → ontology word, for every ontology word whose
+    derived form differs (reference get_ontology_reverse_derivational_
+    dict, parsing.py:1616-1647; ties resolve to the alphabetically
+    first word like the reference's sorted entry lists)."""
+    from ..nlp.lemmatizer import derived_lemma
+    m: dict[str, list[str]] = {}
+    for w in ontology_words:
+        d = " ".join(derived_lemma(p, lang) for p in w.lower().split())
+        if d != w.lower():
+            m.setdefault(d, []).append(w.lower())
+    return {d: sorted(ws)[0] for d, ws in m.items()}
+
+
+def apply_ontology_reverse_derivation(
+        rels: list[dict], words: list[dict],
+        m: dict[str, str]) -> tuple[list[dict], list[dict]]:
+    """Rewrite phraselet poles through the reverse-derivation map (the
+    reference applies it inside get_lemmas_from_index whenever an
+    ontology is loaded, parsing.py:1787-1795: subword 'abflug' labels
+    as the ontology's 'abfliegen')."""
+    if not m:
+        return rels, words
+    out_r: dict[str, dict] = {}
+    for p in rels:
+        p = dict(p)
+        parent = m.get(p["pred"], p["pred"])
+        child_key = "subj" if p["template"] in ACTOR_TEMPLATES else "obj"
+        child = m.get(p[child_key], p[child_key])
+        p["pred"] = parent
+        p[child_key] = child
+        if p["template"] in ACTOR_TEMPLATES:
+            p["obj"] = parent
+        else:
+            p["subj"] = parent
+        p["label"] = f"{p['template']}: {parent}-{child}"
+        out_r.setdefault(p["label"], p)
+    out_w: dict[str, dict] = {}
+    for w in words:
+        w = dict(w)
+        w["word"] = m.get(w["word"], w["word"])
+        w["label"] = f"word: {w['word']}"
+        if w["label"] in out_w and not w.get("any_tag"):
+            out_w[w["label"]] = w  # tag-checked beats any-tag
+        else:
+            out_w.setdefault(w["label"], w)
     return list(out_r.values()), list(out_w.values())

@@ -57,7 +57,13 @@ def build_postings(docs: DataFrame) -> DataFrame:
         F.when(t["pos"].isin("NOUN", "PROPN") & (t["dep"] != "compound"),
                F.array(e(F.lit("ENTITYNOUN"), "entity"))
                ).otherwise(F.array().cast(f"array<struct<{entry_t}>>")),
-        F.transform(t["subwords"], lambda s: e(s["lemma"], "subword", s["idx"])),
+        # borrowed (conjunction-distributed) subwords are not indexed —
+        # their own token owns the posting (reference: the reverse dict
+        # keys subwords at containing_token_index)
+        F.transform(F.filter(t["subwords"],
+                             lambda s: ~F.coalesce(s["borrowed"],
+                                                   F.lit(False))),
+                    lambda s: e(s["lemma"], "subword", s["idx"])),
         # 'multiword': doc-side multiword reprs posted at the head
         # token, so a search phrase ROOTED at a multiword (entity- or
         # ontology-defined, e.g. 'Mimi Momo') can probe the index

@@ -124,9 +124,24 @@ def query_phraselets(query_text: str, lang: str = "en",
                 parsed, lang, include_questions=include_questions)
             if not p.get("mention")]
     # two-pass single-word production (reference parsing.py:2418-2458):
-    # tag-checked words score single_word_score, the all-words pass
-    # admits the rest as any-tag phraselets (single_word_any_tag_score)
-    words = extract_word_phraselets(parsed, lang, match_all_words=True)
+    # pass 1 (tags checked) keeps entity/ontology multiword
+    # substitution and scores single_word_score; pass 2 (all words)
+    # adds what pass 1 missed as any-tag phraselets — for a multiword
+    # head that means its OWN lemma (reference parsing.py:1972-1977),
+    # so 'Richard Paul Hudson kam' carries word: richard paul hudson
+    # AND any-tag word: hudson/richard/paul like the reference dict
+    words1 = extract_word_phraselets(parsed, lang, match_all_words=False)
+    words2 = extract_word_phraselets(parsed, lang, match_all_words=True)
+    by_label = {w["label"]: w for w in words1}
+    for w in words2:
+        if w["label"] not in by_label:
+            # everything the tag-checked pass missed is created
+            # without matching tags (reference pass-2
+            # checking_tags=False → single_word_any_tag_score)
+            w = dict(w)
+            w["any_tag"] = True
+            by_label[w["label"]] = w
+    words = list(by_label.values())
     if include_questions:
         # governed interrogatives ("WHICH politician lied?"): a pole
         # whose noun is determined by which/what makes every match of
@@ -244,6 +259,11 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
                                "predicate-toughmovedargument",
                                "noun-noun"),
         "noun-noun": ("governor-adjective",),
+        # DE: nk reverse-implies the verbal/genitive/compound deps
+        # (de rules :1640-1652) and intcompound reverse-implies nk
+        # (:1680-1693) — 'Wohnungsverkauf' ↔ 'eine verkaufte Wohnung'
+        "noun-dependent": ("intcompound", "verb-nom", "verb-acc"),
+        "intcompound": ("noun-dependent",),
     }
     # FORWARD cross-template implications (same polarity): a phraselet
     # dep also matches document deps carried by OTHER templates —
@@ -270,6 +290,16 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
                         "predicate-toughmovedargument"),
         "predicate-recipient": ("predicate-patient",
                                 "predicate-passivesubject"),
+        # DE intcompound ↔ the verbal/nominal templates (reference
+        # match_implication_dict, de rules :1612-1693): 'Katzenjagen'
+        # matches 'jagt eine Katze' and verbal relations match inside
+        # compounds
+        "intcompound": ("verb-nom", "verb-acc", "noun-dependent",
+                        "verb-adverb", "prepgovernor-noun"),
+        "verb-nom": ("intcompound",),
+        "verb-acc": ("intcompound",),
+        "noun-dependent": ("intcompound",),
+        "prepgovernor-noun": ("intcompound",),
     }
     rel_rows += [
         (fwd_t, p["label"], p["pred"],
@@ -298,6 +328,16 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
          p.get("pred_disp") or p["pred"])
         for p in rel_ph_plain
         for inv_t in _INVERSE_TEMPLATES.get(p["template"], ())]
+    # literal WH-pole probes: a question phraselet's interrogative
+    # child also matches a document's own question word directly,
+    # scored as a plain relation (reference topic_matching.py:965-975;
+    # the corpus-side rows are the mention=True q-word edges)
+    rel_rows += [
+        (p["template"], p["label"], p["pred"], p["obj"], False,
+         float(p.get("freq_factor", 1.0)), False,
+         p.get("pred_disp") or p["pred"],
+         p.get("child_disp") or p["obj"])
+        for p in rel_ph if p["template"].startswith("head")]
     emb_retry_ok = {p["label"]: bool(p.get("emb_retry", True))
                     for p in rel_ph}
     q_rows = [(p["template"], p["label"], p["pred"], p["obj"],
@@ -511,7 +551,17 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
                     F.when(F.col("inverse"), F.col("q_child"))
                      .otherwise(F.col("q_pred")).alias("p_word"),
                     F.when(F.col("inverse"), F.col("q_pred"))
-                     .otherwise(F.col("q_child")).alias("c_word"))
+                     .otherwise(F.col("q_child")).alias("c_word"),
+                    F.when(F.col("inverse"), F.col("child_sub"))
+                     .otherwise(F.col("parent_sub")).alias("parent_sub"),
+                    F.when(F.col("inverse"), F.col("parent_sub"))
+                     .otherwise(F.col("child_sub")).alias("child_sub"),
+                    # a match against an intcompound corpus edge is
+                    # anchored on SUBWORDS — the whole-word-beats-
+                    # subword rejection and the same-word single
+                    # scoring key off this (reference
+                    # topic_matching.py:815-829, 886-893)
+                    (F.col("template") == "intcompound").alias("intc"))
         )
         out = rel_m
         # entity-label prototype matching for the 'person' lexeme: a
@@ -550,7 +600,7 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
                               "PERSON.").alias("c_expl"),
                         F.col("q_pred").alias("p_word"), "c_word")
             )
-            out = out.unionByName(per_m)
+            out = out.unionByName(per_m, allowMissingColumns=True)
     if ent_rel and ents is not None:
         er = [(p["template"], p["label"], p["pred"],
                _ENT_CHILD_RE.match(
@@ -595,7 +645,7 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
                     # resolved from the entity token's multiword
                     F.lit(None).cast("string").alias("c_word"))
         )
-        out = ent_m if out is None else out.unionByName(ent_m)
+        out = ent_m if out is None else out.unionByName(ent_m, allowMissingColumns=True)
     if ent_par and ents is not None:
         ep = [(p["template"], p["label"],
                p["obj"] if p["template"] not in ACTOR_TEMPLATES
@@ -638,7 +688,7 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
                     F.lit(None).cast("string").alias("p_word"),
                     F.col("q_child").alias("c_word"))
         )
-        out = ent_pm if out is None else out.unionByName(ent_pm)
+        out = ent_pm if out is None else out.unionByName(ent_pm, allowMissingColumns=True)
     if q_rows:
         # question phraselets: the WH pole matches any answering word,
         # scored initial_question_word_answer_score (reference
@@ -649,7 +699,8 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
         # 'what' matches ANY answer in the reference
         # (en language_specific_rules.py:1364-1365 returns True
         # unconditionally); only who/whom/wer gate on person-ness
-        _GATE = {"who": "person", "whom": "person", "wer": "person"}
+        _GATE = {"who": "person", "whom": "person", "wer": "person",
+                 "wen": "person", "wem": "person"}
         expand = [(t, lbl, pred, wh, _GATE.get(wh, "any"), ff, m, qprep,
                    pdisp)
                   for (t, lbl, pred, wh, ff, qprep, pdisp) in q_rows
@@ -667,7 +718,21 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
                                     "prepgovernor-verb")
                                    if wh == "how" else
                                    ("prepgovernor-verb",)
-                                   if wh == "why" else ())]
+                                   if wh == "why" else
+                                   # DE: adverb/adjective answers ride
+                                   # the verb-adverb template ("Ich
+                                   # fahre LANGSAM/MORGEN"), clause
+                                   # answers the prepgovernor-verb one
+                                   # ("…, weil es stimmt"); bare
+                                   # temporal NPs ("nächste Woche")
+                                   # arrive as verb-acc
+                                   ("verb-adverb", "prepgovernor-verb",
+                                    "verb-acc")
+                                   if wh == "wann" else
+                                   ("verb-adverb", "prepgovernor-verb")
+                                   if wh in ("wie", "woher", "warum",
+                                             "wieso", "weshalb")
+                                   else ())]
         if expand:
             from ..nlp.lexicon import (TEMPORAL_ADVERBS_EN,
                                        TEMPORAL_NOUNS_EN)
@@ -681,6 +746,11 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
                              F.col("subj")).otherwise(F.col("obj"))
             temporal_n = child_w.isin(*TEMPORAL_NOUNS_EN)
             temporal_adv = child_w.isin(*TEMPORAL_ADVERBS_EN)
+            from ..nlp.lexicon import (TEMPORAL_ADVERBS_DE,
+                                       TEMPORAL_NOUNS_DE, WANN_PREPS_DE,
+                                       WO_PREPS_DE, WOHIN_PREPS_DE)
+            temporal_n_de = child_w.isin(*TEMPORAL_NOUNS_DE)
+            temporal_adv_de = child_w.isin(*TEMPORAL_ADVERBS_DE)
             wh = F.col("wh_word")
             # WH-class gates (reference question word matching,
             # en language_specific_rules.py:1327-1469): a fronted or
@@ -702,6 +772,45 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
                 | ((wh == "how") & g_prep.isin("by", "with") & ~temporal_n)
                 | ((wh == "why") & g_prep.isin(
                     "because", "because of", "owing to", "thanks to"))
+                # --- German WH adverbs (reference de rules :2005-2125):
+                # wo/wohin gate on the two-way preposition's CASE,
+                # wann on temporal preps/nouns/adverbs + wenn-clauses,
+                # wie on mit/mittels + plain adverbs + indem-clauses,
+                # woher on aus/von/wegen + weil, warum/wieso on wegen +
+                # weil/damit, and wo+POSTposition compounds (womit,
+                # wodurch) match their embedded preposition
+                | ((wh == "wo") & g_prep.isin(*WO_PREPS_DE)
+                   & (F.col("prep_case") == "dat"))
+                | ((wh == "wohin") & g_prep.isin(*WOHIN_PREPS_DE)
+                   & (F.col("prep_case") == "acc"))
+                | ((wh == "wann")
+                   & ((g_prep.isin(*WANN_PREPS_DE)
+                       & (F.col("template") != "prepgovernor-verb"))
+                      | ((F.col("template") == "verb-adverb")
+                         & temporal_adv_de)
+                      | ((F.col("template") == "verb-acc")
+                         & temporal_n_de)
+                      | ((F.col("template") == "prepgovernor-verb")
+                         & (g_prep == "wenn"))))
+                | ((wh == "wie")
+                   & (g_prep.isin("mit", "mittels")
+                      | ((F.col("template") == "verb-adverb")
+                         & ~temporal_adv_de)
+                      | ((F.col("template") == "prepgovernor-verb")
+                         & (g_prep == "indem"))))
+                | ((wh == "woher")
+                   & (((F.col("template") != "prepgovernor-verb")
+                       & g_prep.isin("aus", "von", "wegen"))
+                      | ((F.col("template") == "prepgovernor-verb")
+                         & (g_prep == "weil"))))
+                | (wh.isin("warum", "wieso", "weshalb")
+                   & (((F.col("template") != "prepgovernor-verb")
+                       & (g_prep == "wegen"))
+                      | ((F.col("template") == "prepgovernor-verb")
+                         & g_prep.isin("weil", "damit"))))
+                | (wh.startswith("wo")
+                   & ~wh.isin("wo", "wohin", "woher")
+                   & (wh == F.concat(F.lit("wo"), g_prep)))
             )
             person_ok = ((F.col("gate") == "any")
                          | ((F.col("gate") == "person")
@@ -713,7 +822,8 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
             q_m = (
                 edges.withColumnRenamed("pred", "q_pred")
                 .join(F.broadcast(qq), ["template", "q_pred"])
-                .filter(F.when(wh.isin("where", "when", "how", "why"),
+                .filter(F.when(wh.isin("where", "when", "how", "why",
+                                       "wo", "wohin", "womit", "woher", "wodurch", "wann", "warum", "wieso", "weshalb", "wie"),
                                adv_ok)
                         .otherwise(person_ok & prep_ok))
                 .select("url", "phraselet_label",
@@ -730,7 +840,7 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
                         F.col("q_pred").alias("p_word"),
                         child_w.alias("c_word"))
             )
-            out = q_m if out is None else out.unionByName(q_m)
+            out = q_m if out is None else out.unionByName(q_m, allowMissingColumns=True)
     if word_ph:
         qw = spark.createDataFrame(
             [(p["word"], p["label"], float(p.get("freq_factor", 1.0)),
@@ -782,7 +892,7 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
                     F.lit(None).cast("string").alias("c_expl"),
                     F.col("word").alias("p_word"),
                     F.lit(None).cast("string").alias("c_word"),
-                    "span_start", "span_end", "ph_ord")
+                    "span_start", "span_end", "ph_ord", "subword_idx")
         )
         # first-match-wins per document token (reference strategy
         # chain: a direct repr match pre-empts the ontology
@@ -798,21 +908,29 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
         rest = F.struct("parent_idx", "child_idx", "penalty",
                         "freq_factor", "matched", "p_expl", "c_expl",
                         "p_word", "c_word", "span_start", "span_end",
-                        "ph_ord")
+                        "ph_ord", "subword_idx")
         word_m = (word_m.groupBy(*gcols)
-                  # penalty ties prefer the LONGER matched word — the
-                  # reference probes multiwords before their member
+                  # a WHOLE-WORD row wins over a subword row of the
+                  # same label+token regardless of penalty (reference
+                  # whole-word-beats-subword rejection,
+                  # topic_matching.py:815-829: the ontology whole-word
+                  # match at 0.9 beats the direct subword match);
+                  # then penalty ties prefer the LONGER matched word —
+                  # the reference probes multiwords before their member
                   # parts (parsing.py:2630 sorts words_matching_root_
                   # token longest-first)
-                  .agg(F.max_by(rest, F.struct(F.col("penalty"),
-                                               F.length("matched"),
-                                               F.col("matched")))
+                  .agg(F.max_by(rest, F.struct(
+                      (F.coalesce(F.col("subword_idx"), F.lit(-1)) < 0)
+                      .cast("int"),
+                      F.col("penalty"),
+                      F.length("matched"),
+                      F.col("matched")))
                        .alias("_r"))
                   .select(*gcols, "_r.parent_idx", "_r.child_idx",
                           "_r.penalty", "_r.freq_factor", "_r.matched",
                           "_r.p_expl", "_r.c_expl", "_r.p_word",
                           "_r.c_word", "_r.span_start", "_r.span_end",
-                          "_r.ph_ord"))
+                          "_r.ph_ord", "_r.subword_idx"))
         # single-word matches contained inside a MATCHED multiword
         # single-word match are superfluous (reference
         # remove_single_word_matches_made_superfluous_by_multiword_
@@ -836,7 +954,7 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
                                 lambda x: (F.col("position") >= x["s"])
                                 & (F.col("position") <= x["e"])))
             .drop("_mws", "span_start", "span_end"))
-        wout = word_m if wout is None else wout.unionByName(word_m)
+        wout = word_m if wout is None else wout.unionByName(word_m, allowMissingColumns=True)
     ent_word_ph = [w for w in ent_word_ph
                    if _ENT_CHILD_RE.match(w["word"]).group(1) != "noun"]
     if ent_word_ph and ents is not None:
@@ -880,9 +998,10 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
                     F.lit(None).cast("string").alias("c_expl"),
                     F.lit(None).cast("string").alias("p_word"),
                     F.lit(None).cast("string").alias("c_word"),
-                    "ph_ord")
+                    "ph_ord",
+                    F.lit(None).cast("int").alias("subword_idx"))
         )
-        wout = ent_word_m if wout is None else wout.unionByName(ent_word_m)
+        wout = ent_word_m if wout is None else wout.unionByName(ent_word_m, allowMissingColumns=True)
     if wout is not None:
         # cross-phraselet duplicate removal (reference remove_duplicates,
         # topic_matching.py:797-847): all single-word matches at one
@@ -896,7 +1015,13 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
         # token ordinal.
         wcols = [c for c in wout.columns
                  if c not in ("url", "position", "ph_ord")]
-        wout = (wout.groupBy("url", "position")
+        # subwords are DISTINCT word positions in the reference's
+        # duplicate rule (CorpusWordPosition = token + subword index,
+        # topic_matching.py:832-846): word: mozart at (0,0) and
+        # word: symphonie at (0,1) both survive
+        wout = (wout.groupBy("url", "position",
+                             F.coalesce("subword_idx", F.lit(-1))
+                             .alias("_swg"))
                 .agg(F.min_by(F.struct(*wcols, "ph_ord"),
                               F.struct("ph_ord", "phraselet_label"))
                      .alias("_r"))
@@ -927,10 +1052,15 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
     # are already unique per (url, label, kind, position) from their
     # own agg and skip this shuffle entirely.
     if out is not None:
+        for c, t in (("intc", "boolean"), ("parent_sub", "int"),
+                     ("child_sub", "int")):
+            if c not in out.columns:
+                out = out.withColumn(c, F.lit(None).cast(t))
         dcols = ["url", "phraselet_label", "parent_idx", "child_idx",
                  "kind"]
         drest = F.struct("position", "penalty", "freq_factor", "matched",
-                         "p_expl", "c_expl", "p_word", "c_word")
+                         "p_expl", "c_expl", "p_word", "c_word", "intc",
+                         "parent_sub", "child_sub")
         out = (out.groupBy(*dcols)
                # penalty ties prefer the LONGER matched word (multiword
                # before member part, reference parsing.py:2630)
@@ -941,9 +1071,10 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
                .select("url", "phraselet_label", "kind", "_r.position",
                        "parent_idx", "child_idx", "_r.penalty",
                        "_r.freq_factor", "_r.matched", "_r.p_expl",
-                       "_r.c_expl", "_r.p_word", "_r.c_word"))
+                       "_r.c_expl", "_r.p_word", "_r.c_word", "_r.intc",
+                       "_r.parent_sub", "_r.child_sub"))
     if wout is not None:
-        out = wout if out is None else out.unionByName(wout)
+        out = wout if out is None else out.unionByName(wout, allowMissingColumns=True)
     # governed interrogatives: matches of a which/what-governed
     # phraselet ALSO emit an answer row at the governed pole — scored
     # initial_question_word_answer_score for relations, answer-only for
@@ -983,7 +1114,7 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
             "freq_factor", "matched", "p_expl", "c_expl", "p_word",
             "c_word"))
     for e in extras:
-        out = out.unionByName(e)
+        out = out.unionByName(e, allowMissingColumns=True)
     if chains is not None:
         # coref-proximity dominance (reference: the structural matcher
         # tries coreferents closest-first, structural_matching.py:
@@ -1053,20 +1184,6 @@ def _score_docs(params: dict):
             # governed single-word answers carry the span, not a score
             "question_answer_word": 0.0,
         }
-        # overlap map built UPFRONT from every relation-kind match's
-        # BOTH poles (reference builds
-        # document_labels_to_indexes_to_phraselet_labels over parent
-        # and child word matches before the scoring loop,
-        # topic_matching.py:904-933) — so the first relation processed
-        # at a shared anchor is already ×1.5, and child-side sharing
-        # counts too
-        idx_labels: dict[int, set[str]] = {}
-        for r in ms:
-            if r["kind"].startswith("relation") \
-                    or r["kind"] == "question_answer":
-                for k in (int(r.get("parent_idx", r["position"])),
-                          int(r.get("child_idx", r["position"]))):
-                    idx_labels.setdefault(k, set()).add(r["phraselet_label"])
         entries: list[dict] = []
         # governed single-word answers are zero-score SPAN CARRIERS
         # riding on their base word match (reference folds them into
@@ -1078,14 +1195,78 @@ def _score_docs(params: dict):
                 qaw_by_pos.setdefault(int(r["position"]), []).append(
                     int(r.get("child_idx", r["position"])))
         ms = [r for r in ms if r["kind"] != "question_answer_word"]
+
+        # --- German subword rules (reference topic_matching.py:
+        # 800-846 remove_duplicates + :886-893):
+        def _sw(r):
+            v = r.get("subword_idx")
+            return -1 if v is None else int(v)
+
+        def _subword_anchored(r):
+            # single-word match against a compound part, or any match
+            # against an intcompound corpus edge (its word matches ARE
+            # subwords)
+            return (_sw(r) >= 0) or bool(r.get("intc"))
+
+        if any(_subword_anchored(r) for r in ms):
+            # 1. a whole-word SINGLE-word match at a token rejects
+            #    every subword-anchored match at that token ("the
+            #    whole word has also been matched")
+            whole = {int(r["position"]) for r in ms
+                     if r["kind"].startswith("single_word")
+                     and _sw(r) < 0}
+            ms = [r for r in ms
+                  if not (_subword_anchored(r)
+                          and int(r["position"]) in whole)]
+
+        def _intc_same_word(r):
+            # intcompound relation whose poles sit in ONE document
+            # word scores like a single-word match and joins neither
+            # the overlap map nor the multiplier (reference
+            # topic_matching.py:886-893, 907-913, 950-953)
+            return (r["phraselet_label"].startswith("intcompound")
+                    and int(r.get("parent_idx", r["position"]))
+                    == int(r.get("child_idx", r["position"])))
+
+        # overlap map built from every surviving relation-kind match's
+        # BOTH poles (reference builds
+        # document_labels_to_indexes_to_phraselet_labels over parent
+        # and child word matches AFTER duplicate removal and EXCLUDING
+        # same-word intcompound matches, topic_matching.py:904-913) —
+        # so the first relation processed at a shared anchor is
+        # already ×1.5, and child-side sharing counts too
+        def _pole_keys(r):
+            # overlap map keys are (token, subword) positions — the
+            # reference's CorpusWordPosition granularity: relations
+            # anchored on DIFFERENT parts of one compound do not
+            # overlap (topic_matching.py:904-933)
+            pos = int(r["position"])
+            ps = r.get("parent_sub")
+            cs = r.get("child_sub")
+            return ((int(r.get("parent_idx", pos)),
+                     -1 if ps is None else int(ps)),
+                    (int(r.get("child_idx", pos)),
+                     -1 if cs is None else int(cs)))
+
+        idx_labels: dict[tuple[int, int], set[str]] = {}
+        for r in ms:
+            if (r["kind"].startswith("relation")
+                    or r["kind"] == "question_answer") \
+                    and not _intc_same_word(r):
+                for k in _pole_keys(r):
+                    idx_labels.setdefault(k, set()).add(r["phraselet_label"])
+
         for r in ms:
             lbl, pos, kind = r["phraselet_label"], int(r["position"]), r["kind"]
+            if kind.startswith("relation") and _intc_same_word(r):
+                kind = "single_word"
             base = (base_scores[kind] * float(r.get("freq_factor", 1.0))
                     * float(r.get("penalty", 1.0)))
             overlap = False
             if kind.startswith("relation") or kind == "question_answer":
-                others = (idx_labels.get(int(r.get("parent_idx", pos)), set())
-                          | idx_labels.get(int(r.get("child_idx", pos)), set()))
+                k1, k2 = _pole_keys(r)
+                others = (idx_labels.get(k1, set())
+                          | idx_labels.get(k2, set()))
                 if any(o != lbl for o in others):
                     base *= params["overlapping_relation_multiplier"]
                     overlap = True
@@ -1660,12 +1841,18 @@ def topic_match(spark: SparkSession, edges: DataFrame, words: DataFrame,
     # one collect_list per url, then mapInPandas (one python call per
     # Arrow batch of MANY urls) — applyInPandas would pay per-group
     # invocation overhead across millions of documents
+    for c, t in (("subword_idx", "int"), ("intc", "boolean"),
+                 ("parent_sub", "int"), ("child_sub", "int")):
+        if c not in matches.columns:
+            matches = matches.withColumn(c, F.lit(None).cast(t))
     grouped = matches.groupBy("url").agg(
         F.collect_list(F.struct("phraselet_label", "kind", "position",
                                 "parent_idx", "child_idx",
                                 "freq_factor", "penalty",
                                 "p_expl", "c_expl",
-                                "p_word", "c_word")).alias("ms"))
+                                "p_word", "c_word",
+                                "subword_idx", "intc",
+                                "parent_sub", "child_sub")).alias("ms"))
     score_one = _score_docs(params)
 
     cols = [f.name for f in TOPIC_MATCH.fields]

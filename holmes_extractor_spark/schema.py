@@ -21,6 +21,12 @@ SUBWORD = T.StructType([
     T.StructField("dep_label", T.StringType()),
     T.StructField("governor", T.IntegerType()),
     T.StructField("gov_label", T.StringType()),
+    # True for subwords DISTRIBUTED from a conjoined compound
+    # ("Königs- und Prinzenabdanken" shares the head 'abdanken' into
+    # 'Königs-'; reference de rules :740-772). Borrowed subwords join
+    # intcompound matching but are not indexed (their own token owns
+    # the posting).
+    T.StructField("borrowed", T.BooleanType()),
 ])
 
 MULTIWORD = T.StructType([
@@ -70,6 +76,11 @@ SEM_DEP = T.StructType([
     # (question matching gates on prep identity/class, reference
     # question word matching en rules :1327-1469)
     T.StructField("prep", T.StringType()),
+    # German grammatical case of the prepositional object ('dat'/'acc'
+    # when determinable from the determiner or contraction, else NULL):
+    # wo gates on in+DAT, wohin on in+ACC (reference de rules
+    # :2005-2058 reads Case= morphology)
+    T.StructField("prep_case", T.StringType()),
 ])
 
 DOCS = T.StructType([
@@ -114,6 +125,13 @@ EDGES = T.StructType([
     # output, so KG queries filter them
     T.StructField("mention", T.BooleanType()),
     T.StructField("prep", T.StringType()),
+    T.StructField("prep_case", T.StringType()),
+    # subword ordinals of the poles (-1 = whole token): intcompound
+    # edges and head-subword pole variants anchor on compound PARTS,
+    # and the reference's overlap map keys on (token, subword)
+    # (topic_matching.py:904-933 uses CorpusWordPosition)
+    T.StructField("parent_sub", T.IntegerType()),
+    T.StructField("child_sub", T.IntegerType()),
 ])
 
 WORDS = T.StructType([
@@ -132,4 +150,9 @@ WORDS = T.StructType([
     # (topic_matching.py:760-795)
     T.StructField("span_start", T.IntegerType()),
     T.StructField("span_end", T.IntegerType()),
+    # German compound-part instances carry the subword ordinal within
+    # their token (-1 = whole-word/multiword instance) — drives the
+    # reference's whole-word-beats-subword rejection
+    # (topic_matching.py:815-829)
+    T.StructField("subword_idx", T.IntegerType()),
 ])

@@ -519,7 +519,7 @@ def test_de_template_names():
     # verb-nom / verb-acc / noun-dependent, NOT the English names
     got = labels("Der Hund jagte die Katze.", lang="de")
     assert "verb-nom: jagd-hund" in got
-    assert "verb-acc: jagd-katze" in got
+    assert "verb-acc: jagd-katz" in got
 
 
 def test_de_compound_head_subword_variant():
