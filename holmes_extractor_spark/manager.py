@@ -71,6 +71,10 @@ class SparkHolmesManager:
         self._vectors = vectors
         self._embedding_threshold = word_embedding_match_threshold
         if overall_similarity_threshold is not None:
+            if not 0.0 <= overall_similarity_threshold <= 1.0:
+                # reference manager.py:134-136
+                raise ValueError(
+                    "overall_similarity_threshold must be between 0.0 and 1.0")
             self._overall_threshold = overall_similarity_threshold
         else:
             self._overall_threshold = word_embedding_match_threshold ** 0.5
@@ -188,7 +192,8 @@ class SparkHolmesManager:
         self._search_phrases.append(
             structural.compile_search_phrase(
                 text, label, lang,
-                ontology_multiwords=self._ontology_multiwords))
+                ontology_multiwords=self._ontology_multiwords,
+                perform_coreference_resolution=self._coref))
 
     def remove_all_search_phrases(self) -> None:
         self._search_phrases = []
@@ -229,6 +234,25 @@ class SparkHolmesManager:
             self._postings = build_postings(self.docs()).cache()
         return self._postings
 
+    def _has_documents(self) -> bool:
+        return bool(self._pending) or self._docs is not None
+
+    def _adhoc_docs(self, document_text: str, lang: str = "en") -> DataFrame:
+        """One-off parsed frame for ``match(document_text=...)`` — the
+        reference's ad-hoc document path (manager.py:583-585: the text
+        is parsed under the label '' and matched INSTEAD of the
+        preloaded corpus)."""
+        df = self.spark.createDataFrame(
+            [("", document_text, lang)],
+            "url string, text string, lang string")
+        parsed = parse_pages(
+            df, ontology_multiwords=frozenset(self._ontology_multiwords)
+            if self._ontology_multiwords else None)
+        if not self._coref:
+            parsed = parsed.withColumn(
+                "deps", F.filter("deps", lambda d: ~d["coref"]))
+        return parsed
+
     def get_corpus_frequency_information(self) -> tuple[dict, int]:
         """(repr → corpus frequency, maximum) — reference
         manager.py:615-675 / tests/en/test_structural_matching_EN.py:
@@ -240,7 +264,8 @@ class SparkHolmesManager:
 
     def match_df(self, search_phrase_text: str | None = None,
                  document_label_filter: str | None = None,
-                 process_initial_question_words: bool = False) -> DataFrame:
+                 process_initial_question_words: bool = False,
+                 document_text: str | None = None) -> DataFrame:
         """Distributed match result as a DataFrame — the scale path: no
         driver collect, composable with further transformations or a
         table write. ``match()`` below is the reference-API convenience
@@ -253,7 +278,15 @@ class SparkHolmesManager:
                 ontology_multiwords=self._ontology_multiwords)]
         if not sps:
             raise errors.NoSearchPhraseError("no search phrases registered")
-        return structural.match(self.spark, self.docs(), self.postings(),
+        if document_text is not None:
+            docs = self._adhoc_docs(document_text)
+            postings = build_postings(docs)
+        elif not self._has_documents():
+            # reference manager.py:597 / errors.py NoDocumentError
+            raise errors.NoDocumentError("no documents registered")
+        else:
+            docs, postings = self.docs(), self.postings()
+        return structural.match(self.spark, docs, postings,
                                 sps, self._closure_rows,
                                 vectors=self._vectors,
                                 overall_similarity_threshold=self._overall_threshold,
@@ -263,7 +296,8 @@ class SparkHolmesManager:
 
     def match(self, search_phrase_text: str | None = None,
               document_label_filter: str | None = None,
-              process_initial_question_words: bool = False) -> list[dict]:
+              process_initial_question_words: bool = False,
+              document_text: str | None = None) -> list[dict]:
         """Reference: manager.py:562-613. Returns reference-shaped
         match dicts sorted like the reference (manager.py:607-613).
         Initial question words are IGNORED by default like the
@@ -273,13 +307,16 @@ class SparkHolmesManager:
         NOTE: collects to the driver for API parity — appropriate for
         small result sets; use match_df() at corpus scale."""
         res = self.match_df(search_phrase_text, document_label_filter,
-                            process_initial_question_words)
+                            process_initial_question_words,
+                            document_text=document_text)
         # sentences_within_document (reference structural_matching.py:
         # 820-842): the stripped texts of every sentence covering a
         # matched token, joined with single spaces — built as column
         # exprs over the retained document text + token char offsets
-        toks = self.docs().select("url", "tokens",
-                                  F.col("text").alias("_t"))
+        doc_frame = (self._adhoc_docs(document_text)
+                     if document_text is not None else self.docs())
+        toks = doc_frame.select("url", "tokens",
+                                F.col("text").alias("_t"))
         res = res.join(toks, "url", "left")
         mi = F.transform("word_matches", lambda w: w["doc_index"])
         tok_sent = lambda i: F.element_at(F.col("tokens"),  # noqa: E731
@@ -333,6 +370,39 @@ class SparkHolmesManager:
         knob, default 0.8 there; here it defaults to the value the
         manager was constructed with so vector-less managers stay
         embedding-free)."""
+        # parameter validation (reference manager.py:761-812)
+        wemt = params.get("word_embedding_match_threshold",
+                          self._embedding_threshold)
+        if not 0.0 <= wemt <= 1.0:
+            raise ValueError(
+                "word_embedding_match_threshold must be between 0 and 1")
+        iqw_emt = params.get(
+            "initial_question_word_embedding_match_threshold", 1.0)
+        if not 0.0 <= iqw_emt <= 1.0:
+            raise ValueError(
+                "initial_question_word_embedding_match_threshold must be "
+                "between 0 and 1")
+        iqw_behaviour = params.get("initial_question_word_behaviour",
+                                   "process")
+        if iqw_behaviour not in ("process", "exclusive", "ignore"):
+            raise ValueError(": ".join(
+                ("initial_question_word_behaviour", iqw_behaviour)))
+        emb_ff = params.get("embedding_matching_frequency_threshold", 0.5)
+        rel_ff = params.get("relation_matching_frequency_threshold", 0.25)
+        if not 0.0 <= emb_ff <= 1.0:
+            raise ValueError(": ".join(
+                ("embedding_matching_frequency_threshold", str(emb_ff))))
+        if not 0.0 <= rel_ff <= 1.0:
+            raise ValueError(": ".join(
+                ("relation_matching_frequency_threshold", str(rel_ff))))
+        if emb_ff < rel_ff:
+            # reference manager.py:812-820: an embedding retry is only
+            # planned for poles that already cleared the relation gate
+            raise errors.EmbeddingThresholdLessThanRelationThresholdError(
+                f"embedding threshold {emb_ff} < relation threshold "
+                f"{rel_ff}")
+        if not self._has_documents():
+            raise errors.NoDocumentError("no documents registered")
         emb_threshold = params.pop("word_embedding_match_threshold",
                                    self._embedding_threshold)
         docs = self.docs()

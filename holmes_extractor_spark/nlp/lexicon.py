@@ -131,7 +131,8 @@ VERB_LEMMAS_EN = {
     "repair", "paint", "steal", "borrow", "lend", "deliver", "order",
     "tell", "claim", "understand", "comprehend", "travel",
     "adopt", "demand", "meow", "scare", "shout", "discuss", "excite",
-    "attend", "lie", "bark", "perform",
+    "attend", "lie", "bark", "perform", "allow", "offend", "behave",
+    "purchase",
 }
 
 # nouns that would otherwise look verbal (tagged NOUN after DET/ADJ)
@@ -140,6 +141,7 @@ NOUN_LEXICON_EN = {
     "house", "town", "city", "tree", "car", "book", "account", "bank",
     "holiday", "home", "water", "food", "mouse", "bird", "horse", "lion",
     "tiger", "animal", "person", "people", "company", "school", "work",
+    "engine", "automobile",
     "day", "night", "year", "time", "hand", "eye", "head", "door",
     "window", "table", "chair", "garden", "street", "road", "river",
     "mountain", "sea", "sky", "sun", "moon", "star", "friend", "family",

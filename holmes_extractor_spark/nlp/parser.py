@@ -256,7 +256,13 @@ def _tag_en(toks: list[Tok], start_of_sent: int) -> None:
             # attributive position before a known noun ("with HARD
             # work") — wins over the adverb reading
             t.pos = "ADJ"
-        elif w in L.ADVERBS_EN or (w.endswith("ly") and len(w) > 4):
+        elif (w in L.ADVERBS_EN or (w.endswith("ly") and len(w) > 4)) \
+                and not (prev is not None and prev.pos == "ADP"
+                         and w in L.NOUN_LEXICON_EN):
+            # a noun/adverb-ambiguous word directly under a preposition
+            # takes the noun reading ("at HOME" → pobj noun, feeding
+            # prep-noun: at-home; reference test_phraselet_production_
+            # EN.py:294); elsewhere the adverb reading wins ("went home")
             t.pos = "ADV"
         elif ((w.endswith("ing") and len(w) > 4) or _is_participle(w)) \
                 and lemma(w, "en") in L.VERB_LEMMAS_EN \
@@ -1963,6 +1969,26 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
             t.head = root.i
             if t.dep == "dep" and t.pos == "PUNCT":
                 t.dep = "punct"
+    # fronted adverb ("ALWAYS he had it"): a pre-verbal ADV left
+    # unlabeled by the post-verbal scan modifies the clause root
+    # (spaCy: advmod; feeds governor-adjective: have-always, reference
+    # test_phraselet_production_EN.py:286)
+    for t in toks:
+        if t.pos == "ADV" and t.dep == "dep" and t.head == root.i \
+                and t.i < root.i \
+                and t.text.lower() not in (L.INTERROGATIVES_EN
+                                           | L.INTERROGATIVES_DE) \
+                and t.text.lower() not in L.NEGATION_WORDS_EN \
+                and t.text.lower() not in L.NEGATION_WORDS_DE:
+            t.dep = "advmod"
+            add(root.i, t.i, "advmod")
+    # root have/do are main verbs, not auxiliaries ("Always he HAD
+    # it", "he DID it"): spaCy tags them VERB, and the reverse-only
+    # parent-lemma table lists ("do", "VERB") with no AUX row (en
+    # rules :834-845) — keep be/modals AUX like spaCy does
+    if lang == "en" and root.pos == "AUX" \
+            and lemma(root.text.lower(), "en") in ("have", "do"):
+        root.pos = root.tag = "VERB"
     # --- dangling prepositions (verbless fragments: "with an idea",
     # "in Germany and in Germany"): spaCy still gives the ADP a pobj,
     # which feeds the reverse-only prep-noun phraselet (reference
@@ -2970,6 +2996,11 @@ def parse_document(text: str, lang: str,
                      and w in ("wird", "wurde", "wurden", "werden",
                                "worden")
                      and t.dep in ("aux", "auxpass"))
+            # EN auxiliaries are unmatchable (reference en rules
+            # :590-592: dep aux/auxpass → is_matchable False; 'He WAS
+            # chasing' produces no word: be even in match-all mode,
+            # ref test_phraselet_production_EN.py:350)
+            and not (lang == "en" and t.dep in ("aux", "auxpass"))
         )
         if t.pos in ("PRON", "DET", "ADV") and t.sent_idx == 0 \
                 and w in (L.INTERROGATIVES_EN | L.INTERROGATIVES_DE):

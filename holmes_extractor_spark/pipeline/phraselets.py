@@ -155,6 +155,33 @@ STOP_LEMMAS = {"then", "therefore", "so",
 WORD_TEMPLATE_POS = {"NOUN", "PROPN"}
 
 
+def _lemma_replacement_indicated(existing_pos: str, existing_lemma: str,
+                                 new_pos: str, new_lemma: str) -> bool:
+    """Reference lemma_replacement_indicated (parsing.py:1808-1833):
+    the phraselet's plain lemma follows the preferred (nominal)
+    reading — NOUN/PROPN beats other POS; ties break to the shorter
+    lemma. Derived lemmas (and so labels) are unaffected."""
+    if existing_pos not in WORD_TEMPLATE_POS and new_pos in WORD_TEMPLATE_POS:
+        return True
+    if existing_pos in WORD_TEMPLATE_POS and new_pos not in WORD_TEMPLATE_POS:
+        return False
+    return len(new_lemma) < len(existing_lemma)
+
+
+def _onto_text_pref(tok: dict, repr_: str,
+                    ontology_words: frozenset[str] | None) -> str:
+    """Ontology text-form preference (reference get_lemmas_from_index,
+    parsing.py:1776-1786): when an ontology is loaded and the token's
+    LEMMA is not an ontology word but its surface text is, the pole
+    uses the text form — 'He saw rainbows' produces word: rainbows
+    (ontology entry), not word: rainbow (ref production EN :196-206)."""
+    if ontology_words is not None \
+            and tok["lemma"] not in ontology_words \
+            and tok["text"].lower() in ontology_words:
+        return tok["text"].lower()
+    return repr_
+
+
 def _repr_of(tok: dict) -> str:
     """Derived-lemma representation, multiword-substituted when the
     token heads an entity multiword (reference parsing.py:1534-1588 and
@@ -196,7 +223,9 @@ def _multiword_member_indexes(toks: list[dict]) -> set[int]:
 
 
 def extract_candidate_edges(parsed: dict, lang: str,
-                            include_questions: bool = False) -> list[dict]:
+                            include_questions: bool = False,
+                            ontology_words: frozenset[str] | None = None
+                            ) -> list[dict]:
     """All relation-phraselet instances of one parsed document
     (reference add_phraselets_to_dict relation walk,
     parsing.py:2106-2243).
@@ -238,7 +267,10 @@ def extract_candidate_edges(parsed: dict, lang: str,
                            for sw in tok["subwords"])
         reprs = []
         if not borrowed_any:
-            reprs.append((_repr_of(tok), False, -1))
+            r0 = _repr_of(tok)
+            if len(tok["multiwords"]) == 0:
+                r0 = _onto_text_pref(tok, r0, ontology_words)
+            reprs.append((r0, False, -1))
             if len(tok["multiwords"]) > 0 \
                     and tok["derived_lemma"] != _repr_of(tok):
                 reprs.append((tok["derived_lemma"], True, -1))
@@ -416,7 +448,9 @@ def extract_candidate_edges(parsed: dict, lang: str,
 
 def extract_word_phraselets(parsed: dict, lang: str,
                             match_all_words: bool = False,
-                            per_occurrence: bool = False) -> list[dict]:
+                            per_occurrence: bool = False,
+                            ontology_words: frozenset[str] | None = None
+                            ) -> list[dict]:
     """Single-word phraselets (template 'word') over matchable
     noun-tagged tokens — the reference's single-word topic phraselets
     (parsing.py:1955-2006, label e.g. ``word: plant``). Non-head
@@ -475,7 +509,21 @@ def extract_word_phraselets(parsed: dict, lang: str,
                         seen[r] = entry
                         out.append(entry)
             continue
-        if (t["pos"] in WORD_TEMPLATE_POS or match_all_words) and t["is_matchable"]:
+        # per_occurrence builds the DOCUMENT-side word index, and the
+        # reference's reverse dict indexes every token with no
+        # matchability gate (word_matching/direct.py:120-143: `for
+        # token in doc`) — so an auxiliary 'has' still single-word-
+        # matches a query's matchable 'have' (ref
+        # test_topic_matching_EN.py:269 expects the aux contribution).
+        # Matchability gates phraselet PRODUCTION (parsing.py:1967)
+        # and the search-phrase side only. Tokens whose repr can never
+        # appear as a query phraselet (determiners, generic pronouns —
+        # unmatchable in every syntactic context) are still skipped to
+        # keep the index lean at corpus scale.
+        indexable = t["is_matchable"] or (
+            per_occurrence and t["dep"] in ("aux", "auxpass")
+            and t["pos"] in ("AUX", "VERB"))
+        if (t["pos"] in WORD_TEMPLATE_POS or match_all_words) and indexable:
             # match-all QUERY production ignores multiwords — the head
             # keeps its own lemma and members get any-tag entries
             # (reference parsing.py:1972-1977 gates the substitution on
@@ -486,6 +534,8 @@ def extract_word_phraselets(parsed: dict, lang: str,
             mw_skip = (match_all_words and not per_occurrence
                        and len(t["multiwords"]) > 0)
             r = t["derived_lemma"] if mw_skip else _repr_of(t)
+            if len(t["multiwords"]) == 0:
+                r = _onto_text_pref(t, r, ontology_words)
             if r not in STOP_LEMMAS:
                 # any_tag marks words admitted only by the all-words
                 # pass (reference: phraselets 'created without matching
@@ -504,16 +554,35 @@ def extract_word_phraselets(parsed: dict, lang: str,
                                 max(t["multiwords"][0]["token_indexes"]))
                     else:
                         span = (t["i"], t["i"])
+                    disp = _disp_of(t)
+                    if len(t["multiwords"]) == 0:
+                        disp = _onto_text_pref(t, disp, ontology_words)
                     entry = {"template": "word", "label": f"word: {r}",
-                             "word": r, "disp": _disp_of(t), "idx": t["i"],
+                             "word": r, "disp": disp, "idx": t["i"],
+                             "pos": t["pos"],
                              "negated": t["is_negated"],
                              "any_tag": t["pos"] not in WORD_TEMPLATE_POS,
                              "span_start": span[0], "span_end": span[1],
                              "subword_idx": -1}
                     seen[r] = entry
                     out.append(entry)
-                elif prev["any_tag"] and t["pos"] in WORD_TEMPLATE_POS:
-                    prev["any_tag"] = False
+                else:
+                    if prev["any_tag"] and t["pos"] in WORD_TEMPLATE_POS:
+                        prev["any_tag"] = False
+                    # plain-lemma preference on label collisions
+                    # (reference lemma_replacement_indicated,
+                    # parsing.py:1808-1833): noun lemmas beat verbal
+                    # ones ('allowances' then 'to allow' keeps lemma
+                    # allowance under label word: allow), shorter wins
+                    # at equal pos preference ('behavior' < 'behaviour')
+                    disp = _disp_of(t)
+                    if len(t["multiwords"]) == 0:
+                        disp = _onto_text_pref(t, disp, ontology_words)
+                    if _lemma_replacement_indicated(
+                            prev.get("pos", ""), prev["disp"],
+                            t["pos"], disp):
+                        prev["disp"] = disp
+                        prev["pos"] = t["pos"]
                 # the head token of a multiword ALSO yields its own
                 # word as an any-tag entry in the all-words pass — the
                 # reference substitutes the multiword only when NOT
@@ -580,7 +649,8 @@ def replace_with_hypernym_ancestors(
 def extract_phraselets(parsed: dict, lang: str, *,
                        match_all_words: bool = False,
                        include_reverse_only: bool = False,
-                       include_questions: bool = False
+                       include_questions: bool = False,
+                       ontology_words: frozenset[str] | None = None
                        ) -> tuple[list[dict], list[dict]]:
     """Relation + single-word phraselets with the reference's
     add_phraselets_to_dict gating (parsing.py:1703-2307): matching-only
@@ -591,17 +661,20 @@ def extract_phraselets(parsed: dict, lang: str, *,
     an any-tag word phraselet (parsing.py:2302-2307, the path that
     gives 'Immer hat er es' its word: haben / word: immer)."""
     rels = [r for r in extract_candidate_edges(
-                parsed, lang, include_questions=include_questions)
+                parsed, lang, include_questions=include_questions,
+                ontology_words=ontology_words)
             if not r.get("mention")]
     if not include_reverse_only:
         rels = [r for r in rels
                 if r["template"] not in REVERSE_ONLY_TEMPLATES
                 and not r["reverse_only"]]
     words = extract_word_phraselets(parsed, lang,
-                                    match_all_words=match_all_words)
+                                    match_all_words=match_all_words,
+                                    ontology_words=ontology_words)
     if not rels and not words and not match_all_words:
         words = extract_word_phraselets(parsed, lang,
-                                        match_all_words=True)
+                                        match_all_words=True,
+                                        ontology_words=ontology_words)
         for w in words:
             w["any_tag"] = True
     return rels, words

@@ -150,7 +150,8 @@ MATCH_ROW = T.StructType([
 def compile_search_phrase(text: str, label: str | None = None,
                           lang: str = "en",
                           process_initial_question_words: bool = False,
-                          ontology_multiwords: set[str] | None = None) -> dict:
+                          ontology_multiwords: set[str] | None = None,
+                          perform_coreference_resolution: bool = True) -> dict:
     """Driver-side compile: parse the phrase with the shared parse
     layer, keep matchable tokens + the semantic dep pattern rooted at
     the ROOT token. Validation raises the reference's typed errors
@@ -170,8 +171,12 @@ def compile_search_phrase(text: str, label: str | None = None,
         raise errors.SearchPhraseContainsNegationError(text)
     coref_prons = (MASC_PRONOUNS_EN | FEM_PRONOUNS_EN | NEUTER_PRONOUNS_EN
                    | {"er", "sie", "es"})
-    if any(t["pos"] == "PRON" and t["text"].lower() in coref_prons
-           for t in toks):
+    if perform_coreference_resolution and any(
+            t["pos"] == "PRON" and t["text"].lower() in coref_prons
+            for t in toks):
+        # only raised when the manager resolves coreference (reference
+        # tests/common/test_errors.py:49-58: the nocoref manager
+        # accepts 'A dog has a cat chasing it')
         raise errors.SearchPhraseContainsCoreferringPronounError(text)
     if max((t["sent_idx"] for t in toks), default=0) > 0:
         raise errors.SearchPhraseContainsMultipleClausesError(text)

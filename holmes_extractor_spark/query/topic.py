@@ -340,6 +340,8 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
         for p in rel_ph if p["template"].startswith("head")]
     emb_retry_ok = {p["label"]: bool(p.get("emb_retry", True))
                     for p in rel_ph}
+    parent_emb_retry_ok = {p["label"]: bool(p.get("parent_emb_retry", True))
+                           for p in rel_ph}
     q_rows = [(p["template"], p["label"], p["pred"], p["obj"],
                float(p.get("freq_factor", 1.0)), p.get("prep"),
                p.get("pred_disp") or p["pred"])
@@ -439,7 +441,25 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
                          + (0 if _ENT_CHILD_RE.match(qc or "") else 1))
                 probes.append((t, lbl, qp, qc, rev, ff,
                                overall ** n_emb, n_emb, pd_, cd_))
-            if probes:
+            # parent (root) embedding retry probes — the reference's
+            # reverse-matching pass with compare_embeddings_on_root_
+            # words=True (topic_matching.py:283-299): the phraselet's
+            # PARENT pole expands by vector similarity at positions
+            # where the child word matched; planned off the child
+            # pole's frequency factor. ENTITY-placeholder parents have
+            # no vector and never root-embedding-match.
+            probes_p = []
+            for (t, lbl, qp, qc, rev, ff, inv, pd_, cd_) in rel_rows:
+                if inv or t.startswith("head"):
+                    continue
+                if not parent_emb_retry_ok.get(lbl, True):
+                    continue
+                if _ENT_CHILD_RE.match(qp or ""):
+                    continue
+                n_emb = 1 + (0 if _ENT_CHILD_RE.match(qc or "") else 1)
+                probes_p.append((t, lbl, qp, qc, rev, ff,
+                                 overall ** n_emb, n_emb, pd_, cd_))
+            if probes or probes_p:
                 if isinstance(vectors, DataFrame):
                     vec_df = vectors.toDF("w", "vec")
                 else:
@@ -447,27 +467,31 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
                         [(w, [float(x) for x in v])
                          for w, v in vectors.items()],
                         "w string, vec array<double>")
-                # only the (few) query children's vectors come to the
+                # only the (few) query poles' vectors come to the
                 # driver — O(|query|), not O(vocabulary)
-                qcs = sorted({p[3] for p in probes})
+                qcs = sorted({p[3] for p in probes}
+                             | {p[2] for p in probes_p})
                 qvecs = {r["w"]: list(r["vec"]) for r in
                          vec_df.filter(F.col("w").isin(qcs)).collect()}
                 probes = [p + (qvecs[p[3]],) for p in probes
                           if p[3] in qvecs]
+                probes_p = [p + (qvecs[p[2]],) for p in probes_p
+                            if p[2] in qvecs]
+            _PROBE_SCHEMA = ("template string, phraselet_label string, "
+                             "q_pred string, q_child string, "
+                             "q_reverse_only boolean, freq_factor double, "
+                             "stt double, n_emb int, "
+                             "p_disp string, c_disp string, "
+                             "qvec array<double>")
+            extras = []
+            dot = F.aggregate(
+                F.zip_with("qvec", "vec", lambda a, b: a * b),
+                F.lit(0.0), lambda acc, x: acc + x)
+            norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+                F.transform(c, lambda x: x * x),
+                F.lit(0.0), lambda a, x: a + x))
             if probes:
-                pr = spark.createDataFrame(
-                    probes, "template string, phraselet_label string, "
-                            "q_pred string, q_child string, "
-                            "q_reverse_only boolean, freq_factor double, "
-                            "stt double, n_emb int, "
-                            "p_disp string, c_disp string, "
-                            "qvec array<double>")
-                dot = F.aggregate(
-                    F.zip_with("qvec", "vec", lambda a, b: a * b),
-                    F.lit(0.0), lambda acc, x: acc + x)
-                norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
-                    F.transform(c, lambda x: x * x),
-                    F.lit(0.0), lambda a, x: a + x))
+                pr = spark.createDataFrame(probes, _PROBE_SCHEMA)
                 qe = (vec_df.join(F.broadcast(pr),
                                   F.col("w") != F.col("q_child"))
                       .withColumn("cos", dot / (norm(F.col("qvec"))
@@ -498,7 +522,37 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
                                   F.upper("c_disp"), F.lit("."))
                               .alias("expl_child"),
                               F.col("w").alias("q_child")))
-                q = (q.unionByName(qe).groupBy(
+                extras.append(qe)
+            if probes_p:
+                prp = spark.createDataFrame(probes_p, _PROBE_SCHEMA)
+                qpe = (vec_df.join(F.broadcast(prp),
+                                   F.col("w") != F.col("q_pred"))
+                       .withColumn("cos", dot / (norm(F.col("qvec"))
+                                                 * norm(F.col("vec"))))
+                       .filter(F.col("cos") > F.col("stt"))
+                       .select("template", "phraselet_label",
+                               F.col("w").alias("q_pred"),
+                               "q_reverse_only", "freq_factor",
+                               (F.lit(emb_pen)
+                                * F.round(F.pow(F.col("cos"),
+                                                1.0 / F.col("n_emb")), 8))
+                               .alias("penalty"),
+                               F.lit(False).alias("inverse"),
+                               "p_disp", "c_disp",
+                               F.concat(
+                                   F.lit("Has a word embedding that is "),
+                                   F.floor(F.col("cos") * 100).cast("int"),
+                                   F.lit("% similar to "),
+                                   F.upper("p_disp"), F.lit("."))
+                               .alias("expl_pred"),
+                               _direct_expl(F.col("c_disp"))
+                               .alias("expl_child"),
+                               "q_child"))
+                extras.append(qpe)
+            if extras:
+                for e in extras:
+                    q = q.unionByName(e)
+                q = (q.groupBy(
                     "template", "phraselet_label", "q_reverse_only",
                     "freq_factor", "q_pred", "q_child", "inverse")
                     .agg(F.max_by(
@@ -1778,6 +1832,7 @@ def plan_selective_retries(rel_ph: list[dict], word_ph: list[dict],
                      else p["subj"])
             p["freq_factor"] = parent_ff * pole_ff(child)
             p["emb_retry"] = True
+            p["parent_emb_retry"] = True
             out_rel.append(p)
             continue
         child = (p["obj"] if p["template"] not in ACTOR_TEMPLATES
@@ -1790,6 +1845,11 @@ def plan_selective_retries(rel_ph: list[dict], word_ph: list[dict],
             continue  # never relation-matched
         p["freq_factor"] = parent_ff * child_ff
         p["emb_retry"] = parent_ff >= emb_th
+        # parent (root) embedding retry is planned off the CHILD
+        # pole's frequency factor (reference topic_matching.py:456-461:
+        # child_frequency_factor >= embedding_matching_frequency_
+        # threshold -> parent_embedding_retry_corpus_word_positions)
+        p["parent_emb_retry"] = child_ff >= emb_th
         out_rel.append(p)
     out_word = []
     for p in word_ph:

@@ -231,3 +231,61 @@ def test_one_hot(spark):  # ref :168
     assert freq2["predicate-actor: chase-animal"] == {"animals": 2,
                                                       "animals2": 2}
     assert freq2["word: animal"] == {"animals": 2, "animals2": 2}
+
+
+def test_frequencies_ontology_multiword_matching(spark):  # ref :60
+    # the ontology-defined multiword 'wastage horse' is recognized at
+    # parse time and its hypernym-replaced pole renders as the loaded
+    # ontology class 'gymnastics equipment'
+    freq = _freq(spark, [("A gymnast jumps over a wastage horse", "gym"),
+                         ("fast", "dummy")], one_hot=False)
+    assert freq["predicate-actor: jump-gymnast"] == {"gym": 1}
+    assert freq["word: gymnast"] == {"gym": 1}
+    assert freq["word: gymnastics equipment"] == {"gym": 1}
+
+
+def test_held_out_accuracy_floor(spark):
+    """End-to-end accuracy floor on a deterministic synthetic corpus
+    (VERDICT r4 #7): the reference reports 96.9-98.7% on BBC/20NG
+    (reference README.md:1201-1207); this stand-in asserts >=0.9 on a
+    held-out third of a 36-document two-class corpus built from fixed
+    templates (no RNG — the split is positional, so the test is
+    fully reproducible)."""
+    animal_tpl = [
+        "The {a} chased the {b}.", "A {a} was chased by a {b}.",
+        "Three {a}s chased a {b}.", "No {a} chased any {b}.",
+        "The {a} chased the {b} and the {b} chased the {a}.",
+        "A {a} hunted a {b}.",
+    ]
+    finance_tpl = [
+        "The man decided to open an {x}.",
+        "Somebody gives a {y} to an employee.",
+        "The rich man decided to open an {x}.",
+        "Somebody gives a {y} to an employee. The man was poor.",
+        "The man decided to open an {x}. Somebody gives a {y}.",
+        "An employee opened an {x}.",
+    ]
+    animals = [("dog", "cat"), ("cat", "mouse"), ("lion", "dog")]
+    finances = [("account", "file"), ("account", "document"),
+                ("account", "file")]
+    rows = []
+    for i, tpl in enumerate(animal_tpl):
+        for j, (a, b) in enumerate(animals):
+            rows.append((f"a{i}_{j}", tpl.format(a=a, b=b), "animals"))
+    for i, tpl in enumerate(finance_tpl):
+        for j, (x, y) in enumerate(finances):
+            rows.append((f"f{i}_{j}", tpl.format(x=x, y=y), "finance"))
+    train = [r for k, r in enumerate(rows) if k % 3 != 0]
+    test = [r for k, r in enumerate(rows) if k % 3 == 0]
+    pages = spark.createDataFrame([(u, t, "en") for (u, t, _) in train],
+                                  "url string, text string, lang string")
+    labels = spark.createDataFrame([(u, c) for (u, _, c) in train],
+                                   "url string, classification string")
+    model = train_classifier(pages, labels, min_occurrences=2)
+    test_pages = spark.createDataFrame([(u, t, "en") for (u, t, _) in test],
+                                       "url string, text string, lang string")
+    preds = {r["url"]: r["predicted_classification"]
+             for r in classify(model, test_pages).collect()}
+    want = {u: c for (u, _, c) in test}
+    acc = sum(preds.get(u) == c for u, c in want.items()) / len(want)
+    assert acc >= 0.9, f"held-out accuracy {acc:.2f} < 0.9 ({preds})"

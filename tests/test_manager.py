@@ -330,9 +330,14 @@ def test_bulk_register_is_driver_lazy(spark):
     # the label set on the driver stays EMPTY — bulk labels live in the
     # DataFrame only
     assert m._labels == set()
-    # clash with a bulk label is still detected (distributed probe)
+    # clash with a bulk label is still detected — by the BATCHED
+    # deferred probe (one Spark job for all labels registered since
+    # the last build, not one per register call): the error surfaces
+    # at the next docs() build, and the clashing label is rolled back
+    m.parse_and_register_document("x.", "bulk42")
     with pytest.raises(DuplicateDocumentError):
-        m.parse_and_register_document("x.", "bulk42")
+        m.docs()
+    assert "bulk42" not in m._labels
     # unsupported model (lang) is rejected without any collect of urls
     m2 = SparkHolmesManager(spark)
     bad = big.limit(10).withColumn("lang", F.lit("fr"))
