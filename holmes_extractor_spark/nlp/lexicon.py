@@ -132,7 +132,7 @@ VERB_LEMMAS_EN = {
     "tell", "claim", "understand", "comprehend", "travel",
     "adopt", "demand", "meow", "scare", "shout", "discuss", "excite",
     "attend", "lie", "bark", "perform", "allow", "offend", "behave",
-    "purchase",
+    "purchase", "view",
 }
 
 # nouns that would otherwise look verbal (tagged NOUN after DET/ADJ)

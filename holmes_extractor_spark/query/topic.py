@@ -968,14 +968,25 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
                   # same label+token regardless of penalty (reference
                   # whole-word-beats-subword rejection,
                   # topic_matching.py:815-829: the ontology whole-word
-                  # match at 0.9 beats the direct subword match);
-                  # then penalty ties prefer the LONGER matched word —
-                  # the reference probes multiwords before their member
-                  # parts (parsing.py:2630 sorts words_matching_root_
-                  # token longest-first)
+                  # match at 0.9 beats the direct subword match); a
+                  # DIRECT match (penalty 1.0) pre-empts any ontology
+                  # alternative (the direct strategy precedes ontology
+                  # in the chain, manager.py:163-214); among ontology
+                  # matches the MULTIWORD beats the member token even
+                  # when deeper (each strategy probes document
+                  # multiwords before single tokens,
+                  # word_matching/ontology.py:61-96 match_multiwords
+                  # runs before match_token: query 'gymnastics
+                  # equipment' matches doc 'waste horse' at depth 2,
+                  # not member 'horse' at depth 1); then penalty, then
+                  # the LONGER matched word (parsing.py:2630 sorts
+                  # words_matching_root_token longest-first)
                   .agg(F.max_by(rest, F.struct(
                       (F.coalesce(F.col("subword_idx"), F.lit(-1)) < 0)
                       .cast("int"),
+                      (F.col("penalty") >= 1.0).cast("int"),
+                      F.coalesce(F.col("matched"), F.lit(""))
+                      .contains(" ").cast("int"),
                       F.col("penalty"),
                       F.length("matched"),
                       F.col("matched")))
@@ -1066,7 +1077,13 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
         # 'A dog chases an animal' → at a corpus 'dog' token, 'word: dog'
         # (query idx 1) beats the ontology match of 'word: animal'
         # (query idx 4). Map-side-combining arg-min agg on the query
-        # token ordinal.
+        # token ordinal. Tag-checked phraselets (production pass 1)
+        # precede every any-tag pass-2 phraselet in the reference's
+        # dict insertion order, so they win position ties regardless
+        # of query token order: 'word: wastage horse' (pass 1) beats
+        # 'word: horse' (pass 2) at the same corpus token (reference
+        # parsing.py:2418-2458 two-pass production + remove_duplicates
+        # first-survives).
         wcols = [c for c in wout.columns
                  if c not in ("url", "position", "ph_ord")]
         # subwords are DISTINCT word positions in the reference's
@@ -1077,7 +1094,11 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
                              F.coalesce("subword_idx", F.lit(-1))
                              .alias("_swg"))
                 .agg(F.min_by(F.struct(*wcols, "ph_ord"),
-                              F.struct("ph_ord", "phraselet_label"))
+                              F.struct((F.col("kind")
+                                        == "single_word_any_tag")
+                                       .cast("int"),
+                                       F.col("ph_ord"),
+                                       F.col("phraselet_label")))
                      .alias("_r"))
                 .select("url", "position", *[F.col(f"_r.{c}").alias(c)
                                              for c in wcols]))
@@ -1116,11 +1137,28 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
                          "p_expl", "c_expl", "p_word", "c_word", "intc",
                          "parent_sub", "child_sub")
         out = (out.groupBy(*dcols)
-               # penalty ties prefer the LONGER matched word (multiword
-               # before member part, reference parsing.py:2630)
-               .agg(F.max_by(drest, F.struct(F.col("penalty"),
-                                             F.length("matched"),
-                                             F.col("matched")))
+               # direct (penalty 1.0) beats ontology; among ontology
+               # alternatives the multiword beats the member token even
+               # when deeper (strategy chain order + match_multiwords
+               # before match_token, word_matching/ontology.py:61-96);
+               # then penalty; ties prefer the LONGER matched word
+               # (multiword before member part, reference
+               # parsing.py:2630)
+               .agg(F.max_by(drest, F.struct(
+                   (F.col("penalty") >= 1.0).cast("int"),
+                   # the ontology-matched pole may be either parent or
+                   # child — a multiword match on EITHER pole marks the
+                   # multiword alternative
+                   F.greatest(
+                       F.coalesce(F.col("p_word"), F.lit(""))
+                       .contains(" ").cast("int"),
+                       F.coalesce(F.col("c_word"), F.lit(""))
+                       .contains(" ").cast("int"),
+                       F.coalesce(F.col("matched"), F.lit(""))
+                       .contains(" ").cast("int")),
+                   F.col("penalty"),
+                   F.length("matched"),
+                   F.col("matched")))
                     .alias("_r"))
                .select("url", "phraselet_label", "kind", "_r.position",
                        "parent_idx", "child_idx", "_r.penalty",

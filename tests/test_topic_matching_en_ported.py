@@ -46,12 +46,12 @@ def score(spark):
                                vectors=WORD_VECTORS)
         m.parse_and_register_document(doc, "d")
         kw.setdefault("word_embedding_match_threshold", 0.42)
+        kw.setdefault("relation_matching_frequency_threshold", 0.0)
+        kw.setdefault("embedding_matching_frequency_threshold", 0.0)
         tms = m.topic_match_documents_against(
             query, relation_score=20, reverse_only_relation_score=15,
             single_word_score=10, single_word_any_tag_score=5,
-            different_match_cutoff_score=10,
-            relation_matching_frequency_threshold=0.0,
-            embedding_matching_frequency_threshold=0.0, **kw)
+            different_match_cutoff_score=10, **kw)
         return [t["score"] for t in tms]
     return _score
 
@@ -644,3 +644,189 @@ def test_adjective_describing_ontology_multiword_dicts(spark):  # ref :1043
         [2, 5, "relation", False, "Matches BIG directly."],
         [6, 35, "relation", True,
          "Matches UNHYPHENATED SINGLE MULTIWORD directly."]]
+
+
+# ---- round-5 ports: frequency-gated suppression/retry interplay ----
+# (ref test_topic_matching_EN.py lines cited per case; _check_equals
+# parameterization with per-case frequency thresholds / knobs)
+
+FF_CASES = [
+    # ref, query, document, expected, kwargs
+    (61, 'A plant grows', 'A plant grows. A plant and a plant', 34,
+     dict(use_frequency_factor=False)),
+    (328, 'A dog chases a cat',
+     'Chasing. Chasing. A dog chases a cat. A lion chases a tiger.', 82,
+     dict(relation_matching_frequency_threshold=0.9,
+          embedding_matching_frequency_threshold=1.0,
+          use_frequency_factor=False)),
+    (340, 'A dog chases a cat',
+     'There was a cat. A dog chased it. A lion chases a tiger. '
+     'Chasing. Chasing. ', 84,
+     dict(relation_matching_frequency_threshold=0.9,
+          embedding_matching_frequency_threshold=1.0,
+          use_frequency_factor=False)),
+    (352, 'An adopted child',
+     'Someone adopts the child. The child is here. Children. Children. '
+     'Children.', 34,
+     dict(relation_matching_frequency_threshold=0.9,
+          embedding_matching_frequency_threshold=1.0,
+          use_frequency_factor=False)),
+    (365, 'in Germany',
+     'I was in Germany. I know Germany. Germany. Germany.', 10,
+     dict(relation_matching_frequency_threshold=0.1,
+          embedding_matching_frequency_threshold=0.6)),
+    (375, 'in Germany',
+     'I was in Germany. I know Germany. Germany. Germany.', 10,
+     dict(relation_matching_frequency_threshold=0.1,
+          embedding_matching_frequency_threshold=0.1)),
+    (385, 'in Germany',
+     'I was in Germany. I know Germany. Germany. Germany.', 7,
+     dict(relation_matching_frequency_threshold=1.0,
+          embedding_matching_frequency_threshold=1.0)),
+    (395, 'A car with an engine',
+     'An automobile with an engine. An engine. An engine.', 29,
+     dict(relation_matching_frequency_threshold=0.0,
+          embedding_matching_frequency_threshold=1.0,
+          use_frequency_factor=False)),
+    (443, 'tired ENTITYPERSON',
+     'I was tired Richard Paul Hudson. I was a tired Richard Paul '
+     'Hudson. I spoke to Richard Paul Hudson and he was tired.', 14,
+     dict(relation_matching_frequency_threshold=1.0,
+          embedding_matching_frequency_threshold=1.0,
+          use_frequency_factor=False)),
+    (454, 'tired ENTITYPERSON',
+     'I was tired Richard Paul Hudson. I was a tired Richard Paul '
+     'Hudson. I spoke to Richard Paul Hudson and he was tired.', 34,
+     dict(use_frequency_factor=False)),
+    (465, 'someone knows an ENTITYPERSON',
+     'I knew Richard Paul Hudson. I knew Richard Paul Hudson. I knew '
+     'someone and spoke to Richard Paul Hudson.', 14,
+     dict(relation_matching_frequency_threshold=1.0,
+          embedding_matching_frequency_threshold=1.0,
+          use_frequency_factor=False)),
+    (478, 'someone knows an ENTITYPERSON',
+     'I knew Richard Paul Hudson. I knew Richard Paul Hudson. I knew '
+     'someone and spoke to Richard Paul Hudson.', 34,
+     dict(use_frequency_factor=False)),
+    # embedding controls (word_embedding_match_threshold=1.0 disables
+    # the vector path entirely -> fully deterministic)
+    (496, 'A car with an engine',
+     'I saw an automobile. I saw it with an engine', 29,
+     dict(word_embedding_match_threshold=1.0)),
+    (501, 'A car with an engine',
+     'I saw a car. I saw it with an engine', 73,
+     dict(word_embedding_match_threshold=1.0)),
+    (511, 'An engine with a car',
+     'I saw an automobile. I saw the engine with it', 14,
+     dict(word_embedding_match_threshold=1.0)),
+    (516, 'An engine with a car',
+     'I saw a car. I saw the engine with it', 76,
+     dict(word_embedding_match_threshold=1.0)),
+    (281, 'A car with an engine', 'An automobile with an engine', 29,
+     dict(word_embedding_match_threshold=1.0)),
+    (285, 'A car with an engine', 'A car with an engine', 75,
+     dict(word_embedding_match_threshold=1.0)),
+    (521, 'A company is bought', 'A company is bought and purchased', 34,
+     dict()),
+    # ontology-mediated derived multiwords (plain ontology matching,
+    # no vectors)
+    (720, 'He used a waste horse', 'He used gymnastics equipment', 26,
+     dict()),
+    (726, 'He used gymnastics equipment', 'He used a waste horse', 26,
+     dict()),
+    (744, 'A big waste horse', 'A big gymnastics equipment', 26,
+     dict()),
+    (750, 'A big gymnastics equipment', 'A big waste horse', 26,
+     dict()),
+]
+
+
+@pytest.mark.parametrize("ref,query,doc,expected,kw", FF_CASES,
+                         ids=[str(c[0]) + " " + c[1][:24] for c in FF_CASES])
+def test_topic_score_ff(score, ref, query, doc, expected, kw):
+    scores = score(query, doc, **kw)
+    assert scores, f"test_topic_matching_EN.py:{ref}: no match"
+    assert int(scores[0]) == expected, f"test_topic_matching_EN.py:{ref}"
+
+
+def test_embedding_matching_root_overall_similarity_too_low(score):
+    # ref :206: embedding_matching_frequency_threshold=1.0 suppresses
+    # every embedding retry -> king/queen never match
+    assert score("Somebody viewed a queen", "I saw a king.",
+                 embedding_matching_frequency_threshold=1.0,
+                 use_frequency_factor=False) == []
+
+
+def test_embedding_matching_root_word_only(score):  # ref :219
+    assert score("queen", "king",
+                 embedding_matching_frequency_threshold=1.0,
+                 use_frequency_factor=False) == []
+
+
+def test_multithreading_filtering_with_topic_match_dictionaries(spark):
+    # ref :1220 (the reference runs 2 workers; distribution is the
+    # engine's concern here -- the semantics under test is the label
+    # filter over identical docs)
+    m = _mgr(spark, *[("The dog chased the cat", lab)
+                      for lab in ("T11", "T12", "T21", "T22")])
+    q = "The dog chased the cat"
+    assert len(m.topic_match_documents_against(q)) == 4
+    assert len(m.topic_match_documents_against(
+        q, document_label_filter="T")) == 4
+    assert len(m.topic_match_documents_against(
+        q, document_label_filter="T1")) == 2
+    assert len(m.topic_match_documents_against(
+        q, document_label_filter="T22")) == 1
+    assert len(m.topic_match_documents_against(
+        q, document_label_filter="X")) == 0
+
+
+def test_different_match_cutoff_score_high_2(spark):  # ref :1252
+    m = _mgr(spark, ("A dog then and then and then and then and then "
+                     "a dog", ""))
+    assert len(m.topic_match_documents_against(
+        "A dog", different_match_cutoff_score=10000)) == 2
+
+
+def test_different_match_cutoff_score_control_2(spark):  # ref :1264
+    m = _mgr(spark, ("A dog then and then and then and then and then "
+                     "a dog", ""))
+    assert len(m.topic_match_documents_against("A dog")) == 1
+
+
+def test_two_workers_frequency_factor_control(spark):  # ref :1177
+    # the reference asserts the full result-dict list across a
+    # 2-worker manager; worker count is a distribution detail -- the
+    # semantics under test are the cross-document frequency factors,
+    # tie ranks and word_infos, asserted here to 6 dp. NOTE: this
+    # reference test builds its own manager whose ontology is loaded
+    # WITHOUT symmetric_matching (ref :1178-1179), unlike the
+    # module-level holmes_manager_coref
+    m = SparkHolmesManager(spark, ontology=REF_ONTOLOGY,
+                           ontology_symmetric=False)
+    for text, label in [("I saw a dog. It was chasing a cat", "specific"),
+                        ("The dog chased the animal", "exact"),
+                        ("The cat chased the dog", "specific-reversed"),
+                        ("The animal chased the dog", "exact-reversed")]:
+        m.parse_and_register_document(text, label)
+    assert m.document_labels() == ["exact", "exact-reversed", "specific",
+                                   "specific-reversed"]
+    tms = m.topic_match_documents_against(
+        "A dog chases an animal", relation_score=30,
+        reverse_only_relation_score=20, single_word_score=5,
+        single_word_any_tag_score=2, different_match_cutoff_score=5,
+        relation_matching_frequency_threshold=0.2)
+    got = [(t["url"], t["rank"], round(t["score"], 6)) for t in tms]
+    assert got == [
+        ("exact", "1=", 17.654017),
+        ("specific", "1=", 15.963707),
+        ("exact-reversed", "3=", 8.083873),
+        ("specific-reversed", "3=", 7.731064)]
+    assert _wi(tms[0]) == [
+        [4, 7, "overlapping_relation", False, "Matches DOG directly."],
+        [8, 14, "overlapping_relation", False, "Matches CHASE directly."],
+        [19, 25, "overlapping_relation", True, "Matches ANIMAL directly."]]
+    assert _wi(tms[3]) == [
+        [4, 7, "single", False, "Is a child of ANIMAL in the ontology."],
+        [8, 14, "relation", False, "Matches CHASE directly."],
+        [19, 22, "relation", True, "Is a child of ANIMAL in the ontology."]]

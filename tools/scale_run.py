@@ -22,8 +22,20 @@ from holmes_extractor_spark.session import get_spark  # noqa: E402
 def main() -> None:
     cpus = int(sys.argv[1])
     src = sys.argv[2]
+    # Size file splits by TASK COST, not bytes: this stage is
+    # CPU-bound python parsing (~minutes/GB), so the default
+    # byte-oriented packing (maxPartitionBytes=128M, openCost=4M)
+    # collapses 512 small files into exactly `cpus` splits — a single
+    # task wave whose slowest task sets the wall clock. One task per
+    # file gives 16 waves at 32 cores / 64 at 8, amortizing the tail
+    # the same way at both levels; on a real cluster the same knobs
+    # keep tasks ≫ slots for dynamic load balance.
     spark = get_spark(app_name=f"scale_{cpus}", cpus=cpus,
-                      shuffle_partitions=cpus)
+                      shuffle_partitions=cpus,
+                      extra_conf={
+                          "spark.sql.files.maxPartitionBytes": "131072",
+                          "spark.sql.files.openCostInBytes": "131072",
+                      })
     pages = clean_pages(spark.read.parquet(src))
     edges = extract_edges_fused(pages)
     n_pages = pages.count()
