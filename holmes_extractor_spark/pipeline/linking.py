@@ -173,7 +173,17 @@ def hypernym_ancestors(edges: list[tuple[str, str, str]] | None = None) -> dict[
         return cur
 
     words = set(parent) | set(p for p in parent.values()) | set(syn)
-    return {w: top(w) for w in sorted(words)}
+    out = {w: top(w) for w in sorted(words)}
+    # derivation-aware keys: document reprs carry derived lemmas
+    # ('wastage horse' surfaces as 'waste horse'), and the reference's
+    # ontology lookup consults derived forms (parsing.py:981 +
+    # word_matching/ontology.py) — mirror ontology_closure_local
+    from ..nlp.lemmatizer import derived_lemma_en
+    for w, a in list(out.items()):
+        dw = " ".join(derived_lemma_en(p, None) for p in w.split(" "))
+        if dw != w and dw not in out:
+            out[dw] = a
+    return out
 
 
 def link_edges(cand_edges: DataFrame, closure: DataFrame) -> DataFrame:

@@ -55,10 +55,14 @@ LABEL_IMPLICATIONS: dict[str, set[str]] = {
     "nmod": {"nmod", "appos", "compound", "nummod"},
     "poss": {"poss", "pobjo", "nsubj", "csubj", "pobjb", "advmodsubj",
              "arg", "relant", "nsubjpass", "csubjpass", "compound",
-             "advmodobj", "det"},
+             "advmodobj", "det", "intcompound"},
+    # intcompound: a German genitive/possessive search relation matches
+    # a compound's internal subword link ("Elefant der Vergangenheit" ↔
+    # Vergangenheitselefant; reference de/language_specific_rules.py
+    # intcompound match implications)
     "pobjo": {"pobjo", "poss", "dobj", "relant", "nsubjpass", "csubjpass",
               "compound", "advmodobj", "arg", "xcomp", "nsubj", "csubj",
-              "advmodsubj"},
+              "advmodsubj", "intcompound"},
     "pobjb": {"pobjb", "nsubj", "csubj", "poss", "advmodsubj", "arg"},
     "pobjp": {"pobjp", "compound"},
     "pobj": {"pobj", "pcomp"},
@@ -416,6 +420,24 @@ def _doc_reprs(dt: dict) -> tuple[set, set]:
     return doc_direct, doc_deriv
 
 
+def _subword_view(dt: dict, sw: dict) -> dict:
+    """A token-shaped view of one German compound subword, so the
+    word-matching strategy chain runs unchanged against it (reference
+    WordMatch.document_subword, word_matching/general.py — a search
+    word can match a compound part; the part's lemma is the matched
+    representation)."""
+    v = dict(dt)
+    v["text"] = sw["text"]
+    v["lemma"] = sw["lemma"]
+    v["derived_lemma"] = sw["derived_lemma"]
+    v["direct_reprs"] = [sw["lemma"]]
+    v["derivation_reprs"] = [sw["derived_lemma"]]
+    v["multiwords"] = []
+    v["subwords"] = []
+    v["ent_type"] = ""
+    return v
+
+
 def _direct_strategy(sp_tok: dict, dt: dict, ctx: dict):
     """Reference word_matching/direct.py."""
     doc_direct, _ = _doc_reprs(dt)
@@ -552,6 +574,21 @@ def _token_matches(sp_tok: dict, dt: dict, closure_map: dict,
             return None
         if res is not None:
             return res
+    # German compound HEAD subword fallback: a search word matches a
+    # compound at its final (semantic-head) part — "einen Elefanten"
+    # matches 'Riesenelefanten' at subword elefant (reference
+    # word_matching subword handling; the head part carries the
+    # token's semantics, de/language_specific_rules.py:740-746)
+    sws = dt.get("subwords")
+    if sws is not None and len(sws) > 0:  # len(): Arrow arrays
+        head = _subword_view(dt, sws[-1])
+        for (_name, fn) in (strategies if strategies is not None
+                            else WORD_MATCHING_STRATEGIES):
+            res = fn(sp_tok, head, ctx)
+            if res is STOP:
+                return None
+            if res is not None:
+                return res
     return None
 
 
@@ -696,6 +733,38 @@ def _verify_doc(sp: dict, tokens: list[dict], deps: list[dict],
                                  "_coref": w["_coref"] or dd["coref"]}
                                 for w in s
                             ])
+            # intra-token subword relation: the sp child matches a
+            # NON-head part of THIS compound token ("Elefant der
+            # Vergangenheit" ↔ Vergangenheitselefant — the reference
+            # matches intcompound subword links,
+            # de/language_specific_rules.py:740-746) — only for leaf
+            # sp children (compound parts carry no clause structure)
+            if fwd and "intcompound" in allowed \
+                    and dt.get("subwords") is not None \
+                    and len(dt["subwords"]) >= 2 \
+                    and not any(a2 == other
+                                for (a2, _o2, _l2, _f2, _u2)
+                                in sp["pattern_deps"]):
+                for sw in dt["subwords"][:-1]:
+                    wm2 = _token_matches(
+                        sp["tokens"][other], _subword_view(dt, sw),
+                        closure_map, vectors, single_token_threshold,
+                        strategies)
+                    if wm2 is None:
+                        continue
+                    sub_wm = {
+                        "sp_index": other,
+                        "sp_word": sp["tokens"][other]["derived_lemma"],
+                        "doc_index": d_i, "doc_word": wm2[2],
+                        "match_type": wm2[0], "depth": wm2[1],
+                        "extracted_word": wm2[2],
+                        "similarity": wm2[3],
+                        "_negated": bool(dt["is_negated"]),
+                        "_coref": False, "_uncertain": False,
+                    }
+                    for sol in solutions:
+                        new_solutions.append(sol + [sub_wm])
+                    break
             if not new_solutions:
                 return None
             solutions = new_solutions
@@ -849,7 +918,7 @@ def match(spark: SparkSession, docs: DataFrame, postings: DataFrame,
     verify_fields = ("i", "text", "lemma", "derived_lemma", "pos", "dep",
                      "ent_type", "direct_reprs", "derivation_reprs",
                      "is_negated", "coref_chain", "most_specific_coref",
-                     "multiwords", "righthand_siblings")
+                     "multiwords", "righthand_siblings", "subwords")
     docs = docs.withColumn(
         "tokens",
         F.transform("tokens", lambda t: F.struct(*[t[f].alias(f) for f in verify_fields])))

@@ -128,7 +128,8 @@ from holmes_extractor_spark.query.classification import (
     labels_to_classification_frequencies)
 
 
-def _freq(spark, docs_with_classes, one_hot=True, ontology=REF_ONTOLOGY):
+def _freq(spark, docs_with_classes, one_hot=True, ontology=REF_ONTOLOGY,
+          coref=True):
     pages = spark.createDataFrame(
         [(f"d{i}", t, "en") for i, (t, _) in enumerate(docs_with_classes)],
         "url string, text string, lang string")
@@ -136,7 +137,8 @@ def _freq(spark, docs_with_classes, one_hot=True, ontology=REF_ONTOLOGY):
         [(f"d{i}", c) for i, (_, c) in enumerate(docs_with_classes)],
         "url string, classification string")
     rows = labels_to_classification_frequencies(
-        pages, labels, one_hot=one_hot, ontology=ontology).collect()
+        pages, labels, one_hot=one_hot, ontology=ontology,
+        coref=coref).collect()
     out: dict[str, dict[str, int]] = {}
     for r in rows:
         out.setdefault(r["label"], {})[r["classification"]] = r["freq"]
@@ -242,6 +244,225 @@ def test_frequencies_ontology_multiword_matching(spark):  # ref :60
     assert freq["predicate-actor: jump-gymnast"] == {"gym": 1}
     assert freq["word: gymnast"] == {"gym": 1}
     assert freq["word: gymnastics equipment"] == {"gym": 1}
+
+
+def test_linked_matching_stepped_control(spark):  # ref :139
+    # no_coref manager in the reference: no matching through
+    # coreference mentions, so the adjective relation (lion#1) and the
+    # eat relation (lion#2) never share a token → no combined label
+    freq = _freq(spark, [("There is a big lion and the lion eats",
+                          "animals"), ("fast", "dummy")],
+                 one_hot=False, coref=False)
+    assert freq["governor-adjective: lion-big"] == {"animals": 1}
+    assert freq["predicate-actor: eat-lion"] == {"animals": 1}
+    assert ("governor-adjective: lion-big/"
+            "predicate-actor: eat-lion") not in freq
+    assert freq["word: lion"] == {"animals": 2}
+
+
+def test_multiple_document_classes(spark):  # ref :226
+    # phraselets matched back across documents via ontology
+    # subsumption: 'word: gymnastics equipment' (produced from the
+    # wastage-horse document) matches the plain 'horse' tokens of the
+    # animal documents too
+    freq = _freq(spark, [
+        ("A dog chases a cat", "animals"),
+        ("A cat chases a dog", "animals"),
+        ("A cat chases a horse", "animals"),
+        ("A cat chases a horse", "animals"),
+        ("A gymnast jumps over a horse", "gym"),
+        ("A gymnast jumps over a wastage horse", "gym"),
+    ], one_hot=False)
+    assert freq["predicate-actor: chase-animal"] == {"animals": 4}
+    assert freq["predicate-actor: jump-gymnast"] == {"gym": 2}
+    assert freq["predicate-patient: chase-animal"] == {"animals": 4}
+    assert freq["predicate-actor: chase-animal/"
+                "predicate-patient: chase-animal"] == {"animals": 4}
+    assert freq["word: animal"] == {"animals": 8, "gym": 2}
+    assert freq["word: gymnast"] == {"gym": 2}
+    assert freq["word: gymnastics equipment"] == {"animals": 2, "gym": 2}
+
+
+def test_filtering(spark):  # ref :476
+    # the trainer's minimum_occurrences + cv filter over the prepared
+    # frequencies; phraselet_infos = the single phraselets underlying
+    # the surviving (possibly combined) feature labels
+    from holmes_extractor_spark.query.classification import (
+        labels_to_classification_frequencies, select_feature_labels)
+    docs = [
+        ("A dog chases a cat", "animals"),
+        ("A cat chases a dog", "animals"),
+        ("A cat chases a horse", "animals"),
+        ("A cat chases a horse", "animals"),
+        ("A gymnast jumps over a horse", "gym"),
+        ("A gymnast jumps over a wastage horse", "gym"),
+    ]
+    pages = spark.createDataFrame(
+        [(f"d{i}", t, "en") for i, (t, _) in enumerate(docs)],
+        "url string, text string, lang string")
+    labels = spark.createDataFrame(
+        [(f"d{i}", c) for i, (_, c) in enumerate(docs)],
+        "url string, classification string")
+    freq = labels_to_classification_frequencies(
+        pages, labels, one_hot=True, ontology=REF_ONTOLOGY)
+    kept1 = sorted(r["label"] for r in select_feature_labels(
+        freq, n_classes=2, min_occurrences=4, cv_threshold=0.0).collect())
+    assert kept1 == [
+        "predicate-actor: chase-animal",
+        "predicate-actor: chase-animal/predicate-patient: chase-animal",
+        "predicate-patient: chase-animal",
+        "word: animal",
+    ]
+    infos1 = {p for lbl in kept1 for p in lbl.split("/")}
+    assert infos1 == {"predicate-actor: chase-animal",
+                      "predicate-patient: chase-animal", "word: animal"}
+    kept2 = sorted(r["label"] for r in select_feature_labels(
+        freq, n_classes=2, min_occurrences=4, cv_threshold=1.0).collect())
+    assert kept2 == [
+        "predicate-actor: chase-animal",
+        "predicate-actor: chase-animal/predicate-patient: chase-animal",
+        "predicate-patient: chase-animal",
+    ]
+    infos2 = {p for lbl in kept2 for p in lbl.split("/")}
+    assert infos2 == {"predicate-actor: chase-animal",
+                      "predicate-patient: chase-animal"}
+
+
+# ---------------- whole-scenario parity (classification ontology,
+# multi-label implication, trainer internals, serialize round-trip) —
+# reference tests/en/test_supervised_topic_classification_EN.py:249-474.
+# The reference's test ontology distinguishes a 'sports#horse' class
+# from 'animals#horse'; our word-keyed triples cannot, so the wastage-
+# horse line is omitted here (its subsumption behavior is covered by
+# test_multiple_document_classes above).
+
+from holmes_extractor_spark.query.classification import (
+    SupervisedTopicTrainingBasis, deserialize_supervised_topic_classifier)
+
+
+def _converged_classifier(sttb, **train_kw):
+    """The reference retrains up to 20× — 'With so little training
+    data, the NN does not consistently learn correctly' (ref :277-303).
+    Deterministic analogue: step the seed instead of relying on global
+    RNG state."""
+    stc = None
+    for seed in range(42, 62):
+        trainer = sttb.train(seed=seed, **train_kw)
+        stc = trainer.classifier()
+        if (next(iter(stc.parse_and_classify("You are a robot.")))
+                == "computers"
+                and next(iter(stc.parse_and_classify("You are a cat.")))
+                == "animal"):
+            break
+    return stc
+
+
+def _whole_scenario_basis(spark, match_all_words=False):
+    sttb = SupervisedTopicTrainingBasis(
+        spark, ontology=REF_ONTOLOGY, classification_ontology=REF_ONTOLOGY,
+        one_hot=False, match_all_words=match_all_words)
+    sttb.parse_and_register_training_document("A puppy", "puppy", "d0")
+    sttb.parse_and_register_training_document("A pussy", "cat", "d1")
+    sttb.parse_and_register_training_document("A dog on a lead", "dog", "d2")
+    sttb.parse_and_register_training_document("Mimi Momo", "Mimi Momo", "d3")
+    sttb.parse_and_register_training_document("An animal", "animal", "d4")
+    sttb.parse_and_register_training_document("A computer", "computers", "d5")
+    sttb.parse_and_register_training_document("A robot", "computers", "d6")
+    sttb.register_additional_classification_label("parrot")
+    sttb.register_additional_classification_label("hound")
+    sttb.prepare()
+    return sttb
+
+
+def test_whole_scenario_with_classification_ontology(spark):  # ref :249
+    sttb = _whole_scenario_basis(spark)
+    # implication through the classification ontology: ancestors AND
+    # synonyms restricted to registered labels (hound ≡ dog; 'pussy'
+    # is a synonym too but not a registered label). Our ontology keeps
+    # 'cat creature'/'pussy' as unregistered synonyms like the ref.
+    assert sttb.classification_implication_dict == {
+        "Mimi Momo": ["animal", "cat"],
+        "dog": ["animal", "hound"],
+        "puppy": ["animal", "dog", "hound"],
+        "cat": ["animal"],
+        "hound": ["animal", "dog"],
+    }
+    # 'parrot' is registered but never implied → not trained
+    assert sttb.classifications == [
+        "Mimi Momo", "animal", "cat", "computers", "dog", "hound", "puppy"]
+    trainer = sttb.train(minimum_occurrences=0, cv_threshold=0,
+                         max_epochs=1000, learning_rate=0.0001,
+                         convergence_threshold=0)
+    assert list(trainer.sorted_label_dict.keys()) == [
+        "prepgovernor-noun: animal-lead", "word: animal",
+        "word: computer", "word: lead", "word: robot"]
+    assert trainer.occurrence_dicts == [
+        {1: 1}, {1: 1}, {1: 1, 0: 1, 3: 1}, {1: 1}, {1: 1}, {2: 1}, {4: 1}]
+    assert trainer.output_matrix.tolist() == [
+        [0.0, 1.0, 0.0, 0.0, 1.0, 1.0, 1.0],
+        [0.0, 1.0, 1.0, 0.0, 0.0, 0.0, 0.0],
+        [0.0, 1.0, 0.0, 0.0, 1.0, 1.0, 0.0],
+        [1.0, 1.0, 1.0, 0.0, 0.0, 0.0, 0.0],
+        [0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+        [0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0],
+        [0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0],
+    ]
+    assert trainer._hidden_layer_sizes == [5, 5, 6]
+    stc = _converged_classifier(sttb, minimum_occurrences=0,
+                                cv_threshold=0, max_epochs=1000,
+                                learning_rate=0.0001,
+                                convergence_threshold=0)
+    assert next(iter(stc.parse_and_classify("You are a robot."))) \
+        == "computers"
+    # ontology matching at inference: 'cat' ⊂ animal → word: animal
+    assert next(iter(stc.parse_and_classify("You are a cat."))) == "animal"
+    assert stc.parse_and_classify(
+        "My name is Charles and I like sewing.") is None
+    blob = stc.serialize_model()
+    stc2 = deserialize_supervised_topic_classifier(spark, blob)
+    assert stc2.model["sorted_labels"] == [
+        "prepgovernor-noun: animal-lead", "word: animal",
+        "word: computer", "word: lead", "word: robot"]
+    assert next(iter(stc2.parse_and_classify("You are a robot."))) \
+        == "computers"
+    assert next(iter(stc2.parse_and_classify("You are a cat."))) == "animal"
+    assert stc2.parse_and_classify(
+        "My name is Charles and I like sewing.") is None
+
+
+def test_whole_scenario_with_ontology_and_match_all_words(spark):  # ref :359
+    sttb = _whole_scenario_basis(spark, match_all_words=True)
+    assert sttb.classification_implication_dict == {
+        "Mimi Momo": ["animal", "cat"],
+        "dog": ["animal", "hound"],
+        "puppy": ["animal", "dog", "hound"],
+        "cat": ["animal"],
+        "hound": ["animal", "dog"],
+    }
+    assert sttb.classifications == [
+        "Mimi Momo", "animal", "cat", "computers", "dog", "hound", "puppy"]
+    trainer = sttb.train(minimum_occurrences=0, cv_threshold=0,
+                         max_epochs=1000, learning_rate=0.0001,
+                         convergence_threshold=0)
+    # match_all_words lifts the tag check: 'on' and the multiword's
+    # member tokens 'mimi'/'momo' become word phraselets too
+    assert list(trainer.sorted_label_dict.keys()) == [
+        "prepgovernor-noun: animal-lead", "word: animal",
+        "word: computer", "word: lead", "word: mimi", "word: momo",
+        "word: on", "word: robot"]
+    assert trainer.occurrence_dicts == [
+        {1: 1}, {1: 1}, {0: 1, 1: 1, 3: 1, 6: 1}, {1: 1, 4: 1, 5: 1},
+        {1: 1}, {2: 1}, {7: 1}]
+    assert trainer._hidden_layer_sizes == [8, 7, 7]
+    stc = _converged_classifier(sttb, minimum_occurrences=0,
+                                cv_threshold=0, max_epochs=1000,
+                                learning_rate=0.0001,
+                                convergence_threshold=0)
+    assert next(iter(stc.parse_and_classify("You are a robot."))) \
+        == "computers"
+    assert next(iter(stc.parse_and_classify("You are a cat."))) == "animal"
+    assert stc.parse_and_classify(
+        "My name is Charles and I like sewing.") is None
 
 
 def test_held_out_accuracy_floor(spark):

@@ -26,6 +26,12 @@ def labels(text, lang="en", include_questions=False, include_reverse_only=True,
                                      include_questions=include_questions):
         if e["reverse_only"] and not include_reverse_only:
             continue
+        if e.get("mention"):
+            # matching-only rows (corpus-side literal question words
+            # etc.) are not produced phraselets — same gate as
+            # extract_phraselets (reference add_phraselets_to_dict
+            # emits no dict entry for them)
+            continue
         out.add(e["label"])
     for w in extract_word_phraselets(parsed, lang):
         out.add(w["label"])
