@@ -192,8 +192,19 @@ def matched_feature_counts(docs: DataFrame,
                 .withColumn(out, F.coalesce(f"_{out}_q", col))
                 .drop(f"_{out}_m", f"_{out}_q"))
 
-    # single-word matches: one per matched document token occurrence
-    wm = (expand(w, "word", "wq")
+    # single-word matches: one per matched document token occurrence.
+    # A multiword token also exposes its HEAD word as a candidate when
+    # an ontology is loaded (reference word_matching/ontology.py —
+    # candidates include the token's own lemma besides the multiword
+    # span, so 'word: animal' matches the 'horse' head of 'wastage
+    # horse' even though sports#wastage_horse is not under animal)
+    w_cand = w
+    if closure:
+        heads = (w.filter(F.col("word").contains(" "))
+                 .withColumn("word",
+                             F.element_at(F.split("word", " "), -1)))
+        w_cand = w.unionByName(heads)
+    wm = (expand(w_cand, "word", "wq")
           .join(wp, F.col("wq") == F.col("p_word"))
           .select("url", F.concat(F.lit("word: "), "p_word").alias("f"),
                   "idx", "subword_idx")

@@ -332,9 +332,10 @@ def test_filtering(spark):  # ref :476
 # multi-label implication, trainer internals, serialize round-trip) —
 # reference tests/en/test_supervised_topic_classification_EN.py:249-474.
 # The reference's test ontology distinguishes a 'sports#horse' class
-# from 'animals#horse'; our word-keyed triples cannot, so the wastage-
-# horse line is omitted here (its subsumption behavior is covered by
-# test_multiple_document_classes above).
+# from 'animals#horse'; REF_ONTOLOGY models this with '~sense' node-id
+# suffixes (pipeline/linking.py _node_label), so 'wastage horse'
+# generalizes to 'gymnastics equipment' — not 'animal' — exactly as in
+# the reference (test_multiple_document_classes above asserts it).
 
 from holmes_extractor_spark.query.classification import (
     SupervisedTopicTrainingBasis, deserialize_supervised_topic_classifier)
