@@ -102,8 +102,8 @@ def run_scaling() -> dict:
         for key, script, cpus, arg in (
             ("local[8]", "scale_run.py", 8, SCALE_DATA),
             ("local[32]", "scale_run.py", 32, SCALE_DATA),
-            ("mp[8]", "mp_control.py", 8, str(SCALING_PAGES)),
-            ("mp[32]", "mp_control.py", 32, str(SCALING_PAGES)),
+            ("mp[8]", "mp_control.py", 8, SCALE_DATA),
+            ("mp[32]", "mp_control.py", 32, SCALE_DATA),
         ):
             r = run_cell(script, cpus, arg)
             if key not in cells or r["docs_per_sec"] > cells[key]["docs_per_sec"]:

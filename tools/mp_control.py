@@ -7,51 +7,60 @@ memory effects that a real 4×-machines cluster does not have. This
 control quantifies that cap so BENCH.md can report both the raw Spark
 efficiency and the hardware-normalized one (spark_speedup / mp_speedup).
 
-Usage: taskset -c 0-7 python tools/mp_control.py 8 320000
+The control consumes the SAME parquet corpus as the Spark cells, at
+the SAME task granularity (one task per file, drained from a shared
+queue), so the only delta vs the Spark run is the framework itself:
+parquet decode happens via pyarrow here vs the JVM reader there, and
+results stay in-process instead of crossing Arrow batches.
+
+Usage: taskset -c 0-7 python tools/mp_control.py 8 /tmp/holmes_scale_pages
 Prints {"cpus", "docs", "seconds", "docs_per_sec"}.
 """
 
 from __future__ import annotations
 
+import glob
 import json
+import os
 import sys
 import time
 from multiprocessing import Pool
 
 sys.path.insert(0, "/root/repo")
 
-TEXTS = [
-    "The dog chased the cat. I saw a cat. It was chased by the dog. "
-    "Richard Paul Hudson came home.",
-    "Der Hund jagte die Katze. Polizeiinformation über Kriminelle.",
-]
 
+def work(path: str) -> int:
+    import pyarrow.parquet as pq
 
-def work(n: int) -> int:
     from holmes_extractor_spark.nlp.parser import parse_document
     from holmes_extractor_spark.pipeline.phraselets import extract_candidate_edges
-    for i in range(n):
-        lang = "de" if i % 7 == 3 else "en"
-        t = TEXTS[1] if lang == "de" else TEXTS[0]
-        parsed = parse_document(t, lang)
+
+    tbl = pq.read_table(path, columns=["lang", "text"])
+    langs = tbl.column("lang").to_pylist()
+    texts = tbl.column("text").to_pylist()
+    for lang, text in zip(langs, texts):
+        parsed = parse_document(text, lang)
         extract_candidate_edges(parsed, lang)
-    return n
+    return len(texts)
 
 
 def main() -> None:
     cpus = int(sys.argv[1])
-    total = int(sys.argv[2]) if len(sys.argv) > 2 else 320000
-    per = total // cpus
+    src = sys.argv[2]
+    files = sorted(glob.glob(os.path.join(src, "*.parquet")))
+    if not files:
+        raise SystemExit(f"no parquet files under {src}")
     with Pool(cpus) as pool:
-        pool.map(work, [200] * cpus)  # warm
-        best = float("inf")
-        for _ in range(1):
-            t0 = time.time()
-            pool.map(work, [per] * cpus)
-            best = min(best, time.time() - t0)
-    print(json.dumps({"cpus": cpus, "docs": per * cpus,
+        pool.map(work, files[:cpus], chunksize=1)  # warm: imports + lexicons
+        t0 = time.time()
+        # chunksize=1 == Spark's one-task-per-file scheduling: workers
+        # drain a shared queue, so the straggler tail is the same shape
+        counts = pool.map(work, files, chunksize=1)
+        best = time.time() - t0
+    total = sum(counts)
+    print(json.dumps({"cpus": cpus, "docs": total,
                       "seconds": round(best, 3),
-                      "docs_per_sec": round(per * cpus / best, 1)}))
+                      "docs_per_sec": round(total / best, 1)}))
 
 
 if __name__ == "__main__":
