@@ -256,6 +256,8 @@ def derived_lemma_en(lemma: str, pos: str = "") -> str:
 
 IRREGULAR_DE: dict[str, str] = {
     "jagte": "jagen", "jagt": "jagen", "gejagt": "jagen",
+    "benutzte": "benutzen", "benutzt": "benutzen",
+    "eröffnete": "eröffnen", "eröffnet": "eröffnen",
     "sah": "sehen", "sieht": "sehen", "gesehen": "sehen",
     "kam": "kommen", "kommt": "kommen", "gekommen": "kommen",
     "wuchs": "wachsen", "wächst": "wachsen", "gewachsen": "wachsen",

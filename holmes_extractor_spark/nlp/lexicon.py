@@ -246,7 +246,7 @@ VERB_LEMMAS_DE = {
     "jagen", "sehen", "kommen", "wachsen", "geben", "öffnen", "kaufen",
     "behaupten", "fressen", "buchen", "wandern", "entschließen",
     "entscheiden", "denken", "schließen", "benötigen", "ausgehen",
-    "abschließen",
+    "abschließen", "benutzen", "eröffnen",
     "schlafen", "bauen", "kochen", "lehren", "fangen", "essen",
     "verkaufen", "essen", "fangen", "nehmen", "machen", "sagen", "gehen",
     "finden", "informieren", "singen", "fliegen", "fahren", "besuchen",

@@ -327,6 +327,17 @@ def _tag_de(toks: list[Tok]) -> None:
         prev = toks[j - 1] if j > 0 else None
         if t.text in PUNCT:
             t.pos = "PUNCT"
+        elif (t.hyph_prev or (j + 1 < len(toks)
+                              and toks[j + 1].hyph_prev)) \
+                and t.text.isalpha():
+            # member of a hyphen-joined compound ("Wort-Mit-Bindestrich")
+            # — the reference keeps the whole hyphenated word ONE noun
+            # token and deletes the hyphens in its matching reprs
+            # (de normalize_hyphens, de rules :1558-1567), so closed-
+            # class readings of interior parts ('mit', 'nicht', 'ohne')
+            # never apply (tests/de/test_structural_matching_DE.py
+            # :997-1056)
+            t.pos = "NOUN"
         elif w in ("welche", "welcher", "welches", "welchen", "welchem") \
                 and j + 1 < len(toks) and toks[j + 1].text[:1].isupper():
             # governed interrogative determiner ("WELCHE Hunde fressen
@@ -1700,6 +1711,30 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
                            if last_np is not None and last_np[0] < t.i
                            else cur.i)
                     add(gov, ph.i, "pobjo", prep=pw, prep_case=pcase)
+                    # the attribute distributes over DIRECTLY-adjacent
+                    # conjoined governors ("Der Abschluss und der
+                    # Abschluss VON EINER VERSICHERUNG" → both, ref
+                    # test_structural_matching_DE.py:276-282) — but not
+                    # past intervening material, which means the left
+                    # conjunct has its own attribute ("Extraktion von
+                    # Information und ENTFÜHRUNG von Löwen")
+                    pos_by_i = {tk.i: j for j, tk in enumerate(toks)}
+                    g = gov
+                    changed = True
+                    while changed:
+                        changed = False
+                        for lt in toks:
+                            if g in (lt.righthand_siblings or []) \
+                                    and lt.i < g:
+                                lo, hi = pos_by_i[lt.i], pos_by_i[g]
+                                if all(toks[j].pos in ("CCONJ", "DET",
+                                                       "PUNCT")
+                                       for j in range(lo + 1, hi)):
+                                    add(lt.i, ph.i, "pobjo", prep=pw,
+                                        prep_case=pcase)
+                                    g = lt.i
+                                    changed = True
+                                break
                 elif pw == "to":
                     # dative context ("gives a file TO an employee") and
                     # directional 'to' both map to predicate-recipient
@@ -2513,6 +2548,88 @@ def _distribute_conjoined_subwords(toks: list[Tok], text: str) -> None:
         j = k
 
 
+_SEIN_FORMS_DE = {"ist", "war", "sind", "waren", "sei", "seien",
+                  "bin", "bist", "seid", "wäre", "wären"}
+
+
+def _zu_integrated_de(w: str) -> bool:
+    """'abzuschließen' — a zu infix whose removal yields the verb's own
+    lemma (the reference's VVIZU reading, de rules :831-855)."""
+    lm = lemma(w, "de")
+    if lm == w or "zu" not in w:
+        return False
+    i = w.find("zu", 1)
+    while i != -1:
+        if w[:i] + w[i + 2:] == lm:
+            return True
+        i = w.find("zu", i + 1)
+    return False
+
+
+def _relabel_zu_adjective_args(stoks: list[Tok], deps: list[dict]) -> None:
+    """German predicate-adjective zu-infinitive ('Die Versicherung war
+    sehr schwer zu finden', 'Der Mann war froh auszugehen'): under a
+    sein-copula the zu-verb's subject could fill either semantic role,
+    so its label becomes the ambiguous 'arg' and the dependency
+    uncertain (reference de/language_specific_rules.py:831-855 relabels
+    sb → arg with is_uncertain=True when the sein-complement carries a
+    PTKZU particle or is VVIZU; tests/de/
+    test_structural_matching_DE.py:488-556)."""
+    pos_of = {t.i: p for p, t in enumerate(stoks)}
+    sein_heads = {t.head for t in stoks
+                  if t.pos == "AUX" and t.text.lower() in _SEIN_FORMS_DE
+                  and t.dep in ("aux", "auxpass")}
+    if not sein_heads:
+        return
+    by_i = {t.i: t for t in stoks}
+    for t in stoks:
+        if t.pos != "VERB" or t.i not in pos_of:
+            continue
+        p = pos_of[t.i]
+        zu_marked = ((p > 0 and stoks[p - 1].text.lower() == "zu"
+                      and stoks[p - 1].head == t.i)
+                     or _zu_integrated_de(t.text.lower()))
+        if not zu_marked:
+            continue
+        governed = t.i in sein_heads or any(
+            t.i in (by_i[r].righthand_siblings or [])
+            for r in sein_heads if r in by_i)
+        if not governed:
+            continue
+        for d in deps:
+            if d["parent"] == t.i and d["label"] == "nsubj":
+                d["label"] = "arg"
+                d["uncertain"] = True
+        # conjoined zu-infinitives ("schwer zu buchen UND ZU BUCHEN")
+        # and conjoined predicate adjectives ("sehr schwer UND SCHWER")
+        # distribute across the construction (reference conjunction
+        # handling; tests/de/test_structural_matching_DE.py:499-543)
+        for s in stoks:
+            if s.head != t.i or s.i == t.i or s.dep != "dep":
+                continue
+            sp2 = pos_of[s.i]
+            if s.pos == "VERB" and (
+                    (sp2 > 0 and stoks[sp2 - 1].text.lower() == "zu")
+                    or _zu_integrated_de(s.text.lower())):
+                s.dep = "conj"
+                if s.i not in t.righthand_siblings:
+                    t.righthand_siblings.append(s.i)
+                for d in list(deps):
+                    if d["parent"] == t.i and d["label"] in ("arg",
+                                                             "advmod"):
+                        deps.append({**d, "parent": s.i})
+            elif s.pos == "ADJ" and sp2 < p:
+                # the predicate adjective of the construction ('schwer'
+                # in 'war schwer zu buchen') modifies the zu-verb —
+                # matched like the reference's mo dependency; conjoined
+                # adjectives ('schwer UND schwer') each get their own
+                s.dep = "advmod"
+                deps.append({"parent": t.i, "child": s.i,
+                             "label": "advmod", "uncertain": False,
+                             "coref": False, "prep": None,
+                             "mention": False})
+
+
 def parse_document(text: str, lang: str,
                    ontology_multiwords: set[str] | None = None) -> dict:
     """Full deterministic parse of one document.
@@ -2536,7 +2653,10 @@ def parse_document(text: str, lang: str,
             _tag_de(stoks)
         else:
             _tag_en(stoks, gi)
-        all_deps.extend(_parse_sentence(stoks, lang))
+        sent_deps = _parse_sentence(stoks, lang)
+        if lang == "de":
+            _relabel_zu_adjective_args(stoks, sent_deps)
+        all_deps.extend(sent_deps)
         sent_bounds.append((gi, gi + len(sw) - 1))
         toks.extend(stoks)
         gi += len(sw)
@@ -2691,11 +2811,16 @@ def parse_document(text: str, lang: str,
                     k += 1
                 if k > j:
                     span = toks[j: k + 1]
+                    joined_lemma = "".join(t.lemma for t in span)
                     mw = {
                         "text": "".join(t.text.lower() for t in span),
-                        "lemma": "".join(t.lemma for t in span),
-                        "derived_lemma": "".join(t.derived_lemma
-                                                 for t in span),
+                        "lemma": joined_lemma,
+                        # derive ONCE on the joined form so the repr
+                        # agrees with the unhyphenated spelling's own
+                        # derived lemma (per-part derivation would
+                        # mangle interior parts: 'ohne' → 'ohn')
+                        "derived_lemma": derived_lemma(joined_lemma,
+                                                       "de"),
                         "token_indexes": [t.i for t in span],
                     }
                     toks[k].multiwords.append(mw)
@@ -2715,7 +2840,10 @@ def parse_document(text: str, lang: str,
             children_by_head.setdefault(t.head, []).append(t)
     has_neg_child = {
         t.i for t in toks
-        if any(c.text.lower() in neg_words or c.dep == "neg"
+        # hyph_prev guard: 'nicht' INSIDE a hyphen-joined compound
+        # ("…-Nicht-In-Ontologie") is a word part, not a negator
+        if any((c.text.lower() in neg_words or c.dep == "neg")
+               and not c.hyph_prev
                for c in children_by_head.get(t.i, []))
     }
     neg_memo: dict[int, bool] = {}

@@ -167,7 +167,20 @@ def compile_search_phrase(text: str, label: str | None = None,
                                NEUTER_PRONOUNS_EN)
     parsed = parse_document(text, lang)
     toks = parsed["tokens"]
-    words = [t["text"].lower() for t in toks]
+    # German hyphen-joined compounds ("Wort-Mit-Bindestrich"): the
+    # parser split them into tokens but recorded the hyphen-normalized
+    # concatenation as a no-space multiword on the head token
+    # (reference keeps ONE token and deletes hyphens, de
+    # normalize_hyphens :1558-1567). The non-head members are word
+    # PARTS: excluded from phrase validation and collapsed below.
+    hyph_members: set[int] = set()
+    if lang == "de":
+        for t in toks:
+            for mw in t["multiwords"]:
+                if " " not in mw["lemma"] and len(mw["token_indexes"]) > 1:
+                    hyph_members.update(mw["token_indexes"][:-1])
+    words = [t["text"].lower() for t in toks
+             if t["i"] not in hyph_members]
     if any(w in ("and", "or", "und", "oder") for w in words):
         raise errors.SearchPhraseContainsConjunctionError(text)
     neg = NEGATION_WORDS_DE if lang == "de" else NEGATION_WORDS_EN
@@ -191,6 +204,22 @@ def compile_search_phrase(text: str, label: str | None = None,
         raise errors.SearchPhraseWithoutMatchableWordsError(text)
     deps = [dict(d) for d in parsed["deps"]]
     ignored: set[int] = set()
+
+    # --- hyphen-compound collapse (DE): the head token matches via the
+    # hyphen-normalized concatenation; the members are unmatchable
+    if hyph_members:
+        for t in toks:
+            for mw in t["multiwords"]:
+                if " " not in mw["lemma"] and len(mw["token_indexes"]) > 1:
+                    t["lemma"] = mw["lemma"]
+                    t["derived_lemma"] = mw["derived_lemma"]
+                    t["direct_reprs"] = [mw["lemma"]]
+                    t["derivation_reprs"] = (
+                        [mw["derived_lemma"]]
+                        if mw["derived_lemma"] != mw["lemma"] else [])
+        ignored |= hyph_members
+        deps = [d for d in deps if d["parent"] not in hyph_members
+                and d["child"] not in hyph_members]
 
     # --- ontology-defined multiword collapse (reference
     # create_search_phrase, parsing.py:2520-2542: the head token takes

@@ -337,3 +337,199 @@ def test_matching_additional_preposition_dependency_on_verb(spark):  # ref :449
              "Der Mitarbeiter braucht eine Versicherung für die "
              "nächsten fünf Jahre")
     assert len(ms) == 1
+
+
+# --------------------------------------------- round-5 ported additions
+# (hyphen-compound normalization, predicate-adjective zu-infinitives,
+# prepositional-phrase search phrases, ENTITY guards)
+
+def test_von_genitive_coordination(spark):  # ref :276
+    ms = _de(spark, ["Der Abschluss einer Versicherung"],
+             "Der Abschluss und der Abschluss von einer Versicherung "
+             "und einer Versicherung")
+    assert len(ms) == 4 and all(not m["uncertain"] for m in ms)
+
+
+def test_adjective_complement_conjunction_active(spark):  # ref :302
+    ms = _de(spark, [JAGT],
+             "Der Hund war darüber besorgt, eine Katze und eine Maus "
+             "zu jagen")
+    assert len(ms) == 1 and ms[0]["uncertain"]
+
+
+def test_passive_governing_zu_clause(spark):  # ref :309
+    ms = _de(spark, [JAGT],
+             "Dem Hund und dem Löwen wurde vorgeschlagen, eine Katze "
+             "und eine Maus zu jagen")
+    assert len(ms) == 1 and ms[0]["uncertain"]
+
+
+def test_verb_complement_simple_passive(spark):  # ref :315
+    ms = _de(spark, [JAGT],
+             "Die Katze dachte darüber nach, von einem Hund gejagt zu "
+             "werden")
+    assert len(ms) == 1 and ms[0]["uncertain"]
+
+
+def test_um_zu_clause_conjunction_passive(spark):  # ref :327
+    ms = _de(spark, [JAGT],
+             "Die Katze benutzte den Elefant und die Maus, um vom Hund "
+             "und Löwen gejagt zu werden")
+    assert len(ms) == 1 and ms[0]["uncertain"]
+
+
+def test_empty_string_no_entitymisc(spark):  # ref :464
+    ms = _de(spark, ["ENTITYMISC"],
+             """
+             Hier wird in einem Satz etwas besprochen.
+             Und hier wird in einem zweiten Satz etwas anderes besprochen.
+             """)
+    assert ms == []
+
+
+def test_capital_entity_not_entity_token(spark):  # ref :477
+    assert _de(spark, ["ENTITY"], "Richard Hudson") == []
+    ms = _de(spark, ["ENTITY"],
+             "Wir haben eine Entity und eine zweite ENTITY besprochen.")
+    assert len(ms) == 2
+
+
+def test_adjective_verb_phrase_simple(spark):  # ref :488
+    ms = _de(spark, ["Ein Urlaub ist schwer zu buchen"],
+             "Der Urlaub war sehr schwer zu buchen")
+    assert len(ms) == 1 and not ms[0]["uncertain"]
+
+
+def test_adjective_verb_phrase_no_match_normal(spark):  # ref :494
+    assert _de(spark, ["Ein Urlaub ist schwer zu buchen"],
+               "Der Urlaub wurde gebucht") == []
+
+
+def test_adjective_verb_phrase_compound(spark):  # ref :499
+    ms = _de(spark, ["Ein Urlaub ist schwer zu buchen"],
+             "Der Urlaub und der Urlaub waren sehr schwer und schwer "
+             "zu buchen und zu buchen")
+    assert len(ms) == 8 and all(not m["uncertain"] for m in ms)
+
+
+def test_objective_adj_verb_separate_zu_simple(spark):  # ref :506
+    ms = _de(spark, ["Jemand findet eine Versicherung"],
+             "Die Versicherung war sehr schwer zu finden")
+    assert len(ms) == 1 and ms[0]["uncertain"]
+
+
+def test_objective_adj_verb_separate_zu_compound(spark):  # ref :512
+    ms = _de(spark, ["Jemand findet eine Versicherung"],
+             "Die Versicherung und die Versicherung waren sehr schwer "
+             "und schwer zu finden und zu finden")
+    assert len(ms) == 4 and all(m["uncertain"] for m in ms)
+
+
+def test_objective_adj_verb_integrated_zu_simple(spark):  # ref :519
+    ms = _de(spark, ["Jemand schließt eine Versicherung ab"],
+             "Die Versicherung war sehr schwer abzuschließen")
+    assert len(ms) == 1 and ms[0]["uncertain"]
+
+
+def test_objective_adj_verb_integrated_zu_compound(spark):  # ref :525
+    ms = _de(spark, ["Jemand schließt eine Versicherung ab"],
+             "Die Versicherung und die Versicherung waren sehr schwer "
+             "und schwer abzuschließen und abzuschließen")
+    assert len(ms) == 4 and all(m["uncertain"] for m in ms)
+
+
+def test_subjective_adj_verb_separate_zu_simple(spark):  # ref :532
+    ms = _de(spark, ["Ein Mann singt"],
+             "Der Mann war sehr froh zu singen")
+    assert len(ms) == 1 and ms[0]["uncertain"]
+
+
+def test_subjective_adj_verb_separate_zu_compound(spark):  # ref :538
+    ms = _de(spark, ["Ein Mann singt"],
+             "Der Mann und der Mann waren sehr froh zu singen und zu "
+             "singen")
+    assert len(ms) == 4 and all(m["uncertain"] for m in ms)
+
+
+def test_subjective_adj_verb_integrated_zu_simple(spark):  # ref :545
+    ms = _de(spark, ["Ein Mann geht aus"],
+             "Der Mann war sehr froh auszugehen")
+    assert len(ms) == 1 and ms[0]["uncertain"]
+
+
+def test_subjective_adj_verb_integrated_zu_compound(spark):  # ref :551
+    ms = _de(spark, ["Ein Mann geht aus"],
+             "Der Mann und der Mann waren sehr froh auszugehen")
+    assert len(ms) == 2 and all(m["uncertain"] for m in ms)
+
+
+def test_prep_phrase_on_noun(spark):  # ref :568
+    ms = _de(spark, ["Eine Party in den Bergen"],
+             "Eine Party in den Bergen")
+    assert len(ms) == 1
+
+
+def test_prep_phrase_on_noun_conjunction(spark):  # ref :573
+    ms = _de(spark, ["Eine Party in den Bergen"],
+             "Eine Party in den Bergen und den Bergen")
+    assert len(ms) == 2
+
+
+def test_prep_phrase_on_verb(spark):  # ref :578
+    ms = _de(spark, ["Jemand wandert in den Bergen"],
+             "Mein Freund wandert in den Bergen")
+    assert len(ms) == 1
+
+
+def test_prep_phrase_on_verb_conjunction(spark):  # ref :583
+    ms = _de(spark, ["Jemand wandert in den Bergen"],
+             "Mein Freund wandert in den Bergen und den Bergen")
+    assert len(ms) == 2
+
+
+def test_moposs_before_governing_verb(spark):  # ref :588
+    ms = _de(spark, ["Jemand eröffnet ein Konto für ein Kind"],
+             "Richard Hudson möchte ein Konto für sein Kind eröffnen")
+    assert len(ms) == 1
+
+
+HYPHEN_PHRASES = [
+    "Ein großes Wort-Mit-Bindestrich",
+    "Ein kleines Wortmitbindestrich",
+    "Ein großes Wort-Ohne-Bindestrich",
+    "Ein kleines Wortohnebindestrich",
+]
+
+
+@pytest.mark.parametrize("doc", [
+    "Ein großes Wort-Mit-Bindestrich",       # ref :997
+    "Ein großes Wortmitbindestrich",         # ref :1002
+    "Ein kleines Wort-Mit-Bindestrich",      # ref :1007
+    "Ein kleines Wortmitbindestrich",        # ref :1012
+    "Ein großes Wort-Ohne-Bindestrich",      # ref :1017
+    "Ein großes Wortohnebindestrich",        # ref :1022
+    "Ein kleines Wort-Ohne-Bindestrich",     # ref :1027
+    "Ein kleines Wortohnebindestrich",       # ref :1032
+])
+def test_hyphenation_adjective(spark, doc):
+    ms = _de(spark, HYPHEN_PHRASES, doc)
+    assert len(ms) == 1
+
+
+@pytest.mark.parametrize("phrase,doc", [
+    ("Einfach-Wort-Mit-Bindestrich", "Einfachwortmitbindestrich"),  # :1037
+    ("Einfachwortohnebindestrich", "Einfach-Wort-Ohne-Bindestrich"),  # :1042
+    ("Wort-Mit-Bindestrich-Nicht-In-Ontologie",
+     "Wortmitbindestrichnichtinontologie"),                          # :1047
+    ("Wortohnebindestrichnichtinontologie",
+     "Wort-Ohne-Bindestrich-Nicht-In-Ontologie"),                    # :1052
+])
+def test_hyphenation_single_word(spark, phrase, doc):
+    ms = _de(spark, [phrase], doc)
+    assert len(ms) == 1
+
+
+def test_recursion_problem_solved(spark):  # ref :1103
+    ms = _de(spark, ["Jemand wohnt in einem ENTITYLOC"],
+             "Ich wohne seit 2010 in Paris")
+    assert len(ms) == 1
