@@ -343,6 +343,14 @@ class SparkHolmesManager:
                 d["explanation"] = _explanation(
                     d["match_type"], d.get("depth") or 0,
                     d["sp_word"], d.get("similarity") or 1.0)
+                # reference-named aliases (reference match dict keys,
+                # structural_matching.py:849-877) so callers of the
+                # reference can switch without renaming
+                d["search_phrase_token_index"] = d["sp_index"]
+                d["search_phrase_word"] = d["sp_word"]
+                d["document_token_index"] = d["doc_index"]
+                d["document_word"] = d["doc_word"]
+                d["similarity_measure"] = d["similarity"]
                 wms.append(d)
             out.append({
                 "search_phrase_label": r["phrase_label"],

@@ -361,6 +361,16 @@ def lemma_de(word: str) -> str:
         # a known noun never conjugates ('Pflanze' must not reach the
         # verb loop as pflanz+en once 'pflanzen' is a known verb)
         return w
+    if w not in VERB_LEMMAS_DE:
+        # noun plural → singular when the stripped form is a known
+        # noun (Maßnahmen→maßnahme, Informationen→information) —
+        # gated on the noun lexicon and on the surface NOT being a
+        # verb infinitive ('pflanzen' stays pflanzen)
+        for suf in ("nen", "en", "n", "e", "er", "s"):
+            if w.endswith(suf) and len(w) > len(suf) + 2:
+                cand = w[: -len(suf)]
+                if cand in NOUN_LEXICON_DE:
+                    return cand
     for suf in ("eten", "ete", "ten", "test", "tet", "te", "est", "st",
                 "et", "t", "e"):
         if w.endswith(suf) and len(w) > len(suf) + 2:

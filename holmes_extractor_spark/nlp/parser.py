@@ -102,6 +102,10 @@ class Tok:
     # True when this token was hyphen-joined to the previous one in the
     # surface text ("cat-chasing" → chasing.hyph_prev)
     hyph_prev: bool = False
+    # True when the token is a member of an or-conjunction — every
+    # match on such a token is uncertain (reference
+    # HolmesDictionary.is_uncertain, parsing.py:409-412)
+    involved_in_or: bool = False
     # character offset of the token in the original document text
     # (spaCy's token.idx — char-span reporting in topic match dicts)
     char_start: int = 0
@@ -1700,17 +1704,34 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
                 elif pw in ("of", "von") and lang == "en":
                     gov = toks[dobj_local].i if dobj_local is not None else cur.i
                     add(gov, ph.i, "pobjo", prep=pw)
-                elif pw in ("von", "vom") and lang == "de":
+                elif pw in ("von", "vom", "durch") and lang == "de":
                     # German von-phrase ≈ genitive attribute (pobjo),
                     # so "Kündigung VON einer Versicherung" matches
-                    # "Kündigung einer Versicherung" both ways; the
-                    # attribute attaches to the NEAREST preceding noun
-                    # ("Extraktion von Information UND ENTFÜHRUNG VON
-                    # LÖWEN" — Löwen modifies the conjunct Entführung)
+                    # "Kündigung einer Versicherung" both ways; a
+                    # noun-attached durch-phrase is the deverbal AGENT
+                    # (pobjb — reference de language_specific_rules.py
+                    # :1133-1140: mnr+durch → pobjB, 'Die Katzenjagd
+                    # DURCH DEN HUND' ≈ 'Ein Hund jagt eine Katze').
+                    # The attribute attaches to the NEAREST preceding
+                    # noun ("Extraktion von Information UND ENTFÜHRUNG
+                    # VON LÖWEN" — Löwen modifies the conjunct
+                    # Entführung)
                     gov = (toks[last_np[1]].i
                            if last_np is not None and last_np[0] < t.i
                            else cur.i)
-                    add(gov, ph.i, "pobjo", prep=pw, prep_case=pcase)
+                    de_lbl = "pobjb" if pw == "durch" else "pobjo"
+                    if pw == "durch" \
+                            and toks[gov].pos not in ("NOUN", "PROPN"):
+                        # verb-attached durch stays a plain
+                        # prepositional dependent (reference maps only
+                        # the mnr noun attachment)
+                        add(cur.i, ph.i, "pobjp", prep=pw,
+                            prep_case=pcase)
+                        add(t.i, ph.i, "pobj", uncertain=False)
+                        last_np = (pp_np[1], pp_np[2])
+                        j = pp_np[1] + 1
+                        continue
+                    add(gov, ph.i, de_lbl, prep=pw, prep_case=pcase)
                     # the attribute distributes over DIRECTLY-adjacent
                     # conjoined governors ("Der Abschluss und der
                     # Abschluss VON EINER VERSICHERUNG" → both, ref
@@ -1730,7 +1751,7 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
                                 if all(toks[j].pos in ("CCONJ", "DET",
                                                        "PUNCT")
                                        for j in range(lo + 1, hi)):
-                                    add(lt.i, ph.i, "pobjo", prep=pw,
+                                    add(lt.i, ph.i, de_lbl, prep=pw,
                                         prep_case=pcase)
                                     g = lt.i
                                     changed = True
@@ -2008,6 +2029,14 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
         for d in deps:
             if d["parent"] in or_members or d["child"] in or_members:
                 d["uncertain"] = True
+        # any match ON the token itself is uncertain too, even when no
+        # dep is traversed (reference parsing.py:409-412;
+        # 'Informationsinteressen oder -extraktion' matches 'Extraktion
+        # der Information' uncertainly, de test :954). or_members holds
+        # document-global .i values; toks is sentence-positional.
+        for t2 in toks:
+            if t2.i in or_members:
+                t2.involved_in_or = True
 
     # --- sentence-initial interrogative hookup (reference initial
     # question words, parsing.py:1170-1207; head-WHadv template uses the
@@ -2154,8 +2183,24 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
             if has_verb and not (toks[h1].dep in ("dobj", "pobj", "attr")
                                  or any(v < s1 for v in verb_pos)):
                 continue
-            if toks[h2].dep in ("nsubj", "nsubjpass", "dative"):
+            if toks[h2].dep in ("nsubj", "nsubjpass"):
                 continue  # already a clause argument
+            if toks[h2].dep == "dative":
+                if toks[toks[h2].head].pos in ("VERB", "AUX"):
+                    continue  # real dative recipient
+                # noun-parented 'dative' from fragment scanning: a
+                # CHAINED genitive ("Maßnahmen der Beschaffung DER
+                # INFORMATION") — the attribute belongs to the nearest
+                # preceding NP head (reference parses each 'der X' as
+                # ag on the preceding noun)
+                for d in deps:
+                    if d["child"] == toks[h2].i \
+                            and d["label"] == "dative":
+                        d["label"] = "pobjo"
+                        d["parent"] = toks[h1].i
+                toks[h2].dep = "pobjo"
+                toks[h2].head = toks[h1].i
+                continue
             if toks[h2].dep == "dobj":
                 if toks[toks[h2].head].pos == "VERB" \
                         and toks[h1].dep not in ("dobj", "dative", "pobj"):
@@ -2396,6 +2441,7 @@ def _split_compound_de(w: str) -> list[tuple[str, str, int]] | None:
                     cands.append((surface, surface[: -len(suf)]))
             for txt, base in cands:
                 if base in L.COMPOUND_PARTS_DE \
+                        or base in L.NON_RECORDED_SUBWORDS_DE \
                         or lemma(base, "de") in L.COMPOUND_PARTS_DE:
                     parts.append((txt, base, i))
                     rec(j, parts, penalty + piece_penalty(surface))
@@ -2416,6 +2462,14 @@ def _german_subwords(t: Tok) -> list[dict]:
     parts = _split_compound_de(w)
     if not parts:
         return []
+    # diminutive linkers split but are never reported ('Messerlein-
+    # information' → messer+information; reference skips
+    # non_recorded_subword_list entries when recording, de rules
+    # :607-631)
+    parts = [pt for pt in parts
+             if pt[1] not in L.NON_RECORDED_SUBWORDS_DE]
+    if len(parts) < 2:
+        return []
     out = []
     k = len(parts)
     from .lexicon import COMPOUND_PARTS_DE, NOUN_LEXICON_DE
@@ -2432,6 +2486,7 @@ def _german_subwords(t: Tok) -> list[dict]:
             "governor": i + 1 if i < k - 1 else -1,
             "gov_label": "intcompound" if i < k - 1 else "",
             "borrowed": False,
+            "containing_i": t.i,
         })
     return out
 
@@ -2465,12 +2520,32 @@ def _distribute_conjoined_subwords(toks: list[Tok], text: str) -> None:
     n = len(toks)
 
     def _trailing(t: Tok) -> bool:
+        # a hyphen (or '--') directly after the token, then a word
+        # boundary — excludes hyphen-JOINED compounds (Wort-Mit-B.)
         end = t.char_start + len(t.text)
-        return end < len(text) and text[end] == "-" \
-            and (end + 1 >= len(text) or text[end + 1] in (" ", ",", "\t"))
+        if end >= len(text) or text[end] != "-":
+            return False
+        nxt = end + 1
+        if nxt < len(text) and text[nxt] == "-":
+            nxt += 1
+        return nxt >= len(text) or text[nxt] in (" ", ",", "\t", "\n",
+                                                 ".")
+
+    def _double_trailing(t: Tok) -> bool:
+        # 'Freudeverwaltungs--': the reference's subword scan fails on
+        # the double-hyphen lemma, so the token records no subwords
+        # and lends no prefix (ref de test :707-718)
+        end = t.char_start + len(t.text)
+        return (end + 1 < len(text) and text[end] == "-"
+                and text[end + 1] == "-")
 
     def _leading(t: Tok) -> bool:
-        return t.char_start > 0 and text[t.char_start - 1] == "-"
+        cs = t.char_start
+        return cs > 0 and text[cs - 1] == "-" \
+            and (cs < 2 or text[cs - 2] in (" ", ",", "\t", "\n"))
+
+    def _frag(t: Tok) -> bool:
+        return _leading(t) or _trailing(t)
 
     def _own_parts(t: Tok) -> list[dict]:
         """The conjunct's own compound parts (pre-split subwords, or
@@ -2481,21 +2556,22 @@ def _distribute_conjoined_subwords(toks: list[Tok], text: str) -> None:
         l = lemma(base, "de")
         return [{"idx": 0, "text": base, "lemma": l,
                  "derived_lemma": derived_lemma(l, "de"),
-                 "char_start": t.char_start, "dependent": -1,
+                 "char_start": 0, "dependent": -1,
                  "dep_label": "", "governor": -1, "gov_label": "",
-                 "borrowed": False}]
+                 "borrowed": False, "containing_i": t.i}]
 
     j = 0
     while j < n:
         t = toks[j]
-        if t.pos not in ("NOUN", "PROPN") or not _trailing(t) \
-                or _leading(t):
+        if t.pos not in ("NOUN", "PROPN") \
+                or not (_frag(t) or t.subwords):
             j += 1
             continue
-        # collect the conjunction group: fragments separated by ','
-        # and und/oder; the group closes at the first conjunct that is
-        # not a trailing-hyphen fragment (a leading-hyphen fragment or
-        # a complete compound word)
+        # collect the conjunction group: NOUN members separated by ','
+        # and und/oder; a complete compound may open or close the
+        # group, fragments carry the hyphens (reference de
+        # language_specific_rules.py:585-740: fragments borrow from
+        # the FIRST sibling's prefix / the LAST sibling's tail)
         group = [j]
         k = j + 1
         while k < n:
@@ -2503,38 +2579,43 @@ def _distribute_conjoined_subwords(toks: list[Tok], text: str) -> None:
             if tk.text in (",",) or tk.text.lower() in conj:
                 k += 1
                 continue
-            if tk.pos in ("NOUN", "PROPN") and (_leading(tk)
-                                                or _trailing(tk)
+            if tk.pos in ("NOUN", "PROPN") and (_frag(tk)
                                                 or tk.subwords):
                 group.append(k)
                 k += 1
-                if not _trailing(tk):
-                    break  # final conjunct reached
+                if not _frag(tk):
+                    break  # complete compound closes the group
                 continue
             break
-        if len(group) < 2 or _trailing(toks[group[-1]]):
-            j = k
+        if len(group) < 2 or not any(_frag(toks[i]) for i in group):
+            j = k if len(group) > 1 else j + 1
             continue
-        final = toks[group[-1]]
-        final_parts = _own_parts(final)
-        head = dict(final_parts[-1])
-        first_parts = _own_parts(toks[group[0]])
-        prefix = [dict(s) for s in first_parts[:-1]]
+        first_t, last_t = toks[group[0]], toks[group[-1]]
+        first_parts = (None if _double_trailing(first_t)
+                       else _own_parts(first_t))
+        last_parts = (None if _double_trailing(last_t)
+                      else _own_parts(last_t))
         for gi, idx in enumerate(group):
             tkn = toks[idx]
-            own = _own_parts(tkn)
-            parts: list[dict] = []
-            if gi > 0 and _leading(tkn):
+            if _double_trailing(tkn):
+                tkn.subwords = []
+                continue
+            parts = _own_parts(tkn)
+            if gi > 0 and _leading(tkn) and first_parts:
                 # later fragments inherit the first conjunct's
-                # modifier prefix
-                parts += [dict(s) for s in prefix]
-                for s in parts:
+                # modifier prefix (its parts minus the head)
+                pre = [dict(s) for s in first_parts[:-1]]
+                for s in pre:
                     s["borrowed"] = True
-            parts += own
-            if gi < len(group) - 1:
-                h = dict(head)
-                h["borrowed"] = True
-                parts.append(h)
+                parts = pre + parts
+            if gi < len(group) - 1 and _trailing(tkn) and last_parts:
+                # earlier fragments inherit the last conjunct's tail
+                # (its parts minus the first — reference borrows
+                # subwords[1:], not just the head)
+                post = [dict(s) for s in last_parts[1:]]
+                for s in post:
+                    s["borrowed"] = True
+                parts = parts + post
             if len(parts) < 2:
                 continue
             for i, s in enumerate(parts):
@@ -3277,6 +3358,7 @@ def parse_document(text: str, lang: str,
             "direct_reprs": direct_reprs,
             "derivation_reprs": derivation_reprs,
             "is_negated": t.is_negated, "is_matchable": t.is_matchable,
+            "involved_in_or": t.involved_in_or,
             "is_initial_question_word": t.is_initial_question_word,
             "righthand_siblings": t.righthand_siblings,
             "sent_idx": t.sent_idx,

@@ -57,13 +57,16 @@ def build_postings(docs: DataFrame) -> DataFrame:
         F.when(t["pos"].isin("NOUN", "PROPN") & (t["dep"] != "compound"),
                F.array(e(F.lit("ENTITYNOUN"), "entity"))
                ).otherwise(F.array().cast(f"array<struct<{entry_t}>>")),
-        # borrowed (conjunction-distributed) subwords are not indexed —
-        # their own token owns the posting (reference: the reverse dict
-        # keys subwords at containing_token_index)
-        F.transform(F.filter(t["subwords"],
-                             lambda s: ~F.coalesce(s["borrowed"],
-                                                   F.lit(False))),
-                    lambda s: e(s["lemma"], "subword", s["idx"])),
+        # every subword is indexed at Index(token, subword) — borrowed
+        # (conjunction-distributed) subwords INCLUDED, matching the
+        # reference's reverse dict (word_matching/direct.py:135-143
+        # iterates token.subwords with no containing filter;
+        # derivation.py:177-185 adds derived lemmas). Text, lemma and
+        # derived lemma are all probe-able reprs.
+        F.flatten(F.transform(t["subwords"], lambda s: F.array(
+            e(F.lower(s["text"]), "subword", s["idx"]),
+            e(s["lemma"], "subword", s["idx"]),
+            e(s["derived_lemma"], "subword", s["idx"])))),
         # 'multiword': doc-side multiword reprs posted at the head
         # token, so a search phrase ROOTED at a multiword (entity- or
         # ontology-defined, e.g. 'Mimi Momo') can probe the index

@@ -33,15 +33,24 @@ from ..nlp.parser import parse_document
 # 2823-2853 consuming the per-language MatchImplication tables at
 # en language_specific_rules.py:878-1111). Every label implies itself.
 LABEL_IMPLICATIONS: dict[str, set[str]] = {
-    "nsubj": {"nsubj", "csubj", "poss", "pobjb", "pobjo", "advmodsubj", "arg"},
+    # intcompound in subj/obj/arg rows: the reference DE table lets
+    # sb/oa/arg match a compound's internal subword link (de
+    # language_specific_rules.py:1612-1636 — 'Knochenmark wird
+    # extrahiert' ↔ Knochenmarkextraktion)
+    "nsubj": {"nsubj", "csubj", "poss", "pobjb", "pobjo", "advmodsubj",
+              "arg", "intcompound"},
     "acomp": {"acomp", "amod", "advmod", "npmod", "advcl"},
     "advcl": {"advcl", "pobjo", "poss", "relant", "nsubjpass", "csubjpass",
               "compound", "advmodobj", "arg", "dobj", "xcomp"},
-    "amod": {"amod", "acomp", "advmod", "npmod", "advcl", "compound"},
+    # amod carries the reference's DE nk implications: an attributive
+    # adjective matches a compound's internal subword link ('Das große
+    # Interesse' ↔ Großinteresse; de language_specific_rules.py:1641)
+    "amod": {"amod", "acomp", "advmod", "npmod", "advcl", "compound",
+             "intcompound"},
     "advmod": {"advmod", "acomp", "amod", "npmod", "advcl"},
     "arg": {"arg", "nsubj", "csubj", "poss", "pobjb", "advmodsubj", "dobj",
             "pobjo", "relant", "nsubjpass", "csubjpass", "compound",
-            "advmodobj", "dative", "pobjp"},
+            "advmodobj", "dative", "pobjp", "intcompound"},
     "compound": {"compound", "nmod", "appos", "nounmod", "nsubj", "csubj",
                  "poss", "pobjb", "advmodsubj", "dobj", "pobjo", "relant",
                  "pobjp", "nsubjpass", "csubjpass", "arg", "advmodobj",
@@ -49,9 +58,11 @@ LABEL_IMPLICATIONS: dict[str, set[str]] = {
     "dative": {"dative", "pobjt", "relant", "nsubjpass"},
     "pobjt": {"pobjt", "dative", "relant"},
     "nsubjpass": {"nsubjpass", "dobj", "pobjo", "poss", "relant",
-                  "csubjpass", "compound", "advmodobj", "arg", "dative"},
+                  "csubjpass", "compound", "advmodobj", "arg", "dative",
+                  "intcompound"},
     "dobj": {"dobj", "pobjo", "poss", "relant", "nsubjpass", "csubjpass",
-             "compound", "advmodobj", "arg", "xcomp", "advcl"},
+             "compound", "advmodobj", "arg", "xcomp", "advcl",
+             "intcompound"},
     "nmod": {"nmod", "appos", "compound", "nummod"},
     "poss": {"poss", "pobjo", "nsubj", "csubj", "pobjb", "advmodsubj",
              "arg", "relant", "nsubjpass", "csubjpass", "compound",
@@ -64,11 +75,18 @@ LABEL_IMPLICATIONS: dict[str, set[str]] = {
               "compound", "advmodobj", "arg", "xcomp", "nsubj", "csubj",
               "advmodsubj", "intcompound"},
     "pobjb": {"pobjb", "nsubj", "csubj", "poss", "advmodsubj", "arg"},
-    "pobjp": {"pobjp", "compound"},
+    "pobjp": {"pobjp", "compound", "intcompound"},
     "pobj": {"pobj", "pcomp"},
     "pcomp": {"pcomp", "pobj"},
     "xcomp": {"xcomp", "pobjo", "poss", "relant", "nsubjpass", "csubjpass",
-              "compound", "advmodobj", "arg", "dobj", "advcl"},
+              "compound", "advmodobj", "arg", "dobj", "advcl",
+              "intcompound"},
+    # intcompound as a SEARCH-side label appears only in topic-match
+    # phraselets compiled from German compounds (reference de
+    # language_specific_rules.py:1680-1694: 'intcompound is only used
+    # within extensive matching')
+    "intcompound": {"intcompound", "nsubj", "dobj", "poss", "amod",
+                    "advmod", "pobjo", "pobjp"},
     "wh_wildcard": {"wh_wildcard", "advmod", "advcl", "npadvmod", "prep",
                     "pobjp"},
     "nummod": {"nummod"},
@@ -93,6 +111,9 @@ REVERSE_IMPLICATIONS: dict[str, set[str]] = {
     "arg": _REV_STD, "compound": _REV_STD, "dative": _REV_STD,
     "pobjt": _REV_STD, "nsubjpass": _REV_STD, "dobj": _REV_STD,
     "poss": _REV_STD, "pobjo": _REV_STD, "pobjb": _REV_STD,
+    # reference de nk/intcompound reverse rows (de language_specific_
+    # rules.py:1643-1652, 1680-1694)
+    "intcompound": {"amod"},
 }
 
 _ENTITY_RE = re.compile(r"^ENTITY([A-Z]+)$")
@@ -144,6 +165,13 @@ MATCH_ROW = T.StructType([
         T.StructField("depth", T.IntegerType()),
         T.StructField("extracted_word", T.StringType()),
         T.StructField("similarity", T.DoubleType()),
+        # subword-granular match position, null for whole-token
+        # matches (reference match dict document_subword_index /
+        # document_subword_containing_token_index,
+        # structural_matching.py:858-863)
+        T.StructField("document_subword_index", T.IntegerType()),
+        T.StructField("document_subword_containing_token_index",
+                      T.IntegerType()),
         # True when THIS word match traversed a coreference dep
         # (reference WordMatch.involves_coreference)
         T.StructField("involves_coreference", T.BooleanType()),
@@ -587,37 +615,40 @@ def unregister_word_matching_strategy(name: str) -> None:
 def _token_matches(sp_tok: dict, dt: dict, closure_map: dict,
                    vectors: dict | None = None,
                    single_token_threshold: float = 1.0,
-                   strategies: list | None = None) -> tuple | None:
+                   strategies: list | None = None,
+                   subword_index: int | None = None) -> tuple | None:
     """First-match-wins over the strategy chain (reference
     manager.py:163-214). Returns (match_type, depth, matched_doc_word,
-    similarity) or None. ``strategies`` is the driver-side snapshot of
+    similarity, subword_index|None, subword_containing_i|None) or
+    None. ``strategies`` is the driver-side snapshot of
     WORD_MATCHING_STRATEGIES pickled into the verify closure — worker
     processes import the shipped module and would not see driver-side
-    registrations otherwise."""
+    registrations otherwise. ``subword_index`` restricts matching to
+    ONE compound subword (reference match_recursively's subword-
+    granular word matching, structural_matching.py:503-533)."""
     ctx = {"closure_map": closure_map, "vectors": vectors,
            "single_token_threshold": single_token_threshold}
-    for (_name, fn) in (strategies if strategies is not None
-                        else WORD_MATCHING_STRATEGIES):
+    chain = (strategies if strategies is not None
+             else WORD_MATCHING_STRATEGIES)
+    sws = dt.get("subwords")
+    if subword_index is not None:
+        sw = sws[subword_index]
+        view = _subword_view(dt, sw)
+        for (_name, fn) in chain:
+            res = fn(sp_tok, view, ctx)
+            if res is STOP:
+                return None
+            if res is not None:
+                return (*res, subword_index,
+                        sw["containing_i"] if sw.get("containing_i")
+                        is not None else dt["i"])
+        return None
+    for (_name, fn) in chain:
         res = fn(sp_tok, dt, ctx)
         if res is STOP:
             return None
         if res is not None:
-            return res
-    # German compound HEAD subword fallback: a search word matches a
-    # compound at its final (semantic-head) part — "einen Elefanten"
-    # matches 'Riesenelefanten' at subword elefant (reference
-    # word_matching subword handling; the head part carries the
-    # token's semantics, de/language_specific_rules.py:740-746)
-    sws = dt.get("subwords")
-    if sws is not None and len(sws) > 0:  # len(): Arrow arrays
-        head = _subword_view(dt, sws[-1])
-        for (_name, fn) in (strategies if strategies is not None
-                            else WORD_MATCHING_STRATEGIES):
-            res = fn(sp_tok, head, ctx)
-            if res is STOP:
-                return None
-            if res is not None:
-                return res
+            return (*res, None, None)
     return None
 
 
@@ -646,15 +677,21 @@ def _verify_doc(sp: dict, tokens: list[dict], deps: list[dict],
     toks = {t["i"]: t for t in tokens}
     out = []
 
-    def rec(sp_i: int, d_i: int) -> list[list[dict]] | None:
+    def rec(sp_i: int, d_i: int,
+            sw_i: int | None = None) -> list[list[dict]] | None:
         wm_type = _token_matches(sp["tokens"][sp_i], toks[d_i], closure_map,
                                  vectors, single_token_threshold,
-                                 strategies)
+                                 strategies, subword_index=sw_i)
         if wm_type is None:
             return None
         dt = toks[d_i]
+        matched_sw = wm_type[4]
         extracted = wm_type[2]
-        if wm_type[0] == "question" and dt["pos"] == "ADP":
+        if matched_sw is not None:
+            # subword match: the part itself is the extracted unit
+            # (reference WordMatch.document_subword semantics)
+            pass
+        elif wm_type[0] == "question" and dt["pos"] == "ADP":
             # the answer to a WH-adverb question matched at a
             # preposition is its object's content word (the reference
             # reports the prep's filtered subtree as the answer span,
@@ -687,15 +724,29 @@ def _verify_doc(sp: dict, tokens: list[dict], deps: list[dict],
             "match_type": wm_type[0], "depth": wm_type[1],
             "extracted_word": extracted,
             "similarity": wm_type[3],
+            # subword-granular match position (reference match dict
+            # keys, structural_matching.py:858-863)
+            "document_subword_index": matched_sw,
+            "document_subword_containing_token_index": wm_type[5],
             "_negated": bool(dt["is_negated"]),
             # set when the match TRAVERSES a coreference dep (reference:
             # involves_coreference ⇔ matched token differs from the
             # structurally matched token) — chain membership alone does
             # not make a match coreferential
             "_coref": False,
-            "_uncertain": False,
+            # a match on an or-conjunction member is itself uncertain
+            # (reference parsing.py:409-412, WordMatch creation at
+            # structural_matching.py:409)
+            "_uncertain": bool(dt.get("involved_in_or") or False),
         }
         solutions: list[list[dict]] = [[base_wm]]
+        # cross-token deps expand only from token-level or HEAD-subword
+        # matches (reference structural_matching.py:589-596: the parent
+        # index must not be a subword, or its subword must be is_head)
+        sws_here = dt.get("subwords")
+        head_pos = (len(sws_here) - 1
+                    if sws_here is not None and len(sws_here) else None)
+        cross_ok = matched_sw is None or matched_sw == head_pos
         for (anchor, other, lbl, fwd, sp_unc) in sp["pattern_deps"]:
             if anchor != sp_i:
                 continue
@@ -708,7 +759,9 @@ def _verify_doc(sp: dict, tokens: list[dict], deps: list[dict],
             # pattern) mirrors that (reference match_recursively,
             # structural_matching.py:595-731 — inverse polarity per the
             # implication table's reverse_document_dependencies)
-            if fwd:
+            if not cross_ok:
+                cand_pairs = []
+            elif fwd:
                 cand_pairs = [(dd["child"], dd, False)
                               for dd in by_parent.get(d_i, [])
                               if dd["label"] in allowed]
@@ -741,7 +794,18 @@ def _verify_doc(sp: dict, tokens: list[dict], deps: list[dict],
                         toks[cand_i].get("righthand_siblings", [])
                         for mc in matched_cands):
                     continue
-                sub = rec(other, cand_i)
+                # a document child is tried at whole-token level AND at
+                # its head subword — non-head subwords are reachable
+                # only through intcompound recursion or the root probe
+                # (reference match_recursively child expansion,
+                # structural_matching.py:655-671: Index(child, None)
+                # plus Index(child, subword.index) for is_head
+                # subwords)
+                sub = rec(other, cand_i) or []
+                cand_sws = toks[cand_i].get("subwords")
+                if cand_sws is not None and len(cand_sws) >= 2:
+                    sub = sub + (rec(other, cand_i,
+                                     len(cand_sws) - 1) or [])
                 if sub:
                     matched_cands.append(cand_i)
                 if sub:
@@ -762,53 +826,64 @@ def _verify_doc(sp: dict, tokens: list[dict], deps: list[dict],
                                  "_coref": w["_coref"] or dd["coref"]}
                                 for w in s
                             ])
-            # intra-token subword relation: the sp child matches a
-            # NON-head part of THIS compound token ("Elefant der
-            # Vergangenheit" ↔ Vergangenheitselefant — the reference
-            # matches intcompound subword links,
-            # de/language_specific_rules.py:740-746) — only for leaf
-            # sp children (compound parts carry no clause structure)
+            # intra-token subword relation: the sp child matches the
+            # DEPENDENT subword of the matched part within THIS
+            # compound token ("Elefant der Vergangenheit" ↔
+            # Vergangenheitselefant — the reference recurses into
+            # document_parent_subword.dependent_index,
+            # structural_matching.py:722-750); recursive, so 3-part
+            # chains ('Maßnahmen der Beschaffung der Information' ↔
+            # Informationsbeschaffungsmaßnahmen) walk part by part
             if fwd and "intcompound" in allowed \
-                    and dt.get("subwords") is not None \
-                    and len(dt["subwords"]) >= 2 \
-                    and not any(a2 == other
-                                for (a2, _o2, _l2, _f2, _u2)
-                                in sp["pattern_deps"]):
-                for sw in dt["subwords"][:-1]:
-                    wm2 = _token_matches(
-                        sp["tokens"][other], _subword_view(dt, sw),
-                        closure_map, vectors, single_token_threshold,
-                        strategies)
-                    if wm2 is None:
-                        continue
-                    sub_wm = {
-                        "sp_index": other,
-                        "sp_word": sp["tokens"][other]["derived_lemma"],
-                        "doc_index": d_i, "doc_word": wm2[2],
-                        "match_type": wm2[0], "depth": wm2[1],
-                        "extracted_word": wm2[2],
-                        "similarity": wm2[3],
-                        "_negated": bool(dt["is_negated"]),
-                        "_coref": False, "_uncertain": False,
-                    }
-                    for sol in solutions:
-                        new_solutions.append(sol + [sub_wm])
-                    break
+                    and sws_here is not None and len(sws_here) >= 2:
+                # only a match anchored ON a subword recurses into the
+                # compound (reference structural_matching.py:722-728:
+                # working_document_parent_index.is_subword())
+                if matched_sw is not None and matched_sw >= 1:
+                    sub = rec(other, d_i, matched_sw - 1)
+                    if sub:
+                        for s in sub:
+                            for sol in solutions:
+                                new_solutions.append(sol + list(s))
             if not new_solutions:
                 return None
             solutions = new_solutions
         return solutions
 
     seen_assignments: set[frozenset] = set()
-    for rp in sorted(set(root_candidates)):
-        sols = rec(sp["root"], rp)
+    # root candidates are (token_index, subword_index|-1) pairs — the
+    # posting probe returns the exact Index the reference's reverse
+    # dict stores (word_matching/direct.py:120-143: one entry per
+    # token AND one per subword, borrowed subwords included)
+    for (rp, rsw) in sorted(set(root_candidates)):
+        sols = rec(sp["root"], rp, rsw if rsw is not None and rsw >= 0
+                   else None)
         if not sols:
             continue
         # every distinct doc-token assignment is its own match
         # (reference: conjunction expansion produces one match per
         # combination, tests/en/test_structural_matching_EN.py:142-168)
         for wm in sols:
-            key = frozenset((w["sp_index"], w["doc_index"]) for w in wm)
+            # conjunction-borrowed subword validity (reference
+            # structural_matching.py:433-440 + 467-485): a word match
+            # on a subword physically expressed on ANOTHER token
+            # survives only if the match also holds a subword match
+            # physically expressed on the anchoring token
+            ok = True
+            for w in wm:
+                ci = w.get("document_subword_containing_token_index")
+                if ci is not None and ci != w["doc_index"]:
+                    if not any(
+                            w2.get(
+                                "document_subword_containing_token_index")
+                            == w["doc_index"] for w2 in wm):
+                        ok = False
+                        break
+            if not ok:
+                continue
+            key = frozenset(
+                (w["sp_index"], w["doc_index"],
+                 w.get("document_subword_index")) for w in wm)
             if key in seen_assignments:
                 continue
             seen_assignments.add(key)
@@ -938,16 +1013,18 @@ def match(spark: SparkSession, docs: DataFrame, postings: DataFrame,
 
     cands = (
         postings.join(F.broadcast(probes), ["repr"])
-        .select("url", "phrase_idx", "token_index")
+        .select("url", "phrase_idx", "token_index", "subword_index")
         .groupBy("url")
-        .agg(F.collect_set(F.struct("phrase_idx", "token_index")).alias("cands"))
+        .agg(F.collect_set(F.struct("phrase_idx", "token_index",
+                                    "subword_index")).alias("cands"))
     )
     # prune the token struct to the fields the verifier reads — cuts
     # the Arrow transfer into the python verify stage substantially
     verify_fields = ("i", "text", "lemma", "derived_lemma", "pos", "dep",
                      "ent_type", "direct_reprs", "derivation_reprs",
-                     "is_negated", "coref_chain", "most_specific_coref",
-                     "multiwords", "righthand_siblings", "subwords")
+                     "is_negated", "involved_in_or", "coref_chain",
+                     "most_specific_coref", "multiwords",
+                     "righthand_siblings", "subwords")
     docs = docs.withColumn(
         "tokens",
         F.transform("tokens", lambda t: F.struct(*[t[f].alias(f) for f in verify_fields])))
@@ -964,9 +1041,10 @@ def match(spark: SparkSession, docs: DataFrame, postings: DataFrame,
             rows = []
             for url, tokens, dep_list, cnds in zip(pdf["url"], pdf["tokens"],
                                                    pdf["deps"], pdf["cands"]):
-                by_phrase: dict[int, list[int]] = {}
+                by_phrase: dict[int, list[tuple]] = {}
                 for c in cnds:
-                    by_phrase.setdefault(c["phrase_idx"], []).append(c["token_index"])
+                    by_phrase.setdefault(c["phrase_idx"], []).append(
+                        (c["token_index"], c["subword_index"]))
                 for pi, positions in by_phrase.items():
                     for m in _verify_doc(sp_list[pi], tokens, dep_list,
                                          positions, closure_map,

@@ -27,6 +27,10 @@ SUBWORD = T.StructType([
     # intcompound matching but are not indexed (their own token owns
     # the posting).
     T.StructField("borrowed", T.BooleanType()),
+    # index of the token whose surface text physically contains this
+    # subword — differs from the owning token for borrowed subwords
+    # (reference Subword.containing_token_index, parsing.py Subword)
+    T.StructField("containing_i", T.IntegerType()),
 ])
 
 MULTIWORD = T.StructType([
@@ -52,6 +56,9 @@ TOKEN = T.StructType([
     T.StructField("derivation_reprs", T.ArrayType(T.StringType())),
     T.StructField("is_negated", T.BooleanType()),
     T.StructField("is_matchable", T.BooleanType()),
+    # member of an or-conjunction: every match on the token is
+    # uncertain (reference parsing.py:409-412)
+    T.StructField("involved_in_or", T.BooleanType()),
     T.StructField("is_initial_question_word", T.BooleanType()),
     T.StructField("righthand_siblings", T.ArrayType(T.IntegerType())),
     T.StructField("sent_idx", T.IntegerType()),
