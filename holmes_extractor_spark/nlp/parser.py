@@ -65,7 +65,8 @@ _DE_GROUP_PRON = _DE_PLURAL_PRON | {"sie"}
 _SCONJ_EN = {"while", "because", "since", "unless", "until", "whereas"}
 
 _PLACES = {"london", "berlin", "paris", "munich", "hamburg", "rome",
-           "madrid", "vienna", "york", "england", "germany", "france"}
+           "madrid", "vienna", "york", "england", "germany", "france",
+           "prague", "norway"}
 
 # tough-movement adjectives: "X is hard to VERB" → X is VERB's object
 # (reference 'arg' dependency, en language_specific_rules.py:558-797)
@@ -1280,6 +1281,15 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
                 wht.head = rt.i
                 wht.dep = "nsubj"
                 add(rt.i, wht.i, "nsubj")
+                # conjoined possessed nouns ("whose computer and
+                # computer I repaired") each carry the antecedent's
+                # poss CERTAINLY — the reference builds these inside
+                # its relative-construction handling, not the
+                # uncertain generic sibling copy (ref en test :308:
+                # both matches certain vs :299 possessor conjunction,
+                # where the copy IS uncertain)
+                for sib in wht.righthand_siblings:
+                    add(sib, st.i, "poss", uncertain=False)
                 toks[rp].head = wht.i
                 toks[rp].dep = "relpron"
                 obj_nps = [(s2, e2, h2) for (s2, e2, h2) in rel_nps
@@ -1488,9 +1498,27 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
             toks[j - 1].head = t.i
             toks[j - 1].dep = "auxpass"
         if is_xcomp_verb:
+            off_to = 2 if xcomp_passive else 1
+            if (j - off_to - 1 >= 0
+                    and toks[j - off_to - 1].pos == "CCONJ"
+                    and cur.dep == "xcomp"):
+                # conjoined infinitives ("demands to explain AND TO
+                # EXPLAIN"): the second infinitive is a righthand
+                # sibling of the first, NOT its complement — the
+                # sibling copy pass then distributes the matrix xcomp
+                # and controller deps with original certainty
+                # (reference en test :740: both matches derivation,
+                # one per conjunct)
+                t.head = cur.head
+                t.dep = "xcomp"
+                toks[j - off_to].head = t.i
+                toks[j - off_to].dep = "aux"
+                if t.i not in cur.righthand_siblings:
+                    cur.righthand_siblings.append(t.i)
+                j += 1
+                continue
             t.head = cur.i
             t.dep = "xcomp"
-            off_to = 2 if xcomp_passive else 1
             toks[j - off_to].head = t.i
             toks[j - off_to].dep = "aux"
             if (cur.i == root.i and not passive and not got_obj

@@ -172,6 +172,12 @@ MATCH_ROW = T.StructType([
         T.StructField("document_subword_index", T.IntegerType()),
         T.StructField("document_subword_containing_token_index",
                       T.IntegerType()),
+        # multiword span extents (reference WordMatch.first_document_
+        # token / last_document_token — for entity- and
+        # ontology-defined multiwords the span covers the member
+        # tokens, structural_matching.py:849-877)
+        T.StructField("first_document_token_index", T.IntegerType()),
+        T.StructField("last_document_token_index", T.IntegerType()),
         # True when THIS word match traversed a coreference dep
         # (reference WordMatch.involves_coreference)
         T.StructField("involves_coreference", T.BooleanType()),
@@ -713,6 +719,22 @@ def _verify_doc(sp: dict, tokens: list[dict], deps: list[dict],
                          else mst["derived_lemma"])
         elif len(dt["multiwords"]) > 0:
             extracted = dt["multiwords"][0]["text"]
+        # multiword span extents (reference first/last_document_token):
+        # a match via an entity- or ontology-defined multiword covers
+        # the member tokens; plain matches span the token itself
+        fdt = ldt = d_i
+        mws = dt.get("multiwords")
+        if matched_sw is None and mws is not None and len(mws) > 0:
+            ew = (wm_type[2] or "").lower()
+            for mw in mws:
+                tis = mw["token_indexes"]
+                if tis is not None and len(tis) > 0 and (
+                        wm_type[0] == "entity"
+                        or mw["text"].lower() == ew
+                        or mw["lemma"] == ew
+                        or mw["derived_lemma"] == ew):
+                    fdt, ldt = min(tis), max(tis)
+                    break
         base_wm = {
             "sp_index": sp_i, "sp_word": sp["tokens"][sp_i]["derived_lemma"],
             # the matched representation, not the head lemma — an
@@ -728,6 +750,8 @@ def _verify_doc(sp: dict, tokens: list[dict], deps: list[dict],
             # keys, structural_matching.py:858-863)
             "document_subword_index": matched_sw,
             "document_subword_containing_token_index": wm_type[5],
+            "first_document_token_index": fdt,
+            "last_document_token_index": ldt,
             "_negated": bool(dt["is_negated"]),
             # set when the match TRAVERSES a coreference dep (reference:
             # involves_coreference ⇔ matched token differs from the

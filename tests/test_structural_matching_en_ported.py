@@ -214,6 +214,31 @@ DOCS = {
     "amod_nsubj_conj": "A running girl and girl",
     "pred_adj_rel": "He saw his son, who was excited.",
     "cat_creature": "The cat creature meowed.",
+    "whose_poss_conj": ("The colleague and colleague whose computer I "
+                        "repaired last week have gone home"),
+    "whose_possessed_conj": ("The colleague whose computer and computer "
+                             "I repaired last week has gone home"),
+    "passive_participle": "He talked about the cat chased by the dog",
+    "adj_prep_compl_conj_act": ("The dog and the lion were worried about "
+                                "chasing a cat and a mouse"),
+    "adj_prep_compl_conj_pass": ("The cat and the mouse were worried about "
+                                 "being chased by a dog and a lion"),
+    "verb_prep_compl_conj_act": ("The dog and the lion were thinking about "
+                                 "chasing a cat and a mouse"),
+    "verb_prep_compl_conj_pass": ("The cat and the mouse were thinking "
+                                  "about being chased by a dog and a lion"),
+    "dative_conj_to_to": "The file was given to the boss and to the boss",
+    "obj_adj_verb_compound": ("The insurance and the insurance were very "
+                              "hard and hard to find and to find"),
+    "subj_adj_verb_compound": ("The man and the man were very glad and "
+                               "glad to sing and to sing"),
+    "no_loop": ("The thought of having to read a boring book of 400 "
+                "pages in English."),
+    "deriv_nonroot_sp_conj": "Somebody demands to explain and to explain",
+    "deriv_onto_root": "Somebody explains to a salesman",
+    "mw_deriv_nonroot": "A waste horse was used",
+    "mw_single_deriv": "a waste horse",
+    "mw_deriv_sp_nonroot": "A wastage horse was seen",
 }
 
 
@@ -754,3 +779,188 @@ def test_predicative_adjective_in_relative_clause(by_doc):  # ref :1072
 
 def test_ontology_matching_both_entries_synonyms_of_third_entry(by_doc):  # ref :1078
     assert len(by_doc["cat_creature"]) == 1
+
+
+# ------------------------------------------ round-5 ports (ref :299-:816)
+
+def test_whose_clause_with_conjunction_of_possessor(by_doc):  # ref :299
+    ms = by_doc["whose_poss_conj"]
+    assert len(ms) == 2 and uncertains(ms) == [False, True]
+
+
+def test_whose_clause_with_conjunction_of_possessed(by_doc):  # ref :308
+    ms = by_doc["whose_possessed_conj"]
+    assert len(ms) == 2 and uncertains(ms) == [False, False]
+
+
+def test_passive_participle(by_doc):  # ref :338
+    ms = by_doc["passive_participle"]
+    assert len(ms) == 1 and not ms[0]["uncertain"]
+
+
+def test_adjective_prepositional_complement_with_conjunction_active(
+        by_doc):  # ref :387
+    ms = by_doc["adj_prep_compl_conj_act"]
+    assert len(ms) == 1 and ms[0]["uncertain"]
+
+
+def test_adjective_prepositional_complement_with_conjunction_passive(
+        by_doc):  # ref :395
+    ms = by_doc["adj_prep_compl_conj_pass"]
+    assert len(ms) == 1 and ms[0]["uncertain"]
+
+
+def test_verb_prepositional_complement_with_conjunction_active(
+        by_doc):  # ref :403
+    ms = by_doc["verb_prep_compl_conj_act"]
+    assert len(ms) == 1 and ms[0]["uncertain"]
+
+
+def test_verb_prepositional_complement_with_conjunction_passive(
+        by_doc):  # ref :411
+    ms = by_doc["verb_prep_compl_conj_pass"]
+    assert len(ms) == 1 and ms[0]["uncertain"]
+
+
+def test_dative_prepositional_phrase_in_document_dative_np_in_sp_2(
+        by_doc):  # ref :578
+    assert len(by_doc["dative_conj_to_to"]) == 2
+
+
+def test_objective_adjective_verb_phrase_matches_compound(by_doc):  # ref :657
+    ms = by_doc["obj_adj_verb_compound"]
+    assert len(ms) == 4 and all(m["uncertain"] for m in ms)
+
+
+def test_subjective_adjective_verb_phrase_matches_compound(by_doc):  # ref :675
+    ms = by_doc["subj_adj_verb_compound"]
+    assert len(ms) == 4 and all(m["uncertain"] for m in ms)
+
+
+def test_no_loop(by_doc):  # ref :611 (must not hang or raise)
+    assert isinstance(by_doc["no_loop"], list)
+
+
+def test_derivation_in_search_phrase_on_non_root_with_conjunction(
+        by_doc):  # ref :740
+    ms = by_doc["deriv_nonroot_sp_conj"]
+    assert len(ms) == 2
+    for m in ms:
+        assert m["word_matches"][1]["match_type"] == "derivation"
+
+
+def test_derivation_in_search_phrase_and_document_on_root_with_ontology(
+        by_doc):  # ref :784
+    ms = by_doc["deriv_onto_root"]
+    assert len(ms) == 1
+    assert ms[0]["word_matches"][0]["match_type"] == "ontology"
+
+
+def test_derivation_in_document_with_multiword_non_root_word(
+        by_doc):  # ref :796
+    ms = by_doc["mw_deriv_nonroot"]
+    assert len(ms) == 2
+    assert any(len(m["word_matches"]) > 1
+               and m["word_matches"][1]["match_type"] == "derivation"
+               for m in ms)
+
+
+def test_derivation_in_document_with_multiword_single_word(
+        by_doc):  # ref :801
+    ms = by_doc["mw_single_deriv"]
+    assert len(ms) == 1
+    assert ms[0]["word_matches"][0]["match_type"] == "derivation"
+
+
+def test_derivation_in_search_phrase_with_multiword_non_root_word(
+        by_doc):  # ref :816
+    ms = by_doc["mw_deriv_sp_nonroot"]
+    assert len(ms) == 2
+    assert any(len(m["word_matches"]) > 1
+               and m["word_matches"][1]["match_type"] == "derivation"
+               for m in ms)
+
+
+# ------------- multiword span info in word matches (ref :941-:1033)
+
+@pytest.fixture(scope="module")
+def mw_info_matches(spark):
+    out = {}
+    for key, doc, phrase in (
+        ("onto_sent_start", "Fido chased Mimi Momo.", "A dog chases a cat"),
+        ("onto_mid", "Yesterday Fido chased Mimi Momo.",
+         "A dog chases a cat"),
+        ("ent_sent_start", "Fido chased Richard Paul Hudson.",
+         "A dog chases an ENTITYPERSON"),
+        ("ent_mid", "Yesterday Fido chased Richard Paul Hudson in Prague.",
+         "A dog chases an ENTITYPERSON"),
+    ):
+        m = SparkHolmesManager(spark, ontology=REF_ONTOLOGY,
+                               ontology_symmetric=True)
+        m.register_search_phrase(phrase)
+        m.parse_and_register_document(doc, key)
+        out[key] = m.match()
+    return out
+
+
+def _span(ms, j):
+    w = ms[0]["word_matches"][j]
+    return (w["document_token_index"], w["first_document_token_index"],
+            w["last_document_token_index"])
+
+
+def test_ontology_multiword_info_at_sentence_boundaries(
+        mw_info_matches):  # ref :941
+    ms = mw_info_matches["onto_sent_start"]
+    assert len(ms) == 1
+    assert _span(ms, 0) == (0, 0, 0)
+    assert _span(ms, 1) == (1, 1, 1)
+    assert _span(ms, 2) == (3, 2, 3)
+
+
+def test_ontology_multiword_info_not_at_sentence_boundaries(
+        mw_info_matches):  # ref :964
+    ms = mw_info_matches["onto_mid"]
+    assert len(ms) == 1
+    assert _span(ms, 0) == (1, 1, 1)
+    assert _span(ms, 1) == (2, 2, 2)
+    assert _span(ms, 2) == (4, 3, 4)
+
+
+def test_entity_multiword_info_at_sentence_boundaries(
+        mw_info_matches):  # ref :987
+    ms = mw_info_matches["ent_sent_start"]
+    assert len(ms) == 1
+    assert _span(ms, 0) == (0, 0, 0)
+    assert _span(ms, 1) == (1, 1, 1)
+    assert _span(ms, 2) == (4, 2, 4)
+
+
+def test_entity_multiword_info_not_at_sentence_boundaries(
+        mw_info_matches):  # ref :1010
+    ms = mw_info_matches["ent_mid"]
+    assert len(ms) == 1
+    assert _span(ms, 0) == (1, 1, 1)
+    assert _span(ms, 1) == (2, 2, 2)
+    assert _span(ms, 2) == (5, 3, 5)
+
+
+def test_corpus_frequency_information(spark):  # ref :1033
+    # the reference's expected dict is reproduced as a SUBSET check:
+    # this engine's postings add ENTITYNOUN fallback entries the
+    # reference computes lazily (pipeline/postings.py:57-60), so the
+    # full dict contains extra keys by design
+    m = SparkHolmesManager(spark)
+    m.parse_and_register_document(
+        "Yesterday Fido chased Richard Paul Hudson in Prague with Fido "
+        "and Balu.", "1")
+    m.parse_and_register_document(
+        "Yesterday Balu chased Hudson in Munich.", "2")
+    d, maximum = m.get_corpus_frequency_information()
+    for k, v in (("yesterday", 2), ("ENTITYPERSON", 6), ("fido", 2),
+                 ("chase", 2), ("richard", 1), ("paul", 1),
+                 ("hudson", 2), ("richard paul hudson", 1),
+                 ("ENTITYGPE", 2), ("prague", 1), ("balu", 2),
+                 ("munich", 1)):
+        assert d.get(k) == v, (k, d.get(k))
+    assert maximum == max(d.values())
