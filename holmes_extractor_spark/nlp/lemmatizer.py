@@ -356,7 +356,13 @@ def lemma_de(word: str) -> str:
         return w[:-2]  # wohnungen -> wohnung
     # regular conjugation → infinitive, gated on the verb lexicon so
     # noun plurals in -en (Katzen) are never mangled
-    from .lexicon import ADJECTIVES_DE, NOUN_LEXICON_DE, VERB_LEMMAS_DE
+    from .lexicon import (ADJECTIVES_DE, COMPOUND_PARTS_DE,
+                          NOUN_LEXICON_DE, VERB_LEMMAS_DE)
+    # compound heads are nouns too — 'Messers' (genitive) must reach
+    # lemma 'messer' even when the word only appears as a compound part
+    nounish = NOUN_LEXICON_DE | {
+        p for p in COMPOUND_PARTS_DE
+        if p not in ADJECTIVES_DE and p not in VERB_LEMMAS_DE}
     if w in NOUN_LEXICON_DE:
         # a known noun never conjugates ('Pflanze' must not reach the
         # verb loop as pflanz+en once 'pflanzen' is a known verb)
@@ -369,7 +375,7 @@ def lemma_de(word: str) -> str:
         for suf in ("nen", "en", "n", "e", "er", "s"):
             if w.endswith(suf) and len(w) > len(suf) + 2:
                 cand = w[: -len(suf)]
-                if cand in NOUN_LEXICON_DE:
+                if cand in nounish:
                     return cand
     for suf in ("eten", "ete", "ten", "test", "tet", "te", "est", "st",
                 "et", "t", "e"):

@@ -235,7 +235,9 @@ ADJECTIVES_DE = {"reich", "reiche", "reicher", "reichen", "arm", "arme",
                  # DE coref-suite vocabulary (reference
                  # tests/de/test_structural_matching_with_coreference_DE.py)
                  "zweite", "zweiten", "großes", "großer", "kleiner",
-                 "kleines", "müden", "müder"}
+                 "kleines", "müden", "müder",
+                 # DE structural-suite round-5 ports
+                 "blau", "blaue", "blauen", "unklar", "anderes"}
 
 ADVERBS_DE = {"schnell", "langsam", "heute", "gestern", "morgen", "hier",
               "dort", "jetzt", "immer", "oft", "bald", "gern", "sehr",
@@ -264,6 +266,8 @@ VERB_LEMMAS_DE = {
     "durchführen", "springen", "amputieren",
     # DE coref-suite vocabulary
     "folgen", "versuchen", "erklären", "wollen",
+    # DE structural-suite round-5 ports (embedding pos-gate controls)
+    "zurücktreten", "herabfallen", "hervorkommen",
 }
 
 NUMBER_WORDS_DE = {"null", "eins", "zwei", "drei", "vier", "fünf",
@@ -297,6 +301,9 @@ NOUN_LEXICON_DE = {
     "gepard", "leopard", "tiger", "urlaub", "erklärung", "nachbar",
     "elefant", "riese", "vergangenheit", "firma", "schwierigkeit",
     "gmbh",
+    # DE structural-suite round-5 ports (reference
+    # tests/de/test_structural_matching_DE.py:439-1108)
+    "himmel", "erholung", "kur", "abdankung", "mitarbeiter", "satz",
 }
 
 # nouns denoting persons (who/wer question gating, coref compatibility)
@@ -304,7 +311,7 @@ PERSON_NOUNS_DE = {
     "mann", "frau", "kind", "mensch", "lehrer", "arzt", "student",
     "freund", "mutter", "vater", "bruder", "schwester", "könig",
     "königin", "kriminelle", "kriminellen", "person", "leute",
-    "doktor", "junge", "mädchen", "prinz", "prinzessin",
+    "doktor", "junge", "mädchen", "prinz", "prinzessin", "mitarbeiter",
 }
 
 STOPWORDS_DE = DETS_DE | PRONOUNS_DE | PREPOSITIONS_DE | {
@@ -353,6 +360,9 @@ COMPOUND_PARTS_DE = {
     # reference tests/de/test_structural_matching_DE.py:593-1101)
     "entnahme", "freude", "verwaltung", "jagd", "messer", "reise",
     "literatur", "knochen", "mark", "groß", "hund",
+    # round-5 ports: Stadtprinz, Prinzenabdankung, Kurinteresse
+    # (reference tests/de/test_structural_matching_DE.py:960-1093)
+    "kur", "abdankung",
     # 'Knochenmarkextraktion' splits knochenmark|extraktion (2 parts
     # beat knochen|mark|extraktion on the short-part penalty), so the
     # sp 'Knochenmark wird extrahiert' matches at the compound part

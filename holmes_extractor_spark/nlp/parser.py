@@ -1656,9 +1656,20 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
             j += 1
             continue
         if t.pos == "PART" and t.text.lower() not in ("not", "n't", "nicht", "to"):
-            t.head = cur.i
+            # German separable prefix: prefer the ADJACENT preceding
+            # aux/verb when prefix+lemma forms a known verb ("hatte
+            # VOR, … abzuschließen" → vorhaben, not a particle of the
+            # zu-infinitive root; reference de rules conflate over the
+            # syntactic head, language_specific_rules.py:478-492)
+            host = cur
+            if lang == "de" and j > 0 and toks[j - 1].pos in ("AUX", "VERB") \
+                    and toks[j - 1].i != cur.i \
+                    and (t.text.lower() + lemma(toks[j - 1].text.lower(), "de")) \
+                    in L.VERB_LEMMAS_DE:
+                host = toks[j - 1]
+            t.head = host.i
             t.dep = "prt"
-            add(cur.i, t.i, "prt")
+            add(host.i, t.i, "prt")
             j += 1
             continue
         if t.pos == "ADV":

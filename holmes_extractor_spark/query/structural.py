@@ -376,6 +376,11 @@ def compile_search_phrase(text: str, label: str | None = None,
             "ent_spec": m.group(1) if m else None,
             "q_spec": t["text"].lower() if _is_q(t) else None,
             "derived_lemma": t["derived_lemma"],
+            # pos/lemma/lang feed the embedding-permitted gate
+            # (reference parsing.py:2868-2883)
+            "pos": t["pos"],
+            "lemma": t["lemma"],
+            "lang": lang,
         }
     return {
         "label": label or text,
@@ -498,6 +503,9 @@ def _subword_view(dt: dict, sw: dict) -> dict:
     v["multiwords"] = []
     v["subwords"] = []
     v["ent_type"] = ""
+    # subword embedding permission gates ONLY on lemma length
+    # (reference parsing.py:2880-2881)
+    v["is_subword"] = True
     return v
 
 
@@ -540,17 +548,47 @@ def _ontology_strategy(sp_tok: dict, dt: dict, ctx: dict):
     return None
 
 
+# embedding matching is suppressed for some parts of speech and for
+# very short words (reference parsing.py:2868-2883; the pos list and
+# minimum lengths are the language constants at
+# en language_specific_rules.py:819-826 / de :1575-1579)
+_PERMISSIBLE_EMBEDDING_POS = ("NOUN", "PROPN", "ADJ", "ADV")
+_MIN_EMBEDDING_LEN = {"en": 3, "de": 4}
+
+
+def _embedding_permitted(tok: dict, min_len: int) -> bool:
+    lemma = tok.get("lemma") or tok.get("derived_lemma") or ""
+    # multiword holmes lemmas fall back to the token lemma in the
+    # reference (parsing.py:2872-2875); our lemma field is per-token
+    if tok.get("is_subword"):
+        return len(lemma) >= min_len
+    return (tok.get("pos") in _PERMISSIBLE_EMBEDDING_POS
+            and len(lemma) >= min_len)
+
+
 def _embedding_strategy(sp_tok: dict, dt: dict, ctx: dict):
     """Reference word_matching/embedding.py + entity_embedding.py:
     cosine(sp vector, doc vector) > ctx['single_token_threshold'] =
-    overall_similarity_threshold ** n_emb (embedding.py:105-108)."""
+    overall_similarity_threshold ** n_emb (embedding.py:105-108).
+    Both sides must pass embedding_matching_permitted (embedding.py:
+    70-91): pos in NOUN/PROPN/ADJ/ADV and lemma length >= 3 (EN) /
+    4 (DE); document subwords gate on length alone."""
     vectors = ctx.get("vectors")
     stt = ctx.get("single_token_threshold", 1.0)
-    if vectors is None or stt >= 1.0 \
-            or dt["pos"] not in ("NOUN", "PROPN", "VERB", "ADJ"):
+    if vectors is None or stt >= 1.0:
         return None
-    sp_vec = vectors.get(sp_tok["derived_lemma"])
-    doc_vec = vectors.get(dt["derived_lemma"])
+    min_len = _MIN_EMBEDDING_LEN.get(sp_tok.get("lang", "en"), 3)
+    if not _embedding_permitted(sp_tok, min_len) \
+            or not _embedding_permitted(dt, min_len):
+        return None
+    # the reference compares spaCy token vectors, which are keyed by
+    # the word/lemma itself, NOT the derived lemma (embedding.py:105 —
+    # search_phrase_token.vector); "Katze" must look up 'katze', not
+    # its derivation 'katz'
+    sp_vec = vectors.get(sp_tok.get("lemma") or "",
+                         vectors.get(sp_tok["derived_lemma"]))
+    doc_vec = vectors.get(dt.get("lemma") or "",
+                          vectors.get(dt["derived_lemma"]))
     if sp_vec is not None and doc_vec is not None:
         sim = _cosine_py(sp_vec, doc_vec)
         if sim > stt:
@@ -982,7 +1020,12 @@ def match(spark: SparkSession, docs: DataFrame, postings: DataFrame,
         # default False — manager.py:116; non-root embedding matching
         # stays active inside _verify_doc regardless)
         if vectors is not None and overall_similarity_threshold < 1.0 \
-                and embedding_based_matching_on_root_words:
+                and embedding_based_matching_on_root_words \
+                and _embedding_permitted(
+                    rt, _MIN_EMBEDDING_LEN.get(sp.get("lang", "en"), 3)):
+            # the reference's root scan only runs when the root token
+            # itself passes embedding_matching_permitted
+            # (structural_matching.py:261-270)
             stt = overall_similarity_threshold ** sp.get("n_emb", 1)
             emb_probe_rows.extend(
                 (pi, q) for q in root_words if q in vectors)

@@ -115,11 +115,16 @@ def test_embedding_matching(spark):
     assert wm["dog"]["match_type"] == "embedding"
     assert 0.85 < wm["dog"]["similarity"] < 1.0
     assert 0.9 < res[0]["overall_similarity_measure"] < 1.0
-    # root embedding match: chase ≈ pursue (probe expansion)
-    res2 = m.match("A man chases a cat")
-    assert [r["document"] for r in res2] == ["d_pursue"]
-    types2 = {w["sp_word"]: w["match_type"] for w in res2[0]["word_matches"]}
-    assert types2["chase"] == "embedding"
+    # VERB poles never embedding-match: chase ≈ pursue by vector, but
+    # embedding_matching_permitted excludes verbs (reference
+    # parsing.py:2868-2883, permissible_embedding_pos =
+    # NOUN/PROPN/ADJ/ADV — en language_specific_rules.py:819)
+    assert m.match("A man chases a cat") == []
+    # root embedding match on a NOUN root: hound ≈ dog/wolf
+    # (probe expansion via the distributed root scan)
+    res2 = m.match("A hound")
+    assert [r["document"] for r in res2] == ["d_wolf"]
+    assert res2[0]["word_matches"][0]["match_type"] == "embedding"
     # disabled by default (reference manager.py:115)
     m2 = SparkHolmesManager(spark)
     m2.parse_and_register_document("The wolf chased the cat.", "d_wolf")

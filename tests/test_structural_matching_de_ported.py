@@ -533,3 +533,162 @@ def test_recursion_problem_solved(spark):  # ref :1103
     ms = _de(spark, ["Jemand wohnt in einem ENTITYLOC"],
              "Ich wohne seit 2010 in Paris")
     assert len(ms) == 1
+
+
+# ------------------- round-5 ported additions (refs :167-:1108)
+
+def test_generic_pronoun_with_auxiliary(spark):  # ref :167
+    ms = _de(spark, ["Jemand hat einen Berg gesehen"],
+             "Ein Berg wurde gesehen")
+    assert len(ms) == 1
+
+
+def test_generic_pronoun_with_modal(spark):  # ref :171
+    ms = _de(spark, ["Jemand soll einen Fluss sehen"],
+             "Ein Fluss wurde gesehen")
+    assert len(ms) == 1
+
+
+def test_tricky_passive(spark):  # ref :227
+    ms = _de(spark, ["Jemand hat einen Berg gesehen"],
+             "Warum der Berg gesehen wurde, ist unklar")
+    assert len(ms) == 1 and not ms[0]["uncertain"]
+
+
+def test_separable_verb_in_main_and_dependent_clauses(spark):  # ref :444
+    ms = _de(spark, ["Jemand schließt eine Versicherung ab"],
+             "Der Mitarbeiter hatte vor, eine Versicherung abzuschließen.")
+    assert len(ms) == 1
+
+
+def test_uncertain_subword_match_with_or_conjunction(spark):  # ref :954
+    ms = _de(spark, ["Extraktion der Information"],
+             "Informationsinteressen oder -extraktion")
+    assert len(ms) == 1 and ms[0]["uncertain"]
+
+
+def test_derivation_matching_with_subwords(spark):  # ref :992
+    ms = _de(spark, ["Knochenmark wird extrahiert"],
+             "Knochenmarkextraktion")
+    assert len(ms) == 1
+
+
+def test_matching_across_non_reported_subword(spark):  # ref :1072
+    # 'Messerleininformation' splits messer+information — the
+    # diminutive 'lein' is consumed but never reported (reference
+    # non_recorded_subword_list, de language_specific_rules.py:328)
+    ms = _de(spark, ["Information eines Messers"],
+             "Messerleininformation")
+    assert len(ms) == 1
+
+
+def test_ontology_update_problem_solved(spark):  # ref :1108
+    # benötigen ≡ brauchen in the DE test ontology
+    # (reference tests/de/test_ontology.owl:107-111)
+    m = SparkHolmesManager(
+        spark, ontology=[("benötigen", "equivalentClass", "brauchen")])
+    m.register_search_phrase("Jemand benötigt ein Auto", lang="de")
+    m.parse_and_register_document("Jemand braucht ein Auto", "d", lang="de")
+    assert len(m.match()) == 1
+
+
+# ------- embedding gates (refs :558-:1098; deterministic DE vectors
+# stand in for de_core_news_lg, same relative geometry)
+
+DE_VECTORS = {
+    "hund": [1.0, 0.0, 0.0],
+    "katze": [0.8, 0.6, 0.0],        # cos(hund, katze) = 0.8
+    "blau": [0.0, 1.0, 0.0],
+    "grün": [0.0, 0.8, 0.6],         # cos(blau, grün) = 0.8
+    "könig": [0.0, 0.0, 1.0],
+    "prinz": [0.6, 0.0, 0.8],        # cos(könig, prinz) = 0.8
+    "erholung": [0.6, 0.8, 0.0],
+    # kur ≈ erholung by vector — but 'Kur' has only 3 chars, below the
+    # DE minimum_embedding_match_word_length of 4
+    # (de language_specific_rules.py:1579), so the pair NEVER
+    # embedding-matches
+    "kur": [0.6, 0.8, 0.0],
+    # identical vectors — but VERB pos is outside
+    # permissible_embedding_pos (de language_specific_rules.py:1575)
+    "herabfallen": [0.5, 0.5, 0.7071],
+    "hervorkommen": [0.5, 0.5, 0.7071],
+}
+
+
+def _de_emb(spark, phrases, doc):
+    # mirrors the reference's holmes_manager_with_embeddings
+    # (test_structural_matching_DE.py:55-60): overall 0.7, root-word
+    # embedding matching on, coreference off
+    m = SparkHolmesManager(spark, ontology=[], vectors=DE_VECTORS,
+                           overall_similarity_threshold=0.7,
+                           embedding_based_matching_on_root_words=True,
+                           perform_coreference_resolution=False)
+    for p in phrases:
+        m.register_search_phrase(p, lang="de")
+    m.parse_and_register_document(doc, "d", lang="de")
+    return m.match()
+
+
+def test_german_embeddings(spark):  # ref :558
+    ms = _de_emb(spark, ["Ein Mann sieht einen großen Hund"],
+                 "Der Mann sah eine große Katze")
+    assert len(ms) == 1
+    wm = {w["sp_word"]: w for w in ms[0]["word_matches"]}
+    assert wm["hund"]["match_type"] == "embedding"
+
+
+def test_german_embeddings_inflected_adjective(spark):  # ref :563
+    ms = _de_emb(spark, ["Der Himmel ist grün"],
+                 "Ich wohne im blauen Himmel")
+    assert len(ms) == 1
+    wm = {w["sp_word"]: w for w in ms[0]["word_matches"]}
+    assert wm["grün"]["match_type"] == "embedding"
+
+
+def test_embedding_match_on_root_subword(spark):  # ref :960
+    ms = _de_emb(spark, ["Der König einer Stadt"], "Stadtprinz")
+    assert len(ms) == 1
+    doc_words = sorted(w["doc_word"] for w in ms[0]["word_matches"])
+    assert doc_words == ["prinz", "stadt"]
+
+
+def test_embedding_match_on_non_root_subword(spark):  # ref :967
+    ms = _de_emb(spark, ["Die Abdankung eines Königs"],
+                 "Die Prinzenabdankung")
+    assert len(ms) == 1
+    doc_words = sorted(w["doc_word"] for w in ms[0]["word_matches"])
+    assert doc_words == ["abdankung", "prinz"]
+
+
+def test_no_embedding_match_word_too_short(spark):  # ref :1077
+    # kur ≈ erholung by vector, but 'Kur' < 4 chars: only the direct
+    # SP matches
+    ms = _de_emb(spark, ["Erholung", "Jemand geht auf eine Kur"],
+                 "Sie ging auf eine Erholung")
+    assert len(ms) == 1
+    assert ms[0]["search_phrase_label"] == "Erholung"
+
+
+def test_no_embedding_match_word_too_short_control(spark):  # ref :1083
+    ms = _de_emb(spark, ["Erholung", "Jemand geht auf eine Kur"],
+                 "Sie ging auf eine Kur")
+    assert len(ms) == 1
+    assert ms[0]["search_phrase_label"] == "Jemand geht auf eine Kur"
+
+
+def test_no_embedding_wrong_pos(spark):  # ref :1088
+    # identical vectors, but VERB is not a permissible embedding pos
+    assert _de_emb(spark, ["herabfallen"], "hervorkommen") == []
+
+
+def test_no_embedding_subword_too_short(spark):  # ref :1093
+    # the subword 'kur' inside Kurinteresse is below the 4-char DE
+    # minimum — subword permission gates on lemma length
+    # (reference parsing.py:2880-2881)
+    assert _de_emb(spark, ["Erholung"], "Kurinteresse") == []
+
+
+def test_no_embedding_search_phrase_word_too_short(spark):  # ref :1098
+    ms = _de_emb(spark, ["Jemand geht auf eine Kur"],
+                 "Jemand geht auf eine Kur")
+    assert len(ms) == 1
