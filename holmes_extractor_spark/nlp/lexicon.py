@@ -237,7 +237,9 @@ ADJECTIVES_DE = {"reich", "reiche", "reicher", "reichen", "arm", "arme",
                  "zweite", "zweiten", "großes", "großer", "kleiner",
                  "kleines", "müden", "müder",
                  # DE structural-suite round-5 ports
-                 "blau", "blaue", "blauen", "unklar", "anderes"}
+                 "blau", "blaue", "blauen", "unklar", "anderes",
+                 # DE semantics-suite vocabulary
+                 "froh", "tot", "zuversichtlich"}
 
 ADVERBS_DE = {"schnell", "langsam", "heute", "gestern", "morgen", "hier",
               "dort", "jetzt", "immer", "oft", "bald", "gern", "sehr",
@@ -268,6 +270,11 @@ VERB_LEMMAS_DE = {
     "folgen", "versuchen", "erklären", "wollen",
     # DE structural-suite round-5 ports (embedding pos-gate controls)
     "zurücktreten", "herabfallen", "hervorkommen",
+    # DE semantics-suite zu-complement battery (reference
+    # tests/de/test_semantics_DE.py:399-577)
+    "überlegen", "bitten", "aufnehmen", "vorschlagen", "schlagen",
+    "schreien", "nachdenken", "benutzen", "entschließen",
+    "verstehen", "begreifen", "erreichen", "bekommen", "erzählen",
 }
 
 NUMBER_WORDS_DE = {"null", "eins", "zwei", "drei", "vier", "fünf",
@@ -304,6 +311,10 @@ NOUN_LEXICON_DE = {
     # DE structural-suite round-5 ports (reference
     # tests/de/test_structural_matching_DE.py:439-1108)
     "himmel", "erholung", "kur", "abdankung", "mitarbeiter", "satz",
+    # DE semantics-suite vocabulary (reference
+    # tests/de/test_semantics_DE.py)
+    "bär", "makler", "situation", "abschluss", "vertrag",
+    "aufrechterhaltung", "party",
 }
 
 # nouns denoting persons (who/wer question gating, coref compatibility)
@@ -363,6 +374,10 @@ COMPOUND_PARTS_DE = {
     # round-5 ports: Stadtprinz, Prinzenabdankung, Kurinteresse
     # (reference tests/de/test_structural_matching_DE.py:960-1093)
     "kur", "abdankung",
+    # DE question-suite subword cases (Informationsbetrachtung,
+    # Extraktionslöwe, Informationskatze — reference
+    # tests/de/test_questions_DE.py:35-65)
+    "betrachtung", "löwe",
     # 'Knochenmarkextraktion' splits knochenmark|extraktion (2 parts
     # beat knochen|mark|extraktion on the short-part penalty), so the
     # sp 'Knochenmark wird extrahiert' matches at the compound part

@@ -402,7 +402,15 @@ def _tag_de(toks: list[Tok]) -> None:
                     and any(t2.text.lower() in L.MODALS_DE
                             or t2.text.lower() in ("wird", "werden",
                                                    "wirst", "werdet")
-                            for t2 in toks[:j])):
+                            for t2 in toks[:j])
+                    # …but "wird die Katze GEJAGT haben" is the future
+                    # PERFECT: a participle before clause-final 'haben'
+                    # makes it the tense auxiliary again (reference de
+                    # test_semantics :161-170 — doc[6] '-6:None',
+                    # unmatchable)
+                    and not any(t2.pos == "VERB"
+                                and _is_participle(t2.text)
+                                for t2 in toks[:j])):
                 t.pos = "VERB"
             else:
                 t.pos = "AUX"
@@ -635,6 +643,12 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
             if toks[k].text != ",":
                 continue
             tail = toks[k + 1:]
+            while tail and tail[-1].pos == "PUNCT":
+                # "Richard war froh, es zu verstehen." — the sentence
+                # period sits after the infinitive (ref :626-630)
+                tail[-1].dep = "punct"
+                tail[-1].head = toks[k - 1].i
+                tail = tail[:-1]
             if len(tail) < 2 or tail[-2].text.lower() != "zu" \
                     or tail[-1].pos not in ("VERB", "AUX"):
                 continue
@@ -659,10 +673,52 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
                       "label": "xcomp", "uncertain": False,
                       "coref": False, "prep": None, "mention": False}]
             subj_lbl = "nsubjpass" if passive_inf else "nsubj"
-            for d in main_deps:
-                if d["parent"] == main_root.i \
-                        and d["label"] in ("nsubj", "nsubjpass"):
-                    extra.append({"parent": content.i, "child": d["child"],
+            # object control: "bat DEN HUND, eine Katze zu jagen" /
+            # "schlug DEM HUND vor, …" — a matrix accusative/dative
+            # object controls the complement; um-zu purpose clauses
+            # and objectless matrices fall back to subject control
+            # (reference de test_semantics :427-461)
+            um_clause = tail[0].text.lower() == "um"
+            by_i = {t2.i: t2 for t2 in toks}
+            _DA_ADVERBS = {"darüber", "darauf", "davon", "daran",
+                           "darum", "dazu", "dabei", "danach", "davor",
+                           "dadurch", "darin", "damit", "darunter"}
+            ctrl = [d for d in main_deps
+                    if d["parent"] == main_root.i
+                    and d["label"] in ("dobj", "dative")
+                    and by_i[d["child"]].text.lower() != "sich"
+                    # pronominal adverbs ("dachte DARÜBER nach, …")
+                    # are clause placeholders, not controllers — the
+                    # matrix subject controls (ref :462-466 '1:oa(U)')
+                    and by_i[d["child"]].text.lower() not in _DA_ADVERBS
+                    and by_i[d["child"]].pos in ("NOUN", "PROPN",
+                                                 "PRON")]
+            if um_clause or not ctrl:
+                ctrl = [d for d in main_deps
+                        if d["parent"] == main_root.i
+                        and d["label"] in ("nsubj", "nsubjpass")]
+            for d in ctrl:
+                extra.append({"parent": content.i, "child": d["child"],
+                              "label": subj_lbl, "uncertain": True,
+                              "coref": False, "prep": None,
+                              "mention": False})
+            # conjoined infinitives ("…, zu singen UND ZU SCHREIEN"):
+            # every zu-governed verb in the tail is a complement
+            # conjunct sharing the controllers (reference de
+            # test_semantics :547-577)
+            co_infs = [t2 for t2 in tail[:-2]
+                       if t2 is not content and t2.pos == "VERB"
+                       and t2.i > 0
+                       and toks[t2.i - 1].text.lower() == "zu"]
+            for t2 in co_infs:
+                t2.dep = "xcomp"
+                t2.head = main_root.i
+                extra.append({"parent": main_root.i, "child": t2.i,
+                              "label": "xcomp", "uncertain": False,
+                              "coref": False, "prep": None,
+                              "mention": False})
+                for d in ctrl:
+                    extra.append({"parent": t2.i, "child": d["child"],
                                   "label": subj_lbl, "uncertain": True,
                                   "coref": False, "prep": None,
                                   "mention": False})
@@ -674,6 +730,16 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
                 if ht.pos not in ("NOUN", "PROPN"):
                     continue
                 prev_t = inner[s2 - 1] if s2 > 0 else None
+                if prev_t is not None and prev_t.pos == "ADP" \
+                        and prev_t.text.lower() == "um" \
+                        and prev_t is tail[0]:
+                    # clause-initial 'um' is the purpose marker, not a
+                    # preposition over the NP ("um EINE KATZE zu
+                    # jagen" — Katze is the oa, reference de
+                    # test_semantics :450-461)
+                    prev_t.dep = "mark"
+                    prev_t.head = content.i
+                    prev_t = None
                 if prev_t is not None and prev_t.pos == "ADP":
                     pw3 = prev_t.text.lower()
                     prev_t.dep = ("agent" if passive_inf
@@ -688,6 +754,20 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
                                             else "pobjp"),
                                   "uncertain": True, "coref": False,
                                   "prep": pw3, "mention": False})
+                elif (prev_t is not None and prev_t.pos == "CCONJ"
+                      and extra and extra[-1]["label"] in ("pobjb",
+                                                           "pobjp")):
+                    # conjunct inside a PP ("vom Hund UND LÖWEN
+                    # gejagt zu werden"): the second NP shares the
+                    # preposition's label (reference de test_semantics
+                    # :505-521 — '9:sb; 11:sb')
+                    ht.dep = "pobj"
+                    ht.head = extra[-1]["child"]
+                    extra.append({"parent": content.i, "child": ht.i,
+                                  "label": extra[-1]["label"],
+                                  "uncertain": True, "coref": False,
+                                  "prep": extra[-1]["prep"],
+                                  "mention": False})
                 else:
                     ht.dep = "dobj"
                     ht.head = content.i
@@ -702,6 +782,66 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
             toks[k].dep = "punct"
             toks[k].head = content.i
             return main_deps + extra
+
+    # --- German relative PREPOSITIONAL phrase ("Der Tisch, VON
+    # WELCHEM wir aßen."): comma + preposition + welch-/denen-pronoun;
+    # the antecedent is the relative verb's prepositional dependent
+    # (reference de test_semantics :737-755)
+    if lang == "de":
+        for k in range(2, n - 2):
+            if toks[k - 1].text != "," or toks[k].pos != "ADP" \
+                    or toks[k + 1].text.lower() not in (
+                        "welchem", "welcher", "welchen", "denen"):
+                continue
+            ante = k - 2
+            if toks[ante].pos not in ("NOUN", "PROPN"):
+                continue
+            close = next((e for e in range(k + 2, n)
+                          if toks[e].text == ","), n)
+            interior = [t2 for t2 in toks[k + 2: close]
+                        if t2.pos != "PUNCT"]
+            if not any(t2.pos == "VERB" for t2 in interior):
+                continue
+            main_part = toks[:k - 1] + (toks[close + 1:]
+                                        if close < n else [])
+            main_deps = _parse_sentence(main_part, lang) \
+                if main_part else []
+            sub_deps = _parse_sentence(interior, lang)
+            sub_root = next((t2 for t2 in interior if t2.dep == "ROOT"),
+                            interior[0])
+            at = toks[ante]
+            pw = toks[k].text.lower()
+            toks[k].dep = "prep"
+            toks[k].head = sub_root.i
+            toks[k + 1].dep = "relpron"
+            toks[k + 1].head = toks[k].i
+            extra2 = [{"parent": sub_root.i, "child": at.i,
+                       "label": "pobjo" if pw in ("von", "vom")
+                       else "pobjp",
+                       "uncertain": False, "coref": False,
+                       "prep": pw, "mention": False}]
+            _anchor2 = next((t2 for t2 in toks
+                             if at.i in t2.righthand_siblings), None)
+            for m in ([] if _anchor2 is None else
+                      [_anchor2.i] + [s2 for s2 in
+                                      _anchor2.righthand_siblings
+                                      if s2 != at.i]):
+                extra2.append({**extra2[0], "child": m,
+                               "uncertain": True})
+            # conjoined relative verbs share the dependent (sibling
+            # copy distributes the rest)
+            rs = next((t2 for t2 in interior
+                       if t2.dep == "ROOT"), None)
+            if rs is not None:
+                for s2 in rs.righthand_siblings:
+                    for d0 in list(extra2):
+                        if d0["parent"] == sub_root.i:
+                            extra2.append({**d0, "parent": s2})
+            for t2 in toks:
+                if t2.dep == "":
+                    t2.dep = "punct" if t2.pos == "PUNCT" else "dep"
+                    t2.head = sub_root.i
+            return main_deps + sub_deps + extra2
 
     if lang == "de":
         for k in range(2, n - 1):
@@ -724,6 +864,17 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
             main_deps = _parse_sentence(toks[:k - 1] + toks[close + 1:],
                                         lang)
             at = toks[ante]
+            # conjoined antecedents ("Der Hund, der Elefant und der
+            # Bär, die …"): the pronoun binds the LAST conjunct
+            # certainly; the earlier conjuncts receive uncertain
+            # copies of its role deps (reference de test_semantics
+            # :336-350 — '1:sb(U); 4:sb(U); 7:sb')
+            _anchor = next((t2 for t2 in toks
+                            if at.i in t2.righthand_siblings), None)
+            co_antes = ([] if _anchor is None else
+                        [_anchor.i] + [s2 for s2 in
+                                       _anchor.righthand_siblings
+                                       if s2 != at.i])
             extra: list[dict] = []
             if rw in ("den", "dem"):
                 # accusative/dative pronoun: the interior's own NP is
@@ -737,6 +888,12 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
                               "label": "dobj" if rw == "den" else "dative",
                               "uncertain": False, "coref": False,
                               "prep": None, "mention": False})
+                for m in co_antes:
+                    extra.append({"parent": sub_root.i, "child": m,
+                                  "label": ("dobj" if rw == "den"
+                                            else "dative"),
+                                  "uncertain": True, "coref": False,
+                                  "prep": None, "mention": False})
             else:
                 # nominative pronoun parses as the clause subject, then
                 # every dep of the pronoun is re-addressed to the
@@ -750,6 +907,11 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
                     d = dict(d)
                     if d["child"] == toks[k].i:
                         d["child"] = at.i
+                        for m in co_antes:
+                            c2 = dict(d)
+                            c2["child"] = m
+                            c2["uncertain"] = True
+                            remapped.append(c2)
                     if d["parent"] == toks[k].i:
                         d["parent"] = at.i
                     remapped.append(d)
@@ -1037,6 +1199,19 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
                           {"wird", "wurde", "wurden", "werden", "worden"}]
         if be_before and _is_participle(toks[root_local].text):
             passive = True
+        if passive and lang == "de":
+            # "wird … gejagt HABEN" is the ACTIVE future perfect, not
+            # a werden-passive (reference de test_semantics :161-170:
+            # '1:sb; 4:oa'): a bare haben-infinitive after the
+            # participle (with no werden/worden in between) flips the
+            # analysis back to active
+            for j2 in range(root_local + 1, n):
+                w2 = toks[j2].text.lower()
+                if w2 in ("werden", "worden"):
+                    break
+                if w2 == "haben" and toks[j2].pos in ("AUX", "VERB"):
+                    passive = False
+                    break
     root = toks[root_local]
     root.dep = "ROOT"
     root.head = root.i
@@ -1065,6 +1240,21 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
                     toks[lv].righthand_siblings.append(toks[rv].i)
                 if t.text.lower() in ("or", "oder"):
                     or_members.update({toks[lv].i, toks[rv].i})
+                continue
+            # verb conjoined after an object NP ("aß das Fleisch UND
+            # TRANK"): the right verb conjoins with the clause's last
+            # verb and shares only the SUBJECT (reference de
+            # test_semantics :757-760 — trank gets '1:sb' alone)
+            if lang == "de" and toks[j + 1].pos == "VERB" \
+                    and toks[j - 1].pos != "VERB" \
+                    and (j + 2 == n or toks[j + 2].pos == "PUNCT") \
+                    and any(v < j for v in verb_pos):
+                lv = max(v for v in verb_pos if v < j)
+                rv = j + 1
+                toks[rv].head = toks[lv].i
+                toks[rv].dep = "vconj_subj_only"
+                toks[j].head = toks[lv].i
+                toks[j].dep = "cc"
                 continue
             left = next((h for h in reversed(head_list) if h < j), None)
             right = next((h for h in head_list if h > j), None)
@@ -1387,13 +1577,36 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
                 # verb-final subordinate order ("dass EIN HUND EINE
                 # KATZE gejagt hatte"): first NP is the subject, the
                 # rest are objects — dative when the determiner is
-                # unambiguous (dem/einem), else accusative
-                subj_local = pre[0]
+                # unambiguous (dem/einem), else accusative.
+                # Determiner case can OVERRIDE linear order (reference
+                # de test_semantics :230-244 — "Die Katze wird DER
+                # HUND gejagt haben" is OVS: 'der' marks the
+                # nominative, 'den' the accusative):
+                def _det_of(h2):
+                    sp3 = next(((s3, e3) for (s3, e3, hh3) in nps
+                                if hh3 == h2), None)
+                    if sp3 is None or (
+                            sp3[0] > 0 and toks[sp3[0] - 1].pos == "ADP"):
+                        return None  # PP-governed: never a candidate
+                    return toks[sp3[0]].text.lower()
+                cand = [h2 for h2 in pre if _det_of(h2) is not None]
+                nom = [h2 for h2 in cand if _det_of(h2) == "der"]
+                acc = [h2 for h2 in cand if _det_of(h2) in ("den",
+                                                            "einen")]
+                if len(nom) == 1 and len(cand) >= 2:
+                    subj_local = nom[0]
+                elif len(acc) >= 1 and len(acc) < len(cand):
+                    subj_local = next(h2 for h2 in cand
+                                      if h2 not in acc)
+                else:
+                    subj_local = pre[0]
                 st = toks[subj_local]
                 st.head = root.i
                 st.dep = "nsubjpass" if passive else "nsubj"
                 add(root.i, st.i, st.dep)
-                for h in pre[1:]:
+                for h in pre:
+                    if h == subj_local:
+                        continue
                     span = next(((s, e) for (s, e, hh) in nps if hh == h),
                                 None)
                     # mid-field PP ("…, die VOM HUND gejagt wurde"):
@@ -1431,6 +1644,42 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
                     add(root.i, toks[h].i, lbl)
             else:
                 subj_local = pre[-1]
+                if lang == "de" and not passive and first_v in aux_pos \
+                        and root_local > first_v + 1 \
+                        and root_local in set(verb_pos):
+                    # OVS with case-marked mid-field subject ("Die
+                    # Katze wird DER HUND gejagt haben" / "DEN Hund
+                    # wird die Katze gejagt haben" — reference de
+                    # test_semantics :230-244: '1:oa; 4:sb'): an
+                    # unambiguous nominative in the mid-field, or an
+                    # unambiguous accusative in the Vorfeld, flips
+                    # the roles
+                    def _np_det(h2):
+                        sp3 = next(((s3, e3) for (s3, e3, hh3) in nps
+                                    if hh3 == h2), None)
+                        if sp3 is None or (sp3[0] > 0 and
+                                           toks[sp3[0] - 1].pos == "ADP"):
+                            return None
+                        return toks[sp3[0]].text.lower()
+                    mid = [h2 for h2 in np_heads
+                           if first_v < h2 < root_local
+                           and h2 not in conj_right
+                           and _np_det(h2) is not None]
+                    pdet = _np_det(subj_local)
+                    m_nom = [h2 for h2 in mid if _np_det(h2) == "der"]
+                    flip = None
+                    if len(m_nom) == 1 and pdet in ("die", "das",
+                                                    "den", "einen"):
+                        flip = m_nom[0]
+                    elif pdet in ("den", "einen") and len(mid) == 1:
+                        flip = mid[0]
+                    if flip is not None:
+                        fronted = subj_local
+                        subj_local = flip
+                        ft = toks[fronted]
+                        ft.head = root.i
+                        ft.dep = "dobj"
+                        add(root.i, ft.i, "dobj")
                 st = toks[subj_local]
                 st.head = root.i
                 st.dep = "nsubjpass" if passive else "nsubj"
@@ -2306,7 +2555,14 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
                             and by_i[k].head == ot.i), None)
                 if det is None:
                     continue
-                two_objects = len(objs) > 1 or others
+                # conjuncts of one object NP ("jagen der Hund UND DER
+                # HUND") are a single argument, not a double-object
+                # frame (reference ungrammatical-two-nominatives
+                # tolerance, de test_semantics :688-692)
+                sib = {s2 for t2 in toks for s2 in t2.righthand_siblings}
+                anchors = [o for o in objs if o["child"] not in sib]
+                two_objects = (len(anchors) > 1
+                               or [t2 for t2 in others if t2.i not in sib])
                 if det in _DAT_DETS or (det == "der" and two_objects):
                     d["label"] = "dative"
                     ot.dep = "dative"
@@ -2406,6 +2662,17 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
                             d["label"] = "nsubj"
                             toks[d["child"]].dep = "nsubj"
                             break
+
+    # a verb conjoined behind an object NP ("aß das Fleisch UND
+    # TRANK") shares only its partner's subject (reference de
+    # test_semantics :757-760)
+    for t2 in toks:
+        if t2.dep == "vconj_subj_only":
+            t2.dep = "conj"
+            for d in list(deps):
+                if d["parent"] == t2.head \
+                        and d["label"] in ("nsubj", "nsubjpass"):
+                    deps.append({**d, "parent": t2.i})
     return deps
 
 
@@ -2462,7 +2729,7 @@ def _split_compound_de(w: str) -> list[tuple[str, str, int]] | None:
             # inflection stays in the text with the base as lemma
             # ('bundes…' → text 'bundes', lemma 'bund'; reference
             # tests/de/test_semantics_DE.py:802-816, 922-940)
-            cands = [(surface, surface)]
+            cands = []
             if j < n and surface.endswith("s") and len(surface) >= 4:
                 # only the Fugen-S acts as a separator (the reference's
                 # subword scan handles Fugen-S specifically, de rules
@@ -2471,17 +2738,28 @@ def _split_compound_de(w: str) -> list[tuple[str, str, int]] | None:
                 # lemma 'bund', text 'bundes'). The subword text is the
                 # base without the s (reference subword.text 'widerruf'
                 # for 'Widerrufsbelehrung')
-                cands.append((surface[:-1], surface[:-1]))
+                # the stripped form must be a known part DIRECTLY —
+                # via the lemma fallback 'bunde(s)' would reach 'bund'
+                # and wrongly claim the s as a Fugen separator (text
+                # must stay 'bundes', ref de test_semantics :922-940)
+                cands.append((surface[:-1], surface[:-1], True))
+            # the raw surface comes AFTER the Fugen-S reading: lemma_de
+            # strips genitive 's' from compound parts, so the raw
+            # candidate would otherwise swallow the Fugen separator
+            # into the subword text ('widerrufs…' must report text
+            # 'widerruf', reference de test_semantics :802-816)
+            cands.append((surface, surface, False))
             # noun inflection anywhere ('gesetze' → gesetz): text keeps
             # the surface, the lemma is the base form
             for suf in ("es", "en", "e", "s", "n"):
                 if surface.endswith(suf) and len(surface) - len(suf) >= 3 \
                         and surface[: -len(suf)] in L.COMPOUND_PARTS_DE:
-                    cands.append((surface, surface[: -len(suf)]))
-            for txt, base in cands:
+                    cands.append((surface, surface[: -len(suf)], False))
+            for txt, base, direct_only in cands:
                 if base in L.COMPOUND_PARTS_DE \
                         or base in L.NON_RECORDED_SUBWORDS_DE \
-                        or lemma(base, "de") in L.COMPOUND_PARTS_DE:
+                        or (not direct_only
+                            and lemma(base, "de") in L.COMPOUND_PARTS_DE):
                     parts.append((txt, base, i))
                     rec(j, parts, penalty + piece_penalty(surface))
                     parts.pop()
@@ -3354,6 +3632,17 @@ def parse_document(text: str, lang: str,
                      and w in ("wird", "wurde", "wurden", "werden",
                                "worden")
                      and t.dep in ("aux", "auxpass"))
+            # German trailing perfect auxiliaries ("wird … gejagt
+            # HABEN", "… gejagt worden SEIN") are tense shells, never
+            # matchable (reference de test_semantics :161-208:
+            # '-6:None'/'-7:None' and is_matchable False)
+            and not (lang == "de" and t.pos == "AUX"
+                     and w in ("haben", "sein", "worden")
+                     and any(t2.pos == "VERB"
+                             and t2.sent_idx == t.sent_idx
+                             and t2.i < t.i
+                             and _is_participle(t2.text)
+                             for t2 in toks))
             # EN auxiliaries are unmatchable (reference en rules
             # :590-592: dep aux/auxpass → is_matchable False; 'He WAS
             # chasing' produces no word: be even in match-all mode,
@@ -3361,7 +3650,12 @@ def parse_document(text: str, lang: str,
             and not (lang == "en" and t.dep in ("aux", "auxpass"))
         )
         if t.pos in ("PRON", "DET", "ADV") and t.sent_idx == 0 \
-                and w in (L.INTERROGATIVES_EN | L.INTERROGATIVES_DE):
+                and w in (L.INTERROGATIVES_EN | L.INTERROGATIVES_DE
+                          # interrogative determiners ("Auf der Basis
+                          # WELCHER Information …?" — ref de
+                          # test_semantics :2189-2191)
+                          | {"welche", "welcher", "welches",
+                             "welchen", "welchem"}):
             # only the FIRST sentence carries initial question words
             # (reference set_initial_question_words walks
             # next(doc.sents) only, parsing.py:1170-1192)

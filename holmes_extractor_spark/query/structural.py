@@ -917,7 +917,11 @@ def _verify_doc(sp: dict, tokens: list[dict], deps: list[dict],
     # posting probe returns the exact Index the reference's reverse
     # dict stores (word_matching/direct.py:120-143: one entry per
     # token AND one per subword, borrowed subwords included)
-    for (rp, rsw) in sorted(set(root_candidates)):
+    # bare ints (whole-token candidates from older callers) normalize
+    # to (token, no-subword) pairs
+    _cands = {(c, -1) if isinstance(c, int) else tuple(c)
+              for c in root_candidates}
+    for (rp, rsw) in sorted(_cands):
         sols = rec(sp["root"], rp, rsw if rsw is not None and rsw >= 0
                    else None)
         if not sols:

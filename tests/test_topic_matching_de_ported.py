@@ -28,6 +28,8 @@ import pytest
 from holmes_extractor_spark.manager import SparkHolmesManager
 
 # transcribed from reference tests/de/test_ontology.owl
+from holmes_extractor_spark.fixtures import WORD_VECTORS_DE  # noqa: E402
+
 REF_ONTOLOGY_DE = [
     ("jagd", "equivalentClass", "jagen"),
     ("komputerlinguistik", "equivalentClass", "linguistik"),
@@ -45,7 +47,8 @@ def score(spark):
     # matching stays off (no deterministic DE vector fixture — see
     # module docstring)
     def _score(query, doc, **kw):
-        m = SparkHolmesManager(spark, ontology=REF_ONTOLOGY_DE)
+        m = SparkHolmesManager(spark, ontology=REF_ONTOLOGY_DE,
+                               vectors=WORD_VECTORS_DE)
         m.parse_and_register_document(doc, "d", lang="de")
         tms = m.topic_match_documents_against(
             query, lang="de", relation_score=20,
@@ -193,3 +196,38 @@ def test_no_error(spark):  # ref :461
     m.parse_and_register_document(
         "Ein Krankenhaus für demenzkranke Menschen", "", lang="de")
     m.topic_match_documents_against("Mein Kind ist krank", lang="de")
+
+
+# (ref line, query, document, expected) — the reverse-only embedding
+# battery (reference :53-124): word_embedding_match_threshold=0.42 over
+# the deterministic WORD_VECTORS_DE fixture (dach≈haus 0.64,
+# könig≈präsident 0.48 — band-engineered, see fixtures.py)
+EMBEDDING_CASES = [
+    (53, 'Der Esel hat ein Dach', 'Der Esel hat ein Dach', 68),
+    (57, 'Der Esel hat ein Dach', 'Der Esel hat ein Haus', 48),
+    (61, 'Der Esel hat ein Dach', 'Der Esel wird ein Dach haben', 69),
+    (65, 'Der Esel hat ein Dach', 'Der Esel wird ein Haus haben', 47),
+    (69, 'Der Esel hat ein Dach', 'Der Esel soll ein Dach haben', 69),
+    (73, 'Der Esel hat ein Dach', 'Der Esel soll ein Haus haben', 47),
+    (77, 'Der Esel macht ein Dach', 'Der Esel macht ein Dach', 68),
+    (81, 'Der Esel macht ein Dach', 'Der Esel macht ein Haus', 48),
+    (85, 'Der Esel malt ein Dach an', 'Der Esel malt ein Dach an', 82),
+    (89, 'Der Esel malt ein Dach an', 'Der Esel malt eine Maus an', 34),
+    (93, 'Ein Präsident ist ein Politiker',
+     'Ein Präsident ist ein Politiker', 68),
+    (97, 'Ein Präsident ist ein Politiker',
+     'Ein Politiker ist ein Präsident', 24),
+    (101, 'Ein Präsident wird ein Politiker',
+     'Ein Präsident wird ein Politiker', 68),
+    (109, 'Ein Esel hat ein Dach', 'Ein Esel hat ein Dach gesehen', 24),
+    (113, 'Ein König mit einem Land', 'Ein Präsident mit einem Land', 48),
+]
+
+
+@pytest.mark.parametrize("ref_line,query,doc,expected",
+                         EMBEDDING_CASES,
+                         ids=[f"emb{c[0]}" for c in EMBEDDING_CASES])
+def test_topic_embedding_case(score, ref_line, query, doc, expected):
+    scores = score(query, doc, word_embedding_match_threshold=0.42)
+    assert scores, f"ref :{ref_line}: no topic match"
+    assert int(scores[0]) == expected, f"ref :{ref_line}"
