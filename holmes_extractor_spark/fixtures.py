@@ -1175,6 +1175,8 @@ WORD_VECTORS_DE: dict[str, list[float]] = {
     # (ref :113-115) for cosine in (0.45, 0.505)
     "könig":     [1.00, 0.00, 0.00, 0.00],
     "präsident": [0.48, 0.8773, 0.00, 0.00],
+    # könig≈prinz for the subword embedding case (ref :257-266)
+    "prinz":     [0.70, 0.00, 0.7141, 0.00],
 }
 
 MAX_SNIPS = 5

@@ -2663,6 +2663,36 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
                             toks[d["child"]].dep = "nsubj"
                             break
 
+    # German fronted-object correction: a post-verbal NOMINATIVE-ONLY
+    # pronoun (man/ich/du/er/wir/ihr) is always the subject, so a
+    # pre-verbal full NP mis-assigned nsubj is the fronted object
+    # ("Welche Information betrachtet MAN?" — Information is the oa,
+    # reference tests/de/test_questions_DE.py:38-57)
+    if lang == "de":
+        _NOM_ONLY = {"ich", "du", "er", "wir", "ihr", "man"}
+        _by_i = {t2.i: t2 for t2 in toks}
+        for rt2 in toks:
+            if rt2.dep != "ROOT" or rt2.pos != "VERB":
+                continue
+            subj_d = [d for d in deps
+                      if d["parent"] == rt2.i and d["label"] == "nsubj"
+                      and d["child"] in _by_i]
+            obj_d = [d for d in deps
+                     if d["parent"] == rt2.i and d["label"] == "dobj"
+                     and d["child"] in _by_i
+                     and _by_i[d["child"]].pos == "PRON"
+                     and _by_i[d["child"]].text.lower() in _NOM_ONLY
+                     and d["child"] > rt2.i]
+            if (len(obj_d) == 1 and subj_d
+                    and all(_by_i[s["child"]].pos in ("NOUN", "PROPN")
+                            for s in subj_d)
+                    and all(s["child"] < rt2.i for s in subj_d)):
+                for s in subj_d:
+                    s["label"] = "dobj"
+                    _by_i[s["child"]].dep = "dobj"
+                obj_d[0]["label"] = "nsubj"
+                _by_i[obj_d[0]["child"]].dep = "nsubj"
+
     # a verb conjoined behind an object NP ("aß das Fleisch UND
     # TRANK") shares only its partner's subject (reference de
     # test_semantics :757-760)

@@ -37,6 +37,12 @@ from ..pipeline.phraselets import (ACTOR_TEMPLATES, REVERSE_ONLY_TEMPLATES,
                                    extract_candidate_edges,
                                    extract_word_phraselets)
 
+# answer_idxs carrying a SUBWORD answer are encoded as
+# SUB_ANSWER_BASE + token_index*1000 + subword_index (plain token
+# answers stay small non-negative ints; WH-adverb-promoted ones are
+# -(idx+1))
+SUB_ANSWER_BASE = 1_000_000_000
+
 DEFAULTS = dict(
     maximum_activation_distance=75,
     relation_score=300.0,
@@ -76,8 +82,13 @@ QUESTION_ANSWER_TEMPLATES = {
     "headprep-WH": ("prepgovernor-noun", "word-ofword",
                     "predicate-actor"),
     "headprepto-WH": ("predicate-recipient", "verb-dat"),
-    "head-WHnom": ("verb-nom", "predicate-actor"),
-    "head-WHacc": ("verb-acc", "predicate-patient"),
+    # DE question phraselets also reach inside compounds: 'Was
+    # betrachtet man?' answers with the INFORMATION subword of
+    # 'Informationsbetrachtung' (reference de
+    # tests/de/test_questions_DE.py:35-57 — wh pole ↔ intcompound in
+    # the de match-implication table, de rules :1612-1693)
+    "head-WHnom": ("verb-nom", "predicate-actor", "intcompound"),
+    "head-WHacc": ("verb-acc", "predicate-patient", "intcompound"),
     "head-WHdat": ("verb-dat", "predicate-recipient"),
 }
 
@@ -102,7 +113,13 @@ TOPIC_MATCH = T.StructType([
         # the matched DOCUMENT word (multiword-resolving); NULL for
         # entity-label matches, which span the token's entity multiword
         T.StructField("word", T.StringType()),
+        # compound-part index when the match hit a German SUBWORD —
+        # its char span narrows to the part (reference WordInfo spans
+        # subword extents, de tests :380-456)
+        T.StructField("subword_idx", T.IntegerType()),
     ]))),
+    # subword index of the activation peak (reference subword_index)
+    T.StructField("subword_index", T.IntegerType()),
     T.StructField("answer_idxs", T.ArrayType(T.IntegerType())),
 ])
 
@@ -154,7 +171,13 @@ def query_phraselets(query_text: str, lang: str = "en",
             while k >= 0 and toks[k]["pos"] in ("ADJ", "NUM"):
                 k -= 1
             return (k >= 0 and toks[k]["pos"] == "DET"
-                    and toks[k]["text"].lower() in ("which", "what"))
+                    and toks[k]["text"].lower() in (
+                        "which", "what",
+                        # DE governed interrogatives ("WELCHE
+                        # Information betrachtet man?", reference
+                        # tests/de/test_questions_DE.py:38-57)
+                        "welche", "welcher", "welches", "welchen",
+                        "welchem"))
 
         for p in rels:
             if _wh_governed(p["child_idx"]):
@@ -892,7 +915,10 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
                                  F.upper("wh_word"), F.lit("."))
                         .alias("c_expl"),
                         F.col("q_pred").alias("p_word"),
-                        child_w.alias("c_word"))
+                        child_w.alias("c_word"),
+                        # subword poles ride through so subword answers
+                        # resolve to compound-part char spans
+                        "parent_sub", "child_sub")
             )
             out = q_m if out is None else out.unionByName(q_m, allowMissingColumns=True)
     if word_ph:
@@ -1196,7 +1222,13 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
             .alias("c_expl"),
             "p_word",
             F.when(is_par, F.col("p_word")).otherwise(F.col("c_word"))
-            .alias("c_word")))
+            .alias("c_word"),
+            "parent_sub",
+            # the governed pole's subword index rides along so subword
+            # answers ('Welche Information' ↔ InformationsBETRACHTUNG)
+            # resolve to compound-part char spans
+            F.when(is_par, F.col("parent_sub"))
+            .otherwise(F.col("child_sub")).alias("child_sub")))
     if gov_word:
         g = out.filter(F.col("phraselet_label").isin(gov_word))
         extras.append(g.select(
@@ -1204,7 +1236,10 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
             F.lit("question_answer_word").alias("kind"),
             "position", "parent_idx", "child_idx", "penalty",
             "freq_factor", "matched", "p_expl", "c_expl", "p_word",
-            "c_word"))
+            "c_word",
+            # subword single-word answers keep their compound-part
+            # index so the span narrows to the part
+            *(["subword_idx"] if "subword_idx" in g.columns else [])))
     for e in extras:
         out = out.unionByName(e, allowMissingColumns=True)
     if chains is not None:
@@ -1284,8 +1319,11 @@ def _score_docs(params: dict):
         qaw_by_pos: dict[int, list[int]] = {}
         for r in ms:
             if r["kind"] == "question_answer_word":
+                ci = int(r.get("child_idx", r["position"]))
+                sw0 = r.get("subword_idx")
                 qaw_by_pos.setdefault(int(r["position"]), []).append(
-                    int(r.get("child_idx", r["position"])))
+                    SUB_ANSWER_BASE + ci * 1000 + int(sw0)
+                    if sw0 is not None and int(sw0) >= 0 else ci)
         ms = [r for r in ms if r["kind"] != "question_answer_word"]
 
         # --- German subword rules (reference topic_matching.py:
@@ -1383,6 +1421,12 @@ def _score_docs(params: dict):
                 "lbl": lbl, "pos": pos, "kind": kind, "overlap": overlap,
                 "p_idx": int(r.get("parent_idx", pos)),
                 "c_idx": int(r.get("child_idx", pos)),
+                "c_sub": (int(r["child_sub"])
+                          if r.get("child_sub") is not None else -1),
+                "p_sub": (int(r["parent_sub"])
+                          if r.get("parent_sub") is not None
+                          else int(r["subword_idx"])
+                          if r.get("subword_idx") is not None else -1),
                 "p_expl": r.get("p_expl"), "c_expl": r.get("c_expl"),
                 "p_word": r.get("p_word"), "c_word": r.get("c_word"),
                 "total": total,
@@ -1478,17 +1522,33 @@ def _score_docs(params: dict):
                     word = lbl.split(": ", 1)[-1]
                     ents = [(p_idx, "single", e["p_expl"]
                              or f"Matches {word.upper()} directly.",
-                             e["p_word"])]
+                             e["p_word"], e.get("p_sub", -1))]
                 else:
                     typ = "overlapping_relation" if overlap else "relation"
-                    ents = [(p_idx, typ, e["p_expl"], e["p_word"]),
-                            (c_idx, typ, e["c_expl"], e["c_word"])]
+                    ents = [(p_idx, typ, e["p_expl"], e["p_word"],
+                             e.get("p_sub", -1)),
+                            (c_idx, typ, e["c_expl"], e["c_word"],
+                             e.get("c_sub", -1))]
                     if kind == "question_answer":
-                        answers.add(-(c_idx + 1) if wh_adv else c_idx)
-                for (ti, typ, expl, word) in ents:
-                    cur = infos.get((ti, word))
+                        if e.get("c_sub", -1) >= 0:
+                            # subword answer ('Was betrachtet man?' →
+                            # the INFORMATION part of
+                            # Informationsbetrachtung): encoded as
+                            # SUB_ANSWER_BASE + token*1000 + subword;
+                            # resolved to the compound-prefix char
+                            # span downstream (reference de subword
+                            # answers, tests/de/test_questions_DE.py
+                            # :35-57)
+                            answers.add(SUB_ANSWER_BASE
+                                        + c_idx * 1000 + e["c_sub"])
+                        else:
+                            answers.add(-(c_idx + 1) if wh_adv
+                                        else c_idx)
+                for (ti, typ, expl, word, sub) in ents:
+                    cur = infos.get((ti, word, sub))
                     if cur is None:
-                        infos[(ti, word)] = [ti, typ, expl, word]
+                        infos[(ti, word, sub)] = [ti, typ, expl, word,
+                                                  sub]
                     elif type_rank[typ] > type_rank[cur[1]]:
                         cur[1] = typ  # keep first explanation
             for p2 in {e2["pos"] for e2 in cluster}:
@@ -1502,10 +1562,15 @@ def _score_docs(params: dict):
                         "n_matches": hi - lo + 1,
                         "word_infos": [
                             {"token_idx": v[0], "type": v[1],
-                             "explanation": v[2], "word": v[3]}
+                             "explanation": v[2], "word": v[3],
+                             "subword_idx": (v[4] if v[4] >= 0
+                                             else None)}
                             for k, v in sorted(infos.items(),
                                                key=lambda kv: (kv[0][0],
                                                                kv[0][1] or ""))],
+                        "subword_index": (peak.get("p_sub", -1)
+                                          if peak.get("p_sub", -1) >= 0
+                                          else None),
                         "answer_idxs": sorted(answers)})
         return out
     return score_one
@@ -1610,9 +1675,21 @@ def with_passage_text(topic_df: DataFrame, docs: DataFrame,
     def wi_resolved(w, i):
         idxs = _wi_token_idxs(w)
         lo, hi = F.array_min(idxs), F.array_max(idxs)
+        # subword match: span only the compound part, against the
+        # token that physically CONTAINS it (borrowed subwords of
+        # hyphenated conjuncts live in their neighbour's surface —
+        # reference WordInfo subword spans, de topic dict tests
+        # :380-456)
+        sub = F.element_at(tok(w["token_idx"])["subwords"],
+                           w["subword_idx"] + 1)
+        host = F.coalesce(sub["containing_i"], w["token_idx"])
+        sub_s = rel_start(host) + sub["char_start"]
+        is_sub = w["subword_idx"].isNotNull() & sub.isNotNull()
         return F.struct(
-            rel_start(lo).alias("s"),
-            (rel_start(hi) + F.length(tok(hi)["text"])).alias("e"),
+            F.when(is_sub, sub_s).otherwise(rel_start(lo)).alias("s"),
+            F.when(is_sub, sub_s + F.length(sub["text"]))
+            .otherwise(rel_start(hi) + F.length(tok(hi)["text"]))
+            .alias("e"),
             w["type"].alias("type"),
             w["explanation"].alias("explanation"),
             i.alias("i"))
@@ -1629,8 +1706,19 @@ def with_passage_text(topic_df: DataFrame, docs: DataFrame,
                   | ((_wi_type_rank(o["type"]) == _wi_type_rank(w["type"]))
                      & (o["i"] < w["i"])))))
 
-    pk_s = rel_start(F.col("index_within_document"))
-    pk_e = pk_s + F.length(tok(F.col("index_within_document"))["text"])
+    _pk_sub = F.element_at(tok(F.col("index_within_document"))["subwords"],
+                           F.col("subword_index") + 1)
+    _pk_on_sub = F.col("subword_index").isNotNull() & _pk_sub.isNotNull()
+    pk_s = F.when(
+        _pk_on_sub,
+        rel_start(F.coalesce(_pk_sub["containing_i"],
+                             F.col("index_within_document")))
+        + _pk_sub["char_start"]
+    ).otherwise(rel_start(F.col("index_within_document")))
+    pk_e = F.when(
+        _pk_on_sub, pk_s + F.length(_pk_sub["text"])
+    ).otherwise(pk_s
+                + F.length(tok(F.col("index_within_document"))["text"]))
 
     def pk_contains(w):
         return (w["s"] <= pk_s) & (w["e"] >= pk_e)
@@ -1666,22 +1754,32 @@ def with_passage_text(topic_df: DataFrame, docs: DataFrame,
         # expands with its root's righthand siblings, preserving the
         # WH-adverb promotion encoding
         .withColumn("answer_idxs", F.array_distinct(F.flatten(F.transform(
-            "answer_idxs", lambda enc: F.concat(
-                F.array(enc),
-                F.transform(
-                    tok(F.when(enc < 0, -enc - 1).otherwise(enc))
-                    ["righthand_siblings"],
-                    lambda s: F.when(enc < 0, -(s + 1)).otherwise(s)))))))
+            "answer_idxs", lambda enc: F.when(
+                enc >= SUB_ANSWER_BASE, F.array(enc)).otherwise(F.concat(
+                    F.array(enc),
+                    F.transform(
+                        tok(F.when(enc < 0, -enc - 1).otherwise(enc))
+                        ["righthand_siblings"],
+                        lambda s: F.when(enc < 0, -(s + 1)).otherwise(s))))))))
         .withColumn("_answers", F.transform(
-            "answer_idxs", lambda enc: F.struct(
-                rel_start(_ans_lo(enc)).alias("relative_start_index"),
-                (rel_start(_ans_hi(enc)) + F.length(tok(_ans_hi(enc))["text"])
-                 ).alias("relative_end_index"),
-                F.substring(
-                    F.col("_doc_text"), tok(_ans_lo(enc))["char_start"] + 1,
-                    tok(_ans_hi(enc))["char_start"]
-                    + F.length(tok(_ans_hi(enc))["text"])
-                    - tok(_ans_lo(enc))["char_start"]).alias("text"))))
+            "answer_idxs", lambda enc: F.when(
+                enc >= SUB_ANSWER_BASE,
+                # subword answer: span from the compound's first
+                # subword through the MATCHED subword's end
+                # ('Extraktionsinformationsbetrachtung' answering
+                # 'Welche Information' spans 'Extraktionsinformation',
+                # reference tests/de/test_questions_DE.py:44-47)
+                _sub_answer(tok, rel_start, enc)).otherwise(F.struct(
+                    rel_start(_ans_lo(enc)).alias("relative_start_index"),
+                    (rel_start(_ans_hi(enc))
+                     + F.length(tok(_ans_hi(enc))["text"])
+                     ).alias("relative_end_index"),
+                    F.substring(
+                        F.col("_doc_text"),
+                        tok(_ans_lo(enc))["char_start"] + 1,
+                        tok(_ans_hi(enc))["char_start"]
+                        + F.length(tok(_ans_hi(enc))["text"])
+                        - tok(_ans_lo(enc))["char_start"]).alias("text")))))
         # drop answers contained within longer answers (reference
         # topic_matching.py:1429-1453)
         .withColumn("answers", F.array_sort(F.filter(
@@ -1780,6 +1878,26 @@ def _ans_members(enc):
                 & ~((enc >= 0) & (t["pos"] == "ADP")))
 
     return F.filter(F.col("tokens"), hits)
+
+
+def _sub_answer(tok, rel_start, enc):
+    """Char span of a subword answer: from the owning token's first
+    subword to the matched subword's end (both offsets are relative to
+    the token surface)."""
+    ti = F.floor((enc - SUB_ANSWER_BASE) / 1000).cast("int")
+    si = (enc - SUB_ANSWER_BASE) % 1000
+    t = tok(ti)
+    first = F.element_at(t["subwords"], 1)
+    hit = F.element_at(t["subwords"], (si + 1).cast("int"))
+    s = rel_start(ti) + first["char_start"]
+    e = (rel_start(ti) + hit["char_start"] + F.length(hit["text"]))
+    return F.struct(
+        s.alias("relative_start_index"),
+        e.alias("relative_end_index"),
+        F.substring(F.col("_doc_text"),
+                    t["char_start"] + first["char_start"] + 1,
+                    hit["char_start"] + F.length(hit["text"])
+                    - first["char_start"]).alias("text"))
 
 
 def _ans_lo(idx):
@@ -1984,5 +2102,5 @@ def topic_match(spark: SparkSession, edges: DataFrame, words: DataFrame,
         "tied", (F.lag("score").over(w).isNotNull()
                  & (F.col("score") / F.lag("score").over(w) > params["tied_result_quotient"])))
     return top.select("rank", "url", "start_idx", "end_idx",
-                      "index_within_document", "score", "n_matches",
-                      "tied", "word_infos", "answer_idxs")
+                      "index_within_document", "subword_index", "score",
+                      "n_matches", "tied", "word_infos", "answer_idxs")

@@ -12,18 +12,19 @@ compounds, wann over temporal preps/nouns/adverbs and wenn-clauses,
 wie over mit/adverbs/indem-clauses, woher/warum over wegen and
 weil/damit-clauses, and German OVS questions ('Wen sah das Gebäude?').
 
+Round 5 added the subword question battery (ref :35-65 — WH poles
+match into compound parts via intcompound, governed welch-
+interrogatives answer with the compound-part char span, and the
+fronted-object/nominative-'man' correction fixes the OVS parses) and
+the wen positive case (ref :82 — the reference records 54 or 104 as
+model-dependent; ours deterministically lands on 104).
+
 NOT ported (documented gaps):
-- subword question cases (ref :35-65: 'Was betrachtet man?' matching
-  INTO 'Informationsbetrachtung' compounds + governed interrogatives
-  over subwords) — question matching into compound parts is not yet
-  modeled
-- the embedding-gated case (ref :58-63, Hund≈Katze cosines)
+- the embedding-gated subword case (ref :58-63, Hund≈Katze cosines
+  through a compound — needs a dach/haus-style band-engineered pair
+  for katze inside Informationskatze)
 - 'Das ist ein Haus' full-dict case (ref :66-69, demonstrative-subject
   copula parse)
-- wen positive case (ref :82-85): reference itself records two
-  admissible scores (54 or 104, spaCy-version-dependent); ours gives a
-  third decomposition — the unanswered/wrong-syntax controls ARE
-  ported
 """
 
 from __future__ import annotations
@@ -127,3 +128,39 @@ def test_question_word_is_not_treated_as_answer(check):  # ref :180
 def test_non_initial_question_word_is_not_treated_as_answer(check):  # ref :183
     check('Wohin geht der Mann?', 'Und wohin geht der Mann', 73,
           None, None)
+
+
+# subword question battery (reference :35-65) + wen positive (:82):
+# round-5 additions — WH poles reach inside compounds (intcompound),
+# governed welch- interrogatives answer with the compound-part span,
+# and the fronted-object/nominative-man correction fixes the parses
+SUBWORD_CASES = [
+    (35, 'Was betrachtet man?', 'Informationsbetrachtung',
+     45, 0, 11),
+    (38, 'Welche Information betrachtet man?', 'Informationsbetrachtung',
+     55, 0, 11),
+    (41, 'Die Information betrachtet man.', 'Informationsbetrachtung',
+     35, None, None),
+    (44, 'Welche Information betrachtet man?',
+     'Extraktionsinformationsbetrachtung', 55, 0, 22),
+    (48, 'Die Information betrachtet man.',
+     'Extraktionsinformationsbetrachtung', 35, None, None),
+    (52, 'Welchen Löwen betrachten wir.',
+     'Es gab einen Extraktionslöwen. Leute haben ihn betrachtet',
+     54, 13, 29),
+    (55, 'Den Löwen betrachten wir.',
+     'Es gab einen Extraktionslöwen. Leute haben ihn betrachtet',
+     34, None, None),
+    # ref :82 records alternative_highest_score=104 for the model the
+    # reference pins; our deterministic parse lands on that branch
+    (82, 'Wen sah das Gebäude?', 'Das Gebäude sah die Person',
+     104, 16, 26),
+]
+
+
+@pytest.mark.parametrize("ref_line,query,doc,expected,a_start,a_end",
+                         SUBWORD_CASES,
+                         ids=[f"sw{c[0]}" for c in SUBWORD_CASES])
+def test_question_subword_case(check, ref_line, query, doc, expected,
+                               a_start, a_end):
+    check(query, doc, expected, a_start, a_end)

@@ -231,3 +231,119 @@ def test_topic_embedding_case(score, ref_line, query, doc, expected):
     scores = score(query, doc, word_embedding_match_threshold=0.42)
     assert scores, f"ref :{ref_line}: no topic match"
     assert int(scores[0]) == expected, f"ref :{ref_line}"
+
+
+def test_double_match(score):  # ref :165
+    scores = score('vier Ochsen und sechs Ochsen', 'vier Ochsen',
+                   word_embedding_match_threshold=0.42)
+    assert int(scores[0]) == 34
+
+
+def test_embedding_matching_with_subwords(score):  # ref :257
+    scores = score('Eine Königsabdanken', 'Der Prinz dankte ab',
+                   word_embedding_match_threshold=0.42)
+    assert int(scores[0]) == 15
+
+
+def test_embedding_matching_with_subwords_control(score):  # ref :262
+    scores = score('Eine Königsabdanken', 'Der Prinz dankte ab')
+    assert int(scores[0]) == 5
+
+
+# ---- full-dict assertions at DEFAULT scores (reference :380-456);
+# the reference's word_infos rows are [start, end, type,
+# is_highest_activation, explanation]
+
+@pytest.fixture(scope="module")
+def dicts(spark):
+    def _dicts(query, doc):
+        m = SparkHolmesManager(spark)
+        m.parse_and_register_document(doc, "", lang="de")
+        return m.topic_match_documents_against(query, lang="de")
+    return _dicts
+
+
+def _wi(t):
+    return [[w["relative_start_index"], w["relative_end_index"],
+             w["type"], w["is_highest_activation"], w["explanation"]]
+            for w in t["word_infos"]]
+
+
+def test_disjunct_relation_mapping_within_subword_dictionaries(dicts):
+    # ref :380
+    t = dicts('Symphonie von Information und Entführung von Löwen',
+              'Informationssymphonieentführung von Löwen')[0]
+    assert t["score"] == pytest.approx(780.0)
+    assert t["index_within_document"] == 2
+    assert t.get("subword_index") is None
+    assert _wi(t) == [
+        [0, 11, 'relation', False, 'Matches INFORMATION directly.'],
+        [12, 21, 'relation', False, 'Matches SYMPHONIE directly.'],
+        [21, 31, 'relation', False, 'Matches ENTFÜHRUNG directly.'],
+        [36, 41, 'relation', True, 'Matches LÖWE directly.']]
+
+
+def test_overlapping_relation_mapping_within_subword_dictionaries(dicts):
+    # ref :391
+    t = dicts('Extraktion von Information und Löwen',
+              'Informationsextraktion von Löwen')[0]
+    assert t["score"] == pytest.approx(1023.3333333333334)
+    assert _wi(t) == [
+        [0, 11, 'overlapping_relation', False,
+         'Matches INFORMATION directly.'],
+        [12, 22, 'overlapping_relation', False,
+         'Matches EXTRAKTION directly.'],
+        [27, 32, 'overlapping_relation', True,
+         'Matches LÖWE directly.']]
+
+
+def test_subword_dictionaries_subword_is_not_peak(dicts):  # ref :402
+    t = dicts('Informationsnehmen der Löwen',
+              'Information und Löwen wurden genommen')[0]
+    assert t["score"] == pytest.approx(987.6)
+    assert t["index_within_document"] == 4
+    assert _wi(t) == [
+        [0, 11, 'overlapping_relation', False,
+         'Matches INFORMATION directly.'],
+        [16, 21, 'overlapping_relation', False,
+         'Matches LÖWE directly.'],
+        [29, 37, 'overlapping_relation', True,
+         'Matches NEHMEN directly.']]
+
+
+def test_subword_conjunction_within_dictionaries_single_word_hyphen_first_word(dicts):  # noqa: E501  ref :413
+    t = dicts('Extraktion', 'Informations- und Informationsextraktion')[0]
+    assert t["score"] == pytest.approx(50.0)
+    assert t["index_within_document"] == 2
+    assert t["subword_index"] == 1
+    assert _wi(t) == [[30, 40, 'single', True,
+                       'Matches EXTRAKTION directly.']]
+
+
+def test_subword_conjunction_within_dictionaries_single_word_hyphen_second_word(dicts):  # noqa: E501  ref :424
+    t = dicts('Information', 'Informationsextraktion und -extraktion')[0]
+    assert t["score"] == pytest.approx(50.0)
+    assert t["index_within_document"] == 0
+    assert t["subword_index"] == 0
+    assert _wi(t) == [[0, 11, 'single', True,
+                       'Matches INFORMATION directly.']]
+
+
+def test_subword_conjunction_within_dictionaries_relation_hyphen_first_word(dicts):  # noqa: E501  ref :435
+    t = dicts('Das Abdanken eines Königs', 'Ein Königs- und Prinzenabdanken')[0]
+    assert t["score"] == pytest.approx(390.6666666666667)
+    assert t["index_within_document"] == 3
+    assert t["subword_index"] == 1
+    assert _wi(t) == [
+        [4, 9, 'relation', False, 'Matches KÖNIG directly.'],
+        [23, 31, 'relation', True, 'Matches ABDANKEN directly.']]
+
+
+def test_subword_conjunction_within_dictionaries_relation_hyphen_second_word(dicts):  # noqa: E501  ref :446
+    t = dicts('Der Prinz eines Königs', 'Ein Königsabdanken und -prinz')[0]
+    assert t["score"] == pytest.approx(398.6666666666667)
+    assert t["index_within_document"] == 3
+    assert t["subword_index"] == 1
+    assert _wi(t) == [
+        [4, 9, 'relation', False, 'Matches KÖNIG directly.'],
+        [24, 29, 'relation', True, 'Matches PRINZ directly.']]
