@@ -17,6 +17,7 @@ from functools import lru_cache as _lru_cache
 
 # irregular surface form -> lemma (English)
 IRREGULAR_EN: dict[str, str] = {
+    "drank": "drink", "drunk": "drink",
     "was": "be", "were": "be", "is": "be", "are": "be", "am": "be",
     "been": "be", "being": "be",
     "did": "do", "does": "do", "done": "do", "doing": "do",
@@ -353,6 +354,10 @@ IRREGULAR_DE: dict[str, str] = {
     "geschrien": "schreien", "bären": "bär",
     "trank": "trinken", "tranken": "trinken",
     "getrunken": "trinken",
+    # DE classification-suite vocabulary (reference
+    # tests/de/test_supervised_topic_classification_DE.py)
+    "isst": "essen", "trägt": "tragen", "getragen": "tragen",
+    "trug": "tragen",
     "aufgenommen": "aufnehmen",
     # contracted prepositions lemmatize to the base preposition
     # (reference de test_semantics :367-371: doc[2] lemma 'zu')

@@ -38,13 +38,16 @@ MASC_PRONOUNS_EN = {"he", "him", "himself"}
 FEM_PRONOUNS_EN = {"she", "her", "herself"}
 
 AUX_LEMMAS_EN = {"be", "do", "have", "will", "would", "can", "could",
-                 "shall", "should", "may", "might", "must"}
+                 "shall", "should", "may", "might", "must", "ought"}
 
 BE_FORMS_EN = {"be", "am", "is", "are", "was", "were", "been", "being", "'s", "'re", "'m"}
 DO_FORMS_EN = {"do", "does", "did", "done", "doing"}
 HAVE_FORMS_EN = {"have", "has", "had", "having", "'ve"}
 MODALS_EN = {"will", "would", "can", "could", "shall", "should", "may",
-             "might", "must", "cannot", "'ll", "'d"}
+             "might", "must", "cannot", "'ll", "'d",
+             # "He OUGHT to do it" — aux like should (reference en
+             # test_semantics :450-453)
+             "ought"}
 
 PREPOSITIONS_EN = {
     "in", "on", "at", "by", "to", "of", "with", "from", "for", "about",
@@ -132,7 +135,7 @@ VERB_LEMMAS_EN = {
     "tell", "claim", "understand", "comprehend", "travel",
     "adopt", "demand", "meow", "scare", "shout", "discuss", "excite",
     "attend", "lie", "bark", "perform", "allow", "offend", "behave",
-    "purchase", "view",
+    "purchase", "view", "drink",
 }
 
 # nouns that would otherwise look verbal (tagged NOUN after DET/ADJ)
@@ -275,6 +278,8 @@ VERB_LEMMAS_DE = {
     "überlegen", "bitten", "aufnehmen", "vorschlagen", "schlagen",
     "schreien", "nachdenken", "benutzen", "entschließen",
     "verstehen", "begreifen", "erreichen", "bekommen", "erzählen",
+    # DE classification-suite vocabulary
+    "tragen",
 }
 
 NUMBER_WORDS_DE = {"null", "eins", "zwei", "drei", "vier", "fünf",
@@ -378,6 +383,10 @@ COMPOUND_PARTS_DE = {
     # Extraktionslöwe, Informationskatze — reference
     # tests/de/test_questions_DE.py:35-65)
     "betrachtung", "löwe",
+    # DE classification-suite compounds (Informationslöwe/-tiger,
+    # Raketenlöwe — reference
+    # tests/de/test_supervised_topic_classification_DE.py:102-255)
+    "tiger", "rakete",
     # 'Knochenmarkextraktion' splits knochenmark|extraktion (2 parts
     # beat knochen|mark|extraktion on the short-part penalty), so the
     # sp 'Knochenmark wird extrahiert' matches at the compound part

@@ -783,6 +783,55 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
             toks[k].head = content.i
             return main_deps + extra
 
+    # --- English relative PREPOSITIONAL phrase ("The table FROM WHICH
+    # we ate."): preposition + which/whom after a nominal; the
+    # antecedent is the relative verb's prepositional dependent
+    # (reference en test_semantics :838-862)
+    if lang == "en":
+        for k in range(1, n - 2):
+            if toks[k].pos != "ADP" \
+                    or toks[k + 1].text.lower() not in ("which", "whom") \
+                    or toks[k - 1].pos not in ("NOUN", "PROPN"):
+                continue
+            interior = [t2 for t2 in toks[k + 2:] if t2.pos != "PUNCT"]
+            if not any(t2.pos == "VERB" for t2 in interior):
+                continue
+            ante = k - 1
+            main_part = toks[:k]
+            main_deps = _parse_sentence(main_part, lang) \
+                if main_part else []
+            sub_deps = _parse_sentence(interior, lang)
+            sub_root = next((t2 for t2 in interior if t2.dep == "ROOT"),
+                            interior[0])
+            at = toks[ante]
+            pw = toks[k].text.lower()
+            toks[k].dep = "prep"
+            toks[k].head = sub_root.i
+            toks[k + 1].dep = "relpron"
+            toks[k + 1].head = toks[k].i
+            _anchor3 = next((t2 for t2 in toks
+                             if at.i in t2.righthand_siblings), None)
+            conj_ante = _anchor3 is not None
+            extra3 = [{"parent": sub_root.i, "child": at.i,
+                       "label": "pobjp", "uncertain": conj_ante,
+                       "coref": False, "prep": pw, "mention": False}]
+            for m in ([] if _anchor3 is None else
+                      [_anchor3.i] + [s2 for s2 in
+                                      _anchor3.righthand_siblings
+                                      if s2 != at.i]):
+                extra3.append({**extra3[0], "child": m,
+                               "uncertain": True})
+            rs3 = sub_root.righthand_siblings
+            for s2 in rs3:
+                for d0 in list(extra3):
+                    if d0["parent"] == sub_root.i:
+                        extra3.append({**d0, "parent": s2})
+            for t2 in toks:
+                if t2.dep == "":
+                    t2.dep = "punct" if t2.pos == "PUNCT" else "dep"
+                    t2.head = sub_root.i
+            return main_deps + sub_deps + extra3
+
     # --- German relative PREPOSITIONAL phrase ("Der Tisch, VON
     # WELCHEM wir aßen."): comma + preposition + welch-/denen-pronoun;
     # the antecedent is the relative verb's prepositional dependent
@@ -971,7 +1020,12 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
             np_clause = (j2 > k + 1 and j2 < n
                          and toks[j2].pos in ("VERB", "AUX")
                          and toks[k - 1].pos == "PUNCT")
-            if (nom_pron or np_clause) \
+            # adverb-Vorfeld second clause ("… und DANN FRISST ein
+            # Löwe" — reference de classification control :45-58
+            # keeps the clauses apart)
+            adv_clause = (toks[k + 1].pos == "ADV" and k + 2 < n
+                          and toks[k + 2].pos in ("VERB", "AUX"))
+            if (nom_pron or np_clause or adv_clause) \
                     and any(t2.pos in ("VERB", "AUX")
                             for t2 in toks[k + 1:]) \
                     and any(t2.pos in ("VERB", "AUX") for t2 in toks[:k]):
@@ -1242,10 +1296,12 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
                     or_members.update({toks[lv].i, toks[rv].i})
                 continue
             # verb conjoined after an object NP ("aß das Fleisch UND
-            # TRANK"): the right verb conjoins with the clause's last
-            # verb and shares only the SUBJECT (reference de
-            # test_semantics :757-760 — trank gets '1:sb' alone)
-            if lang == "de" and toks[j + 1].pos == "VERB" \
+            # TRANK", "saw them AND LAUGHED"): the right verb conjoins
+            # with the clause's last verb and shares only the SUBJECT
+            # (reference de test_semantics :757-760 — trank gets
+            # '1:sb' alone; en :695-698 — laughed gets '0:nsubj(U)',
+            # uncertain in English)
+            if toks[j + 1].pos == "VERB" \
                     and toks[j - 1].pos != "VERB" \
                     and (j + 2 == n or toks[j + 2].pos == "PUNCT") \
                     and any(v < j for v in verb_pos):
@@ -1841,6 +1897,12 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
         if (lang == "en" and t.pos == "VERB" and j > 0
                 and not is_xcomp_verb
                 and (toks[j - 1].pos == "ADP"
+                     # phrasal-verb particle before the gerund ("kept
+                     # ON SINGING" — reference en test_semantics
+                     # :666-698: singing gets the matrix subjects
+                     # uncertainly, like thinking-about)
+                     or (toks[j - 1].pos == "PART"
+                         and toks[j - 1].dep == "prt")
                      or (j > 1 and toks[j - 1].text.lower() == "being"
                          and toks[j - 2].pos == "ADP"))
                 and (t.text.lower().endswith("ing") or _is_participle(t.text))):
@@ -2120,6 +2182,19 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
                 h.head = cur.i
                 h.dep = "dative"
                 add(cur.i, h.i, "dative")
+            elif lang == "de" and subj_local is None and not got_obj \
+                    and cur.i == root.i and root.pos == "VERB" \
+                    and not passive \
+                    and toks[np_here[0]].text.lower() not in ("den",
+                                                              "einen"):
+                # subjectless verb-second clause with an adverb
+                # Vorfeld ("dann frisst EIN LÖWE"): the first
+                # non-accusative post-verbal NP is the subject
+                # (reference de classification control :45-58)
+                h.head = cur.i
+                h.dep = "nsubj"
+                add(cur.i, h.i, "nsubj")
+                subj_local = np_here[2]
             elif not got_obj:
                 h.head = cur.i
                 h.dep = "dobj"
@@ -2694,15 +2769,18 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
                 _by_i[obj_d[0]["child"]].dep = "nsubj"
 
     # a verb conjoined behind an object NP ("aß das Fleisch UND
-    # TRANK") shares only its partner's subject (reference de
-    # test_semantics :757-760)
+    # TRANK") shares only its partner's subject — CERTAIN in German
+    # (reference de test_semantics :757-760), UNCERTAIN in English
+    # (reference en test_semantics :695-698)
     for t2 in toks:
         if t2.dep == "vconj_subj_only":
             t2.dep = "conj"
             for d in list(deps):
                 if d["parent"] == t2.head \
                         and d["label"] in ("nsubj", "nsubjpass"):
-                    deps.append({**d, "parent": t2.i})
+                    deps.append({**d, "parent": t2.i,
+                                 "uncertain": (d["uncertain"]
+                                               or lang == "en")})
     return deps
 
 
@@ -3552,6 +3630,27 @@ def parse_document(text: str, lang: str,
                      toks[x].pos in ("CCONJ", "SCONJ")
                      or toks[x].text == ","
                      for x in range(c + 1, t.i)))), None)
+            if ante is None and (
+                    t.lemma in L.PERSON_NOUNS_EN
+                    or t.lemma in L.PERSON_NOUNS_DE):
+                # definite PERSON noun after a named person ("I saw
+                # Richard. THE PERSON came home." — coreferee links the
+                # nominal mention to the name; most-specific term =
+                # the name, reference en test_semantics :782-798)
+                ante = next(
+                    (c for c in range(t.i - 1, prev_start - 1, -1)
+                     if toks[c].pos == "PROPN"
+                     and toks[c].dep != "compound"
+                     and toks[c].ent_type in ("PERSON", "PER")
+                     and (c < s or any(
+                         toks[x].pos in ("CCONJ", "SCONJ")
+                         or toks[x].text == ","
+                         for x in range(c + 1, t.i)))), None)
+                if ante is not None:
+                    # the name is the chain's most specific term for
+                    # every member, itself included (reference
+                    # most_specific_coreferring_term_index)
+                    toks[ante].most_specific_coref = ante
             if ante is None:
                 continue
             at = toks[ante]
@@ -3695,8 +3794,17 @@ def parse_document(text: str, lang: str,
             # reference test_semantics_EN.py:962-977); a bare nominal
             # prefix ("The man whose …") is a relative, not a question
             if t.i == s0 or (
-                    any(toks[k].pos == "ADP" for k in range(s0, t.i))
+                    any(toks[k].pos == "ADP"
+                        # multiword causal prepositions count
+                        # ("BECAUSE OF whom did you come?" — reference
+                        # en test_semantics :970-972)
+                        or toks[k].text.lower() in ("because", "owing",
+                                                    "thanks")
+                        for k in range(s0, t.i))
                     and all(toks[k].pos in ("ADP", "DET", "NOUN")
+                            or toks[k].text.lower() in ("because",
+                                                        "owing",
+                                                        "thanks")
                             for k in range(s0, t.i))):
                 t.is_initial_question_word = True
 

@@ -422,6 +422,17 @@ def extract_candidate_edges(parsed: dict, lang: str,
                     continue
                 gov_sw = t["subwords"][sw["idx"]]
                 dep_sw = t["subwords"][sw["dependent"]]
+                if bool(gov_sw.get("borrowed")) \
+                        and bool(dep_sw.get("borrowed")):
+                    # both parts were DISTRIBUTED into this conjunct
+                    # from its neighbour ("…maßnahmen und -raketenlöwe"
+                    # shares information+extraktion into the right
+                    # word): the edge already exists on the owning
+                    # token — re-emitting it would double the
+                    # classification frequency (reference counts
+                    # 'intcompound: extraktion-information' ONCE,
+                    # de classification suite :196-229)
+                    continue
                 label = f"intcompound: {gov_sw['derived_lemma']}-{dep_sw['derived_lemma']}"
                 key = ("intcompound", t["i"], sw["idx"], sw["dependent"])
                 if key in seen:
