@@ -2182,11 +2182,17 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
                 h.head = cur.i
                 h.dep = "dative"
                 add(cur.i, h.i, "dative")
-            elif lang == "de" and subj_local is None and not got_obj \
-                    and cur.i == root.i and root.pos == "VERB" \
-                    and not passive \
+            elif (lang == "de" and subj_local is None and not got_obj
+                    and cur.i == root.i and root.pos == "VERB"
+                    and not passive
+                    # an NP-internal participle ("Ein VERKAUFTER
+                    # Urlaub") is adjectival — its noun is the
+                    # patient, not a subject
+                    and not (root_local > 0
+                             and toks[root_local - 1].pos
+                             in ("DET", "ADJ"))
                     and toks[np_here[0]].text.lower() not in ("den",
-                                                              "einen"):
+                                                              "einen")):
                 # subjectless verb-second clause with an adverb
                 # Vorfeld ("dann frisst EIN LÖWE"): the first
                 # non-accusative post-verbal NP is the subject
