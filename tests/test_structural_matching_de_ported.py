@@ -692,3 +692,90 @@ def test_no_embedding_search_phrase_word_too_short(spark):  # ref :1098
     ms = _de_emb(spark, ["Jemand geht auf eine Kur"],
                  "Jemand geht auf eine Kur")
     assert len(ms) == 1
+
+
+# ----------------------------------------------------------------------
+# round-5 batch 3: tenses as matches, adjective-swap conjunctions,
+# prepositional phrases at both governors (reference
+# tests/de/test_structural_matching_DE.py :125-186, :454-463, :568-587)
+# ----------------------------------------------------------------------
+
+R5_SEARCH_PHRASES = [
+    "Ein Hund jagt eine Katze",
+    "Der reiche Mann",
+    "Ein Mann ist schlau",
+    "Eine Party in den Bergen",
+    "Jemand wandert in den Bergen",
+]
+
+R5_DOCS = {
+    "fut": "Der Hund wird die Katze jagen",
+    "plup": "Der Hund hatte die Katze gejagt",
+    "adjconj_attr": "Der schlaue und schlaue Mann",
+    "adjconj_pred": "Der Mann war reich und reich",
+    "ppnoun": "Eine Party in den Bergen",
+    "ppnoun_conj": "Eine Party in den Bergen und den Bergen",
+    "ppverb": "Mein Freund wandert in den Bergen",
+    "ppverb_conj": "Mein Freund wandert in den Bergen und den Bergen",
+    "nocoref": "Ein Hund jagte eine Katze.",
+}
+
+
+@pytest.fixture(scope="module")
+def r5_by_doc(spark):
+    m = SparkHolmesManager(spark)
+    for sp in R5_SEARCH_PHRASES:
+        m.register_search_phrase(sp, lang="de")
+    for label, text in R5_DOCS.items():
+        m.parse_and_register_document(text, label, lang="de")
+    grouped: dict[str, list[dict]] = {k: [] for k in R5_DOCS}
+    for match in m.match():
+        grouped[match["document"]].append(match)
+    return grouped
+
+
+def test_active_future(r5_by_doc):  # ref :175
+    ms = r5_by_doc["fut"]
+    assert len(ms) == 1 and not ms[0]["uncertain"]
+
+
+def test_active_pluperfect_match(r5_by_doc):  # ref :180
+    ms = r5_by_doc["plup"]
+    assert len(ms) == 1 and not ms[0]["uncertain"]
+
+
+def test_adjective_swapping_with_conjunction_attr(r5_by_doc):  # ref :133
+    ms = r5_by_doc["adjconj_attr"]
+    assert len(ms) == 2 and not any(mm["uncertain"] for mm in ms)
+
+
+def test_adjective_swapping_with_conjunction_pred(r5_by_doc):  # ref :140
+    ms = r5_by_doc["adjconj_pred"]
+    assert len(ms) == 2 and not any(mm["uncertain"] for mm in ms)
+
+
+def test_prepositional_phrase_dependent_on_noun_no_conjunction(r5_by_doc):
+    # ref :568
+    assert len(r5_by_doc["ppnoun"]) == 1
+
+
+def test_prepositional_phrase_dependent_on_noun_with_conjunction(r5_by_doc):
+    # ref :573
+    assert len(r5_by_doc["ppnoun_conj"]) == 2
+
+
+def test_prepositional_phrase_dependent_on_verb_no_conjunction(r5_by_doc):
+    # ref :578
+    assert len(r5_by_doc["ppverb"]) == 1
+
+
+def test_prepositional_phrase_dependent_on_verb_with_conjunction(r5_by_doc):
+    # ref :583
+    assert len(r5_by_doc["ppverb_conj"]) == 2
+
+
+def test_involves_coreference_false(r5_by_doc):  # ref :454
+    ms = r5_by_doc["nocoref"]
+    assert len(ms) == 1
+    assert not ms[0]["involves_coreference"]
+    assert not ms[0]["word_matches"][0]["involves_coreference"]
