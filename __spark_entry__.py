@@ -31,9 +31,9 @@ from holmes_extractor_spark.ops import multimodal
 from holmes_extractor_spark.pipeline.canonicalize import build_entities
 from holmes_extractor_spark.pipeline.ingest import clean_pages
 from holmes_extractor_spark.pipeline.linking import link_edges, ontology_closure, ONTOLOGY_EDGES
-from holmes_extractor_spark.pipeline.parse_stage import (extract_edges,
-                                                         extract_words,
-                                                         parse_pages)
+from holmes_extractor_spark.pipeline.parse_stage import (edges_from_docs_full,
+                                                         parse_pages_full,
+                                                         words_from_docs_full)
 from holmes_extractor_spark.pipeline.postings import build_postings
 from holmes_extractor_spark.query.structural import compile_search_phrase, match
 from holmes_extractor_spark.query.topic import match_phraselets, query_phraselets, topic_match
@@ -91,11 +91,15 @@ def _kg(spark: SparkSession, sf_dir: str) -> dict:
         # salted repartition before the CPU-bound parse: the seed read
         # is a single file task otherwise (north-rule skew handling)
         pages = clean_pages(build_pages(spark, sf_dir)).repartition(par, "url")
-        docs = parse_pages(pages).cache()
+        # fused parse (guide §4/§8: decode once): edge/word extraction
+        # rides the parse pass; the derived tables are JVM explodes of
+        # the nested columns instead of two further Python stages that
+        # would re-ship tokens/deps through Arrow
+        docs = parse_pages_full(pages).cache()
         _CACHE[key] = {
             "docs": docs,
-            "edges": extract_edges(docs).cache(),
-            "words": extract_words(docs).cache(),
+            "edges": edges_from_docs_full(docs).cache(),
+            "words": words_from_docs_full(docs).cache(),
             # the inverted index is probed by every structural/question
             # query and the frequency queries — build it once per
             # corpus, like the reference's per-worker reverse_dict
@@ -156,8 +160,9 @@ def q_kg_edge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_kg_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from holmes_extractor_spark.pipeline.linking import ontology_closure_local
     kg = _kg(spark, sf_dir)
-    closure = ontology_closure(spark)
+    closure = [(q, w, d) for (q, w, d, _i) in ontology_closure_local()]
     # build_entities reads only the subj/obj endpoint words — the
     # class-attachment join (link_edges) belongs to the edge-output
     # path (pipeline/graph.py), not the entity-cluster query
@@ -173,10 +178,15 @@ def _match_query(spark: SparkSession, sf_dir: str, phrase: str,
     postings = kg["postings"]
     closure_rows = None
     if use_ontology:
-        closure_rows = [(r["query_word"], r["matched_word"], r["depth"])
-                        for r in ontology_closure(spark).collect()]
+        # the closure is computed eagerly on the driver (reference
+        # ontology.py:91-125) — take the local rows directly instead of
+        # round-tripping them through a createDataFrame + collect job
+        from holmes_extractor_spark.pipeline.linking import ontology_closure_local
+        closure_rows = [(q, w, d)
+                        for (q, w, d, _ind) in ontology_closure_local()]
     sp = compile_search_phrase(phrase)
-    res = match(spark, kg["docs"], postings, [sp], closure_rows)
+    res = match(spark, kg["docs"], postings, [sp], closure_rows,
+                ordered=False)
     return (res.select("url", _b("negated"),
                        F.col("involves_coreference").cast("int").alias("involves_coref"))
             .distinct())
@@ -202,7 +212,7 @@ def q_question_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings = kg["postings"]
     sp = compile_search_phrase("Who came?",
                                process_initial_question_words=True)
-    res = match(spark, kg["docs"], postings, [sp])
+    res = match(spark, kg["docs"], postings, [sp], ordered=False)
     ans = F.filter("word_matches", lambda w: w["match_type"] == F.lit("question"))
     return (res.select("url", F.element_at(ans, 1)["extracted_word"].alias("answer"))
             .filter(F.col("answer").isNotNull())
@@ -219,7 +229,7 @@ def q_where_question(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings = kg["postings"]
     sp = compile_search_phrase("Where did somebody sing?",
                                process_initial_question_words=True)
-    res = match(spark, kg["docs"], postings, [sp])
+    res = match(spark, kg["docs"], postings, [sp], ordered=False)
     ans = F.filter("word_matches", lambda w: w["match_type"] == F.lit("question"))
     return (res.select("url", F.element_at(ans, 1)["extracted_word"].alias("answer"))
             .filter(F.col("answer").isNotNull())
@@ -231,9 +241,8 @@ def q_question_phraselets(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's process_initial_question_words=True path): per-url
     question-template labels. Exercises head-WHsubj/WHadv etc.
     (reference en language_specific_rules.py:1247-1312)."""
-    from holmes_extractor_spark.pipeline.parse_stage import extract_edges_q
     kg = _kg(spark, sf_dir)
-    e = extract_edges_q(kg["docs"])
+    e = edges_from_docs_full(kg["docs"], q=True)
     # mention=True head-* rows are the corpus-side LITERAL question
     # words (a document's own non-initial 'who'/'wohin', matching-only
     # constructs, reference topic_matching.py:965-975) — question
@@ -256,19 +265,25 @@ def q_freq_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("freq"), "repr").limit(100))
 
 
-def _dedup_single_words(m: DataFrame) -> DataFrame:
-    """One row per (url, single-word phraselet): the decay-free driver
-    queries score DISTINCT word matches (their oracles count DISTINCT
-    words), while the corpus words table now carries one row per
-    occurrence for the activation model's refresh semantics."""
+def _score_topic(m: DataFrame, pts) -> DataFrame:
+    """Decay-free topic score per url. Single-word kinds count once per
+    (url, phraselet, kind, matched) — their oracles count DISTINCT
+    words, while the corpus words table carries one row per occurrence
+    for the activation model's refresh semantics — and relation-ish
+    kinds score per instance. Both aggregation levels share ONE
+    url-keyed exchange (hash(url) satisfies both groupings — guide
+    §2.4), replacing the former dedup-groupBy + union + score-groupBy
+    pair of shuffles."""
     is_word = F.col("kind").isin("single_word", "single_word_any_tag")
-    g = ["url", "phraselet_label", "kind", "matched"]
-    rest_cols = [c for c in m.columns if c not in g]
-    words = (m.filter(is_word).groupBy(*g)
-             .agg(F.min_by(F.struct(*rest_cols), "position").alias("_r"))
-             .select(*g, *[F.col(f"_r.{c}").alias(c) for c in rest_cols])
-             .select(*m.columns))
-    return m.filter(~is_word).unionByName(words)
+    lvl1 = (m.repartition("url")
+            .groupBy("url", "phraselet_label", "kind", "matched")
+            .agg(F.sum(F.when(~is_word, pts)).alias("rel_pts"),
+                 # penalty (hence pts) is a pure function of
+                 # (phraselet, kind, matched) — constant in this group
+                 F.max(F.when(is_word, pts)).alias("word_pts")))
+    return lvl1.groupBy("url").agg(
+        F.sum(F.coalesce("rel_pts", F.lit(0.0))
+              + F.coalesce("word_pts", F.lit(0.0))).alias("score"))
 
 
 def q_topic_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -279,14 +294,12 @@ def q_topic_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_topic_ranking with a rows-only check)."""
     kg = _kg(spark, sf_dir)
     rel_ph, word_ph = query_phraselets("A dog chases a cat")
-    m = _dedup_single_words(
-        match_phraselets(spark, kg["edges"], kg["words"], rel_ph, word_ph))
-    scored = (
-        m.withColumn("pts", F.when(F.col("kind") == "single_word", F.lit(50))
-                     .when(F.col("kind") == "single_word_any_tag", F.lit(20))
-                     .otherwise(F.lit(300)))
-        .groupBy("url").agg(F.sum("pts").cast("long").alias("score"))
-    )
+    m = match_phraselets(spark, kg["edges"], kg["words"], rel_ph, word_ph)
+    pts = (F.when(F.col("kind") == "single_word", F.lit(50))
+           .when(F.col("kind") == "single_word_any_tag", F.lit(20))
+           .otherwise(F.lit(300)))
+    scored = _score_topic(m, pts).select(
+        "url", F.col("score").cast("long").alias("score"))
     return scored.orderBy(F.desc("score"), "url").limit(50)
 
 
@@ -298,14 +311,13 @@ def q_topic_question(spark: SparkSession, sf_dir: str) -> DataFrame:
     kg = _kg(spark, sf_dir)
     rel_ph, word_ph = query_phraselets("Who opened the door?",
                                        include_questions=True)
-    m = _dedup_single_words(
-        match_phraselets(spark, kg["edges"], kg["words"], rel_ph, word_ph))
+    m = match_phraselets(spark, kg["edges"], kg["words"], rel_ph, word_ph)
     pts = (F.when(F.col("kind") == "question_answer", F.lit(600))
            .when(F.col("kind") == "single_word", F.lit(50))
            .when(F.col("kind") == "single_word_any_tag", F.lit(20))
            .otherwise(F.lit(300)))
-    return (m.withColumn("pts", pts)
-            .groupBy("url").agg(F.sum("pts").cast("long").alias("score"))
+    return (_score_topic(m, pts)
+            .select("url", F.col("score").cast("long").alias("score"))
             .orderBy(F.desc("score"), "url").limit(50))
 
 
@@ -313,17 +325,17 @@ def q_topic_ontology_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ontology-expanded topic scoring for 'An animal chases an animal'
     with the reference's ontology penalty 0.9^(depth+1) per pole
     (manager.py:683-701) — decay-free, value-checked."""
+    from holmes_extractor_spark.pipeline.linking import ontology_closure_local
     kg = _kg(spark, sf_dir)
-    closure = ontology_closure(spark)
+    closure = [(q, w, d) for (q, w, d, _i) in ontology_closure_local()]
     rel_ph, word_ph = query_phraselets("An animal chases an animal")
-    m = _dedup_single_words(
-        match_phraselets(spark, kg["edges"], kg["words"], rel_ph, word_ph,
-                         closure=closure))
+    m = match_phraselets(spark, kg["edges"], kg["words"], rel_ph, word_ph,
+                         closure=closure)
     pts = (F.when(F.col("kind") == "single_word", F.lit(50.0))
            .when(F.col("kind") == "single_word_any_tag", F.lit(20.0))
            .otherwise(F.lit(300.0))) * F.col("penalty")
-    return (m.withColumn("pts", pts)
-            .groupBy("url").agg(F.round(F.sum("pts"), 4).alias("score"))
+    return (_score_topic(m, pts)
+            .select("url", F.round("score", 4).alias("score"))
             .orderBy(F.desc("score"), "url").limit(50))
 
 
@@ -338,14 +350,13 @@ def q_topic_embedding_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from holmes_extractor_spark.fixtures import WORD_VECTORS
     kg = _kg(spark, sf_dir)
     rel_ph, word_ph = query_phraselets("A dog chases a cat")
-    m = _dedup_single_words(
-        match_phraselets(spark, kg["edges"], kg["words"], rel_ph, word_ph,
-                         vectors=WORD_VECTORS, embedding_threshold=0.85))
+    m = match_phraselets(spark, kg["edges"], kg["words"], rel_ph, word_ph,
+                         vectors=WORD_VECTORS, embedding_threshold=0.85)
     pts = (F.when(F.col("kind") == "single_word", F.lit(50.0))
            .when(F.col("kind") == "single_word_any_tag", F.lit(20.0))
            .otherwise(F.lit(300.0))) * F.col("penalty")
-    return (m.withColumn("pts", pts)
-            .groupBy("url").agg(F.round(F.sum("pts"), 4).alias("score"))
+    return (_score_topic(m, pts)
+            .select("url", F.round("score", 4).alias("score"))
             .orderBy(F.desc("score"), "url").limit(50))
 
 
@@ -357,8 +368,9 @@ def q_topic_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     serialized to JSON here because the driver's rows-only canonicalizer
     sorts column values and cannot hash Python lists; the structured
     columns remain available through `topic_match` itself."""
+    from holmes_extractor_spark.pipeline.linking import ontology_closure_local
     kg = _kg(spark, sf_dir)
-    closure = ontology_closure(spark)
+    closure = [(q, w, d) for (q, w, d, _i) in ontology_closure_local()]
     tm = topic_match(spark, kg["edges"], kg["words"],
                      "A dog chases a cat", closure=closure)
     return (tm.withColumn("word_infos", F.to_json("word_infos"))

@@ -2735,6 +2735,15 @@ def _parse_sentence(toks: list[Tok], lang: str) -> list[dict]:
                             and d["label"] == "nsubj":
                         d["label"] = "dative" if whw == "wem" else "dobj"
                         wh.dep = d["label"]
+                    elif d["parent"] == rt.i and d["child"] == wh.i \
+                            and d["label"] == "dobj" and whw == "wem":
+                        # 'wem' is unambiguously DATIVE morphology: a
+                        # fronted 'wem' mis-assigned dobj (the subject
+                        # pronoun already holds nsubj — 'WEM gibst du
+                        # es?') is the dative object (reference
+                        # tests/de/test_questions_DE.py:89-92)
+                        d["label"] = "dative"
+                        wh.dep = "dative"
                 if not any(d["parent"] == rt.i and d["label"] == "nsubj"
                            for d in deps):
                     for d in deps:

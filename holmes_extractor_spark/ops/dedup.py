@@ -112,10 +112,15 @@ def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.5,
     candidate fan-out at max_shingle_df²/2 pairs per shingle and (b)
     makes the measure boilerplate-discounted: two docs are near-dups
     because they share RARE content, not a navbar."""
+    from pyspark.sql import Window
     sh_all = _shingles(documents)
-    rare = (sh_all.groupBy("shingle").agg(F.count("*").alias("df"))
-            .filter(F.col("df") <= max_shingle_df).select("shingle"))
-    sh = sh_all.join(rare, "shingle").cache()
+    # df cap as a window count over the shingle partitioning the
+    # self-join needs anyway: ONE exchange of the shingle rows serves
+    # the cap filter and both join sides (ReuseExchange), replacing the
+    # former df-aggregate + join-back + cache (guide §2.4)
+    wsh = Window.partitionBy("shingle")
+    sh = (sh_all.withColumn("_df", F.count("*").over(wsh))
+          .filter(F.col("_df") <= max_shingle_df).drop("_df"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
         sh.alias("x").join(sh.alias("y"),

@@ -165,26 +165,84 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
     return labels.join(nodes, "word", "semi").unionByName(untouched)
 
 
-def build_entities(linked_edges: DataFrame, closure: DataFrame) -> DataFrame:
-    """entities(canonical, lemmas, cluster_size) from edge endpoints."""
-    nodes = (
+def _induced_components(pair_rows: list[tuple[str, str]],
+                        present: set[str]) -> dict[str, str]:
+    """Min-label connected components of the pair graph INDUCED on the
+    corpus-present vertex set (a pair merges only when BOTH endpoints
+    occur in the corpus — same restriction the distributed path applies
+    via its two semi-joins). Driver-sized by contract: the pair graph is
+    ontology-derived. Returns word → canonical for touched words only."""
+    from collections import deque
+    adj: dict[str, list[str]] = {}
+    for (a, b) in pair_rows:
+        if a in present and b in present:
+            adj.setdefault(a, []).append(b)
+            adj.setdefault(b, []).append(a)
+    label: dict[str, str] = {}
+    for src in adj:
+        if src in label:
+            continue
+        comp = [src]
+        seen = {src}
+        dq = deque([src])
+        while dq:
+            u = dq.popleft()
+            for v in adj[u]:
+                if v not in seen:
+                    seen.add(v)
+                    comp.append(v)
+                    dq.append(v)
+        canon = min(comp)
+        for w in comp:
+            label[w] = canon
+    return label
+
+
+def build_entities(linked_edges: DataFrame, closure: DataFrame | list) -> DataFrame:
+    """entities(canonical, lemmas, cluster_size) from edge endpoints.
+
+    Scale shape (r6): the pair graph is ontology-derived → driver-sized
+    (the reference computes the whole closure eagerly on the driver,
+    ontology.py:91-125), so the component structure is computed on the
+    driver over the induced subgraph and applied to the corpus as ONE
+    broadcast-mapped aggregation. The corpus side pays exactly one
+    shuffle (the groupBy(canonical)) plus one tiny semi-join collect of
+    corpus∩pair-vocabulary words (bounded by the ontology size, never
+    the corpus) — replacing the former per-round checkpointed
+    propagation (~8 sequential jobs). `connected_components` below
+    remains the path for corpus-sized pair graphs (duplicate clusters),
+    where driver-side components would not scale."""
+    spark = linked_edges.sparkSession
+    endpoints = (
         linked_edges.select(F.col("subj").alias("word"))
         .unionByName(linked_edges.select(F.col("obj").alias("word")))
-        .distinct()
-        # referenced 3× downstream (pair restriction, untouched anti-join,
-        # final semi-join) — materialize the distinct once instead of
-        # re-shuffling the full edge endpoint set per reference
-        .localCheckpoint(eager=True)
     )
-    pairs = cluster_edges_from(closure)
-    # the pair graph is ontology-derived → driver-sized (the reference
-    # computes the whole closure eagerly on the driver, ontology.py:
-    # 91-125): bound the rounds up front and run a lazy fixed-depth
-    # plan. Restriction to corpus-present endpoints only SHRINKS
-    # components, so the bound stays valid.
-    pair_rows = [(r["a"], r["b"]) for r in pairs.collect()]
-    rounds = _pair_graph_rounds(pair_rows)
-    comp = connected_components(nodes, pairs, fixed_rounds=rounds)
+    if isinstance(closure, DataFrame):
+        crows = [(r["query_word"], r["matched_word"], r["depth"])
+                 for r in closure.select("query_word", "matched_word",
+                                         "depth").collect()]
+    else:
+        crows = [(r[0], r[1], r[2]) for r in closure]
+    pair_rows = sorted({(a, b) for (a, b, d) in crows
+                        if d == 0 and a != b})
+    vocab = sorted({w for p in pair_rows for w in p})
+    if vocab:
+        vocab_df = spark.createDataFrame([(w,) for w in vocab],
+                                         "word string")
+        present = {r["word"] for r in endpoints
+                   .join(F.broadcast(vocab_df), "word", "semi")
+                   .distinct().collect()}
+    else:
+        present = set()
+    label = _induced_components(pair_rows, present)
+    if label:
+        map_df = F.broadcast(spark.createDataFrame(
+            sorted(label.items()), "word string, canonical string"))
+        comp = (endpoints.join(map_df, "word", "left")
+                .select("word", F.coalesce("canonical", "word")
+                        .alias("canonical")))
+    else:
+        comp = endpoints.select("word", F.col("word").alias("canonical"))
     return (
         comp.groupBy("canonical")
         .agg(F.sort_array(F.collect_set("word")).alias("lemmas"),

@@ -980,7 +980,8 @@ def match(spark: SparkSession, docs: DataFrame, postings: DataFrame,
           vectors: dict[str, list[float]] | None = None,
           overall_similarity_threshold: float = 1.0,
           embedding_based_matching_on_root_words: bool = False,
-          document_label_filter: str | None = None) -> DataFrame:
+          document_label_filter: str | None = None,
+          ordered: bool = True) -> DataFrame:
     """Distributed structural match.
 
     - `closure_rows`: collected ontology closure [(query_word,
@@ -1074,9 +1075,11 @@ def match(spark: SparkSession, docs: DataFrame, postings: DataFrame,
     # matches document "neat" as a derivation match — the reverse dict
     # holds every matching repr under one key space); the entry kind
     # only informs match typing, which _token_matches re-derives
+    # probe rows are driver-sized (per search phrase) — dedup here
+    # instead of a .distinct() shuffle stage on a ~10-row frame
     probes = spark.createDataFrame(
-        [(pi, r) for (pi, r, _k) in probe_rows],
-        "phrase_idx int, repr string").distinct()
+        sorted({(pi, r) for (pi, r, _k) in probe_rows}),
+        "phrase_idx int, repr string")
 
     if document_label_filter:
         postings = postings.filter(F.col("url").startswith(document_label_filter))
@@ -1126,8 +1129,14 @@ def match(spark: SparkSession, docs: DataFrame, postings: DataFrame,
                         rows.append(m)
             yield pd.DataFrame(rows, columns=cols)
 
-    return (
+    res = (
         cand_docs.select("url", "tokens", "deps", "cands")
         .mapInPandas(verify_batches, schema=MATCH_ROW)
-        .orderBy(F.desc("overall_similarity"), "url", "index_within_document")
     )
+    if ordered:
+        # result sort contract (reference result sort/merge); callers
+        # that immediately re-aggregate (the distinct entry queries)
+        # skip the global range-partitioned sort
+        res = res.orderBy(F.desc("overall_similarity"), "url",
+                          "index_within_document")
+    return res

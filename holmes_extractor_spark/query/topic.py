@@ -220,9 +220,48 @@ def _onto_expl(word_col, depth_col):
                     F.lit(" in the ontology."))
 
 
+# driver-side mirrors of the explanation columns — used when the query
+# side (phraselet table × driver-sized closure/vector fixture) is
+# expanded in Python instead of through broadcast joins + a shuffle
+# (guide §2.4: remove shuffles outright; the q side is never corpus-
+# scale, exactly like the reference's eager driver closure)
+
+def _direct_expl_py(word: str) -> str:
+    return f"Matches {word.upper()} directly."
+
+
+def _onto_expl_py(word: str, depth: int) -> str:
+    d = max(-4, min(4, depth))
+    return f"Is {_DEPTH_NAMES[d]} of {word.upper()} in the ontology."
+
+
+def _round_half_up(x: float, digits: int) -> float:
+    """Exact mirror of Catalyst Round(double, s): BigDecimal.valueOf
+    (shortest round-trip decimal repr — identical to Python repr) with
+    HALF_UP scaling."""
+    from decimal import ROUND_HALF_UP, Decimal
+    return float(Decimal(repr(x)).quantize(Decimal(1).scaleb(-digits),
+                                           rounding=ROUND_HALF_UP))
+
+
+def _as_closure_rows(closure) -> list[tuple] | None:
+    """Normalize an ontology closure to driver rows [(query_word,
+    matched_word, depth)]. Closures are driver-sized by contract (the
+    reference computes them eagerly at ontology load, ontology.py:
+    91-125); accepting rows lets callers skip the createDataFrame/
+    broadcast-join round trip."""
+    if closure is None:
+        return None
+    if isinstance(closure, DataFrame):
+        return [(r["query_word"], r["matched_word"], r["depth"])
+                for r in closure.select("query_word", "matched_word",
+                                        "depth").collect()]
+    return [(r[0], r[1], r[2]) for r in closure]
+
+
 def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
                      rel_ph: list[dict], word_ph: list[dict],
-                     closure: DataFrame | None = None,
+                     closure: DataFrame | list | None = None,
                      vectors: dict[str, list[float]] | None = None,
                      embedding_threshold: float = 1.0,
                      ents: DataFrame | None = None,
@@ -374,71 +413,68 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
     # per position after their own agg — no second shuffle needed)
     out = None
     wout = None
+    # the closure is driver-sized by contract (reference eager closure,
+    # ontology.py:91-125): expand the (driver-sized) phraselet rows in
+    # Python instead of broadcast joins + a groupBy shuffle (guide §2.4)
+    closure_rows = _as_closure_rows(closure)
+    cl_map: dict[str, list[tuple[str, int]]] = {}
+    if closure_rows:
+        for (cq, cw, cd) in closure_rows:
+            cl_map.setdefault(cq, []).append((cw, cd))
+    _Q_SCHEMA = ("template string, phraselet_label string, "
+                 "q_pred string, q_child string, "
+                 "q_reverse_only boolean, freq_factor double, "
+                 "inverse boolean, p_disp string, c_disp string, "
+                 "penalty double, expl_pred string, expl_child string")
+
+    def _expand_pole(word, disp):
+        # LEFT-join semantics: ontology expansion carries the closure
+        # depth so the activation penalty ontology_penalty^(depth+1)
+        # applies per pole (reference manager.py:683-701); identity
+        # matches carry no penalty, plus the reference word-match
+        # explanation string per pole (ontology.py:23-46)
+        opts = cl_map.get(word) or [(word, 0)]
+        return [(m, 1.0, _direct_expl_py(disp)) if m == word
+                else (m, ontology_penalty ** (abs(d) + 1),
+                      _onto_expl_py(disp, d))
+                for (m, d) in opts]
+
+    def _dedup_q(rows):
+        # mirror of the former groupBy + max_by(penalty, expl_pred,
+        # expl_child) dedup — string comparison in Python (code points)
+        # matches Spark's UTF8 byte order
+        best: dict = {}
+        for r in rows:
+            (t, lbl, qp, qc, rev, ff, inv, pd_, cd_, pen, ep, ec) = r
+            key = (t, lbl, rev, ff, qp, qc, inv)
+            cur = best.get(key)
+            if cur is None or (pen, ep, ec) > (cur[9], cur[10], cur[11]):
+                best[key] = r
+        return list(best.values())
+
     if rel_rows:
-        q = spark.createDataFrame(
-            rel_rows, "template string, phraselet_label string, "
-                      "q_pred string, q_child string, "
-                      "q_reverse_only boolean, freq_factor double, "
-                      "inverse boolean, p_disp string, c_disp string")
-        if closure is not None:
-            # ontology expansion carries the closure depth so the
-            # activation penalty ontology_penalty^(depth+1) can be
-            # applied per pole (reference manager.py:683-701 +
-            # topic_matching.py:867-1054); identity matches (the word
-            # itself) carry no penalty. Each pole also carries the
-            # reference word-match explanation string (ontology.py:
-            # 23-46) for word_infos parity.
-            c = closure.select("query_word", "matched_word", "depth")
-            pen = lambda depth_col, m_col, q_col: F.when(  # noqa: E731
-                m_col.isNull() | (m_col == q_col), F.lit(1.0)).otherwise(
-                F.pow(F.lit(ontology_penalty), F.abs(depth_col) + 1))
-            expl = lambda m_col, d_col, q_col, disp: F.when(  # noqa: E731
-                m_col.isNull() | (m_col == q_col), _direct_expl(disp)
-                ).otherwise(_onto_expl(disp, d_col))
-            q = (
-                q.join(F.broadcast(c).withColumnRenamed("query_word", "q_pred")
-                       .withColumnRenamed("matched_word", "m_pred")
-                       .withColumnRenamed("depth", "d_pred"), "q_pred", "left")
-                .join(F.broadcast(c).withColumnRenamed("query_word", "q_child")
-                      .withColumnRenamed("matched_word", "m_child")
-                      .withColumnRenamed("depth", "d_child"), "q_child", "left")
-                .select("template", "phraselet_label", "q_reverse_only",
-                        "freq_factor", "inverse", "p_disp", "c_disp",
-                        F.coalesce("m_pred", "q_pred").alias("q_pred"),
-                        F.coalesce("m_child", "q_child").alias("q_child"),
-                        (pen(F.col("d_pred"), F.col("m_pred"), F.col("q_pred"))
-                         * pen(F.col("d_child"), F.col("m_child"), F.col("q_child"))
-                         ).alias("penalty"),
-                        expl(F.col("m_pred"), F.col("d_pred"),
-                             F.col("q_pred"), F.col("p_disp")).alias("expl_pred"),
-                        expl(F.col("m_child"), F.col("d_child"),
-                             F.col("q_child"), F.col("c_disp")).alias("expl_child"))
-                .groupBy("template", "phraselet_label", "q_reverse_only",
-                         "freq_factor", "q_pred", "q_child", "inverse")
-                .agg(F.max_by(F.struct("penalty", "expl_pred", "expl_child",
-                                       "p_disp", "c_disp"),
-                              F.struct("penalty", "expl_pred", "expl_child"))
-                     .alias("_x"))
-                .select("template", "phraselet_label", "q_reverse_only",
-                        "freq_factor", "q_pred", "q_child", "inverse",
-                        "_x.penalty", "_x.expl_pred", "_x.expl_child",
-                        "_x.p_disp", "_x.c_disp")
-            )
-        else:
-            q = (q.withColumn("penalty", F.lit(1.0))
-                 .withColumn("expl_pred", _direct_expl(F.col("p_disp")))
-                 .withColumn("expl_child", _direct_expl(F.col("c_disp"))))
+        q_local = [
+            (t, lbl, mp, mc, rev, ff, inv, pd_, cd_, pp * pc, ep, ec)
+            for (t, lbl, qp, qc, rev, ff, inv, pd_, cd_) in rel_rows
+            for (mp, pp, ep) in _expand_pole(qp, pd_)
+            for (mc, pc, ec) in _expand_pole(qc, cd_)
+        ]
+        if closure_rows:
+            q_local = _dedup_q(q_local)
+        q = None
         if vectors is not None and embedding_threshold < 1.0:
             # pass-4 child-embedding retry (reference topic_matching.py:
             # 301-319 + embedding_penalty, manager.py:683-701): expand
             # the CHILD pole by vector similarity, penalty =
-            # embedding_penalty × cosine. The vocabulary side runs as a
+            # embedding_penalty × cosine. When ``vectors`` is a
+            # DataFrame (the scale path) the vocabulary side runs as a
             # DISTRIBUTED scored scan (broadcast query-child probes ⋈
             # vector table, JVM zip_with dot products) — mirroring the
             # structural root-embedding plan (structural.py) — so a
             # realistic 100k–1M-word vocabulary never loops on the
-            # driver. ``vectors`` may be a dict (tests/fixtures) or a
-            # (word, vector) DataFrame (the scale path).
+            # driver. A dict (tests/fixtures) is driver-sized already:
+            # the same scan runs locally, skipping two shuffle stages
+            # and a collect round-trip (guide §2.4).
             emb_pen = DEFAULTS["embedding_penalty"]
             # per-phraselet single-token gate: overall ** n where
             # overall = sqrt(word_threshold) (reference manager.py:
@@ -482,14 +518,73 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
                 n_emb = 1 + (0 if _ENT_CHILD_RE.match(qc or "") else 1)
                 probes_p.append((t, lbl, qp, qc, rev, ff,
                                  overall ** n_emb, n_emb, pd_, cd_))
+            if (probes or probes_p) and isinstance(vectors, dict):
+                # driver-sized vector fixture: same scan, locally.
+                # Arithmetic mirrors the JVM column expressions exactly
+                # (same fold order; _round_half_up ≡ Catalyst Round).
+                import math
+
+                def _dot(a, b):
+                    acc = 0.0
+                    for x, y in zip(a, b):
+                        acc = acc + x * y
+                    return acc
+
+                def _norm(a):
+                    acc = 0.0
+                    for x in a:
+                        acc = acc + x * x
+                    return math.sqrt(acc)
+
+                vec_items = [(w, [float(x) for x in v])
+                             for w, v in vectors.items()]
+                extra_local = []
+                for (t, lbl, qp, qc, rev, ff, stt, n_emb, pd_, cd_) in probes:
+                    if qc not in vectors:
+                        continue
+                    qvec = [float(x) for x in vectors[qc]]
+                    for (w, vec) in vec_items:
+                        if w == qc:
+                            continue
+                        cos = _dot(qvec, vec) / (_norm(qvec) * _norm(vec))
+                        if cos > stt:
+                            # reference structural_matching.py:458-462 +
+                            # topic_matching.py:1004: penalty =
+                            # embedding_penalty × overall similarity,
+                            # overall = round(cos^(1/n_vectored), 8)
+                            pen = emb_pen * _round_half_up(
+                                math.pow(cos, 1.0 / n_emb), 8)
+                            extra_local.append(
+                                (t, lbl, qp, w, rev, ff, False, pd_, cd_,
+                                 pen, _direct_expl_py(pd_),
+                                 # reference embedding.py:12-22 (display
+                                 # word = the search phrase child lemma)
+                                 f"Has a word embedding that is "
+                                 f"{int(math.floor(cos * 100))}% similar "
+                                 f"to {cd_.upper()}."))
+                for (t, lbl, qp, qc, rev, ff, stt, n_emb, pd_, cd_) in probes_p:
+                    if qp not in vectors:
+                        continue
+                    qvec = [float(x) for x in vectors[qp]]
+                    for (w, vec) in vec_items:
+                        if w == qp:
+                            continue
+                        cos = _dot(qvec, vec) / (_norm(qvec) * _norm(vec))
+                        if cos > stt:
+                            pen = emb_pen * _round_half_up(
+                                math.pow(cos, 1.0 / n_emb), 8)
+                            extra_local.append(
+                                (t, lbl, w, qc, rev, ff, False, pd_, cd_,
+                                 pen,
+                                 f"Has a word embedding that is "
+                                 f"{int(math.floor(cos * 100))}% similar "
+                                 f"to {pd_.upper()}.",
+                                 _direct_expl_py(cd_)))
+                if extra_local:
+                    q_local = _dedup_q(q_local + extra_local)
+                probes, probes_p = [], []
             if probes or probes_p:
-                if isinstance(vectors, DataFrame):
-                    vec_df = vectors.toDF("w", "vec")
-                else:
-                    vec_df = spark.createDataFrame(
-                        [(w, [float(x) for x in v])
-                         for w, v in vectors.items()],
-                        "w string, vec array<double>")
+                vec_df = vectors.toDF("w", "vec")
                 # only the (few) query poles' vectors come to the
                 # driver — O(|query|), not O(vocabulary)
                 qcs = sorted({p[3] for p in probes}
@@ -573,6 +668,7 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
                                "q_child"))
                 extras.append(qpe)
             if extras:
+                q = spark.createDataFrame(q_local, _Q_SCHEMA)
                 for e in extras:
                     q = q.unionByName(e)
                 q = (q.groupBy(
@@ -588,6 +684,8 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
                             "q_child", "inverse", "_x.penalty",
                             "_x.expl_pred", "_x.expl_child",
                             "_x.p_disp", "_x.c_disp"))
+        if q is None:
+            q = spark.createDataFrame(q_local, _Q_SCHEMA)
         child_col = F.when(F.col("template").isin(*ACTOR_TEMPLATES),
                            F.col("subj")).otherwise(F.col("obj"))
         rel_m = (
@@ -922,41 +1020,29 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
             )
             out = q_m if out is None else out.unionByName(q_m, allowMissingColumns=True)
     if word_ph:
+        # word phraselets × closure are both driver-sized — expand and
+        # dedup locally (mirror of the former broadcast join + groupBy
+        # max_by(penalty, w_expl) shuffle; guide §2.4)
+        qw_local = []
+        for p in word_ph:
+            disp = p.get("disp") or p["word"]
+            for (m, pen, expl) in _expand_pole(p["word"], disp):
+                qw_local.append((m, p["label"],
+                                 float(p.get("freq_factor", 1.0)),
+                                 bool(p.get("any_tag", False)),
+                                 int(p.get("idx", 0)), pen, expl))
+        if closure_rows:
+            bestw: dict = {}
+            for r in qw_local:
+                key = r[:5]
+                cur = bestw.get(key)
+                if cur is None or (r[5], r[6]) > (cur[5], cur[6]):
+                    bestw[key] = r
+            qw_local = list(bestw.values())
         qw = spark.createDataFrame(
-            [(p["word"], p["label"], float(p.get("freq_factor", 1.0)),
-              bool(p.get("any_tag", False)),
-              p.get("disp") or p["word"], int(p.get("idx", 0)))
-             for p in word_ph],
+            qw_local,
             "word string, phraselet_label string, freq_factor double, "
-            "q_any_tag boolean, w_disp string, ph_ord int")
-        if closure is not None:
-            c = closure.select("query_word", "matched_word", "depth")
-            qw = (qw.join(F.broadcast(c).withColumnRenamed("query_word", "word")
-                          .withColumnRenamed("matched_word", "m_word")
-                          .withColumnRenamed("depth", "d_word"), "word", "left")
-                  .select("phraselet_label", "freq_factor", "q_any_tag",
-                          "ph_ord",
-                          F.when(F.col("m_word").isNull()
-                                 | (F.col("m_word") == F.col("word")),
-                                 F.lit(1.0))
-                          .otherwise(F.pow(F.lit(ontology_penalty),
-                                           F.abs(F.col("d_word")) + 1)).alias("penalty"),
-                          F.when(F.col("m_word").isNull()
-                                 | (F.col("m_word") == F.col("word")),
-                                 _direct_expl(F.col("w_disp")))
-                          .otherwise(_onto_expl(F.col("w_disp"),
-                                                F.col("d_word")))
-                          .alias("w_expl"),
-                          F.coalesce("m_word", "word").alias("word"))
-                  .groupBy("word", "phraselet_label", "freq_factor",
-                           "q_any_tag", "ph_ord")
-                  .agg(F.max_by(F.struct("penalty", "w_expl"),
-                                F.struct("penalty", "w_expl")).alias("_x"))
-                  .select("word", "phraselet_label", "freq_factor",
-                          "q_any_tag", "ph_ord", "_x.penalty", "_x.w_expl"))
-        else:
-            qw = (qw.withColumn("penalty", F.lit(1.0))
-                  .withColumn("w_expl", _direct_expl(F.col("w_disp"))))
+            "q_any_tag boolean, ph_ord int, penalty double, w_expl string")
         word_m = (
             words.join(F.broadcast(qw), "word")
             .select("url", "phraselet_label",
@@ -989,7 +1075,14 @@ def match_phraselets(spark: SparkSession, edges: DataFrame, words: DataFrame,
                         "freq_factor", "matched", "p_expl", "c_expl",
                         "p_word", "c_word", "span_start", "span_end",
                         "ph_ord", "subword_idx")
-        word_m = (word_m.groupBy(*gcols)
+        # one url-keyed exchange serves the whole word branch: hash
+        # partitioning on url satisfies the clustering required by the
+        # position-dedup agg (url ⊆ its keys), the multiword-suppression
+        # window (url) and the cross-phraselet dedup agg below, so none
+        # of them re-shuffles (guide §2.4: two operations keyed the same
+        # way share one exchange)
+        word_m = (word_m.repartition("url")
+                  .groupBy(*gcols)
                   # a WHOLE-WORD row wins over a subword row of the
                   # same label+token regardless of penalty (reference
                   # whole-word-beats-subword rejection,
@@ -1802,10 +1895,12 @@ def with_passage_text(topic_df: DataFrame, docs: DataFrame,
     # (_rn, score) pairs — and only those — come to the driver and the
     # rank strings broadcast-join back.
     wc = F.size(F.split(F.trim("passage_text"), r"\s+"))
-    # literal partition key: this frame is the already-top-k result
-    # (≤ number_of_results rows) — partitionBy(lit) keeps WindowExec
-    # from logging single-partition warnings that would mask real ones
-    worder = (Window.partitionBy(F.lit(0))
+    # constant-but-NON-FOLDABLE partition key (length(url)*0 == 0 for
+    # every row, but Catalyst cannot fold it away like a bare lit):
+    # this frame is the already-top-k result (≤ number_of_results
+    # rows), and the real partition key keeps WindowExec from logging
+    # single-partition warnings that would mask real ones
+    worder = (Window.partitionBy(F.length("url") * 0)
               .orderBy(F.desc("score"), F.desc(wc), "url",
                        F.col("word_infos")[0]["relative_start_index"]))
     out = (out.withColumn("_rn", F.row_number().over(worder))
@@ -1910,7 +2005,7 @@ def _ans_hi(idx):
 
 def plan_selective_retries(rel_ph: list[dict], word_ph: list[dict],
                            freq_factors: DataFrame,
-                           closure: DataFrame | None,
+                           closure: DataFrame | list | None,
                            params: dict) -> tuple[list[dict], list[dict]]:
     """The reference's selective retry planning (topic_matching.py:
     379-549 + parsing.py:1852-1885): per-pole frequency factors decide
@@ -1956,9 +2051,9 @@ def plan_selective_retries(rel_ph: list[dict], word_ph: list[dict],
         if (m := _ENT_CHILD_RE.match(w)) else {w}
         for w in poles}
     if closure is not None:
-        for r in closure.filter(F.col("query_word").isin(*poles)) \
-                .select("query_word", "matched_word").collect():
-            expanded[r["query_word"]].add(r["matched_word"])
+        for (cq, cw, _d) in (_as_closure_rows(closure) or []):
+            if cq in expanded:
+                expanded[cq].add(cw)
     all_words = set().union(*expanded.values()) if expanded else set()
     ff_map = {}
     if all_words:
@@ -2017,7 +2112,7 @@ def plan_selective_retries(rel_ph: list[dict], word_ph: list[dict],
 
 def topic_match(spark: SparkSession, edges: DataFrame, words: DataFrame,
                 query_text: str, lang: str = "en",
-                closure: DataFrame | None = None,
+                closure: DataFrame | list | None = None,
                 freq_factors: DataFrame | None = None,
                 vectors: dict[str, list[float]] | None = None,
                 embedding_threshold: float = 1.0,
@@ -2091,9 +2186,11 @@ def topic_match(spark: SparkSession, edges: DataFrame, words: DataFrame,
         scored = (scored.withColumn("_dr", F.row_number().over(du))
                   .filter(F.col("_dr") == 1).drop("_dr"))
     k = params["number_of_results"]
-    # bounded top-k frame (≤ k rows after the limit); the literal
-    # partition key suppresses WindowExec single-partition warnings
-    w = (Window.partitionBy(F.lit(0))
+    # bounded top-k frame (≤ k rows after the limit); the constant-but-
+    # non-foldable partition key (length(url)*0) actually reaches
+    # WindowExec — a bare lit(0) is constant-folded away and the
+    # single-partition warning still fires
+    w = (Window.partitionBy(F.length("url") * 0)
          .orderBy(F.desc("score"), "url", "start_idx"))
     top = (scored.orderBy(F.desc("score"), "url", "start_idx").limit(k)
            .withColumn("rank", F.row_number().over(w)))
