@@ -125,11 +125,15 @@ def lsh_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 5, dim: int = 6
         F.col("n").alias("qn"), "table", "bucket")
     pairs = (emb.join(F.broadcast(q), ["table", "bucket"])
              .filter(F.col("vec_id") != F.col("query_id")))
-    scored = pairs.select(
+    # one query_id-keyed exchange serves both the cross-table dedup and
+    # the rank window (hash(query_id) satisfies the dedup's clustering
+    # on the superset key — guide §2.4)
+    scored = (pairs.select(
         "query_id", F.col("vec_id").alias("neighbor_id"),
         _cosine_normed(F.col("qv"), F.col("v"),
-                       F.col("qn"), F.col("n")).alias("cosine")
-    ).dropDuplicates(["query_id", "neighbor_id"])
+                       F.col("qn"), F.col("n")).alias("cosine"))
+        .repartition("query_id")
+        .dropDuplicates(["query_id", "neighbor_id"]))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
@@ -193,11 +197,14 @@ def embedding_neardup(embeddings: DataFrame, threshold: float = 0.95,
     per bucket; a dropped bucket's members can still pair in their
     other N_TABLES-1 buckets."""
     emb = with_lsh_bucket(embeddings, dim)
-    ok = (emb.groupBy("table", "bucket")
-          .agg(F.count("*").alias("n"))
-          .filter(F.col("n") <= max_bucket_size)
-          .select("table", "bucket"))
-    emb = emb.join(F.broadcast(ok), ["table", "bucket"])
+    # dense-bucket cap as a window count over the same (table, bucket)
+    # partitioning the self-join needs: one exchange serves the cap and
+    # both join sides (same pattern as minhash_lsh_pairs /
+    # ngram_jaccard_pairs — guide §2.4), replacing the former
+    # aggregate + broadcast join-back
+    wb = Window.partitionBy("table", "bucket")
+    emb = (emb.withColumn("_n", F.count("*").over(wb))
+           .filter(F.col("_n") <= max_bucket_size).drop("_n"))
     pairs = (
         emb.alias("x").join(emb.alias("y"),
                             (F.col("x.table") == F.col("y.table"))

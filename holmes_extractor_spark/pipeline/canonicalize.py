@@ -227,20 +227,23 @@ def build_entities(linked_edges: DataFrame, closure: DataFrame | list) -> DataFr
                         if d == 0 and a != b})
     vocab = sorted({w for p in pair_rows for w in p})
     if vocab:
-        vocab_df = spark.createDataFrame([(w,) for w in vocab],
-                                         "word string")
+        # presence probe: isin over the (driver-sized) pair vocabulary
+        # pushes down as a literal predicate on the cached scan — no
+        # broadcast-build job, and the collect is bounded by |ontology|
         present = {r["word"] for r in endpoints
-                   .join(F.broadcast(vocab_df), "word", "semi")
+                   .filter(F.col("word").isin(vocab))
                    .distinct().collect()}
     else:
         present = set()
     label = _induced_components(pair_rows, present)
     if label:
-        map_df = F.broadcast(spark.createDataFrame(
-            sorted(label.items()), "word string, canonical string"))
-        comp = (endpoints.join(map_df, "word", "left")
-                .select("word", F.coalesce("canonical", "word")
-                        .alias("canonical")))
+        # the word→canonical map is driver-sized: apply it as a literal
+        # map expression (codegen lookup) instead of a broadcast join
+        m = F.create_map(*[F.lit(x) for kv in sorted(label.items())
+                           for x in kv])
+        comp = endpoints.select(
+            "word", F.coalesce(m[F.col("word")], F.col("word"))
+            .alias("canonical"))
     else:
         comp = endpoints.select("word", F.col("word").alias("canonical"))
     return (

@@ -101,13 +101,18 @@ def frequency_factor(freq_df: DataFrame) -> DataFrame:
     """1 - log(freq - 1)/log(max_freq) — the reference's frequency
     factor (parsing.py:1870-1877: the word frequency is ADJUSTED down
     by one before the log, so words seen once or twice keep factor
-    1.0), used to deflate scores and gate reverse matching. Computed
-    with a scalar broadcast of the max (no shuffle on the big side)."""
-    max_freq = freq_df.agg(F.max("freq")).collect()[0][0] or 1
+    1.0), used to deflate scores and gate reverse matching. The max is
+    attached as a broadcast single-row crossJoin (a scalar subquery):
+    the whole factor table is ONE lazy plan — no separate driver-
+    blocking max-collect job, and the freq aggregation's exchange is
+    shared between the max and main branches (ReuseExchange)."""
+    mx = freq_df.agg(F.coalesce(F.max("freq"), F.lit(1)).alias("_maxf"))
     adj = F.col("freq").cast("double") - 1.0
-    return freq_df.withColumn(
-        "frequency_factor",
-        F.when(F.lit(max_freq) <= 1, F.lit(1.0))
-        .when(adj <= 0.0, F.lit(1.0))
-        .otherwise(1.0 - F.log(adj) / F.log(F.lit(float(max_freq)))),
-    )
+    return (freq_df.crossJoin(F.broadcast(mx))
+            .withColumn(
+                "frequency_factor",
+                F.when(F.col("_maxf") <= 1, F.lit(1.0))
+                .when(adj <= 0.0, F.lit(1.0))
+                .otherwise(1.0 - F.log(adj)
+                           / F.log(F.col("_maxf").cast("double"))))
+            .drop("_maxf"))
