@@ -1099,10 +1099,11 @@ def match(spark: SparkSession, docs: DataFrame, postings: DataFrame,
                      "is_negated", "involved_in_or", "coref_chain",
                      "most_specific_coref", "multiwords",
                      "righthand_siblings", "subwords")
-    docs = docs.withColumn(
+    # prune AFTER the candidate join so the struct rewrite runs only on
+    # docs that actually host candidates, not the whole corpus
+    cand_docs = docs.join(cands, "url").withColumn(
         "tokens",
         F.transform("tokens", lambda t: F.struct(*[t[f].alias(f) for f in verify_fields])))
-    cand_docs = docs.join(cands, "url")
 
     sp_list = search_phrases  # captured in closure (broadcast via pickle)
     # driver-side snapshot: custom strategies registered on the driver
